@@ -1,0 +1,123 @@
+"""Public facade: :class:`MallardSparkVault`.
+
+Method names/signatures mirror the reference's ``MallardDataVault``
+(``mallarddv/mallarddv.py:87-423``) so existing flows port 1:1; the engine
+underneath is pure Spark (DataFrame/SQL on catalog tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mallarddv_spark.flow.executor import FlowExecutor
+from mallarddv_spark.operators import hashview, hub, link, satellite
+from mallarddv_spark.plans.model import fetch_table_columns, fetch_transitions
+from mallarddv_spark.sources import catalog
+
+
+class MallardSparkVault:
+    """Metadata-driven Data Vault on Spark.
+
+    Usage::
+
+        vault = MallardSparkVault(spark, scripts_path="models")
+        vault.init_vault("tables.csv", "transitions.csv")
+        errors = vault.execute_flow("customer", "crm", "data/customer.csv")
+        vault.sql("SELECT * FROM bv.hsat_customer_details_cv").show()
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        scripts_path: str | None = None,
+        stg_db: str = "stg",
+        dv_db: str = "dv",
+        bv_db: str = "bv",
+        dm_db: str = "dm",
+        metadata_db: str = "metadata",
+        hash_algo: str = "sha1",
+    ):
+        self.spark = spark
+        self.scripts_path = scripts_path
+        self.stg_db = stg_db
+        self.dv_db = dv_db
+        self.bv_db = bv_db
+        self.dm_db = dm_db
+        self.metadata_db = metadata_db
+        self.hash_algo = hash_algo
+        self._executor = FlowExecutor(
+            spark, stg_db, dv_db, bv_db, metadata_db, hash_algo
+        )
+
+    # -- DDL / init ---------------------------------------------------------
+
+    def init_vault(
+        self,
+        tables_csv: str | None = None,
+        transitions_csv: str | None = None,
+        meta_only: bool = False,
+        verbose: bool = False,
+    ) -> list[tuple[str, str]]:
+        """Create databases + control tables, load metadata CSVs, then create
+        every staging/hub/link/sat table, current views, and apply user view
+        scripts — the reference's ``init_mallard_db`` (``mallarddv.py:100-172``).
+        """
+        errors: list[tuple[str, str]] = []
+        catalog.ensure_databases(
+            self.spark,
+            (self.stg_db, self.dv_db, self.bv_db, self.dm_db, self.metadata_db),
+        )
+        catalog.ensure_metadata_tables(self.spark, self.metadata_db)
+        catalog.load_metadata_csvs(
+            self.spark, self.metadata_db, tables_csv, transitions_csv
+        )
+        if meta_only:
+            return errors
+
+        cols = fetch_table_columns(self.spark, self.metadata_db)
+        try:
+            catalog.create_staging_tables(self.spark, self.stg_db, cols)
+            hub.create_hub_tables(self.spark, self.dv_db, cols)
+            link.create_link_tables(self.spark, self.dv_db, cols)
+            satellite.create_sat_tables(self.spark, self.dv_db, cols)
+            satellite.create_current_views(self.spark, self.dv_db, self.bv_db, cols)
+        except Exception as ex:
+            errors.append(("init_vault_ddl", str(ex)))
+            return errors
+        if self.scripts_path:
+            errors.extend(
+                catalog.apply_script_files(self.spark, self.scripts_path, cols, verbose)
+            )
+        return errors
+
+    def compute_hash_view(self, stg_table: str, verbose: bool = False) -> str:
+        transitions = fetch_transitions(self.spark, self.metadata_db, stg_table)
+        return hashview.create_hash_view(
+            self.spark, self.stg_db, stg_table, transitions,
+            algo=self.hash_algo, verbose=verbose,
+        )
+
+    # -- flows --------------------------------------------------------------
+
+    def execute_flow(
+        self,
+        source_table: str,
+        record_source: str,
+        file_path: str | None = None,
+        load_date_overwrite: str | None = None,
+        force_load: bool = False,
+        verbose: bool = False,
+    ) -> list[tuple[str, str]]:
+        return self._executor.execute_flow(
+            source_table, record_source, file_path,
+            load_date_overwrite, force_load, verbose,
+        )
+
+    # -- raw SQL passthrough ------------------------------------------------
+
+    def sql(self, query: str, args: dict | None = None) -> DataFrame:
+        """Full Spark SQL surface over the vault (reference ``mallarddv.py:87-98``
+        routed user SQL to DuckDB; here the dialect is Spark SQL)."""
+        if args:
+            return self.spark.sql(query, args=args)
+        return self.spark.sql(query)

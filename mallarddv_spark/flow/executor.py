@@ -1,0 +1,152 @@
+"""End-to-end load orchestration (the reference's FlowExecutor,
+``etl/flow_executor.py:59-253``).
+
+Stage order, short-circuit-on-error behavior, and the run ledger protocol
+are part of the public contract:
+
+1. idempotence check (skip files already ingested, unless force_load)
+2. run-id allocation
+3. register 'start'
+4. file → staging (only if the source has a staging-table definition)
+5. hash view refresh
+6. hub loads → link loads → satellite loads (each stage aborts the flow
+   on error and registers 'failure')
+7. register 'success'/'failure'
+
+Errors are collected as (stage, message) tuples, not raised — matching the
+reference's error-list convention so callers can assert ``errors == []``.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+from mallarddv_spark.flow import runinfo
+from mallarddv_spark.operators import hashview, hub, link, satellite
+from mallarddv_spark.plans.model import fetch_table_columns, fetch_transitions
+from mallarddv_spark.sources import readers
+
+
+class FlowExecutor:
+    def __init__(
+        self,
+        spark: SparkSession,
+        stg_db: str = "stg",
+        dv_db: str = "dv",
+        bv_db: str = "bv",
+        metadata_db: str = "metadata",
+        hash_algo: str = "sha1",
+    ):
+        self.spark = spark
+        self.stg_db = stg_db
+        self.dv_db = dv_db
+        self.bv_db = bv_db
+        self.metadata_db = metadata_db
+        self.hash_algo = hash_algo
+
+    def execute_flow(
+        self,
+        source_table: str,
+        record_source: str,
+        file_path: str | None = None,
+        load_date_overwrite: str | None = None,
+        force_load: bool = False,
+        verbose: bool = False,
+    ) -> list[tuple[str, str]]:
+        spark = self.spark
+        errors: list[tuple[str, str]] = []
+
+        # 1. idempotence
+        if file_path and not force_load:
+            try:
+                if runinfo.check_previous_ingestion(
+                    spark, self.metadata_db, source_table, file_path
+                ):
+                    if verbose:
+                        print(f"{file_path} already ingested for {source_table}")
+                    return errors
+            except Exception as ex:
+                return [("check_previous_ingestion", str(ex))]
+
+        # 2-3. run id + start
+        try:
+            run_id = runinfo.next_run_id(spark, self.metadata_db)
+            runinfo.register_run_info(
+                spark, self.metadata_db, source_table, run_id, file_path, "start"
+            )
+        except Exception as ex:
+            return [("register_run_start", str(ex))]
+
+        load_dts = load_date_overwrite or datetime.now(timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        )
+
+        # 4. file → staging
+        if file_path:
+            try:
+                if runinfo.check_source_for_ingestion(
+                    spark, self.metadata_db, source_table
+                ):
+                    cols = fetch_table_columns(
+                        spark, self.metadata_db, base_name=source_table, rel_type="stg"
+                    )
+                    readers.load_file_to_staging(
+                        spark, self.stg_db, source_table, file_path, cols
+                    )
+            except Exception as ex:
+                errors.append(("load_file_to_staging", str(ex)))
+                self._end(source_table, run_id, file_path, errors)
+                return errors
+
+        transitions = fetch_transitions(spark, self.metadata_db, source_table)
+
+        # 5. hash view
+        try:
+            hashview.create_hash_view(
+                spark, self.stg_db, source_table, transitions,
+                algo=self.hash_algo, verbose=verbose,
+            )
+        except Exception as ex:
+            errors.append(("compute_hash_view", str(ex)))
+            self._end(source_table, run_id, file_path, errors)
+            return errors
+
+        # 6. hubs → links → sats, short-circuiting
+        for stage_name, fn in (
+            ("load_hubs", hub.load_hubs),
+            ("load_links", link.load_links),
+            ("load_sats", satellite.load_sats),
+        ):
+            try:
+                fn(
+                    spark, self.stg_db, self.dv_db, source_table, transitions,
+                    run_id, record_source, load_dts,
+                )
+            except Exception as ex:
+                errors.append((stage_name, str(ex)))
+                self._end(source_table, run_id, file_path, errors)
+                return errors
+
+        self._end(source_table, run_id, file_path, errors)
+        return errors
+
+    def _end(self, source_table, run_id, file_path, errors) -> None:
+        message = ""
+        if errors:
+            message = f"{len(errors)} errors occurred: {errors[0][1]}"
+            if len(errors) > 1:
+                message += f" and {len(errors) - 1} more"
+        try:
+            runinfo.register_run_info(
+                self.spark,
+                self.metadata_db,
+                source_table,
+                run_id,
+                file_path,
+                "success" if not errors else "failure",
+                message,
+            )
+        except Exception:
+            pass

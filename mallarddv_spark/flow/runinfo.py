@@ -1,0 +1,84 @@
+"""Run ledger: ``metadata.runinfo`` bookkeeping.
+
+Mirrors the reference's MetadataManager run functions
+(``metadata/metadata_manager.py:169-241``): monotonically increasing run
+ids, start/success/failure rows, and the idempotence probe that skips files
+already ingested successfully.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import SparkSession, functions as F
+
+from mallarddv_spark.plans.model import RUNINFO_SCHEMA
+
+
+def next_run_id(spark: SparkSession, metadata_db: str) -> int:
+    """``COALESCE(MAX(run_id), 0) + 1`` (reference GET_RUN_ID)."""
+    row = (
+        spark.table(f"{metadata_db}.runinfo")
+        .agg(F.coalesce(F.max("run_id"), F.lit(0)).alias("m"))
+        .collect()[0]
+    )
+    return int(row.m) + 1
+
+
+def register_run_info(
+    spark: SparkSession,
+    metadata_db: str,
+    source_table: str,
+    run_id: int,
+    file_path: str | None,
+    status: str,
+    message: str = "",
+) -> None:
+    df = spark.createDataFrame(
+        [(source_table, run_id, datetime.now(), file_path, status, message[:4095])],
+        schema=RUNINFO_SCHEMA,
+    )
+    df.write.mode("append").insertInto(f"{metadata_db}.runinfo")
+
+
+def check_previous_ingestion(
+    spark: SparkSession,
+    metadata_db: str,
+    source_table: str,
+    file_path: str,
+    status: str = "success",
+) -> bool:
+    """True if (file, table) already ingested with ``status``."""
+    return (
+        spark.table(f"{metadata_db}.runinfo")
+        .filter(
+            (F.col("source_file") == file_path)
+            & (F.col("source_table") == source_table)
+            & (F.col("status") == status)
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
+def check_source_for_ingestion(
+    spark: SparkSession, metadata_db: str, source_table: str
+) -> bool:
+    """True if ``source_table`` should be loaded from file — i.e. it has a
+    ``rel_type='stg'`` definition in ``metadata.tables``.
+
+    Implements the *documented intent* ("True if the source_table should be
+    loaded from file", reference ``metadata_manager.py:203-210``). The
+    reference's actual SQL (``ORDER BY 1 ASC LIMIT 1`` over ``rel_type='stg'``
+    booleans, ``db/sql_templates.py:77-84``) returns False whenever the base
+    name also has non-stg rows, silently skipping the demo's file load —
+    a verified latent defect we deliberately do not reproduce.
+    """
+    return (
+        spark.table(f"{metadata_db}.tables")
+        .filter((F.col("base_name") == source_table) & (F.col("rel_type") == "stg"))
+        .limit(1)
+        .count()
+        > 0
+    )

@@ -1,0 +1,91 @@
+"""Canonical Data Vault hash-key / hash-diff expressions.
+
+The correctness keystone of the whole engine: every hub key, link key and
+satellite hash-diff is
+
+    <algo>(upper(concat_ws('||', coalesce(cast(f1 as string),''), ...)))
+
+which is byte-identical to the hash the reference system computes
+(``/root/reference/mallarddv/datavault/hash_generator.py:32-46`` —
+``sha1(upper(concat_ws('||', coalesce(f::string,'') ...)))``): lowercase hex,
+40 chars for SHA1. NULL inputs coalesce to '' (this is why "ghost" hub rows
+for NULL business keys hash to sha1('')).
+
+Everything is a Catalyst expression — JVM-side, whole-stage-codegen'd, no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: hash algorithms supported for key/diff generation. ``sha1`` is the
+#: reference-parity default; ``md5`` is used by oracle-checked queries
+#: (available in both Spark and DuckDB 1.0).
+SUPPORTED_ALGOS = ("sha1", "md5", "sha256")
+
+
+def quote_ident(name: str) -> str:
+    """Backtick-quote an identifier when it needs quoting (e.g. spaces).
+
+    The reference double-quotes identifiers containing spaces
+    (``hub_manager.py:66-70``); Spark SQL uses backticks.
+    """
+    if name.replace("_", "a").isalnum() and not name[0].isdigit():
+        return name
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _algo_sql(inner: str, algo: str) -> str:
+    if algo == "sha256":
+        return f"sha2({inner}, 256)"
+    if algo not in SUPPORTED_ALGOS:
+        raise ValueError(f"unsupported hash algo: {algo}")
+    return f"{algo}({inner})"
+
+
+def hash_sql(fields: list[str], alias: str | None = None, algo: str = "sha1") -> str:
+    """SQL-string form of the canonical hash over ``fields`` (in order).
+
+    Field order matters — it is the metadata ``position`` order. Each field
+    may be any SQL expression (already-transformed columns included).
+    """
+    coalesced = ",".join(f"coalesce(cast({f} as string),'')" for f in fields)
+    inner = f"upper(concat_ws('||',{coalesced}))"
+    out = _algo_sql(inner, algo)
+    if alias:
+        out = f"{out} as {quote_ident(alias)}"
+    return out
+
+
+def hash_col(fields: list[Column | str], algo: str = "sha1") -> Column:
+    """Column form of the canonical hash (same bytes as :func:`hash_sql`)."""
+    cols = [F.col(f) if isinstance(f, str) else f for f in fields]
+    parts = [F.coalesce(c.cast("string"), F.lit("")) for c in cols]
+    inner = F.upper(F.concat_ws("||", *parts))
+    if algo == "sha1":
+        return F.sha1(inner)
+    if algo == "md5":
+        return F.md5(inner)
+    if algo == "sha256":
+        return F.sha2(inner, 256)
+    raise ValueError(f"unsupported hash algo: {algo}")
+
+
+def apply_transformation(field_sql: str, transformation: str | None) -> str:
+    """Apply a metadata ``transformation`` expression to a source field.
+
+    ``#`` is the placeholder for the source expression, e.g. ``trim(#)``
+    (reference: ``hash_generator.py:95``; ``demo/transitions.csv`` rows with
+    ``trim(#)``). The transformation runs *upstream* of both the stored value
+    and the hash — a trimmed name is stored trimmed and hashed trimmed.
+    """
+    return (transformation or "#").replace("#", field_sql)
+
+
+def raw_literal_sql(value: str, alias: str) -> str:
+    """A metadata ``raw=true`` field: the *string literal* ``value`` aliased
+    as a column (reference: ``hash_generator.py:104-110``)."""
+    escaped = value.replace("'", "''")
+    return f"'{escaped}' as {quote_ident(alias)}"

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for the Data Vault workload.
+
+Local testing runs on ``local[N]``; the same configs are what we would ship
+to a 1000-executor cluster (AQE on, skew-join handling, sane shuffle
+partitioning). Nothing here is local-mode specific except the master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mallarddv_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    - AQE enabled: runtime coalescing of shuffle partitions, skew-join
+      splitting, and dynamic join-strategy switching — essential at 100 TB
+      where static planning guesses wrong.
+    - Arrow enabled for any Pandas-UDF path (vectorized Python transfer).
+    - ``spark.sql.shuffle.partitions`` defaults to cores locally; on a real
+      cluster set it ≈ 2-3× total executor cores (AQE coalesces the excess).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions else cpus),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,84 @@
+"""File → staging ingestion with an *imposed* (metadata-declared) schema.
+
+The reference dispatches on file extension to DuckDB's ``read_{ext}`` with an
+explicit name→type map (``etl/etl_service.py:58-102``) and truncate-reloads
+the staging table. Here: ``spark.read.format(ext).schema(...)`` and an
+atomic ``INSERT OVERWRITE`` of the staging table.
+
+Schema imposition (not inference) matters at scale: a schema-inferring scan
+reads the data twice and can flip types between loads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from mallarddv_spark.functions.hashing import quote_ident
+from mallarddv_spark.plans.model import TableColumn
+from mallarddv_spark.plans.types import spark_type_for
+
+
+def staging_schema(table_columns: list[TableColumn], base_name: str) -> StructType:
+    """The imposed schema for a staging table: metadata rows with
+    ``rel_type='stg'``/``mapping='c'`` ordered by column_position."""
+    cols = sorted(
+        (
+            c
+            for c in table_columns
+            if c.base_name == base_name and c.rel_type == "stg" and c.mapping == "c"
+        ),
+        key=lambda c: c.column_position,
+    )
+    if not cols:
+        raise ValueError(f"no staging columns defined for '{base_name}'")
+    ddl = ", ".join(
+        f"{quote_ident(c.column_name)} {spark_type_for(c.column_type)}" for c in cols
+    )
+    return StructType.fromDDL(ddl)
+
+
+def read_file(
+    spark: SparkSession,
+    file_path: str,
+    schema: StructType,
+    file_type: str | None = None,
+) -> DataFrame:
+    """Extension-dispatched read with imposed schema (csv/parquet/json)."""
+    ftype = (file_type or file_path.rsplit(".", 1)[-1]).lower()
+    if ftype == "csv":
+        return (
+            spark.read.schema(schema)
+            .option("header", True)
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+            .csv(file_path)
+        )
+    if ftype == "parquet":
+        # parquet carries its own schema; project+cast to the imposed one
+        df = spark.read.parquet(file_path)
+        return df.selectExpr(
+            *[
+                f"cast({quote_ident(f.name)} as {f.dataType.simpleString()}) as {quote_ident(f.name)}"
+                for f in schema.fields
+            ]
+        )
+    if ftype in ("json", "jsonl", "ndjson"):
+        return spark.read.schema(schema).json(file_path)
+    raise ValueError(f"unsupported file type: {ftype}")
+
+
+def load_file_to_staging(
+    spark: SparkSession,
+    stg_db: str,
+    source_table: str,
+    file_path: str,
+    table_columns: list[TableColumn],
+    file_type: str | None = None,
+) -> None:
+    """Truncate-and-reload ``stg.{source_table}`` from a file — expressed as
+    an atomic overwrite (Delta/Iceberg make this transactional on a lake)."""
+    schema = staging_schema(table_columns, source_table)
+    df = read_file(spark, file_path, schema, file_type)
+    df.write.mode("overwrite").insertInto(
+        f"{stg_db}.{quote_ident(source_table)}", overwrite=True
+    )

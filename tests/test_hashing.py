@@ -1,0 +1,74 @@
+"""Hash fidelity unit tests — golden SHA1 values verified by executing the
+reference system (SURVEY.md §8.3 / BASELINE.md anchors)."""
+
+from pyspark.sql import functions as F
+
+from mallarddv_spark.functions.hashing import (
+    apply_transformation,
+    hash_col,
+    hash_sql,
+    quote_ident,
+)
+
+SHA1_1 = "356a192b7913b04c54574d18c28d46e6395428ab"  # sha1(upper('1'))
+SHA1_EMPTY = "da39a3ee5e6b4b0d3255bfef95601890afd80709"  # sha1('')
+SHA1_LINK = "0608f581ad01df70cb0a4a87cbd19319e9d1c23b"  # sha1('1||||')
+
+
+def test_hash_sql_single_field(spark):
+    df = spark.sql(f"SELECT {hash_sql(['v'], alias='hk')} FROM (SELECT '1' AS v)")
+    assert df.collect()[0].hk == SHA1_1
+
+
+def test_hash_null_coalesces_to_empty(spark):
+    df = spark.sql(
+        f"SELECT {hash_sql(['v'], alias='hk')} FROM (SELECT cast(NULL as string) AS v)"
+    )
+    assert df.collect()[0].hk == SHA1_EMPTY
+
+
+def test_hash_multi_field_null_legs(spark):
+    # link hash with NULL legs: sha1(upper('1||||'))
+    df = spark.sql(
+        f"SELECT {hash_sql(['a', 'b', 'c'], alias='hk')} "
+        "FROM (SELECT 1 AS a, cast(NULL as int) AS b, cast(NULL as int) AS c)"
+    )
+    assert df.collect()[0].hk == SHA1_LINK
+
+
+def test_hash_uppercases_input(spark):
+    # sha1(upper('jane||smith||jane.smith@example.com'))
+    df = spark.sql(
+        f"SELECT {hash_sql(['f', 'l', 'e'], alias='hd')} FROM "
+        "(SELECT 'jane' AS f, 'smith' AS l, 'jane.smith@example.com' AS e)"
+    )
+    assert df.collect()[0].hd == "9f7934d5f2a7b1c757c19e7cab74abf74866a129"
+
+
+def test_hash_col_matches_hash_sql(spark):
+    df = (
+        spark.range(1)
+        .select(F.lit("1").alias("v"))
+        .select(hash_col(["v"]).alias("hk"))
+    )
+    assert df.collect()[0].hk == SHA1_1
+
+
+def test_hash_col_md5_algo(spark):
+    df = spark.range(1).select(F.lit("1").alias("v")).select(
+        hash_col(["v"], algo="md5").alias("hk")
+    )
+    # md5(upper('1')) — 32-char hex
+    assert len(df.collect()[0].hk) == 32
+
+
+def test_apply_transformation():
+    assert apply_transformation("name", "trim(#)") == "trim(name)"
+    assert apply_transformation("name", None) == "name"
+    assert apply_transformation("x", "upper(trim(#)) || '#'") == "upper(trim(x)) || 'x'"
+
+
+def test_quote_ident():
+    assert quote_ident("plain_name") == "plain_name"
+    assert quote_ident("has space") == "`has space`"
+    assert quote_ident("1leading") == "`1leading`"
