@@ -1,0 +1,1106 @@
+"""The declared query suite: every operator exposed through the driver
+contract (``__spark_entry__.py``), each with a Spark implementation and a
+DuckDB oracle SQL string.
+
+Design rules for exact cross-engine agreement:
+
+* hashes use **md5** (DuckDB 1.0 has no sha1) over string/int inputs only —
+  double→string rendering diverges between engines at ≥1e7;
+* monetary aggregates sum **decimals** (exact) and only then round and cast
+  to double, so sum order cannot perturb results;
+* ratios divide exact operands in double (IEEE division is deterministic);
+* every top-k has a total deterministic order (value, then unique key);
+* cosine scores are rounded to 6 dp *before* ranking in both engines.
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Oracle table names (region nation customer supplier part orders lineitem
+events documents embeddings) are pre-registered views on the same parquet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mallarddv_spark.functions.hashing import hash_col
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. Read nanos as long and truncate to micros —
+    exactly what DuckDB does implicitly (its TIMESTAMP is micro-precision),
+    so both engines see identical values."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def md5_sql(fields: list[str]) -> str:
+    """DuckDB-side canonical hash (mirrors functions.hashing.hash_sql)."""
+    parts = ",".join(f"coalesce(cast({f} as varchar),'')" for f in fields)
+    return f"md5(upper(concat_ws('||',{parts})))"
+
+
+def _mhash(*cols) -> F.Column:
+    return hash_col(list(cols), algo="md5")
+
+
+DEC = "decimal(18,4)"
+#: revenue term used by the TPC-H-style queries — exact decimal arithmetic
+REV_SPARK = f"cast(l_extendedprice as {DEC}) * (cast(1 as {DEC}) - cast(l_discount as {DEC}))"
+REV_DUCK = f"cast(l_extendedprice as {DEC}) * (cast(1 as {DEC}) - cast(l_discount as {DEC}))"
+
+# ---------------------------------------------------------------------------
+# §2 Data Vault operators, expressed over the TPC-H-ish test tables
+# ---------------------------------------------------------------------------
+
+
+def q_dv_hub_customer(spark, sf):
+    """Hub load projection: distinct business keys + canonical hash key
+    (SURVEY §2 J1/A1/P8, md5 variant of the engine's sha1)."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        _mhash("c_custkey").alias("customer_hk"),
+        F.col("c_custkey").alias("customer_bk"),
+    ).distinct()
+
+
+O_DV_HUB_CUSTOMER = f"""
+SELECT DISTINCT {md5_sql(['c_custkey'])} AS customer_hk, c_custkey AS customer_bk
+FROM customer
+"""
+
+
+def q_dv_hub_part_composite(spark, sf):
+    """Composite business key + raw string-literal key part (P3/P8):
+    hash over (p_partkey, 'catalog_part')."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        _mhash(F.col("p_partkey"), F.lit("catalog_part")).alias("part_hk"),
+        F.col("p_partkey").alias("id_cbk"),
+        F.lit("catalog_part").alias("part_type_cbk"),
+    ).distinct()
+
+
+O_DV_HUB_PART = f"""
+SELECT DISTINCT {md5_sql(['p_partkey', "'catalog_part'"])} AS part_hk,
+       p_partkey AS id_cbk, 'catalog_part' AS part_type_cbk
+FROM part
+"""
+
+
+def q_dv_link_order_customer(spark, sf):
+    """Link-hash expansion (SURVEY §2.7): the link hash is computed over the
+    member hubs' *business keys* plus degenerate keys; the link row stores
+    the hubs' hash keys."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        _mhash("o_orderkey", "o_custkey", "o_orderpriority").alias(
+            "order_customer_hk"
+        ),
+        _mhash("o_orderkey").alias("order_hk"),
+        _mhash("o_custkey").alias("customer_hk"),
+        F.col("o_orderpriority").alias("priority_dk"),
+    ).distinct()
+
+
+O_DV_LINK = f"""
+SELECT DISTINCT
+    {md5_sql(['o_orderkey', 'o_custkey', 'o_orderpriority'])} AS order_customer_hk,
+    {md5_sql(['o_orderkey'])} AS order_hk,
+    {md5_sql(['o_custkey'])} AS customer_hk,
+    o_orderpriority AS priority_dk
+FROM orders
+"""
+
+
+def q_dv_hashview_customer(spark, sf):
+    """Staging hash view (V1): transformation `trim(#)` applied upstream of
+    both the stored value and the hash-diff (P2/P5/P7/P8)."""
+    c = _t(spark, sf, "customer")
+    name = F.trim(F.col("c_name"))
+    return c.select(
+        _mhash("c_custkey").alias("customer_hk"),
+        _mhash(name, F.col("c_mktsegment"), F.col("c_nationkey")).alias(
+            "customer_details_hashdiff"
+        ),
+        F.col("c_custkey").alias("id"),
+        name.alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation_id"),
+    )
+
+
+O_DV_HASHVIEW = f"""
+SELECT {md5_sql(['c_custkey'])} AS customer_hk,
+       {md5_sql(['trim(c_name)', 'c_mktsegment', 'c_nationkey'])} AS customer_details_hashdiff,
+       c_custkey AS id, trim(c_name) AS name,
+       c_mktsegment AS segment, c_nationkey AS nation_id
+FROM customer
+"""
+
+
+def q_dv_hub_incremental_antijoin(spark, sf):
+    """Idempotent hub load (J1/F1): incoming keys from orders, anti-joined
+    against an existing hub seeded from non-BUILDING customers."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    incoming = o.select(
+        _mhash("o_custkey").alias("customer_hk"),
+        F.col("o_custkey").alias("customer_bk"),
+    ).distinct()
+    hub = c.filter("c_mktsegment <> 'BUILDING'").select(
+        _mhash("c_custkey").alias("customer_hk")
+    )
+    return incoming.join(hub, on="customer_hk", how="left_anti")
+
+
+O_DV_ANTIJOIN = f"""
+WITH incoming AS (
+    SELECT DISTINCT {md5_sql(['o_custkey'])} AS customer_hk, o_custkey AS customer_bk
+    FROM orders
+), hub AS (
+    SELECT {md5_sql(['c_custkey'])} AS customer_hk FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+)
+SELECT i.customer_hk, i.customer_bk
+FROM incoming i LEFT OUTER JOIN hub h ON i.customer_hk = h.customer_hk
+WHERE h.customer_hk IS NULL
+"""
+
+
+def q_dv_sat_current_view(spark, sf):
+    """Current-value view (A3): latest version per key via row_number over
+    version time DESC with a deterministic unique tiebreaker."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("r", F.row_number().over(w))
+        .filter("r = 1")
+        .select(
+            _mhash("user_id").alias("user_hk"),
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+O_DV_CURRENT = f"""
+SELECT {md5_sql(['user_id'])} AS user_hk, user_id, ts AS last_ts,
+       event_type AS last_event_type, value AS last_value
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) r
+    FROM events
+) x WHERE r = 1
+"""
+
+_EV_HD = ["event_type", "props"]
+
+
+def q_dv_sat_change_detection(spark, sf):
+    """Satellite delta load (J4/A5/F3): two snapshots of events (by event_id
+    parity); insert an incoming latest-state row unless the stored latest
+    version has the same hash_diff."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def latest(df):
+        return (
+            df.withColumn("r", F.row_number().over(w))
+            .filter("r = 1")
+            .select(
+                "user_id",
+                "event_type",
+                "props",
+                _mhash(*_EV_HD).alias("hash_diff"),
+            )
+        )
+
+    stored = latest(e.filter("event_id % 2 = 0")).select(
+        F.col("user_id").alias("s_uid"), F.col("hash_diff").alias("s_hd")
+    )
+    incoming = latest(e.filter("event_id % 2 = 1"))
+    j = incoming.join(stored, incoming.user_id == stored.s_uid, "left_outer")
+    return j.filter(
+        F.col("s_uid").isNull() | (F.col("s_hd") != F.col("hash_diff"))
+    ).select("user_id", "event_type", "props", "hash_diff")
+
+
+O_DV_CHANGE = f"""
+WITH latest AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) r
+    FROM events
+),
+stored AS (
+    SELECT user_id AS s_uid, {md5_sql(_EV_HD)} AS s_hd
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) r
+          FROM events WHERE event_id % 2 = 0) x WHERE r = 1
+),
+incoming AS (
+    SELECT user_id, event_type, props, {md5_sql(_EV_HD)} AS hash_diff
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) r
+          FROM events WHERE event_id % 2 = 1) x WHERE r = 1
+)
+SELECT i.user_id, i.event_type, i.props, i.hash_diff
+FROM incoming i LEFT OUTER JOIN stored s ON i.user_id = s.s_uid
+WHERE s.s_uid IS NULL OR s.s_hd <> i.hash_diff
+"""
+
+
+def q_dv_sat_full_tombstones(spark, sf):
+    """sat_full delete detection (F4/J3): latest state of keys seen in the
+    first half of the month that are absent from the second half →
+    tombstone rows carrying the old hash_diff and payload."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    first = e.filter("ts < timestamp'2024-01-16 00:00:00'")
+    latest = (
+        first.withColumn("r", F.row_number().over(w))
+        .filter("r = 1")
+        .select("user_id", "event_type", _mhash(*_EV_HD).alias("hash_diff"))
+    )
+    present = (
+        e.filter("ts >= timestamp'2024-01-16 00:00:00'").select("user_id").distinct()
+    )
+    gone = latest.join(present, on="user_id", how="left_anti")
+    return gone.select(
+        "user_id", "event_type", "hash_diff", F.lit(True).alias("del_flag")
+    )
+
+
+O_DV_TOMBSTONE = f"""
+WITH latest AS (
+    SELECT user_id, event_type, {md5_sql(_EV_HD)} AS hash_diff
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) r
+          FROM events WHERE ts < timestamp '2024-01-16 00:00:00') x WHERE r = 1
+),
+present AS (
+    SELECT DISTINCT user_id FROM events WHERE ts >= timestamp '2024-01-16 00:00:00'
+)
+SELECT l.user_id, l.event_type, l.hash_diff, true AS del_flag
+FROM latest l LEFT OUTER JOIN present p ON l.user_id = p.user_id
+WHERE p.user_id IS NULL
+"""
+
+
+def q_dv_distinct_dedup(spark, sf):
+    """SELECT DISTINCT dedup before insert (A1)."""
+    return (
+        _t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    )
+
+
+O_DV_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_dv_next_run_id(spark, sf):
+    """Run-id allocation (A2): COALESCE(MAX(id),0)+1."""
+    return (
+        _t(spark, sf, "events")
+        .agg(
+            (F.coalesce(F.max("event_id"), F.lit(0)) + F.lit(1)).alias("next_run_id")
+        )
+    )
+
+
+O_DV_RUNID = "SELECT coalesce(max(event_id), 0) + 1 AS next_run_id FROM events"
+
+
+def q_dv_staging_projection(spark, sf):
+    """Staging projection (P1–P7): aliasing, transformation, uppercase,
+    null-default cast, raw literal."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.trim("c_name").alias("name"),
+        F.upper("c_mktsegment").alias("segment"),
+        F.coalesce(F.col("c_nationkey").cast("string"), F.lit("")).alias("nation_str"),
+        F.lit("crm").alias("record_source"),
+    )
+
+
+O_DV_PROJECTION = """
+SELECT c_custkey AS id, trim(c_name) AS name, upper(c_mktsegment) AS segment,
+       coalesce(cast(c_nationkey as varchar), '') AS nation_str,
+       'crm' AS record_source
+FROM customer
+"""
+
+# ---------------------------------------------------------------------------
+# Analytics (raw-SQL-passthrough surface; bench headliners)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf):
+    """TPC-H Q1 pricing summary — full-scan aggregate, map-side partials."""
+    li = _t(spark, sf, "lineitem").filter("l_shipdate <= timestamp'1998-09-02 00:00:00'")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(f"cast(sum(cast(l_quantity as {DEC})) as double)").alias("sum_qty"),
+            F.expr(
+                f"cast(sum(cast(l_extendedprice as {DEC})) as double)"
+            ).alias("sum_base_price"),
+            F.expr(f"cast(round(sum({REV_SPARK}), 2) as double)").alias(
+                "sum_disc_price"
+            ),
+            F.expr(
+                f"cast(sum(cast(l_quantity as {DEC})) as double) / count(*)"
+            ).alias("avg_qty"),
+            F.expr(
+                f"cast(sum(cast(l_extendedprice as {DEC})) as double) / count(*)"
+            ).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+O_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as {DEC})) as double) AS sum_qty,
+       cast(sum(cast(l_extendedprice as {DEC})) as double) AS sum_base_price,
+       cast(round(sum({REV_DUCK}), 2) as double) AS sum_disc_price,
+       cast(sum(cast(l_quantity as {DEC})) as double) / count(*) AS avg_qty,
+       cast(sum(cast(l_extendedprice as {DEC})) as double) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf):
+    """TPC-H Q3 shipping priority — 3-way join, agg, deterministic top-10."""
+    c = _t(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = _t(spark, sf, "orders").filter("o_orderdate < timestamp'1995-03-15 00:00:00'")
+    li = _t(spark, sf, "lineitem").filter("l_shipdate > timestamp'1995-03-15 00:00:00'")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(f"cast(round(sum({REV_SPARK}),2) as double)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+O_TPCH_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       cast(round(sum({REV_DUCK}),2) as double) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < timestamp '1995-03-15 00:00:00'
+  AND l_shipdate > timestamp '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf):
+    """TPC-H Q5 local supplier volume — 6-way join with two small broadcast
+    dims and a same-nation predicate."""
+    r = _t(spark, sf, "region").filter("r_name = 'ASIA'")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        "o_orderdate >= timestamp'1994-01-01 00:00:00' AND o_orderdate < timestamp'1995-01-01 00:00:00'"
+    )
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.expr(f"cast(round(sum({REV_SPARK}),2) as double)").alias("revenue"))
+    )
+
+
+O_TPCH_Q5 = f"""
+SELECT n_name, cast(round(sum({REV_DUCK}),2) as double) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= timestamp '1994-01-01 00:00:00'
+  AND o_orderdate <  timestamp '1995-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q6(spark, sf):
+    """TPC-H Q6 forecast revenue — pushed-down filters + single aggregate."""
+    li = _t(spark, sf, "lineitem").filter(
+        "l_shipdate >= timestamp'1994-01-01 00:00:00' "
+        "AND l_shipdate < timestamp'1995-01-01 00:00:00' "
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+    )
+    return li.agg(
+        F.expr(
+            f"cast(round(sum(cast(l_extendedprice as {DEC}) * cast(l_discount as {DEC})),2) as double)"
+        ).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+O_TPCH_Q6 = f"""
+SELECT cast(round(sum(cast(l_extendedprice as {DEC}) * cast(l_discount as {DEC})),2) as double) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= timestamp '1994-01-01 00:00:00'
+  AND l_shipdate <  timestamp '1995-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q10(spark, sf):
+    """TPC-H Q10-style returned-item report — deterministic top-20."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        "o_orderdate >= timestamp'1993-10-01 00:00:00' AND o_orderdate < timestamp'1994-01-01 00:00:00'"
+    )
+    li = _t(spark, sf, "lineitem").filter("l_returnflag = 'R'")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.expr(f"cast(round(sum({REV_SPARK}),2) as double)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+O_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, n_name,
+       cast(round(sum({REV_DUCK}),2) as double) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= timestamp '1993-10-01 00:00:00'
+  AND o_orderdate <  timestamp '1994-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_events_hourly_agg(spark, sf):
+    """Tumbling-window aggregation (batch twin of the streaming pipeline in
+    ``streaming/``): 1-hour buckets per event_type."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("cast(round(sum(cast(value as decimal(18,6))),4) as double)").alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+O_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events,
+       cast(round(sum(cast(value as decimal(18,6))),4) as double) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionization(spark, sf):
+    """Gaps-and-islands sessionization: a >30-minute silence starts a new
+    session (lag window + running flag sum)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800.0),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("session_cnt"),
+        F.count("*").alias("event_cnt"),
+    )
+
+
+O_EVENTS_SESSION = """
+SELECT user_id,
+       sum(new_session) AS session_cnt,
+       count(*) AS event_cnt
+FROM (
+    SELECT user_id,
+           CASE WHEN prev_ts IS NULL
+                     OR (epoch(ts) - epoch(prev_ts)) > 1800.0
+                THEN 1 ELSE 0 END AS new_session
+    FROM (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ) x
+) y
+GROUP BY user_id
+"""
+
+
+def q_events_props_extract(spark, sf):
+    """Semi-structured extraction: pull the integer `k` out of the JSON-ish
+    props string with a regex (portable across engines)."""
+    e = _t(spark, sf, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+O_EVENTS_PROPS = r"""
+SELECT event_type, count(*) AS n,
+       sum(cast(regexp_extract(props, '"k":\s*(\d+)', 1) as bigint)) AS sum_k,
+       max(cast(regexp_extract(props, '"k":\s*(\d+)', 1) as bigint)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: dedup / text analysis / similarity / multimodal
+# (thin registry wrappers; the scale-path implementations live in
+# operators/dedup.py, operators/similarity.py, operators/textops.py)
+# ---------------------------------------------------------------------------
+
+_WS = r"\s+"  # tokenizer regex for the DataFrame API (used verbatim)
+#: the same regex for embedding inside a Spark SQL string literal — Spark SQL
+#: processes backslash escapes in single-quoted literals, so it must be doubled
+_WS_SQL = r"\\s+"
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: content-hash clustering, keep lowest doc_id per cluster."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+O_DEDUP_EXACT = """
+SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """Near-dup detection via word-3-gram Jaccard: candidate pairs share at
+    least one shingle (the scalable path — no O(n²) cross join); output
+    pairs with similarity ≥ 0.30."""
+    d = (
+        _t(spark, sf, "documents")
+        .select("doc_id", F.split("text", _WS).alias("toks"))
+        .filter("size(toks) >= 3")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(toks)-3), "
+                    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.expr("round(cast(inter as double) / (sz_a + sz_b - inter), 6)"),
+        )
+        .filter("jaccard >= 0.30")
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+O_DEDUP_NGRAM = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ) s
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       round(cast(inter as double) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(cast(inter as double) / (sa.sz + sb.sz - inter), 6) >= 0.30
+"""
+
+# --- MinHash signatures: K=16 permutations over md5-derived token ints -----
+_MH_P = 1_000_000_007
+_MH_PARAMS = [(97 + 13 * i, 911 + 7919 * i) for i in range(16)]
+# spark: conv() hex→decimal string→bigint; duckdb: 0x-prefix cast
+_X_SPARK = "cast(conv(substr(md5(tok),1,15),16,10) as bigint) % 1000000007"
+_X_DUCK = "(('0x' || substr(md5(tok),1,15))::bigint) % 1000000007"
+
+
+def q_dedup_minhash_sig(spark, sf):
+    """MinHash signatures (K=16) per document — the LSH building block.
+    Token → 60-bit md5 int → K universal-hash permutations → per-doc min.
+    Fully deterministic and engine-portable."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", _WS))).alias("tok")
+    ).withColumn("x", F.expr(_X_SPARK))
+    aggs = [
+        F.min(F.expr(f"({a} * x + {b}) % {_MH_P}")).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    sigs = toks.groupBy("doc_id").agg(*aggs)
+    # 4 bands × 4 rows → band fingerprints for LSH bucketing
+    for band in range(4):
+        cols = ",".join(f"sig_{band * 4 + j}" for j in range(4))
+        sigs = sigs.withColumn(f"band_{band}", F.expr(f"md5(concat_ws('-',{cols}))"))
+    return sigs
+
+
+def _o_minhash() -> str:
+    sig_exprs = ",\n       ".join(
+        f"min(({a} * x + {b}) % {_MH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    band_exprs = ",\n       ".join(
+        "md5(concat_ws('-',"
+        + ",".join(f"sig_{band * 4 + j}" for j in range(4))
+        + f")) AS band_{band}"
+        for band in range(4)
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, {_X_DUCK} AS x
+    FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS tok
+          FROM documents) u
+),
+sigs AS (
+    SELECT doc_id,
+       {sig_exprs}
+    FROM toks GROUP BY doc_id
+)
+SELECT *,
+       {band_exprs}
+FROM sigs
+"""
+
+
+O_DEDUP_MINHASH = _o_minhash()
+
+_SH_BITS = 32
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash (32-bit) per document: per-bit vote over md5-derived token
+    ints, sign → bit."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", _WS))).alias("tok")
+    ).withColumn(
+        "x", F.expr("cast(conv(substr(md5(tok),1,15),16,10) as bigint)")
+    )
+    votes = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright(x,{j}) & 1) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"s{j}")
+        for j in range(_SH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN cast({1 << j} as bigint) ELSE 0 END)"
+        for j in range(_SH_BITS)
+    )
+    return per_doc.select("doc_id", F.expr(sim).alias("simhash"))
+
+
+def _o_simhash() -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN ((x >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN cast({1 << j} as bigint) ELSE 0 END)"
+        for j in range(_SH_BITS)
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, ('0x' || substr(md5(tok),1,15))::bigint AS x
+    FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS tok
+          FROM documents) u
+),
+per_doc AS (
+    SELECT doc_id,
+       {votes}
+    FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {sim} AS simhash FROM per_doc
+"""
+
+
+O_DEDUP_SIMHASH = _o_simhash()
+
+
+def q_text_token_count(spark, sf):
+    """Token statistics per document (whitespace tokenizer)."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim("text"), _WS)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+O_TEXT_TOKENS = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_unique_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+_STOPWORDS = "'the','a','of','and','to','in','is','it'"
+
+
+def q_text_quality(spark, sf):
+    """Quality scoring: stopword ratio, alpha ratio, mean token length —
+    the usual cheap LLM-corpus quality heuristics."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim("text"), _WS)
+    stop = F.expr(
+        f"size(filter(split(trim(text),'{_WS_SQL}'), x -> x IN ({_STOPWORDS})))"
+    )
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        stop.alias("stopword_cnt"),
+        F.expr(
+            f"round(cast(size(filter(split(trim(text),'{_WS_SQL}'), x -> x IN ({_STOPWORDS}))) as double)"
+            f" / size(split(trim(text),'{_WS_SQL}')), 6)"
+        ).alias("stopword_ratio"),
+        alpha.alias("alpha_chars"),
+        F.expr(
+            f"round(cast(length(replace(text,' ','')) as double) / size(split(trim(text),'{_WS_SQL}')), 6)"
+        ).alias("mean_token_len"),
+    )
+
+
+O_TEXT_QUALITY = rf"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ({_STOPWORDS}))) AS stopword_cnt,
+       round(cast(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ({_STOPWORDS}))) as double)
+             / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
+       length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars,
+       round(cast(length(replace(text, ' ', '')) as double)
+             / len(string_split_regex(trim(text), '\s+')), 6) AS mean_token_len
+FROM documents
+"""
+
+_LANG_MARKERS = {
+    "en": "'the','and','of'",
+    "es": "'el','la','de'",
+    "de": "'der','die','und'",
+    "fr": "'le','les','et'",
+}
+
+
+def q_text_langid(spark, sf):
+    """Language-ID heuristic: stopword votes per language, argmax with a
+    fixed precedence order."""
+    d = _t(spark, sf, "documents")
+    toks = f"split(trim(text),'{_WS_SQL}')"
+    votes = {
+        lang: f"size(filter({toks}, x -> x IN ({words})))"
+        for lang, words in _LANG_MARKERS.items()
+    }
+    guess = (
+        "CASE "
+        + " ".join(
+            f"WHEN {votes[lang]} >= greatest({','.join(votes[l] for l in _LANG_MARKERS)}) THEN '{lang}'"
+            for lang in _LANG_MARKERS
+        )
+        + " ELSE 'unknown' END"
+    )
+    sel = ["doc_id", "lang AS actual_lang"]
+    sel += [f"{v} AS votes_{lang}" for lang, v in votes.items()]
+    sel += [f"{guess} AS guessed_lang"]
+    return d.selectExpr(*sel)
+
+
+def _o_langid() -> str:
+    toks = r"string_split_regex(trim(text), '\s+')"
+    votes = {
+        lang: f"len(list_filter({toks}, x -> x IN ({words})))"
+        for lang, words in _LANG_MARKERS.items()
+    }
+    guess = (
+        "CASE "
+        + " ".join(
+            f"WHEN {votes[lang]} >= greatest({','.join(votes[l] for l in _LANG_MARKERS)}) THEN '{lang}'"
+            for lang in _LANG_MARKERS
+        )
+        + " ELSE 'unknown' END"
+    )
+    cols = ",\n       ".join(f"{v} AS votes_{lang}" for lang, v in votes.items())
+    return f"""
+SELECT doc_id, lang AS actual_lang,
+       {cols},
+       {guess} AS guessed_lang
+FROM documents
+"""
+
+
+O_TEXT_LANGID = _o_langid()
+
+
+def q_text_fingerprint(spark, sf):
+    """Document fingerprinting: normalized-text hash + order-insensitive
+    sorted-token hash (catches shuffled near-dups)."""
+    d = _t(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.md5(
+            F.concat_ws(" ", F.sort_array(F.split(F.trim("text"), _WS)))
+        ).alias("sorted_fp"),
+    )
+
+
+O_TEXT_FP = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))) AS norm_fp,
+       md5(array_to_string(list_sort(string_split_regex(trim(text), '\s+')), ' ')) AS sorted_fp
+FROM documents
+"""
+
+
+def q_similarity_topk(spark, sf):
+    """Brute-force cosine top-k: queries (vec_id<10) × candidates (≥10),
+    rank by cosine rounded to 6dp with id tiebreak (deterministic across
+    engines). The scale path (LSH-bucketed) lives in operators/similarity.py."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    e = e.withColumn(
+        "norm",
+        F.expr("sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x))"),
+    )
+    q = e.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    c = e.filter("vec_id >= 10").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    pairs = q.crossJoin(F.broadcast(c)).withColumn(
+        "cosine",
+        F.expr(
+            "round(aggregate(zip_with(qv, cv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+            " / (qn * cn), 6)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5")
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+O_SIM_TOPK = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings
+),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cosine
+    FROM e q, e c
+    WHERE q.vec_id < 10 AND c.vec_id >= 10
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM pairs) x
+WHERE rank <= 5
+"""
+
+
+def q_similarity_pairs(spark, sf):
+    """All embedding pairs above a cosine threshold (near-dup by embedding).
+    Self-join pruned by id ordering; at scale this becomes LSH-bucketed."""
+    e = _t(spark, sf, "embeddings").filter("vec_id < 200").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    e = e.withColumn(
+        "norm",
+        F.expr("sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x))"),
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.expr(
+                "round(aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+                " / (na * nb), 6)"
+            ),
+        )
+        .filter("cosine >= 0.25")
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+O_SIM_PAIRS = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.25
+"""
+
+
+def q_multimodal_binary_meta(spark, sf):
+    """Multimodal-column plumbing: treat content as opaque bytes with typed
+    metadata — byte length + content hash, aggregated per source. (Decode /
+    feature-extraction UDFs live in operators/multimodal.py.)"""
+    d = _t(spark, sf, "documents").select(
+        "source",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.md5("text").alias("content_md5"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.countDistinct("content_md5").alias("distinct_contents"),
+    )
+
+
+O_MULTIMODAL = """
+SELECT source, count(*) AS n_docs,
+       sum(octet_length(encode(text))) AS total_bytes,
+       count(DISTINCT md5(text)) AS distinct_contents
+FROM documents
+GROUP BY source
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+#: name → (spark callable, duckdb oracle SQL or None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # Data Vault core (SURVEY §2)
+    "dv_hub_customer": (q_dv_hub_customer, O_DV_HUB_CUSTOMER),
+    "dv_hub_part_composite": (q_dv_hub_part_composite, O_DV_HUB_PART),
+    "dv_link_order_customer": (q_dv_link_order_customer, O_DV_LINK),
+    "dv_hashview_customer": (q_dv_hashview_customer, O_DV_HASHVIEW),
+    "dv_hub_incremental_antijoin": (q_dv_hub_incremental_antijoin, O_DV_ANTIJOIN),
+    "dv_sat_current_view": (q_dv_sat_current_view, O_DV_CURRENT),
+    "dv_sat_change_detection": (q_dv_sat_change_detection, O_DV_CHANGE),
+    "dv_sat_full_tombstones": (q_dv_sat_full_tombstones, O_DV_TOMBSTONE),
+    "dv_distinct_dedup": (q_dv_distinct_dedup, O_DV_DISTINCT),
+    "dv_next_run_id": (q_dv_next_run_id, O_DV_RUNID),
+    "dv_staging_projection": (q_dv_staging_projection, O_DV_PROJECTION),
+    # analytics passthrough
+    "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, O_TPCH_Q3),
+    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
+    "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
+    "tpch_q10": (q_tpch_q10, O_TPCH_Q10),
+    "events_hourly_agg": (q_events_hourly_agg, O_EVENTS_HOURLY),
+    "events_sessionization": (q_events_sessionization, O_EVENTS_SESSION),
+    "events_props_extract": (q_events_props_extract, O_EVENTS_PROPS),
+    # LLM-pipeline extensions
+    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_DEDUP_NGRAM),
+    "dedup_minhash_sig": (q_dedup_minhash_sig, O_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
+    "text_token_count": (q_text_token_count, O_TEXT_TOKENS),
+    "text_quality": (q_text_quality, O_TEXT_QUALITY),
+    "text_langid": (q_text_langid, O_TEXT_LANGID),
+    "text_fingerprint": (q_text_fingerprint, O_TEXT_FP),
+    "similarity_topk": (q_similarity_topk, O_SIM_TOPK),
+    "similarity_pairs": (q_similarity_pairs, O_SIM_PAIRS),
+    "multimodal_binary_meta": (q_multimodal_binary_meta, O_MULTIMODAL),
+}

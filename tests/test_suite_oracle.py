@@ -1,0 +1,73 @@
+"""Differential test: every suite query vs its DuckDB oracle at sf0.001 —
+a local replica of the driver's correctness gate (row count + schema-width +
+order-insensitive canonical value comparison)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from mallarddv_spark.suite import REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def canon(value):
+    """Canonical cell representation shared by both engines."""
+    if value is None:
+        return "NULL"
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return repr(value)
+    if isinstance(value, bool):
+        return str(bool(value))
+    if hasattr(value, "isoformat"):  # datetime/date
+        return value.isoformat(sep=" ") if hasattr(value, "hour") else value.isoformat()
+    return str(value)
+
+
+def rows_canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", list(REGISTRY))
+def test_query_matches_oracle(name, spark, duck):
+    fn, oracle = REGISTRY[name]
+    sdf = fn(spark, SF_DIR)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    if oracle is None:
+        assert len(s_rows) >= 0  # weaker rows-only check
+        return
+
+    rel = duck.sql(oracle)
+    d_cols = [c.lower() for c in rel.columns]
+    d_rows = rel.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column sets differ"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} (spark) != {len(d_rows)} (duckdb)"
+    )
+    sc = rows_canon(s_cols, s_rows)
+    dc = rows_canon(d_cols, d_rows)
+    if sc != dc:
+        diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
