@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the full declared query suite at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "suite_total_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized via the noop sink (full execution, no driver
+collect bottleneck, no result materialization skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mallarddv_spark.session import get_spark  # noqa: E402
+from mallarddv_spark.suite import REGISTRY  # noqa: E402
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="mallarddv_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen + parquet-reader warmup (tiny table)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, (fn, _oracle) in REGISTRY.items():
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
