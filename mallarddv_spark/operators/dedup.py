@@ -1,0 +1,324 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four families, all DataFrame-native (JVM expressions in the hot path, no
+Python UDFs), designed so no step is O(n²) in the corpus:
+
+* **exact**      — content-hash groupBy; one shuffle on a 16-byte key.
+* **MinHash-LSH** — shingle → K-permutation MinHash signature → band
+  buckets → candidate pairs only within buckets → exact-Jaccard rerank.
+  At 100 TB: the shuffle key is the (band, band_hash) pair, so work scales
+  with Σ bucket² not n²; frequent-shingle document-frequency capping bounds
+  pathological buckets.
+* **SimHash**    — 64-bit signature via per-bit token votes; near-dups have
+  small Hamming distance; banding the 64 bits into k chunks gives exact
+  candidate recall for distance < k.
+* **embedding**  — cosine near-dup via normalized vectors; exact
+  (broadcast) for small corpora, random-hyperplane bucketing at scale.
+
+The driver-checked oracle variants of these live in ``suite.py``; this
+module is the reusable API over arbitrary columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = False
+) -> DataFrame:
+    """Keep one row per distinct content hash (lowest id wins).
+
+    One shuffle on the md5 key. With ``normalize``, lowercases and collapses
+    whitespace first (catches trivially-reformatted duplicates).
+    """
+    content = F.col(text_col)
+    if normalize:
+        content = F.trim(F.regexp_replace(F.lower(content), r"\s+", " "))
+    fp = F.md5(content).alias("__fp")
+    ranked = df.select(fp, F.col(id_col).alias("__id"))
+    keep = ranked.groupBy("__fp").agg(F.min("__id").alias("__keep"))
+    return (
+        df.join(
+            keep.select(F.col("__keep").alias(id_col)).hint("merge"),
+            on=id_col,
+            how="left_semi",
+        )
+    )
+
+
+def duplicate_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Clusters of exact duplicates: (fingerprint, n_docs, keep_doc_id)."""
+    return (
+        df.select(F.md5(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_doc_id"))
+        .filter("n_docs > 1")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MH_P = 1_000_000_007
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Distinct word-k-gram shingles per document. k=1 → unigram tokens."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    if k == 1:
+        sh = F.explode(F.array_distinct(F.col("toks")))
+    else:
+        parts = ", ".join(f"toks[i+{j}]" for j in range(k))
+        sh = F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(toks)-{k}), i -> concat_ws(' ', {parts}))"
+                )
+            )
+        )
+    return d.select("doc_id", sh.alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_size: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """K-permutation MinHash signatures as columns ``sig_0..sig_{K-1}``.
+
+    Shingle ints come from xxhash64 (JVM, fast); permutations are universal
+    hashes ``(a·x + b) mod p``. ``max_shingle_df`` drops shingles appearing
+    in more than N documents — at scale these contribute nothing to
+    discrimination but dominate bucket sizes.
+    """
+    sh = _shingles(df, id_col, text_col, shingle_size)
+    if max_shingle_df:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            freq.filter(F.col("df") <= max_shingle_df).select("shingle"),
+            on="shingle",
+            how="left_semi",
+        )
+    x = (F.abs(F.xxhash64("shingle")) % _MH_P).alias("x")
+    exploded = sh.select("doc_id", x)
+    aggs = [
+        F.min((F.lit(97 + 13 * i) * F.col("x") + F.lit(911 + 7919 * i)) % _MH_P).alias(
+            f"sig_{i}"
+        )
+        for i in range(num_perm)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs above a Jaccard ``threshold`` via banded LSH.
+
+    Pipeline: signatures → per-band bucket hash → self-join *within*
+    (band, bucket) → distinct candidate pairs → exact Jaccard rerank on the
+    candidates only. Signature agreement ≈ Jaccard, so with r rows/band the
+    capture probability is 1-(1-t^r)^bands — tune bands/num_perm for recall.
+    Returns (doc_a, doc_b, jaccard).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle_size, max_shingle_df
+    )
+    band_cols = []
+    for b in range(bands):
+        cols = [f"sig_{b * rows_per_band + j}" for j in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("-", *cols)).alias("bh"))
+        )
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.bh")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _exact_jaccard(
+        df, id_col, text_col, shingle_size, candidates, threshold
+    )
+
+
+def _exact_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int,
+    candidates: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs only (set sizes + shared-shingle
+    counts; never materializes shingle sets per pair)."""
+    sh = _shingles(df, id_col, text_col, shingle_size)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document (xxhash64 token votes, JVM-only).
+
+    Near-duplicates differ in few bits; pair generation at scale bands the
+    64 bits into chunks (pigeonhole: Hamming distance < k ⇒ some chunk of
+    k equal) — see :func:`simhash_pairs`.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(F.split(F.trim(text_col), r"\s+"))).alias("tok"),
+        )
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when((F.shiftright("h", j).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(64):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Banding guarantee: distance ≤ chunks-1 ⇒ at least one 16-bit chunk is
+    identical, so a (chunk_idx, chunk_value) self-join finds all such pairs
+    without an O(n²) comparison. Exact Hamming filter reranks candidates.
+    """
+    sigs = simhash64(df, id_col, text_col)
+    chunk_bits = 64 // chunks
+    chunk_cols = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            (
+                F.shiftrightunsigned("simhash", i * chunk_bits)
+                % F.lit(1 << chunk_bits)
+            ).alias("cv"),
+        )
+        for i in range(chunks)
+    ]
+    buckets = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
+    ).select("doc_id", "simhash", "c.ci", "c.cv")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Pairs of rows whose embeddings have cosine ≥ threshold.
+
+    Exact path: normalized vectors, self-join pruned by id order with the
+    smaller side broadcast when possible. At 100 TB, pre-bucket with
+    :mod:`mallarddv_spark.operators.similarity` LSH and run this only
+    within buckets.
+    """
+    e = df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "norm", F.expr("sqrt(aggregate(v, cast(0.0 as double), (a, x) -> a + x * x))")
+    )
+    a = e.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.expr(
+                "round(aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double),"
+                " (a, x) -> a + x) / (na * nb), 6)"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

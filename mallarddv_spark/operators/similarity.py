@@ -1,0 +1,232 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, trading recall for scale:
+
+* :func:`cosine_topk_bruteforce` — exact; queries × corpus with the query
+  side broadcast. Right answer whenever |queries|·|corpus| fits a shuffle
+  (e.g. 1e3 queries × 1e8 corpus rows is fine on a cluster — the corpus
+  never moves, queries are broadcast to it).
+* :func:`hyperplane_lsh_topk` — random-hyperplane (sign) LSH: b-bit
+  signatures, candidates share a signature band, exact rerank within
+  candidates. Recall tunable via bands; corpus-side work is one narrow
+  shuffle on (band, value).
+* :func:`ivf_topk` — IVF: KMeans centroids (trained on a sample), probe
+  the ``nprobe`` nearest centroids per query. The classic billion-scale
+  layout: the corpus is partitioned (clustered) by centroid id, so a probe
+  touches only matching partitions (partition pruning on a Delta/Iceberg
+  table clustered by ``centroid_id``).
+
+All dot products are Catalyst ``aggregate``/``zip_with`` expressions —
+JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+)
+
+
+def _normed(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "norm", F.expr("sqrt(aggregate(v, cast(0.0 as double), (a, x) -> a + x * x))")
+    )
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Returns (query_id, neighbor_id, rank, cosine). The query side is
+    broadcast — the big corpus is scanned in place, never shuffled.
+    """
+    q = _normed(queries, id_col, vec_col, "query_id").withColumnRenamed(
+        "v", "qv"
+    ).withColumnRenamed("norm", "qn")
+    c = _normed(corpus, id_col, vec_col, "neighbor_id").withColumnRenamed(
+        "v", "cv"
+    ).withColumnRenamed("norm", "cn")
+    pairs = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine",
+        F.expr(f"round({_DOT.format(a='qv', b='cv')} / (qn * cn), 6)"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_bits: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Sign-random-projection signatures: bit_j = (v · h_j) > 0.
+
+    Hyperplanes are deterministic pseudo-random ±1 vectors derived from
+    ``xxhash64(seed, j, i)`` — reproducible across runs and engines without
+    shipping a weights matrix.
+    """
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first.d)
+    e = df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    bit_terms = []
+    for j in range(num_bits):
+        # dot(v, h_j) with h_j[i] = ±1 from a hash of (seed, j, i)
+        dot = " + ".join(
+            f"(CASE WHEN pmod(xxhash64({seed}, {j}, {i}), 2) = 0 THEN v[{i}] ELSE -v[{i}] END)"
+            for i in range(dim)
+        )
+        bit_terms.append(
+            f"(CASE WHEN ({dot}) > 0 THEN cast({1 << j} as long) ELSE 0L END)"
+        )
+    sig = " | ".join(f"({t})" for t in bit_terms)
+    return e.select("vid", "v", F.expr(sig).alias("sig"))
+
+
+def hyperplane_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 signature band with the query,
+    then exact cosine rerank within candidates.
+
+    Returns (query_id, neighbor_id, rank, cosine) — rank within retrieved
+    candidates; recall < 1 by construction.
+    """
+    band_bits = num_bits // bands
+    mask = (1 << band_bits) - 1
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        chunks = [
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.shiftrightunsigned("sig", b * band_bits) % F.lit(mask + 1)
+                ).alias("bv"),
+            )
+            for b in range(bands)
+        ]
+        return sigs.select(
+            F.col("vid").alias(out_id),
+            "v",
+            F.explode(F.array(*chunks)).alias("c"),
+        ).select(out_id, "v", "c.band", "c.bv")
+
+    qs = hyperplane_signatures(queries, id_col, vec_col, num_bits, seed)
+    cs = hyperplane_signatures(corpus, id_col, vec_col, num_bits, seed)
+    qb = banded(qs, "query_id").withColumnRenamed("v", "qv")
+    cb = banded(cs, "neighbor_id").withColumnRenamed("v", "cv")
+
+    cand = (
+        qb.join(cb, ["band", "bv"])
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.expr(
+            f"round({_DOT.format(a='qv', b='cv')} / "
+            f"(sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})), 6)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans-partitioned corpus, probe the nprobe
+    nearest centroids per query, exact rerank within probed cells.
+
+    Requires pyspark.ml (available in any Spark distribution). At lake
+    scale the corpus table is written clustered by ``centroid_id`` so each
+    probe is a partition-pruned scan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("qv"),
+    )
+
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="feat", predictionCol="centroid_id")
+    model = km.fit(c.withColumn("feat", array_to_vector("cv")))
+    assigned = model.transform(c.withColumn("feat", array_to_vector("cv"))).select(
+        "neighbor_id", "cv", "centroid_id"
+    )
+
+    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, ["centroid_id", "centroid"])
+
+    # nprobe nearest centroids per query (euclidean), via broadcast
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "dist",
+        F.expr(
+            "aggregate(zip_with(qv, centroid, (x, y) -> (x - y) * (x - y)), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+
+    cand = probes.join(assigned, "centroid_id").withColumn(
+        "cosine",
+        F.expr(
+            f"round({_DOT.format(a='qv', b='cv')} / "
+            f"(sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})), 6)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

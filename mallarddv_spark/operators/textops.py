@@ -1,0 +1,127 @@
+"""Text-analysis operators for corpus curation: tokenization stats, quality
+heuristics, language ID, fingerprinting.
+
+All Column-returning (composable into any projection) and JVM-only — these
+run over every document of a 100 TB corpus, so the hot path must stay inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+WS = r"\s+"
+
+#: tiny built-in stopword lists (extend per deployment)
+STOPWORDS = {
+    "en": ["the", "and", "of", "a", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "los", "que"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "et", "la", "des"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    return F.split(F.trim(text), WS)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def unique_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda x: F.array_contains(arr, x)))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    return F.round(stopword_count(text, lang) / token_count(text), 6)
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    """Share of characters that are ascii letters — a cheap garbage filter."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.round(
+        F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")) / F.length(t), 6
+    )
+
+
+def mean_token_length(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.round(F.length(F.regexp_replace(t, WS, "")) / token_count(t), 6)
+
+
+def quality_score(text: Column | str, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic: stopword presence (fluency proxy),
+    alphabetic share, sane mean token length. Deterministic, tunable."""
+    sw = stopword_ratio(text, lang)
+    ar = alpha_ratio(text)
+    mtl = mean_token_length(text)
+    len_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        F.least(sw * 4.0, F.lit(1.0)) * 0.4 + ar * 0.4 + len_ok * 0.2, 6
+    )
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Stopword-vote language ID (first language whose vote count ties the
+    max wins, in STOPWORDS order)."""
+    votes = {lang: stopword_count(text, lang) for lang in STOPWORDS}
+    mx = F.greatest(*votes.values())
+    result = F.lit("unknown")
+    for lang in reversed(list(STOPWORDS)):
+        result = F.when(votes[lang] >= mx, F.lit(lang)).otherwise(result)
+    return F.when(mx > 0, result).otherwise(F.lit("unknown"))
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """md5 of lowercased, punctuation-stripped, whitespace-collapsed text."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(t), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return F.md5(norm)
+
+
+def sorted_token_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive fingerprint: md5 of the sorted token multiset —
+    catches shuffled/reordered near-duplicates."""
+    return F.md5(F.concat_ws(" ", F.sort_array(tokens(text))))
+
+
+def rolling_hashes(text: Column | str, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprints: xxhash64 of each ``window``-token
+    span (array<long>). Downstream winnowing selects minima per stripe."""
+    toks = tokens(text)
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(window)])
+        ),
+    )
+    return spans
+
+
+def text_profile(
+    df: DataFrame, id_col: str, text_col: str, lang: str = "en"
+) -> DataFrame:
+    """One-pass per-document profile: everything a curation pipeline filters
+    on, computed in a single projection (one scan, no shuffle)."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        unique_token_count(text_col).alias("n_unique_tokens"),
+        F.length(text_col).alias("n_chars"),
+        stopword_ratio(text_col, lang).alias("stopword_ratio"),
+        alpha_ratio(text_col).alias("alpha_ratio"),
+        mean_token_length(text_col).alias("mean_token_len"),
+        quality_score(text_col, lang).alias("quality"),
+        lang_guess(text_col).alias("lang_guess"),
+        normalized_fingerprint(text_col).alias("norm_fp"),
+        sorted_token_fingerprint(text_col).alias("sorted_fp"),
+    )

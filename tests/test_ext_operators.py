@@ -1,0 +1,206 @@
+"""Tests for the LLM-pipeline extension operators: dedup, similarity,
+text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mallarddv_spark.operators import dedup, multimodal, similarity, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Documents with planted exact and near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra"),  # near dup of 1
+        (4, "completely different content about spark partitions and shuffles"),
+        (5, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+        (6, "  THE   quick brown fox jumps over the lazy dog again and again today "),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def test_exact_dedup(dup_docs):
+    out = dedup.exact_dedup(dup_docs, "doc_id", "text")
+    ids = {r.doc_id for r in out.collect()}
+    assert 2 not in ids  # exact dup dropped
+    assert {1, 3, 4, 5, 6} <= ids  # others kept (6 differs by case/ws)
+
+    norm = dedup.exact_dedup(dup_docs, "doc_id", "text", normalize=True)
+    # case/whitespace-insensitive: 6 collapses into 1 as well
+    assert {r.doc_id for r in norm.collect()} == {1, 3, 4, 5}
+
+
+def test_duplicate_clusters(dup_docs):
+    clusters = dedup.duplicate_clusters(dup_docs, "doc_id", "text").collect()
+    assert len(clusters) == 1
+    assert clusters[0].n_docs == 2 and clusters[0].keep_doc_id == 1
+
+
+def test_minhash_lsh_pairs(dup_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        dup_docs, "doc_id", "text", num_perm=32, bands=8, threshold=0.5
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # exact dup found
+    assert (1, 3) in got  # near dup found
+    assert all(a < b for a, b in got)  # canonical pair order
+    assert not any(4 in p for p in got)  # unrelated doc not paired
+
+
+def test_minhash_signatures_deterministic(dup_docs):
+    s1 = dedup.minhash_signatures(dup_docs, "doc_id", "text", num_perm=8).collect()
+    s2 = dedup.minhash_signatures(dup_docs, "doc_id", "text", num_perm=8).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    by_id = {r.doc_id: tuple(r)[1:] for r in s1}
+    assert by_id[1] == by_id[2]  # identical docs → identical signatures
+
+
+def test_simhash_pairs(dup_docs):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash64(dup_docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    pairs = dedup.simhash_pairs(dup_docs, "doc_id", "text", max_hamming=10)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got  # near dup within hamming budget
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.05, 0.0]),  # near 1
+        (3, [0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = dedup.embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.95)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def test_cosine_topk_bruteforce(embeddings):
+    q = embeddings.filter("vec_id < 3")
+    c = embeddings.filter("vec_id >= 3")
+    out = similarity.cosine_topk_bruteforce(q, c, k=4).collect()
+    assert len(out) == 12
+    for qid in (0, 1, 2):
+        ranks = sorted(r.rank for r in out if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4]
+        cosines = [r.cosine for r in sorted((r for r in out if r.query_id == qid), key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_hyperplane_lsh_recall(embeddings):
+    """LSH top-1 should usually agree with brute force (sanity, not a
+    guarantee — generous band settings give high recall on 64-dim)."""
+    q = embeddings.filter("vec_id < 5")
+    c = embeddings.filter("vec_id >= 5")
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in similarity.cosine_topk_bruteforce(q, c, k=1).collect()
+    }
+    approx = similarity.hyperplane_lsh_topk(
+        q, c, k=1, num_bits=16, bands=8
+    ).collect()
+    got = {r.query_id: r.neighbor_id for r in approx}
+    hits = sum(1 for k_ in exact if got.get(k_) == exact[k_])
+    assert hits >= 3  # ≥60% top-1 recall with 8 bands of 2 bits
+
+
+def test_ivf_topk(embeddings):
+    q = embeddings.filter("vec_id < 3")
+    c = embeddings.filter("vec_id >= 3")
+    out = similarity.ivf_topk(q, c, k=3, n_centroids=8, nprobe=4).collect()
+    assert {r.query_id for r in out} == {0, 1, 2}
+    assert all(1 <= r.rank <= 3 for r in out)
+
+
+# --- text ops --------------------------------------------------------------
+
+
+def test_text_profile(docs):
+    prof = textops.text_profile(docs, "doc_id", "text")
+    rows = prof.collect()
+    assert len(rows) == docs.count()
+    r = rows[0]
+    assert r.n_tokens > 0 and r.n_unique_tokens <= r.n_tokens
+    assert 0.0 <= r.stopword_ratio <= 1.0
+    assert 0.0 <= r.quality <= 1.0
+    assert len(r.norm_fp) == 32 and len(r.sorted_fp) == 32
+
+
+def test_lang_guess(spark):
+    rows = [
+        (1, "the cat and the dog of a house"),
+        (2, "el perro y la casa de los gatos"),
+        (3, "der hund und die katze ist hier"),
+        (4, "xyz qqq zzz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.g for r in df.select("doc_id", textops.lang_guess("text").alias("g")).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "de" and got[4] == "unknown"
+
+
+def test_sorted_fingerprint_catches_reorder(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta")], ["doc_id", "text"]
+    )
+    out = df.select(
+        "doc_id",
+        textops.normalized_fingerprint("text").alias("nf"),
+        textops.sorted_token_fingerprint("text").alias("sf"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].nf != by_id[2].nf
+    assert by_id[1].sf == by_id[2].sf
+
+
+def test_rolling_hashes(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g h i j")], ["doc_id", "text"])
+    arr = df.select(textops.rolling_hashes("text", window=8).alias("rh")).collect()[0].rh
+    assert len(arr) == 3  # 10 tokens, window 8 → positions 0,1,2
+    assert len(set(arr)) == 3
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.attach_media_metadata(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("blob")),
+        "doc_id",
+        "blob",
+        modality="image",
+        mime="image/fake",
+    )
+    assert [f.name for f in media.schema.fields] == [
+        f.name for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    r = rows[0]
+    assert r.decode_ok == "stubbed"
+    assert 64 <= r.width <= 255 and 64 <= r.height <= 255
+    # deterministic fake: same content → same dims
+    feats2 = {x.media_id: (x.width, x.height) for x in multimodal.extract_features(media).collect()}
+    assert feats2[r.media_id] == (r.width, r.height)

@@ -1,0 +1,69 @@
+"""Structured-Streaming tests: windowed aggregation parity with the batch
+twin, and micro-batch DV ingestion via foreachBatch."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mallarddv_spark.api import MallardSparkVault
+from mallarddv_spark.sources.catalog import drop_vault
+from mallarddv_spark.streaming import ingest
+from mallarddv_spark.suite import read_events
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+SF = "/root/testdata/sf0.001"
+
+
+def test_windowed_agg_stream_matches_batch(spark, tmp_path):
+    events = read_events(spark, SF)
+    # write micro-precision events parquet for the file stream source
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    events.write.parquet(src)
+
+    q = ingest.stream_events_to_console_demo(spark, src, ckpt, events.schema)
+    q.awaitTermination(120)
+
+    streamed = spark.table("windowed_events")
+    batch = ingest.windowed_event_aggregate(events)
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) > 0
+
+
+def test_streaming_dv_ingestion(spark, tmp_path):
+    """File stream → foreachBatch running the vault flow: the anti-join
+    load protocol absorbs micro-batch replays idempotently."""
+    drop_vault(spark)
+    vault = MallardSparkVault(spark)
+    assert vault.init_vault(
+        os.path.join(FIXTURES, "tables.csv"),
+        os.path.join(FIXTURES, "transitions.csv"),
+    ) == []
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    shutil.copy(os.path.join(FIXTURES, "customer.csv"), src)
+
+    from mallarddv_spark.sources.readers import staging_schema
+    from mallarddv_spark.plans.model import fetch_table_columns
+
+    cols = fetch_table_columns(spark, "metadata", base_name="customer", rel_type="stg")
+    schema = staging_schema(cols, "customer")
+
+    def process(batch_df, batch_id):
+        batch_df.write.mode("overwrite").insertInto("stg.customer", overwrite=True)
+        errs = vault.execute_flow(
+            "customer", "stream", load_date_overwrite="2025-06-01 00:00:00"
+        )
+        assert errs == []
+
+    q = ingest.stream_files_to_staging(
+        spark, src, schema, str(tmp_path / "ckpt2"), process, file_format="csv"
+    )
+    q.awaitTermination(120)
+
+    assert spark.table("dv.hub_customer").count() == 3  # 2 keys + NULL ghost
+    assert spark.table("dv.hsat_customer_details").count() == 2
