@@ -1,0 +1,60 @@
+"""Plan-quality invariants — the properties that make these queries scale:
+filter pushdown to the parquet scan, column pruning, broadcast joins for
+small dims, and zero Python-UDF stages anywhere in the suite."""
+
+import pytest
+
+from mallarddv_spark.suite import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = _plan(spark, "tpch_q6")
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+
+
+def test_q6_column_pruning(spark):
+    plan = _plan(spark, "tpch_q6")
+    # only the 4 needed columns of 11 reach the scan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read and "l_extendedprice" in read
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = _plan(spark, "tpch_q3", "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_small_dims(spark):
+    plan = _plan(spark, "tpch_q5", "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hub_antijoin_uses_anti_join(spark):
+    plan = _plan(spark, "dv_hub_incremental_antijoin", "simple")
+    assert "LeftAnti" in plan
+
+
+@pytest.mark.parametrize("name", list(REGISTRY))
+def test_no_python_udf_stages(spark, name):
+    """Every suite query must stay JVM-side (whole-stage codegen eligible):
+    no BatchEvalPython / ArrowEvalPython / mapInPandas stages."""
+    plan = _plan(spark, name, "simple")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"{name} has a Python stage: {marker}"
+
+
+def test_whole_stage_codegen_active(spark):
+    plan = _plan(spark, "tpch_q1", "codegen")
+    assert "WholeStageCodegen" in plan
