@@ -1104,3 +1104,80 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "similarity_pairs": (q_similarity_pairs, O_SIM_PAIRS),
     "multimodal_binary_meta": (q_multimodal_binary_meta, O_MULTIMODAL),
 }
+
+# ---------------------------------------------------------------------------
+# scale-path operators (declared rows-only: LSH/IVF are approximate by
+# construction and mapInPandas is not SQL-expressible — no DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_adv_minhash_lsh_pairs(spark, sf):
+    """Banded MinHash-LSH near-dup pairs with exact-Jaccard rerank — the
+    scale path whose candidates are a subset of the exhaustive
+    dedup_ngram_jaccard oracle query."""
+    from mallarddv_spark.operators import dedup
+
+    d = _t(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=32, bands=16, threshold=0.30
+    )
+
+
+def q_adv_simhash_pairs(spark, sf):
+    """SimHash Hamming-distance pairs via pigeonhole chunk bucketing."""
+    from mallarddv_spark.operators import dedup
+
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=12, chunks=4)
+
+
+def q_adv_similarity_lsh_topk(spark, sf):
+    """Random-hyperplane LSH approximate top-k (banded candidates + exact
+    rerank)."""
+    from mallarddv_spark.operators import similarity
+
+    e = _t(spark, sf, "embeddings")
+    return similarity.hyperplane_lsh_topk(
+        e.filter("vec_id < 10"), e.filter("vec_id >= 10"), k=5, num_bits=16, bands=8
+    )
+
+
+def q_adv_similarity_ivf_topk(spark, sf):
+    """IVF approximate top-k: KMeans cells, nprobe probing."""
+    from mallarddv_spark.operators import similarity
+
+    e = _t(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        e.filter("vec_id < 10"), e.filter("vec_id >= 10"), k=5, n_centroids=16, nprobe=4
+    )
+
+
+def q_adv_text_profile(spark, sf):
+    """One-pass ten-metric text profile (single projection, no shuffle)."""
+    from mallarddv_spark.operators import textops
+
+    return textops.text_profile(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_adv_multimodal_features(spark, sf):
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (decode kernel container-stubbed; plumbing real)."""
+    from mallarddv_spark.operators import multimodal
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    media = multimodal.attach_media_metadata(d, "doc_id", "blob", modality="image")
+    return multimodal.extract_features(media)
+
+
+REGISTRY.update(
+    {
+        "adv_minhash_lsh_pairs": (q_adv_minhash_lsh_pairs, None),
+        "adv_simhash_pairs": (q_adv_simhash_pairs, None),
+        "adv_similarity_lsh_topk": (q_adv_similarity_lsh_topk, None),
+        "adv_similarity_ivf_topk": (q_adv_similarity_ivf_topk, None),
+        "adv_text_profile": (q_adv_text_profile, None),
+        "adv_multimodal_features": (q_adv_multimodal_features, None),
+    }
+)
