@@ -78,29 +78,36 @@ def hyperplane_signatures(
 ) -> DataFrame:
     """Sign-random-projection signatures: bit_j = (v · h_j) > 0.
 
-    Hyperplanes are deterministic pseudo-random ±1 vectors derived from
-    ``xxhash64(seed, j, i)`` — reproducible across runs and engines without
-    shipping a weights matrix.
+    Hyperplanes are a deterministic ±1 matrix (seeded PRNG) shipped as a
+    *literal* array column, and the per-bit dots run through Catalyst
+    higher-order functions — compact codegen regardless of dim × bits
+    (an unrolled form is quadratic in expression size and dominates
+    compile time).
     """
+    import random
+
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         dim = int(first.d)
+    rng = random.Random(seed)
+    planes = [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(num_bits)
+    ]
+    planes_col = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in planes]
+    )
     e = df.select(
         F.col(id_col).alias("vid"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    ).withColumn("planes", planes_col)
+    sig = F.expr(
+        "aggregate(sequence(0, size(planes) - 1), 0L, (acc, j) -> "
+        "  acc | (CASE WHEN aggregate(zip_with(v, planes[j], (x, y) -> x * y), "
+        "                             cast(0.0 as double), (a, x) -> a + x) > 0 "
+        "         THEN shiftleft(1L, j) ELSE 0L END))"
     )
-    bit_terms = []
-    for j in range(num_bits):
-        # dot(v, h_j) with h_j[i] = ±1 from a hash of (seed, j, i)
-        dot = " + ".join(
-            f"(CASE WHEN pmod(xxhash64({seed}, {j}, {i}), 2) = 0 THEN v[{i}] ELSE -v[{i}] END)"
-            for i in range(dim)
-        )
-        bit_terms.append(
-            f"(CASE WHEN ({dot}) > 0 THEN cast({1 << j} as long) ELSE 0L END)"
-        )
-    sig = " | ".join(f"({t})" for t in bit_terms)
-    return e.select("vid", "v", F.expr(sig).alias("sig"))
+    return e.select("vid", "v", sig.alias("sig"))
 
 
 def hyperplane_lsh_topk(
@@ -192,7 +199,10 @@ def ivf_topk(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("qv"),
     )
 
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="feat", predictionCol="centroid_id")
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=5,
+        featuresCol="feat", predictionCol="centroid_id",
+    )
     model = km.fit(c.withColumn("feat", array_to_vector("cv")))
     assigned = model.transform(c.withColumn("feat", array_to_vector("cv"))).select(
         "neighbor_id", "cv", "centroid_id"

@@ -1138,7 +1138,7 @@ def q_adv_similarity_lsh_topk(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     return similarity.hyperplane_lsh_topk(
-        e.filter("vec_id < 10"), e.filter("vec_id >= 10"), k=5, num_bits=16, bands=8
+        e.filter("vec_id < 10"), e.filter("vec_id >= 10"), k=5, num_bits=32, bands=8
     )
 
 
