@@ -1181,3 +1181,90 @@ REGISTRY.update(
         "adv_multimodal_features": (q_adv_multimodal_features, None),
     }
 )
+
+# ---------------------------------------------------------------------------
+# the engine itself, end-to-end, through the oracle gate: a real vault flow
+# (metadata DDL → parquet ingestion → hash view → hub/sat loads → current
+# view) whose final current-view content is SQL-predictable from the input.
+# ---------------------------------------------------------------------------
+
+_FLOW_TABLES = """base_name,rel_type,column_name,column_type,column_position,mapping
+customer,stg,c_custkey,BIGINT,1,c
+customer,stg,c_name,VARCHAR,2,c
+customer,stg,c_nationkey,INTEGER,3,c
+customer,stg,c_acctbal,DOUBLE,4,c
+customer,stg,c_mktsegment,VARCHAR,5,c
+customer,hub,c_custkey,BIGINT,1,bk
+customer_details,hsat,customer,,0,hk
+customer_details,hsat,name,VARCHAR,1,f
+customer_details,hsat,segment,VARCHAR,2,f
+customer_details,hsat,nation_id,INTEGER,3,f
+"""
+
+_FLOW_TRANSITIONS = """source_table,source_field,target_table,target_field,group_name,position,raw,transformation,transfer_type
+customer,c_custkey,hub_customer,c_custkey_bk,customer,1,false,,bk
+customer,c_name,hsat_customer_details,name,customer_details,1,false,trim(#),f
+customer,c_mktsegment,hsat_customer_details,segment,customer_details,2,false,,f
+customer,c_nationkey,hsat_customer_details,nation_id,customer_details,3,false,,f
+customer,customer_hk,hsat_customer_details,customer,customer_details,0,false,,sat_delta
+"""
+
+
+def q_dv_flow_e2e(spark, sf):
+    """Run the REAL engine end-to-end (md5 hash mode so DuckDB can predict
+    the result): init vault from metadata, ingest sf customer.parquet via
+    the flow's file path, load hub + delta satellite, return the
+    business-vault current view. Exercises: metadata DDL, imposed-schema
+    parquet ingestion, hash view (with trim transformation), anti-join hub
+    load, satellite change detection, current-view window, run ledger."""
+    import os
+    import tempfile
+
+    from mallarddv_spark.api import MallardSparkVault
+
+    dbs = {
+        "stg_db": "dvf_stg",
+        "dv_db": "dvf_dv",
+        "bv_db": "dvf_bv",
+        "dm_db": "dvf_dm",
+        "metadata_db": "dvf_meta",
+    }
+    base = tempfile.mkdtemp(prefix="dvflow_")
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/{db}'")
+
+    tables_csv = os.path.join(base, "tables.csv")
+    transitions_csv = os.path.join(base, "transitions.csv")
+    with open(tables_csv, "w") as fh:
+        fh.write(_FLOW_TABLES)
+    with open(transitions_csv, "w") as fh:
+        fh.write(_FLOW_TRANSITIONS)
+
+    vault = MallardSparkVault(spark, hash_algo="md5", **dbs)
+    errors = vault.init_vault(tables_csv, transitions_csv)
+    assert errors == [], errors
+    errors = vault.execute_flow(
+        "customer",
+        "bench",
+        file_path=f"{sf}/customer.parquet",
+        load_date_overwrite="2025-01-01 00:00:00",
+    )
+    assert errors == [], errors
+    return spark.table("dvf_bv.hsat_customer_details_cv")
+
+
+O_DV_FLOW = f"""
+SELECT {md5_sql(['c_custkey'])} AS customer_hk,
+       timestamp '2025-01-01 00:00:00' AS load_dts,
+       false AS del_flag,
+       {md5_sql(['trim(c_name)', 'c_mktsegment', 'c_nationkey'])} AS hash_diff,
+       'bench' AS record_source,
+       1 AS run_id,
+       trim(c_name) AS name,
+       c_mktsegment AS segment,
+       c_nationkey AS nation_id
+FROM customer
+"""
+
+REGISTRY["dv_flow_e2e"] = (q_dv_flow_e2e, O_DV_FLOW)
