@@ -1268,3 +1268,161 @@ FROM customer
 """
 
 REGISTRY["dv_flow_e2e"] = (q_dv_flow_e2e, O_DV_FLOW)
+
+# ---------------------------------------------------------------------------
+# temporal joins + full-SQL-surface operators (rollup / set ops / correlated
+# subqueries / conditional pivot) — the ad-hoc query surface the reference
+# exposed via raw SQL passthrough, plus the as-of join it lacked.
+# ---------------------------------------------------------------------------
+
+
+def q_asof_purchase_click(spark, sf):
+    """Backward as-of join (union-tag-window implementation, one shuffle on
+    the key): each purchase matched to the user's latest prior click.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from mallarddv_spark.operators.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = (
+        e.filter("event_type = 'click'")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_payload=["click_event_id"],
+    )
+    return out.select(
+        "purchase_id", "user_id", "purchase_ts", "click_event_id", "click_ts"
+    )
+
+
+O_ASOF = """
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_event_id, c.click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+"""
+
+
+def q_sql_rollup(spark, sf):
+    """GROUP BY ROLLUP subtotals (grouping-set aggregation)."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.expr(f"cast(sum(cast(l_quantity as {DEC})) as double)").alias("sum_qty"),
+    )
+
+
+O_SQL_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       cast(sum(cast(l_quantity as {DEC})) as double) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_sql_set_ops(spark, sf):
+    """Set operations: customers with orders EXCEPT big-balance customers,
+    INTERSECT with BUILDING segment."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    big = c.filter("c_acctbal > 5000").select(F.col("c_custkey").alias("custkey"))
+    building = c.filter("c_mktsegment = 'BUILDING'").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return with_orders.exceptAll(big).distinct().intersect(building)
+
+
+O_SQL_SETOPS = """
+SELECT custkey FROM (
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+)
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def q_sql_correlated_exists(spark, sf):
+    """Correlated EXISTS / scalar subquery: customers whose every order is
+    'F' status, with their order count."""
+    spark.read.parquet(f"{sf}/customer.parquet").createOrReplaceTempView(
+        "v_customer"
+    )
+    spark.read.parquet(f"{sf}/orders.parquet").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT count(*) FROM v_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM v_orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'F')
+        """
+    )
+
+
+O_SQL_EXISTS = """
+SELECT c_custkey, c_name,
+       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'F')
+"""
+
+
+def q_sql_conditional_pivot(spark, sf):
+    """Conditional aggregation pivot: order counts per priority bucket per
+    customer segment."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "2-HIGH", 1)).alias("n_high"),
+        F.count(
+            F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        ).alias("n_other"),
+    )
+
+
+O_SQL_PIVOT = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS n_other
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+REGISTRY.update(
+    {
+        "asof_purchase_click": (q_asof_purchase_click, O_ASOF),
+        "sql_rollup": (q_sql_rollup, O_SQL_ROLLUP),
+        "sql_set_ops": (q_sql_set_ops, O_SQL_SETOPS),
+        "sql_correlated_exists": (q_sql_correlated_exists, O_SQL_EXISTS),
+        "sql_conditional_pivot": (q_sql_conditional_pivot, O_SQL_PIVOT),
+    }
+)
