@@ -213,3 +213,42 @@ def _append_aligned(df: DataFrame, table_schema, table_fqn: str) -> None:
         ]
     )
     out.write.mode("append").insertInto(table_fqn)
+
+
+def refresh_current_table(
+    spark: SparkSession, dv_db: str, sat_name: str, hk_col: str
+) -> str:
+    """Materialize ``dv.{sat}_current`` — one row per key, the latest
+    version — from the full history (window + overwrite).
+
+    The logical ``bv.*_cv`` view recomputes its window at query time; marts
+    that hit current state repeatedly should pay that window once per load
+    instead. This full refresh is the bootstrap; see
+    :func:`upsert_current_table` for the per-batch incremental path.
+    """
+    cur = f"{dv_db}.{quote_ident(sat_name + '_current')}"
+    latest = _latest_versions(spark.table(f"{dv_db}.{quote_ident(sat_name)}"), hk_col)
+    latest.write.mode("overwrite").saveAsTable(cur)
+    return cur
+
+
+def upsert_current_table(
+    spark: SparkSession, dv_db: str, sat_name: str, hk_col: str, batch: DataFrame
+) -> str:
+    """Incrementally fold a just-appended batch into ``dv.{sat}_current``:
+    union(current, batch) → latest per key → overwrite.
+
+    Cost scales with |current| + |batch| (one shuffle on the hash key),
+    not with the full history. ``localCheckpoint`` breaks lineage so the
+    overwrite does not read from the table being replaced; on Delta/Iceberg
+    this whole function is a single ``MERGE`` with no checkpoint needed.
+    """
+    cur = f"{dv_db}.{quote_ident(sat_name + '_current')}"
+    if not spark.catalog.tableExists(cur):
+        return refresh_current_table(spark, dv_db, sat_name, hk_col)
+    current = spark.table(cur)
+    merged = _latest_versions(
+        current.unionByName(batch.select(current.columns)), hk_col
+    ).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").saveAsTable(cur)
+    return cur

@@ -1426,3 +1426,148 @@ REGISTRY.update(
         "sql_conditional_pivot": (q_sql_conditional_pivot, O_SQL_PIVOT),
     }
 )
+
+# ---------------------------------------------------------------------------
+# SQL function-surface coverage: window functions, date/time functions,
+# string functions, null semantics — the ad-hoc surface a vault user gets
+# through raw SQL passthrough, pinned cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def q_sql_window_suite(spark, sf):
+    """Window-function battery per customer: rank, dense_rank, ntile,
+    lag/lead, running decimal sum — all with total deterministic order."""
+    o = _t(spark, sf, "orders").filter("o_custkey < 50")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        F.expr(
+            f"cast(sum(cast(o_totalprice as {DEC})) over "
+            f"(partition by o_custkey order by o_totalprice desc, o_orderkey asc "
+            f"rows between unbounded preceding and current row) as double)"
+        ).alias("running_total"),
+    )
+
+
+O_SQL_WINDOW = f"""
+SELECT o_custkey, o_orderkey,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile,
+       lag(o_orderkey, 1)  OVER w AS prev_orderkey,
+       lead(o_orderkey, 1) OVER w AS next_orderkey,
+       cast(sum(cast(o_totalprice as {DEC})) OVER
+            (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_total
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+def q_sql_date_functions(spark, sf):
+    """Date/time function battery over order dates."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym_str"),
+    )
+
+
+O_SQL_DATE = """
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dom,
+       quarter(o_orderdate) AS qtr,
+       cast(date_trunc('month', o_orderdate) as timestamp) AS month_start,
+       cast(last_day(o_orderdate) as timestamp) AS month_end,
+       strftime(o_orderdate, '%Y-%m') AS ym_str
+FROM orders
+"""
+
+
+def q_sql_string_functions(spark, sf):
+    """String function battery over part names."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.length("p_name").alias("name_len"),
+        F.expr("replace(p_name, ' ', '_')").alias("snake"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse("p_name").alias("rname"),
+        F.expr("instr(p_name, 'a')").alias("first_a"),
+        F.levenshtein(F.col("p_name"), F.col("p_brand")).alias("lev_to_brand"),
+    )
+
+
+O_SQL_STRING = """
+SELECT p_partkey,
+       upper(p_name) AS uname,
+       substring(p_name, 1, 5) AS prefix5,
+       length(p_name) AS name_len,
+       replace(p_name, ' ', '_') AS snake,
+       lpad(cast(p_partkey as varchar), 8, '0') AS padded_key,
+       reverse(p_name) AS rname,
+       instr(p_name, 'a') AS first_a,
+       levenshtein(p_name, p_brand) AS lev_to_brand
+FROM part
+"""
+
+
+def q_sql_null_semantics(spark, sf):
+    """NULL-handling semantics: NULLIF-generated NULL group keys, COUNT(col)
+    vs COUNT(*), aggregate-over-empty behavior via conditional sums."""
+    c = _t(spark, sf, "customer")
+    return (
+        c.withColumn("seg_or_null", F.expr("nullif(c_mktsegment, 'BUILDING')"))
+        .groupBy("seg_or_null")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("seg_or_null").alias("n_nonnull"),
+            F.expr(
+                "cast(sum(CASE WHEN c_acctbal < -99999 "
+                f"THEN cast(c_acctbal as {DEC}) END) as double)"
+            ).alias("sum_never"),
+            F.expr("coalesce(max(nullif(c_nationkey, c_nationkey)), -1)").alias(
+                "coalesced_null"
+            ),
+        )
+    )
+
+
+O_SQL_NULL = f"""
+SELECT nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+       count(*) AS n_rows,
+       count(nullif(c_mktsegment, 'BUILDING')) AS n_nonnull,
+       cast(sum(CASE WHEN c_acctbal < -99999 THEN cast(c_acctbal as {DEC}) END) as double) AS sum_never,
+       coalesce(max(nullif(c_nationkey, c_nationkey)), -1) AS coalesced_null
+FROM customer
+GROUP BY 1
+"""
+
+REGISTRY.update(
+    {
+        "sql_window_suite": (q_sql_window_suite, O_SQL_WINDOW),
+        "sql_date_functions": (q_sql_date_functions, O_SQL_DATE),
+        "sql_string_functions": (q_sql_string_functions, O_SQL_STRING),
+        "sql_null_semantics": (q_sql_null_semantics, O_SQL_NULL),
+    }
+)

@@ -1,0 +1,67 @@
+"""Error-contract tests: invalid metadata is reported as error tuples (not
+raised), failed flows register 'failure' in the run ledger, and the flow
+short-circuits at the failing stage — reference behavior."""
+
+import pytest
+
+from mallarddv_spark.api import MallardSparkVault
+from mallarddv_spark.sources.catalog import drop_vault
+
+TWO_HK_TABLES = """base_name,rel_type,column_name,column_type,column_position,mapping
+thing,stg,id,INTEGER,1,c
+thing_details,hsat,thing,,0,hk
+thing_details,hsat,other,,1,hk
+"""
+
+BAD_LINK_TABLES = """base_name,rel_type,column_name,column_type,column_position,mapping
+item,stg,id,INTEGER,1,c
+item,hub,id,INTEGER,1,bk
+item__owner,link,item,,1,ll
+item__owner,link,owner,,2,ll
+"""
+
+BAD_LINK_TRANSITIONS = """source_table,source_field,target_table,target_field,group_name,position,raw,transformation,transfer_type
+item,id,hub_item,id_bk,item,1,false,,bk
+item,item,link_item__owner,item_hk,lnk,1,false,,ll
+item,nonexistent_group,link_item__owner,owner_hk,lnk,2,false,,ll
+"""
+
+EMPTY_TRANSITIONS = (
+    "source_table,source_field,target_table,target_field,"
+    "group_name,position,raw,transformation,transfer_type\n"
+)
+
+
+def _write(tmp_path, name, content):
+    p = tmp_path / name
+    p.write_text(content)
+    return str(p)
+
+
+def test_satellite_two_hub_keys_collected_as_error(spark, tmp_path):
+    drop_vault(spark)
+    v = MallardSparkVault(spark)
+    errors = v.init_vault(
+        _write(tmp_path, "tables.csv", TWO_HK_TABLES),
+        _write(tmp_path, "transitions.csv", EMPTY_TRANSITIONS),
+    )
+    assert len(errors) == 1
+    assert "exactly one hub key" in errors[0][1]
+
+
+def test_bad_link_group_fails_flow_and_registers_failure(spark, tmp_path):
+    drop_vault(spark)
+    v = MallardSparkVault(spark)
+    assert v.init_vault(
+        _write(tmp_path, "tables.csv", BAD_LINK_TABLES),
+        _write(tmp_path, "transitions.csv", BAD_LINK_TRANSITIONS),
+    ) == []
+    spark.sql("INSERT OVERWRITE stg.item VALUES (1)")
+    errors = v.execute_flow("item", "test", load_date_overwrite="2025-01-01 00:00:00")
+    assert len(errors) == 1
+    assert errors[0][0] == "compute_hash_view"
+    assert "does not match any hub group" in errors[0][1]
+    # ledger recorded the failure, flow short-circuited before loads
+    runs = spark.table("metadata.runinfo").collect()
+    assert any(r.status == "failure" and "1 errors occurred" in r.message for r in runs)
+    assert spark.table("dv.hub_item").count() == 0
