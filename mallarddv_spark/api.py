@@ -113,6 +113,90 @@ class MallardSparkVault:
             load_date_overwrite, force_load, verbose,
         )
 
+    # -- granular DDL/load API (1:1 with the reference facade,
+    #    ``mallarddv.py:174-423``) ------------------------------------------
+
+    def _cols(self, base_name=None, rel_type=None):
+        return fetch_table_columns(
+            self.spark, self.metadata_db, base_name=base_name, rel_type=rel_type
+        )
+
+    def create_hub_from_metadata(self, base_name: str | None = None):
+        return hub.create_hub_tables(
+            self.spark, self.dv_db, self._cols(base_name, "hub")
+        )
+
+    def create_link_from_metadata(self, base_name=None, rel_type=None):
+        cols = (
+            self._cols(base_name, rel_type)
+            if rel_type
+            else self._cols(base_name, "link") + self._cols(base_name, "nhl")
+        )
+        return link.create_link_tables(self.spark, self.dv_db, cols)
+
+    def create_sat_from_metadata(self, base_name=None, rel_type=None):
+        cols = (
+            self._cols(base_name, rel_type)
+            if rel_type
+            else self._cols(base_name, "hsat") + self._cols(base_name, "lsat")
+        )
+        return satellite.create_sat_tables(self.spark, self.dv_db, cols)
+
+    def create_current_sat_from_metadata(self, base_name=None, rel_type=None):
+        cols = (
+            self._cols(base_name, rel_type)
+            if rel_type
+            else self._cols(base_name, "hsat") + self._cols(base_name, "lsat")
+        )
+        return satellite.create_current_views(self.spark, self.dv_db, self.bv_db, cols)
+
+    def create_staging_table_from_metadata(self, base_name: str | None = None):
+        return catalog.create_staging_tables(
+            self.spark, self.stg_db, self._cols(base_name, "stg")
+        )
+
+    def apply_script_from_metadata(self, verbose: bool = False):
+        if not self.scripts_path:
+            return []
+        return catalog.apply_script_files(
+            self.spark, self.scripts_path, self._cols(rel_type="stg_vw"), verbose
+        )
+
+    def load_related_hubs(self, stg_table, run_id, record_source, load_date):
+        transitions = fetch_transitions(self.spark, self.metadata_db, stg_table)
+        return hub.load_hubs(
+            self.spark, self.stg_db, self.dv_db, stg_table, transitions,
+            run_id, record_source, load_date,
+        )
+
+    def load_related_links(self, stg_table, run_id, record_source, load_date):
+        transitions = fetch_transitions(self.spark, self.metadata_db, stg_table)
+        return link.load_links(
+            self.spark, self.stg_db, self.dv_db, stg_table, transitions,
+            run_id, record_source, load_date,
+        )
+
+    def load_related_sats(self, stg_table, run_id, record_source, load_date):
+        transitions = fetch_transitions(self.spark, self.metadata_db, stg_table)
+        return satellite.load_sats(
+            self.spark, self.stg_db, self.dv_db, stg_table, transitions,
+            run_id, record_source, load_date,
+        )
+
+    def load_file_to_staging(self, source_table: str, file_path: str,
+                             file_type: str | None = None):
+        from mallarddv_spark.sources import readers
+
+        cols = self._cols(source_table, "stg")
+        readers.load_file_to_staging(
+            self.spark, self.stg_db, source_table, file_path, cols, file_type
+        )
+
+    def overwrite_metadata_from_files(self, tables_csv=None, transitions_csv=None):
+        catalog.load_metadata_csvs(
+            self.spark, self.metadata_db, tables_csv, transitions_csv
+        )
+
     # -- raw SQL passthrough ------------------------------------------------
 
     def sql(self, query: str, args: dict | None = None) -> DataFrame:
