@@ -1,0 +1,46 @@
+"""Salting utilities must be exactly equivalent to their unsalted forms."""
+
+from pyspark.sql import functions as F
+
+from mallarddv_spark.operators import skew
+
+
+def test_salted_aggregate_equivalence(spark):
+    # zipfian: key 'hot' owns 90% of rows
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(F.concat(F.lit("k"), F.col("id") % 7)).alias("k"),
+        (F.col("id") % 100).alias("v"),
+    )
+    plain = {
+        (r.k,): (r.n, r.s, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.k,): (r.n, r.s, r.mx)
+        for r in skew.salted_aggregate(
+            df,
+            ["k"],
+            {"n": F.count("*"), "s": F.sum("v"), "mx": F.max("v")},
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equivalence(spark):
+    facts = spark.range(5_000).select(
+        F.when(F.col("id") % 5 < 4, 1).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("fact_id"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim_"), F.col("id")).alias("label")
+    )
+    plain = sorted(
+        (r.fact_id, r.label) for r in facts.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r.fact_id, r.label)
+        for r in skew.salted_join(facts, dim, on="k", salt=8).collect()
+    )
+    assert plain == salted
