@@ -111,17 +111,47 @@ def text_profile(
     df: DataFrame, id_col: str, text_col: str, lang: str = "en"
 ) -> DataFrame:
     """One-pass per-document profile: everything a curation pipeline filters
-    on, computed in a single projection (one scan, no shuffle)."""
-    return df.select(
+    on, computed in a single projection (one scan, no shuffle).
+
+    The token array is materialized once in a first projection and every
+    metric references it — the naive form re-tokenizes the text per metric
+    (~15 regex splits per row), which dominates runtime on long documents.
+    """
+    toks = F.col("__toks")
+    n_tokens = F.size(toks)
+
+    def stop_cnt(lg: str) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lg]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    votes = {lg: stop_cnt(lg) for lg in STOPWORDS}
+    mx = F.greatest(*votes.values())
+    guess = F.lit("unknown")
+    for lg in reversed(list(STOPWORDS)):
+        guess = F.when(votes[lg] >= mx, F.lit(lg)).otherwise(guess)
+    guess = F.when(mx > 0, guess).otherwise(F.lit("unknown"))
+
+    t = F.col(text_col)
+    sw_ratio = F.round(stop_cnt(lang) / n_tokens, 6)
+    a_ratio = F.round(
+        F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")) / F.length(t), 6
+    )
+    mtl = F.round(F.length(F.regexp_replace(t, WS, "")) / n_tokens, 6)
+    len_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    quality = F.round(
+        F.least(sw_ratio * 4.0, F.lit(1.0)) * 0.4 + a_ratio * 0.4 + len_ok * 0.2, 6
+    )
+
+    return df.withColumn("__toks", tokens(text_col)).select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-        unique_token_count(text_col).alias("n_unique_tokens"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
         F.length(text_col).alias("n_chars"),
-        stopword_ratio(text_col, lang).alias("stopword_ratio"),
-        alpha_ratio(text_col).alias("alpha_ratio"),
-        mean_token_length(text_col).alias("mean_token_len"),
-        quality_score(text_col, lang).alias("quality"),
-        lang_guess(text_col).alias("lang_guess"),
+        sw_ratio.alias("stopword_ratio"),
+        a_ratio.alias("alpha_ratio"),
+        mtl.alias("mean_token_len"),
+        quality.alias("quality"),
+        guess.alias("lang_guess"),
         normalized_fingerprint(text_col).alias("norm_fp"),
-        sorted_token_fingerprint(text_col).alias("sorted_fp"),
+        F.md5(F.concat_ws(" ", F.sort_array(toks))).alias("sorted_fp"),
     )
