@@ -562,7 +562,7 @@ def q_events_sessionization(spark, sf):
 
 O_EVENTS_SESSION = """
 SELECT user_id,
-       sum(new_session) AS session_cnt,
+       cast(sum(new_session) as bigint) AS session_cnt,
        count(*) AS event_cnt
 FROM (
     SELECT user_id,
@@ -597,7 +597,7 @@ def q_events_props_extract(spark, sf):
 
 O_EVENTS_PROPS = r"""
 SELECT event_type, count(*) AS n,
-       sum(cast(regexp_extract(props, '"k":\s*(\d+)', 1) as bigint)) AS sum_k,
+       cast(sum(cast(regexp_extract(props, '"k":\s*(\d+)', 1) as bigint)) as bigint) AS sum_k,
        max(cast(regexp_extract(props, '"k":\s*(\d+)', 1) as bigint)) AS max_k
 FROM events
 GROUP BY event_type
@@ -814,11 +814,13 @@ def q_text_token_count(spark, sf):
     """Token statistics per document (whitespace tokenizer)."""
     d = _t(spark, sf, "documents")
     toks = F.split(F.trim("text"), _WS)
+    # int-producing functions are cast to bigint: DuckDB's len()/length()
+    # return BIGINT and the gate compares schemas, not just values
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        F.length("text").alias("n_chars_actual"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
     )
 
 
@@ -844,13 +846,13 @@ def q_text_quality(spark, sf):
     alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        stop.alias("stopword_cnt"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        stop.cast("bigint").alias("stopword_cnt"),
         F.expr(
             f"round(cast(size(filter(split(trim(text),'{_WS_SQL}'), x -> x IN ({_STOPWORDS}))) as double)"
             f" / size(split(trim(text),'{_WS_SQL}')), 6)"
         ).alias("stopword_ratio"),
-        alpha.alias("alpha_chars"),
+        alpha.cast("bigint").alias("alpha_chars"),
         F.expr(
             f"round(cast(length(replace(text,' ','')) as double) / size(split(trim(text),'{_WS_SQL}')), 6)"
         ).alias("mean_token_len"),
@@ -895,7 +897,7 @@ def q_text_langid(spark, sf):
         + " ELSE 'unknown' END"
     )
     sel = ["doc_id", "lang AS actual_lang"]
-    sel += [f"{v} AS votes_{lang}" for lang, v in votes.items()]
+    sel += [f"cast({v} as bigint) AS votes_{lang}" for lang, v in votes.items()]
     sel += [f"{guess} AS guessed_lang"]
     return d.selectExpr(*sel)
 
@@ -975,7 +977,7 @@ def q_similarity_topk(spark, sf):
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter("rank <= 5")
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -1058,7 +1060,7 @@ def q_multimodal_binary_meta(spark, sf):
 
 O_MULTIMODAL = """
 SELECT source, count(*) AS n_docs,
-       sum(octet_length(encode(text))) AS total_bytes,
+       cast(sum(octet_length(encode(text))) as bigint) AS total_bytes,
        count(DISTINCT md5(text)) AS distinct_contents
 FROM documents
 GROUP BY source
@@ -1445,9 +1447,9 @@ def q_sql_window_suite(spark, sf):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
         F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
         F.expr(
@@ -1479,10 +1481,10 @@ def q_sql_date_functions(spark, sf):
     o = _t(spark, sf, "orders")
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dom"),
-        F.quarter("o_orderdate").alias("qtr"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym_str"),
@@ -1509,12 +1511,12 @@ def q_sql_string_functions(spark, sf):
         "p_partkey",
         F.upper("p_name").alias("uname"),
         F.substring("p_name", 1, 5).alias("prefix5"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.expr("replace(p_name, ' ', '_')").alias("snake"),
         F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
         F.reverse("p_name").alias("rname"),
-        F.expr("instr(p_name, 'a')").alias("first_a"),
-        F.levenshtein(F.col("p_name"), F.col("p_brand")).alias("lev_to_brand"),
+        F.expr("cast(instr(p_name, 'a') as bigint)").alias("first_a"),
+        F.levenshtein(F.col("p_name"), F.col("p_brand")).cast("bigint").alias("lev_to_brand"),
     )
 
 

@@ -47,6 +47,31 @@ def rows_canon(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+_TYPE_CANON = {
+    "bigint": "i64",
+    "long": "i64",
+    "integer": "i32",
+    "int": "i32",
+    "smallint": "i16",
+    "double": "f64",
+    "float": "f32",
+    "varchar": "str",
+    "string": "str",
+    "boolean": "bool",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "date": "date",
+    "hugeint": "i128",
+}
+
+
+def type_canon(t: str) -> str:
+    t = str(t).lower()
+    if t.startswith("decimal"):
+        return "dec"
+    return _TYPE_CANON.get(t, t)
+
+
 @pytest.mark.parametrize("name", list(REGISTRY))
 def test_query_matches_oracle(name, spark, duck):
     fn, oracle = REGISTRY[name]
@@ -63,6 +88,11 @@ def test_query_matches_oracle(name, spark, duck):
     d_rows = rel.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column sets differ"
+    s_types = {c.lower(): type_canon(t) for c, t in sdf.dtypes}
+    d_types = {
+        c.lower(): type_canon(t) for c, t in zip(rel.columns, rel.types)
+    }
+    assert s_types == d_types, f"{name}: column types differ: {s_types} vs {d_types}"
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count {len(s_rows)} (spark) != {len(d_rows)} (duckdb)"
     )
