@@ -1573,3 +1573,50 @@ REGISTRY.update(
         "sql_null_semantics": (q_sql_null_semantics, O_SQL_NULL),
     }
 )
+
+
+def q_text_chunking(spark, sf):
+    """Training-data chunking: split each document into overlapping
+    token-window chunks (window=50, stride=40) — the standard LLM
+    preprocessing step, as a pure Catalyst expression (sequence →
+    transform → posexplode), no Python."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim("text"), _WS)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - F.lit(1), F.lit(0)),
+        F.lit(40),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(" ", F.slice(toks, s + 1, 50)),
+    )
+    out = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return out.withColumn(
+        "chunk_tokens",
+        F.size(F.split("chunk_text", _WS)).cast("bigint"),
+    ).withColumn("chunk_idx", F.col("chunk_idx").cast("bigint"))
+
+
+O_TEXT_CHUNKING = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+starts AS (
+    SELECT doc_id, t,
+           generate_series(1, greatest(len(t), 1), 40) AS ss
+    FROM toks
+),
+chunks AS (
+    SELECT doc_id,
+           list_transform(ss, s -> array_to_string(t[s:least(s+49, len(t))], ' ')) AS cl
+    FROM starts
+)
+SELECT doc_id,
+       cast(unnest(generate_series(0, len(cl) - 1)) as bigint) AS chunk_idx,
+       unnest(cl) AS chunk_text,
+       cast(unnest(list_transform(cl, c -> len(string_split_regex(c, '\s+')))) as bigint) AS chunk_tokens
+FROM chunks
+"""
+
+REGISTRY["text_chunking"] = (q_text_chunking, O_TEXT_CHUNKING)

@@ -151,3 +151,18 @@ def test_file_ingestion_and_skip(vault, spark):
     assert errors == []
     # skipped: no new runinfo rows
     assert spark.table("metadata.runinfo").count() == runs_before
+
+
+def test_force_load_rereads_file(vault, spark):
+    """force_load bypasses the already-ingested skip and re-runs the flow
+    (idempotent loads make the re-run a no-op on DV tables)."""
+    csv = os.path.join(FIXTURES, "customer.csv")
+    runs_before = spark.table("metadata.runinfo").count()
+    errors = vault.execute_flow(
+        "customer", "demo-customer", file_path=csv, force_load=True,
+        load_date_overwrite=LOAD2,
+    )
+    assert errors == []
+    # flow actually ran: start + success rows appended
+    assert spark.table("metadata.runinfo").count() == runs_before + 2
+    assert spark.table("dv.hub_customer").count() == 3
