@@ -113,21 +113,31 @@ class FlowExecutor:
             self._end(source_table, run_id, file_path, errors)
             return errors
 
-        # 6. hubs → links → sats, short-circuiting
-        for stage_name, fn in (
-            ("load_hubs", hub.load_hubs),
-            ("load_links", link.load_links),
-            ("load_sats", satellite.load_sats),
-        ):
-            try:
-                fn(
-                    spark, self.stg_db, self.dv_db, source_table, transitions,
-                    run_id, record_source, load_dts,
-                )
-            except Exception as ex:
-                errors.append((stage_name, str(ex)))
-                self._end(source_table, run_id, file_path, errors)
-                return errors
+        # 6. hubs → links → sats, short-circuiting. The hash view is cached
+        # for the duration of the flow: every load stage (each hub group,
+        # link group, sat new + tombstone pass) reads it, and without the
+        # cache each read re-scans staging and recomputes every hash.
+        # Spark's cache manager matches by logical plan, so the loaders'
+        # own spark.table() lookups hit this cache.
+        hash_vw = spark.table(f"{self.stg_db}.{source_table}_hash_vw")
+        hash_vw.persist()
+        try:
+            for stage_name, fn in (
+                ("load_hubs", hub.load_hubs),
+                ("load_links", link.load_links),
+                ("load_sats", satellite.load_sats),
+            ):
+                try:
+                    fn(
+                        spark, self.stg_db, self.dv_db, source_table, transitions,
+                        run_id, record_source, load_dts,
+                    )
+                except Exception as ex:
+                    errors.append((stage_name, str(ex)))
+                    self._end(source_table, run_id, file_path, errors)
+                    return errors
+        finally:
+            hash_vw.unpersist()
 
         self._end(source_table, run_id, file_path, errors)
         return errors
