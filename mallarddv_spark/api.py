@@ -36,6 +36,7 @@ class MallardSparkVault:
         dm_db: str = "dm",
         metadata_db: str = "metadata",
         hash_algo: str = "sha1",
+        materialize_current: bool = False,
     ):
         self.spark = spark
         self.scripts_path = scripts_path
@@ -46,7 +47,8 @@ class MallardSparkVault:
         self.metadata_db = metadata_db
         self.hash_algo = hash_algo
         self._executor = FlowExecutor(
-            spark, stg_db, dv_db, bv_db, metadata_db, hash_algo
+            spark, stg_db, dv_db, bv_db, metadata_db, hash_algo,
+            materialize_current=materialize_current,
         )
 
     # -- DDL / init ---------------------------------------------------------

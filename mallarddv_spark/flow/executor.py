@@ -38,6 +38,7 @@ class FlowExecutor:
         bv_db: str = "bv",
         metadata_db: str = "metadata",
         hash_algo: str = "sha1",
+        materialize_current: bool = False,
     ):
         self.spark = spark
         self.stg_db = stg_db
@@ -45,6 +46,10 @@ class FlowExecutor:
         self.bv_db = bv_db
         self.metadata_db = metadata_db
         self.hash_algo = hash_algo
+        #: scale mode: satellite change detection probes (and maintains)
+        #: the incremental dv.{sat}_current table instead of windowing the
+        #: full history every load
+        self.materialize_current = materialize_current
 
     def execute_flow(
         self,
@@ -122,10 +127,15 @@ class FlowExecutor:
         hash_vw = spark.table(f"{self.stg_db}.{source_table}_hash_vw")
         hash_vw.persist()
         try:
+            def _sats(*args):
+                return satellite.load_sats(
+                    *args, use_current_table=self.materialize_current
+                )
+
             for stage_name, fn in (
                 ("load_hubs", hub.load_hubs),
                 ("load_links", link.load_links),
-                ("load_sats", satellite.load_sats),
+                ("load_sats", _sats),
             ):
                 try:
                     fn(

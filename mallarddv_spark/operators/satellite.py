@@ -123,12 +123,19 @@ def load_sats(
     run_id: int,
     record_source: str,
     load_dts: str,
+    use_current_table: bool = False,
 ) -> list[str]:
     """Run every ``sat_delta`` / ``sat_full`` transition for ``stg_table``.
 
     Mirrors ``satellite_manager.load_related_sats``: for each sat transition,
     insert changed/new versions; for ``sat_full`` additionally insert
     tombstones for keys that disappeared from the staging snapshot.
+
+    ``use_current_table``: the scale path. Change detection probes the
+    incrementally maintained ``dv.{sat}_current`` table (one row per key)
+    instead of windowing the full history every load, and folds the batch
+    back into it afterwards. History windows grow with total versions;
+    the current table grows only with distinct keys.
     """
     sat_loads = [r for r in transitions if r.transfer_type in ("sat_delta", "sat_full")]
     loaded = []
@@ -161,7 +168,13 @@ def load_sats(
             *[F.col(f.source_field).alias(f.target_field) for f in fields],
         ).distinct()
 
-        latest = _latest_versions(spark.table(sat_table), sat_hk)
+        cur_table = f"{dv_db}.{quote_ident(sat_name + '_current')}"
+        if use_current_table:
+            if not spark.catalog.tableExists(cur_table):
+                refresh_current_table(spark, dv_db, sat_name, sat_hk)
+            latest = spark.table(cur_table)
+        else:
+            latest = _latest_versions(spark.table(sat_table), sat_hk)
 
         # --- new/changed versions ---
         probe = latest.select(
@@ -177,7 +190,7 @@ def load_sats(
             | (F.col("__hd") != incoming["hash_diff"])
             | F.col("__del")
         ).select(incoming.columns)
-        _append_aligned(new_rows, table_schema, sat_table)
+        batch = _append_aligned(new_rows, table_schema, sat_table)
 
         # --- tombstones for sat_full ---
         if sat.transfer_type == "sat_full":
@@ -193,16 +206,21 @@ def load_sats(
                 F.lit(run_id).cast("int").alias("run_id"),
                 *[F.col(f.target_field) for f in fields],
             ).distinct()
-            _append_aligned(tomb, table_schema, sat_table)
+            tomb_batch = _append_aligned(tomb, table_schema, sat_table)
+            batch = batch.unionByName(tomb_batch)
+
+        if use_current_table:
+            upsert_current_table(spark, dv_db, sat_name, sat_hk, batch)
 
         loaded.append(f"{sat_name}:{group}")
     return loaded
 
 
-def _append_aligned(df: DataFrame, table_schema, table_fqn: str) -> None:
+def _append_aligned(df: DataFrame, table_schema, table_fqn: str) -> DataFrame:
     """Append ``df`` to the table, aligning by name to the table's column
     order and NULL-filling declared columns the transitions don't feed
-    (reference behavior: such columns exist and stay NULL)."""
+    (reference behavior: such columns exist and stay NULL). Returns the
+    aligned batch (full table schema) for downstream current-table folds."""
     have = {c.lower() for c in df.columns}
     out = df.select(
         *[
@@ -213,6 +231,7 @@ def _append_aligned(df: DataFrame, table_schema, table_fqn: str) -> None:
         ]
     )
     out.write.mode("append").insertInto(table_fqn)
+    return out
 
 
 def refresh_current_table(
