@@ -108,3 +108,24 @@ def stream_events_to_console_demo(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming deduplication: drop rows whose ``key_cols`` were already
+    seen within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    This is the at-least-once → effectively-once repair step for sources
+    that replay (Kafka redeliveries, file re-drops): dedup state is bounded
+    by the watermark, so it runs forever on unbounded streams. Works on
+    batch frames too (plain dropDuplicates on the keys).
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(key_cols)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -67,3 +67,33 @@ def test_streaming_dv_ingestion(spark, tmp_path):
 
     assert spark.table("dv.hub_customer").count() == 3  # 2 keys + NULL ghost
     assert spark.table("dv.hsat_customer_details").count() == 2
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Rows replayed in a later micro-batch within the watermark are
+    dropped; the deduped stream equals the batch-distinct ground truth."""
+    events = read_events(spark, SF).filter("user_id < 10")
+    src = str(tmp_path / "dupsrc")
+    # batch 0: all events; batch 1: a replay of half of them (duplicates)
+    events.coalesce(1).write.parquet(f"{src}/b0")
+    events.filter("event_id % 2 = 0").coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    deduped = ingest.dedup_stream(stream, ["event_id"], ts_col="ts", watermark="10 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("deduped_events")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.table("deduped_events")
+    assert got.count() == events.count()  # replays dropped
+    assert got.select("event_id").distinct().count() == events.count()
