@@ -37,6 +37,7 @@ class MallardSparkVault:
         metadata_db: str = "metadata",
         hash_algo: str = "sha1",
         materialize_current: bool = False,
+        dv_buckets: int | None = None,
     ):
         self.spark = spark
         self.scripts_path = scripts_path
@@ -46,6 +47,9 @@ class MallardSparkVault:
         self.dm_db = dm_db
         self.metadata_db = metadata_db
         self.hash_algo = hash_algo
+        #: when set, DV tables are created CLUSTERED BY their hash key into
+        #: this many buckets — loads then read pre-partitioned data
+        self.dv_buckets = dv_buckets
         self._executor = FlowExecutor(
             spark, stg_db, dv_db, bv_db, metadata_db, hash_algo,
             materialize_current=materialize_current,
@@ -79,9 +83,9 @@ class MallardSparkVault:
         cols = fetch_table_columns(self.spark, self.metadata_db)
         try:
             catalog.create_staging_tables(self.spark, self.stg_db, cols)
-            hub.create_hub_tables(self.spark, self.dv_db, cols)
-            link.create_link_tables(self.spark, self.dv_db, cols)
-            satellite.create_sat_tables(self.spark, self.dv_db, cols)
+            hub.create_hub_tables(self.spark, self.dv_db, cols, self.dv_buckets)
+            link.create_link_tables(self.spark, self.dv_db, cols, self.dv_buckets)
+            satellite.create_sat_tables(self.spark, self.dv_db, cols, self.dv_buckets)
             satellite.create_current_views(self.spark, self.dv_db, self.bv_db, cols)
         except Exception as ex:
             errors.append(("init_vault_ddl", str(ex)))

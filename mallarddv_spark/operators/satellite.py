@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mallarddv_spark.functions.hashing import quote_ident
+from mallarddv_spark.operators.hub import bucket_clause
 from mallarddv_spark.plans.model import TableColumn, TransitionRecord, group_records
 from mallarddv_spark.plans.types import spark_type_for
 
@@ -51,9 +52,12 @@ def _sat_parts(cols: list[TableColumn]) -> tuple[str, list[TableColumn]]:
 
 
 def create_sat_tables(
-    spark: SparkSession, dv_db: str, table_columns: list[TableColumn]
+    spark: SparkSession, dv_db: str, table_columns: list[TableColumn],
+    buckets: int | None = None,
 ) -> list[str]:
-    """CREATE ``dv.hsat_{base}`` / ``dv.lsat_{base}``."""
+    """CREATE ``dv.hsat_{base}`` / ``dv.lsat_{base}`` (optionally bucketed
+    by parent hash key — both the change-detection window and the join
+    probe then read pre-partitioned data)."""
     rows = [c for c in table_columns if c.rel_type in ("hsat", "lsat")]
     created = []
     for key, cols in group_records(rows, ["rel_type", "base_name"]).items():
@@ -68,7 +72,7 @@ def create_sat_tables(
             f"CREATE TABLE IF NOT EXISTS {dv_db}.{quote_ident(name)} ("
             f"{quote_ident(hk_name)} string, load_dts timestamp, del_flag boolean, "
             f"hash_diff string, record_source string, run_id int{payload_sql}"
-            f") USING parquet"
+            f") USING parquet{bucket_clause(hk_name, buckets)}"
         )
         created.append(name)
     return created
