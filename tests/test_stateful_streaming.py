@@ -54,3 +54,62 @@ def test_running_profile_accumulates_across_batches(spark, tmp_path):
         .collect()
     }
     assert final == truth
+
+
+def test_sessionization_stitches_across_batches(spark, tmp_path):
+    """Sessions spanning a micro-batch boundary must be merged via state;
+    emitted (closed) sessions equal the batch gaps-and-islands ground truth
+    minus each user's final (still-open) session."""
+    from mallarddv_spark.streaming.stateful import sessionize_stream
+
+    events = read_events(spark, SF).filter("user_id < 15").select("user_id", "ts")
+    # split by TIME so sessions can straddle the boundary
+    cut = "2024-01-16 00:00:00"
+    src = str(tmp_path / "sess_src")
+    events.filter(f"ts < timestamp'{cut}'").coalesce(1).write.parquet(f"{src}/b0")
+    events.filter(f"ts >= timestamp'{cut}'").coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sessions").collect()
+    }
+
+    # batch ground truth: gaps-and-islands, drop each user's last session
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = events.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("ts").cast("double") - F.col("prev").cast("double") > 1800.0),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("new_s").over(w))
+    truth_df = flagged.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+    last_sid = truth_df.groupBy("user_id").agg(F.max("sid").alias("sid"))
+    closed_truth = truth_df.join(last_sid, ["user_id", "sid"], "left_anti")
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in closed_truth.collect()
+    }
+    assert got == expected and len(got) > 0
