@@ -1620,3 +1620,67 @@ FROM chunks
 """
 
 REGISTRY["text_chunking"] = (q_text_chunking, O_TEXT_CHUNKING)
+
+
+def q_sql_cube(spark, sf):
+    """GROUP BY CUBE: all grouping-set combinations with exact decimal sums."""
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            f"cast(round(sum(cast(o_totalprice as {DEC})), 2) as double)"
+        ).alias("sum_total"),
+    )
+
+
+O_SQL_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       cast(round(sum(cast(o_totalprice as {DEC})), 2) as double) AS sum_total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_sql_unpivot(spark, sf):
+    """Unpivot (wide→long) via stack(): per-part numeric attributes as
+    (attribute, value) rows."""
+    p = _t(spark, sf, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', cast(p_size as double), "
+        "'retailprice', cast(p_retailprice as double)) AS (attribute, value)",
+    )
+
+
+O_SQL_UNPIVOT = """
+SELECT p_partkey, attribute, value
+FROM (
+    SELECT p_partkey, cast(p_size as double) AS size,
+           cast(p_retailprice as double) AS retailprice
+    FROM part
+) UNPIVOT (value FOR attribute IN (size, retailprice))
+"""
+
+
+def q_sql_approx_aggregates(spark, sf):
+    """Approximate aggregates: HLL distinct + quantile sketch per segment.
+    Declared rows-only — sketch algorithms differ across engines by design;
+    exactness is pinned separately (the exact twin of approx_count_distinct
+    is dv_distinct_dedup / countDistinct elsewhere in the suite)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000).alias(
+            "price_quantiles"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+REGISTRY.update(
+    {
+        "sql_cube": (q_sql_cube, O_SQL_CUBE),
+        "sql_unpivot": (q_sql_unpivot, O_SQL_UNPIVOT),
+        "sql_approx_aggregates": (q_sql_approx_aggregates, None),
+    }
+)
