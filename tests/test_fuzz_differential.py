@@ -1,0 +1,127 @@
+"""Differential fuzzing vs the live reference: hypothesis generates random
+customer datasets (duplicate keys, NULLs in business keys / payloads /
+link legs, unicode, two-batch change-detection sequences); both systems run
+the full load protocol and every DV table must match row-for-row."""
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from mallarddv_spark.api import MallardSparkVault
+from mallarddv_spark.sources.catalog import drop_vault
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+sys.path.insert(0, "/root/reference")
+
+_text = st.one_of(
+    st.none(),
+    st.text(
+        alphabet="abcXY z'|é_0129",  # quotes, pipes (hash separator), unicode
+        max_size=12,
+    ),
+)
+_row = st.tuples(
+    st.integers(min_value=1, max_value=4),  # id: duplicates likely
+    _text,  # first_name
+    _text,  # last_name
+    _text,  # email
+    st.one_of(st.none(), st.integers(min_value=1, max_value=4)),  # referenced_by
+    st.one_of(st.none(), st.integers(min_value=0, max_value=999)),  # reference_code
+)
+_batch = st.lists(_row, min_size=0, max_size=6)
+
+D1, D2 = "2025-01-01 00:00:00", "2025-01-02 00:00:00"
+TABLES = [
+    ("dv.hub_customer", ["customer_hk", "id_bk"]),
+    (
+        "dv.link_customer__referencer",
+        ["customer__referencer_hk", "customer_hk", "referencer_hk", "reference_code_dk"],
+    ),
+    (
+        "dv.hsat_customer_details",
+        ["customer_hk", "load_dts", "del_flag", "hash_diff", "first_name", "last_name", "email"],
+    ),
+    ("dv.lsat_customer__referencer", ["customer__referencer_hk", "load_dts", "hash_diff"]),
+]
+
+
+def _ref_system(tmpdir):
+    from mallarddv.mallarddv import MallardDataVault
+    from mallarddv.utils.test_adapter import inject_test_db
+
+    con = duckdb.connect(":memory:")
+    con.create_function(
+        "sha1", lambda s: hashlib.sha1(str(s).encode()).hexdigest(), [str], str
+    )
+    mdv = MallardDataVault(":memory:", scripts_path=None)
+    inject_test_db(mdv, con)
+    errors = mdv.init_mallard_db(
+        meta_only=False,
+        meta_tables_path=os.path.join(FIXTURES, "tables.csv"),
+        meta_transitions_path=os.path.join(FIXTURES, "transitions.csv"),
+    )
+    # the stg_vw script is absent on purpose; ignore that single error
+    assert all("customer_vw" in e[0] for e in errors), errors
+    return con, mdv
+
+
+def _stage_ref(con, rows):
+    con.sql("DELETE FROM stg.customer")
+    con.executemany(
+        "INSERT INTO stg.customer VALUES (?, ?, ?, ?, NULL, ?, ?)",
+        [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows],
+    ) if rows else None
+
+
+def _stage_spark(spark, rows):
+    schema = (
+        "id int, first_name string, last_name string, email string, "
+        "created_date timestamp, referenced_by int, reference_code int"
+    )
+    data = [(r[0], r[1], r[2], r[3], None, r[4], r[5]) for r in rows]
+    spark.createDataFrame(data, schema).write.mode("overwrite").insertInto(
+        "stg.customer", overwrite=True
+    )
+
+
+def _run_ref(mdv, date, run_id):
+    errors = []
+    errors += mdv.compute_hash_view("customer")
+    errors += mdv.load_related_hubs("customer", run_id, "fuzz", f"'{date}'")
+    errors += mdv.load_related_links("customer", run_id, "fuzz", f"'{date}'")
+    errors += mdv.load_related_sats("customer", run_id, "fuzz", f"'{date}'")
+    assert errors == [], errors
+
+
+@settings(max_examples=5, deadline=None)
+@given(batch1=_batch, batch2=_batch)
+def test_fuzz_two_batches_match_reference(spark, tmp_path_factory, batch1, batch2):
+    con, mdv = _ref_system(tmp_path_factory)
+
+    drop_vault(spark)
+    vault = MallardSparkVault(spark)
+    assert vault.init_vault(
+        os.path.join(FIXTURES, "tables.csv"),
+        os.path.join(FIXTURES, "transitions.csv"),
+    ) == []
+
+    for run_id, (date, rows) in enumerate([(D1, batch1), (D2, batch2)], start=1):
+        _stage_ref(con, rows)
+        _run_ref(mdv, date, run_id)
+        _stage_spark(spark, rows)
+        assert vault.execute_flow("customer", "fuzz", load_date_overwrite=date) == []
+
+    for table, cols in TABLES:
+        ref = sorted(
+            tuple(str(x) for x in r)
+            for r in con.sql(f"SELECT {', '.join(cols)} FROM {table}").fetchall()
+        )
+        got = sorted(
+            tuple(str(x) for x in r)
+            for r in spark.table(table).select(*cols).collect()
+        )
+        assert got == ref, f"{table}: {got} != {ref} for batches {batch1} / {batch2}"
