@@ -118,6 +118,18 @@ def _latest_versions(sat_df: DataFrame, hk_col: str) -> DataFrame:
     )
 
 
+def _latest_set(sat_df: DataFrame, hk_col: str) -> DataFrame:
+    """ALL rows sharing the key's max load_dts (usually one; several only
+    when a single load wrote conflicting versions of a key). Using the set
+    instead of an arbitrary tie-pick makes change detection deterministic."""
+    w = Window.partitionBy(hk_col)
+    return (
+        sat_df.withColumn("__mx", F.max("load_dts").over(w))
+        .filter(F.col("load_dts") == F.col("__mx"))
+        .drop("__mx")
+    )
+
+
 def load_sats(
     spark: SparkSession,
     stg_db: str,
@@ -178,27 +190,36 @@ def load_sats(
                 refresh_current_table(spark, dv_db, sat_name, sat_hk)
             latest = spark.table(cur_table)
         else:
-            latest = _latest_versions(spark.table(sat_table), sat_hk)
+            latest = _latest_set(spark.table(sat_table), sat_hk)
 
         # --- new/changed versions ---
-        probe = latest.select(
-            F.col(sat_hk).alias("__hk"),
-            F.col("hash_diff").alias("__hd"),
-            F.col("del_flag").alias("__del"),
+        # Skip an incoming row iff SOME latest (max-load_dts) stored version
+        # has the same hash_diff and is not deleted — expressed as an
+        # anti-join on (hk, hash_diff). With a unique latest row this is
+        # exactly the reference's NOT EXISTS probe; when a batch wrote
+        # several versions of one key at the same load_dts (tied latest),
+        # the reference's LIMIT-1 pick is nondeterministic — treating the
+        # whole tied set as "latest" is the deterministic, idempotent
+        # resolution (a re-load of any of those payloads inserts nothing).
+        blockers = latest.filter(~F.col("del_flag")).select(
+            F.col(sat_hk), F.col("hash_diff")
         )
-        joined = incoming.join(
-            probe, incoming[sat_hk] == probe["__hk"], "left_outer"
+        new_rows = incoming.join(
+            blockers, on=[sat_hk, "hash_diff"], how="left_anti"
         )
-        new_rows = joined.filter(
-            F.col("__hk").isNull()
-            | (F.col("__hd") != incoming["hash_diff"])
-            | F.col("__del")
-        ).select(incoming.columns)
         batch = _append_aligned(new_rows, table_schema, sat_table)
 
         # --- tombstones for sat_full ---
         if sat.transfer_type == "sat_full":
-            latest_alive = latest.filter(~F.col("del_flag"))
+            # exactly one tombstone per disappeared key: use the single
+            # latest version (deterministic run_id tiebreak), not the tied
+            # set used for change detection
+            latest_one = (
+                latest
+                if use_current_table
+                else _latest_versions(spark.table(sat_table), sat_hk)
+            )
+            latest_alive = latest_one.filter(~F.col("del_flag"))
             present = src.select(F.col(sat.source_field).alias(sat_hk)).distinct()
             gone = latest_alive.join(present, on=sat_hk, how="left_anti")
             tomb = gone.select(

@@ -32,7 +32,12 @@ _row = st.tuples(
     st.one_of(st.none(), st.integers(min_value=1, max_value=4)),  # referenced_by
     st.one_of(st.none(), st.integers(min_value=0, max_value=999)),  # reference_code
 )
-_batch = st.lists(_row, min_size=0, max_size=6)
+# unique key per batch: a batch asserting two different payloads for the
+# same key at the same instant has no well-defined "latest" — the
+# reference's LIMIT-1 probe is nondeterministic there (SURVEY §8.4 note),
+# so differential comparison is only meaningful on key-unique batches.
+# (Our engine resolves ties deterministically — see operators/satellite.)
+_batch = st.lists(_row, min_size=0, max_size=6, unique_by=lambda r: r[0])
 
 D1, D2 = "2025-01-01 00:00:00", "2025-01-02 00:00:00"
 TABLES = [
