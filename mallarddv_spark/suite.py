@@ -1684,3 +1684,45 @@ REGISTRY.update(
         "sql_approx_aggregates": (q_sql_approx_aggregates, None),
     }
 )
+
+
+def q_dv_bridge_order_customer(spark, sf):
+    """Bridge table: flatten link rows with their member hubs' business keys
+    and the customer's latest state (the standard DV mart accelerator —
+    link ⋈ hub ⋈ hub ⋈ latest-sat, all on uniform hash keys)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    link = o.select(
+        _mhash("o_orderkey", "o_custkey").alias("order_customer_hk"),
+        _mhash("o_orderkey").alias("order_hk"),
+        _mhash("o_custkey").alias("customer_hk"),
+        F.col("o_orderkey").alias("order_bk"),
+        F.col("o_custkey").alias("customer_bk"),
+    ).distinct()
+    cust_state = c.select(
+        _mhash("c_custkey").alias("customer_hk"),
+        F.trim("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return link.join(cust_state, on="customer_hk", how="left")
+
+
+O_DV_BRIDGE = f"""
+WITH link AS (
+    SELECT DISTINCT {md5_sql(['o_orderkey', 'o_custkey'])} AS order_customer_hk,
+           {md5_sql(['o_orderkey'])} AS order_hk,
+           {md5_sql(['o_custkey'])} AS customer_hk,
+           o_orderkey AS order_bk, o_custkey AS customer_bk
+    FROM orders
+),
+cust AS (
+    SELECT {md5_sql(['c_custkey'])} AS customer_hk,
+           trim(c_name) AS customer_name, c_mktsegment AS segment
+    FROM customer
+)
+SELECT l.order_customer_hk, l.order_hk, l.customer_hk,
+       l.order_bk, l.customer_bk, c.customer_name, c.segment
+FROM link l LEFT OUTER JOIN cust c ON l.customer_hk = c.customer_hk
+"""
+
+REGISTRY["dv_bridge_order_customer"] = (q_dv_bridge_order_customer, O_DV_BRIDGE)
