@@ -55,6 +55,16 @@ class MallardSparkVault:
             materialize_current=materialize_current,
         )
 
+    # -- context manager (reference ``mallarddv.py:64-85``) -----------------
+    # The reference closes its embedded DuckDB on exit; a SparkSession is a
+    # shared resource the vault does not own, so exit is a no-op.
+
+    def __enter__(self) -> "MallardSparkVault":
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb) -> None:
+        return None
+
     # -- DDL / init ---------------------------------------------------------
 
     def init_vault(

@@ -67,3 +67,10 @@ def test_granular_ddl_and_load(vault, spark):
     assert spark.table("dv.link_customer__referencer").count() == 2
     assert spark.table("dv.hsat_customer_details").count() == 2
     assert vault.sql("SELECT count(*) n FROM bv.hsat_customer_details_cv").collect()[0].n == 2
+
+
+def test_context_manager(spark):
+    with MallardSparkVault(spark) as v:
+        assert v.sql("SELECT 1 AS one").collect()[0].one == 1
+    # session remains usable after exit (vault does not own it)
+    assert spark.range(1).count() == 1

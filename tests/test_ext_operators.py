@@ -204,3 +204,25 @@ def test_multimodal_plumbing(docs):
     # deterministic fake: same content → same dims
     feats2 = {x.media_id: (x.width, x.height) for x in multimodal.extract_features(media).collect()}
     assert feats2[r.media_id] == (r.width, r.height)
+
+
+def test_multimodal_audio_video_modalities(spark):
+    from pyspark.sql import functions as F
+
+    blobs = spark.createDataFrame(
+        [(1, b"fake-audio-bytes"), (2, b"fake-video-bytes")], ["media_id", "blob"]
+    )
+    audio = multimodal.attach_media_metadata(
+        blobs.filter("media_id = 1"), "media_id", "blob", "audio", "audio/fake"
+    )
+    video = multimodal.attach_media_metadata(
+        blobs.filter("media_id = 2"), "media_id", "blob", "video", "video/fake"
+    )
+    feats = {r.modality: r for r in multimodal.extract_features(audio.unionByName(video)).collect()}
+    assert feats["audio"].width is None and feats["audio"].n_frames >= 1
+    assert feats["video"].width is not None and feats["video"].n_frames >= 1
+
+    sampled = multimodal.sample_frames(video, every_n=24)
+    assert sampled.collect()[0].frame_stride == 24
+    resized = multimodal.resize_images(video, 224, 224)
+    assert resized.collect()[0].target_width == 224
