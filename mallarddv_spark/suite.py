@@ -1726,3 +1726,108 @@ FROM link l LEFT OUTER JOIN cust c ON l.customer_hk = c.customer_hk
 """
 
 REGISTRY["dv_bridge_order_customer"] = (q_dv_bridge_order_customer, O_DV_BRIDGE)
+
+# ---------------------------------------------------------------------------
+# engine macro-benchmark: the full fact-table flow (3 hubs, a 3-leg link
+# with degenerate key, a link satellite) over ALL of lineitem.
+# ---------------------------------------------------------------------------
+
+_LI_TABLES = """base_name,rel_type,column_name,column_type,column_position,mapping
+lineitem,stg,l_orderkey,BIGINT,1,c
+lineitem,stg,l_partkey,BIGINT,2,c
+lineitem,stg,l_suppkey,BIGINT,3,c
+lineitem,stg,l_linenumber,INTEGER,4,c
+lineitem,stg,l_quantity,DOUBLE,5,c
+lineitem,stg,l_extendedprice,DOUBLE,6,c
+lineitem,stg,l_discount,DOUBLE,7,c
+lineitem,stg,l_tax,DOUBLE,8,c
+lineitem,stg,l_returnflag,VARCHAR,9,c
+lineitem,stg,l_linestatus,VARCHAR,10,c
+lineitem,stg,l_shipdate,TIMESTAMP,11,c
+order,hub,l_orderkey,BIGINT,1,bk
+part,hub,l_partkey,BIGINT,1,bk
+supplier,hub,l_suppkey,BIGINT,1,bk
+order_part_supplier,link,order,,1,ll
+order_part_supplier,link,part,,2,ll
+order_part_supplier,link,supplier,,3,ll
+order_part_supplier,link,l_linenumber,INTEGER,4,dk
+ops_details,lsat,order_part_supplier,,0,hk
+ops_details,lsat,l_returnflag,VARCHAR,1,f
+ops_details,lsat,l_linestatus,VARCHAR,2,f
+ops_details,lsat,l_shipdate,TIMESTAMP,3,f
+"""
+
+_LI_TRANSITIONS = """source_table,source_field,target_table,target_field,group_name,position,raw,transformation,transfer_type
+lineitem,l_orderkey,hub_order,l_orderkey_bk,order,1,false,,bk
+lineitem,l_partkey,hub_part,l_partkey_bk,part,1,false,,bk
+lineitem,l_suppkey,hub_supplier,l_suppkey_bk,supplier,1,false,,bk
+lineitem,order,link_order_part_supplier,order_hk,ops,1,false,,ll
+lineitem,part,link_order_part_supplier,part_hk,ops,2,false,,ll
+lineitem,supplier,link_order_part_supplier,supplier_hk,ops,3,false,,ll
+lineitem,l_linenumber,link_order_part_supplier,l_linenumber_dk,ops,4,false,,dk
+lineitem,ops_hk,lsat_ops_details,order_part_supplier,ops_d,0,false,,sat_delta
+lineitem,l_returnflag,lsat_ops_details,l_returnflag,ops_d,1,false,,f
+lineitem,l_linestatus,lsat_ops_details,l_linestatus,ops_d,2,false,,f
+lineitem,l_shipdate,lsat_ops_details,l_shipdate,ops_d,3,false,,f
+"""
+
+
+def q_dv_flow_lineitem(spark, sf):
+    """Engine macro-benchmark: ingest the WHOLE lineitem fact table through
+    the real vault (md5 mode) — 3 hub anti-join loads, a 3-leg link load
+    with degenerate key (link-hash expansion over 3 hub groups), and a
+    satellite load with change detection — then return the satellite
+    current view. The oracle predicts the result in closed form."""
+    import os
+    import tempfile
+
+    from mallarddv_spark.api import MallardSparkVault
+
+    dbs = {
+        "stg_db": "dvl_stg",
+        "dv_db": "dvl_dv",
+        "bv_db": "dvl_bv",
+        "dm_db": "dvl_dm",
+        "metadata_db": "dvl_meta",
+    }
+    base = tempfile.mkdtemp(prefix="dvlflow_")
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/{db}'")
+    tables_csv = os.path.join(base, "tables.csv")
+    transitions_csv = os.path.join(base, "transitions.csv")
+    with open(tables_csv, "w") as fh:
+        fh.write(_LI_TABLES)
+    with open(transitions_csv, "w") as fh:
+        fh.write(_LI_TRANSITIONS)
+
+    vault = MallardSparkVault(spark, hash_algo="md5", **dbs)
+    errors = vault.init_vault(tables_csv, transitions_csv)
+    assert errors == [], errors
+    errors = vault.execute_flow(
+        "lineitem",
+        "bench",
+        file_path=f"{sf}/lineitem.parquet",
+        load_date_overwrite="2025-01-01 00:00:00",
+    )
+    assert errors == [], errors
+    # return the satellite HISTORY, not the current view: the synthetic data
+    # contains link-key collisions with differing payloads, whose tied-latest
+    # pick in a current view is inherently ambiguous; the inserted history
+    # is deterministic (all distinct versions).
+    return spark.table("dvl_dv.lsat_ops_details")
+
+
+_LI_HK = md5_sql(["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"])
+O_DV_FLOW_LINEITEM = f"""
+SELECT DISTINCT {_LI_HK} AS order_part_supplier_hk,
+       timestamp '2025-01-01 00:00:00' AS load_dts,
+       false AS del_flag,
+       {md5_sql(["l_returnflag", "l_linestatus", "l_shipdate"])} AS hash_diff,
+       'bench' AS record_source,
+       1 AS run_id,
+       l_returnflag, l_linestatus, l_shipdate
+FROM lineitem
+"""
+
+REGISTRY["dv_flow_lineitem"] = (q_dv_flow_lineitem, O_DV_FLOW_LINEITEM)
