@@ -75,28 +75,37 @@ def load_hubs(
     feed the same hub under several group names (e.g. a self-referencing
     customer/referencer pair) — each group loads independently, in order,
     so later groups see earlier groups' keys."""
+    from mallarddv_spark.operators.parallel import run_per_table
+
     records = [r for r in transitions if r.target_table.startswith("hub_")]
     loaded = []
+    tasks: dict[str, list] = {}
     for key, fields in group_records(records, ["target_table", "group_name"]).items():
         hub_name, group_name = key.rsplit(".", 1)
         hub_hk = f"{hub_name[4:]}_hk"
 
-        src = spark.table(f"{stg_db}.{quote_ident(stg_table + '_hash_vw')}")
-        sub = src.select(
-            F.col(f"{group_name}_hk").alias("hk"),
-            *[F.col(f.source_field) for f in fields],
-        ).distinct()
-        existing = spark.table(f"{dv_db}.{quote_ident(hub_name)}").select(
-            F.col(hub_hk).alias("hk")
-        )
-        new = sub.join(existing, on="hk", how="left_anti")
-        out = new.select(
-            F.col("hk"),
-            F.lit(load_dts).cast("timestamp").alias("load_dts"),
-            F.lit(record_source).alias("record_source"),
-            F.lit(run_id).cast("int").alias("run_id"),
-            *[F.col(f.source_field).alias(f.target_field) for f in fields],
-        )
-        out.write.mode("append").insertInto(f"{dv_db}.{quote_ident(hub_name)}")
+        def load_group(hub_name=hub_name, group_name=group_name, hub_hk=hub_hk,
+                       fields=fields):
+            src = spark.table(f"{stg_db}.{quote_ident(stg_table + '_hash_vw')}")
+            sub = src.select(
+                F.col(f"{group_name}_hk").alias("hk"),
+                *[F.col(f.source_field) for f in fields],
+            ).distinct()
+            existing = spark.table(f"{dv_db}.{quote_ident(hub_name)}").select(
+                F.col(hub_hk).alias("hk")
+            )
+            new = sub.join(existing, on="hk", how="left_anti")
+            out = new.select(
+                F.col("hk"),
+                F.lit(load_dts).cast("timestamp").alias("load_dts"),
+                F.lit(record_source).alias("record_source"),
+                F.lit(run_id).cast("int").alias("run_id"),
+                *[F.col(f.source_field).alias(f.target_field) for f in fields],
+            )
+            out.write.mode("append").insertInto(f"{dv_db}.{quote_ident(hub_name)}")
+
+        tasks.setdefault(hub_name, []).append(load_group)
         loaded.append(f"{hub_name}:{group_name}")
+    # different hubs load concurrently; groups feeding one hub stay ordered
+    run_per_table(tasks)
     return loaded

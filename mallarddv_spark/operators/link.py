@@ -75,34 +75,42 @@ def load_links(
         for r in transitions
         if r.target_table.startswith("link_") or r.target_table.startswith("nhl_")
     ]
+    from mallarddv_spark.operators.parallel import run_per_table
+
     loaded = []
+    tasks: dict[str, list] = {}
     for key, fields in group_records(records, ["target_table", "group_name"]).items():
         link_name, group_name = key.rsplit(".", 1)
         link_hk = _link_hk_name(link_name)
 
-        src = spark.table(f"{stg_db}.{quote_ident(stg_table + '_hash_vw')}")
-        # ll legs read the hub hash column '{source_field}_hk' from the hash
-        # view; dk legs read the (transformed) source field itself.
-        leg_cols = [
-            F.col(
-                f.source_field + ("_hk" if f.transfer_type == "ll" else "")
-            ).alias(f.target_field)
-            for f in fields
-        ]
-        sub = src.select(
-            F.col(f"{group_name}_hk").alias("hk"), *leg_cols
-        ).distinct()
-        existing = spark.table(f"{dv_db}.{quote_ident(link_name)}").select(
-            F.col(link_hk).alias("hk")
-        )
-        new = sub.join(existing, on="hk", how="left_anti")
-        out = new.select(
-            F.col("hk"),
-            F.lit(load_dts).cast("timestamp").alias("load_dts"),
-            F.lit(record_source).alias("record_source"),
-            F.lit(run_id).cast("int").alias("run_id"),
-            *[F.col(f.target_field) for f in fields],
-        )
-        out.write.mode("append").insertInto(f"{dv_db}.{quote_ident(link_name)}")
+        def load_group(link_name=link_name, group_name=group_name,
+                       link_hk=link_hk, fields=fields):
+            src = spark.table(f"{stg_db}.{quote_ident(stg_table + '_hash_vw')}")
+            # ll legs read the hub hash column '{source_field}_hk' from the
+            # hash view; dk legs read the (transformed) source field itself.
+            leg_cols = [
+                F.col(
+                    f.source_field + ("_hk" if f.transfer_type == "ll" else "")
+                ).alias(f.target_field)
+                for f in fields
+            ]
+            sub = src.select(
+                F.col(f"{group_name}_hk").alias("hk"), *leg_cols
+            ).distinct()
+            existing = spark.table(f"{dv_db}.{quote_ident(link_name)}").select(
+                F.col(link_hk).alias("hk")
+            )
+            new = sub.join(existing, on="hk", how="left_anti")
+            out = new.select(
+                F.col("hk"),
+                F.lit(load_dts).cast("timestamp").alias("load_dts"),
+                F.lit(record_source).alias("record_source"),
+                F.lit(run_id).cast("int").alias("run_id"),
+                *[F.col(f.target_field) for f in fields],
+            )
+            out.write.mode("append").insertInto(f"{dv_db}.{quote_ident(link_name)}")
+
+        tasks.setdefault(link_name, []).append(load_group)
         loaded.append(f"{link_name}:{group_name}")
+    run_per_table(tasks)
     return loaded
