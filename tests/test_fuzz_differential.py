@@ -130,3 +130,59 @@ def test_fuzz_two_batches_match_reference(spark, tmp_path_factory, batch1, batch
             for r in spark.table(table).select(*cols).collect()
         )
         assert got == ref, f"{table}: {got} != {ref} for batches {batch1} / {batch2}"
+
+
+_prod_row = st.tuples(
+    st.integers(min_value=1, max_value=4),  # id
+    _text,  # name (trim(#) transformation applies)
+    _text,  # description
+)
+_prod_batch = st.lists(_prod_row, min_size=0, max_size=4, unique_by=lambda r: r[0])
+
+D3 = "2025-01-03 00:00:00"
+
+
+@settings(max_examples=5, deadline=None)
+@given(b1=_prod_batch, b2=_prod_batch, b3=_prod_batch)
+def test_fuzz_sat_full_lifecycle_matches_reference(
+    spark, tmp_path_factory, b1, b2, b3
+):
+    """Three random sat_full snapshots: updates, tombstones for vanished
+    keys, resurrections — the full satellite history must match the live
+    reference row-for-row."""
+    con, mdv = _ref_system(tmp_path_factory)
+
+    drop_vault(spark)
+    vault = MallardSparkVault(spark)
+    assert vault.init_vault(
+        os.path.join(FIXTURES, "tables.csv"),
+        os.path.join(FIXTURES, "transitions.csv"),
+    ) == []
+
+    for run_id, (date, rows) in enumerate([(D1, b1), (D2, b2), (D3, b3)], start=1):
+        con.sql("DELETE FROM stg.product")
+        if rows:
+            con.executemany("INSERT INTO stg.product VALUES (?, ?, ?)", rows)
+        errors = []
+        errors += mdv.compute_hash_view("product")
+        errors += mdv.load_related_hubs("product", run_id, "fuzz", f"'{date}'")
+        errors += mdv.load_related_sats("product", run_id, "fuzz", f"'{date}'")
+        assert errors == [], errors
+
+        spark.createDataFrame(
+            rows or [], "id int, name string, description string"
+        ).write.mode("overwrite").insertInto("stg.product", overwrite=True)
+        assert vault.execute_flow("product", "fuzz", load_date_overwrite=date) == []
+
+    cols = ["product_hk", "load_dts", "del_flag", "hash_diff", "name", "description"]
+    ref = sorted(
+        tuple(str(x) for x in r)
+        for r in con.sql(
+            f"SELECT {', '.join(cols)} FROM dv.hsat_product_details"
+        ).fetchall()
+    )
+    got = sorted(
+        tuple(str(x) for x in r)
+        for r in spark.table("dv.hsat_product_details").select(*cols).collect()
+    )
+    assert got == ref, f"history mismatch for {b1} / {b2} / {b3}"
