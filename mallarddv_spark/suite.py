@@ -1831,3 +1831,79 @@ FROM lineitem
 """
 
 REGISTRY["dv_flow_lineitem"] = (q_dv_flow_lineitem, O_DV_FLOW_LINEITEM)
+
+
+def q_sql_array_agg(spark, sf):
+    """Ordered array aggregation + string aggregation per nation (order
+    pinned by sorting so both engines agree exactly)."""
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+        F.concat_ws(
+            ",", F.transform(F.sort_array(F.collect_list("c_custkey")), lambda x: x.cast("string"))
+        ).alias("custkey_csv"),
+        F.count("*").alias("n"),
+    )
+
+
+O_SQL_ARRAY_AGG = """
+SELECT c_nationkey,
+       list_sort(list(c_custkey)) AS custkeys,
+       array_to_string(list_sort(list(c_custkey)), ',') AS custkey_csv,
+       count(*) AS n
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+def q_sql_range_frame(spark, sf):
+    """RANGE window frame: for each order, count of the customer's orders
+    within ±30 days (value-range frame, not row frame)."""
+    o = _t(spark, sf, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        # parquet NTZ timestamps can't cast straight to long; go via
+        # session-TZ timestamp (UTC) so epoch seconds match DuckDB's epoch()
+        "count(*) OVER (PARTITION BY o_custkey ORDER BY cast(cast(o_orderdate as timestamp) as long) "
+        "RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING) AS n_nearby_orders",
+    )
+
+
+O_SQL_RANGE_FRAME = """
+SELECT o_orderkey, o_custkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+       RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING) AS n_nearby_orders
+FROM orders
+"""
+
+
+def q_sql_exact_percentile(spark, sf):
+    """Exact interpolated percentiles (percentile_cont semantics) per
+    return flag — deterministic, unlike the sketch-based approx variant."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("cast(round(percentile(l_quantity, 0.5), 4) as double)").alias("p50_qty"),
+        F.expr("cast(round(percentile(l_extendedprice, 0.9), 4) as double)").alias(
+            "p90_price"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+O_SQL_PERCENTILE = """
+SELECT l_returnflag,
+       cast(round(quantile_cont(l_quantity, 0.5), 4) as double) AS p50_qty,
+       cast(round(quantile_cont(l_extendedprice, 0.9), 4) as double) AS p90_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+REGISTRY.update(
+    {
+        "sql_array_agg": (q_sql_array_agg, O_SQL_ARRAY_AGG),
+        "sql_range_frame": (q_sql_range_frame, O_SQL_RANGE_FRAME),
+        "sql_exact_percentile": (q_sql_exact_percentile, O_SQL_PERCENTILE),
+    }
+)

@@ -69,6 +69,10 @@ def type_canon(t: str) -> str:
     t = str(t).lower()
     if t.startswith("decimal"):
         return "dec"
+    if t.startswith("array<") and t.endswith(">"):  # spark array spelling
+        return f"arr[{type_canon(t[6:-1])}]"
+    if t.endswith("[]"):  # duckdb array spelling
+        return f"arr[{type_canon(t[:-2])}]"
     return _TYPE_CANON.get(t, t)
 
 
