@@ -1907,3 +1907,34 @@ REGISTRY.update(
         "sql_exact_percentile": (q_sql_exact_percentile, O_SQL_PERCENTILE),
     }
 )
+
+
+def q_sql_json_extract(spark, sf):
+    """Proper JSON parsing of the events props column (from_json /
+    json_extract — not the regexp fallback): per-user JSON-field stats."""
+    e = _t(spark, sf, "events")
+    k = F.from_json("props", "k int").getField("k")
+    return (
+        e.select("user_id", k.alias("k"))
+        .groupBy("user_id")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+O_SQL_JSON = """
+SELECT user_id,
+       count(k) AS n_with_k,
+       cast(sum(k) as bigint) AS sum_k,
+       count(DISTINCT k) AS n_distinct_k
+FROM (
+    SELECT user_id, cast(json_extract_string(props, '$.k') as int) AS k
+    FROM events
+) x
+GROUP BY user_id
+"""
+
+REGISTRY["sql_json_extract"] = (q_sql_json_extract, O_SQL_JSON)
