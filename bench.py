@@ -33,9 +33,13 @@ def main() -> None:
     spark = get_spark(app_name="mallarddv_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen + parquet-reader warmup (tiny table)
+    # JVM/codegen + parquet-reader warmup: touch every input file once so
+    # per-query timings measure the query, not first-read session heat
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name, (fn, _oracle) in REGISTRY.items():
