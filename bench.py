@@ -36,6 +36,7 @@ def main() -> None:
     # JVM/codegen + parquet-reader warmup: touch every input file once so
     # per-query timings measure the query, not first-read session heat
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(10).write.format("noop").mode("overwrite").save()
     for t in (
         "region nation customer supplier part orders lineitem documents embeddings"
     ).split():
