@@ -42,12 +42,9 @@ def exact_dedup(
     fp = F.md5(content).alias("__fp")
     ranked = df.select(fp, F.col(id_col).alias("__id"))
     keep = ranked.groupBy("__fp").agg(F.min("__id").alias("__keep"))
-    return (
-        df.join(
-            keep.select(F.col("__keep").alias(id_col)).hint("merge"),
-            on=id_col,
-            how="left_semi",
-        )
+    # AQE picks broadcast vs shuffle for the semi-join based on |keep|
+    return df.join(
+        keep.select(F.col("__keep").alias(id_col)), on=id_col, how="left_semi"
     )
 
 

@@ -134,8 +134,10 @@ def fetch_transitions(
     """Read ``metadata.transitions`` for one staging table, ordered by
     (target_table, group_name, position) — the order that fixes hash-input
     field sequence (reference GET_TRANSITIONS, ``db/sql_templates.py:50-57``)."""
+    from pyspark.sql import functions as F
+
     df = spark.table(f"{metadata_db}.transitions").filter(
-        f"source_table = '{source_table}'"
+        F.col("source_table") == source_table
     )
     rows = df.orderBy("source_table", "target_table", "group_name", "position").collect()
     return [
