@@ -151,3 +151,72 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _sessionize_with_timeout(key, batches: Iterator[pd.DataFrame], state: GroupState):
+    """Timeout-flushing variant: same session algebra as :func:`_sessionize`,
+    plus — when the event-time watermark passes (last_event + gap) with no
+    new events for the key — the open session is emitted and state cleared.
+    This is how idle users' final sessions reach the sink on an unbounded
+    stream (bounded state: one open session per active key)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, end, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(end, unit="us")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    ts_us: list[int] = []
+    for pdf in batches:
+        ts_us.extend(int(t.value // 1_000) for t in pd.to_datetime(pdf["ts"]))
+    ts_us.sort()
+    if not ts_us:
+        return
+    sessions = []
+    if state.exists:
+        start, end, n = state.get
+    else:
+        start, end, n = ts_us[0], ts_us[0], 1
+        ts_us = ts_us[1:]
+    for t in ts_us:
+        if t - end > _GAP_US:
+            sessions.append((start, end, n))
+            start, end, n = t, t, 1
+        else:
+            end, n = t, n + 1
+    state.update((start, end, n))
+    # flush the open session once event time passes its gap horizon
+    state.setTimeoutTimestamp((end + _GAP_US) // 1_000)
+    if sessions:
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                "n_events": [n for _, _, n in sessions],
+            }
+        )
+
+
+def sessionize_stream_flushing(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Sessionization with EventTimeTimeout: closed sessions emit on the
+    closing event; idle sessions emit when the watermark passes their gap
+    horizon. Requires an event-time watermark on ``ts``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_with_timeout,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -113,3 +113,64 @@ def test_sessionization_stitches_across_batches(spark, tmp_path):
         for r in closed_truth.collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_sessionization_timeout_flushes_idle_sessions(spark, tmp_path):
+    """EventTimeTimeout: sessions idle past the gap horizon when the
+    watermark advances must be flushed. Every emitted session must exactly
+    match a batch ground-truth session, and the timeout variant must emit
+    strictly more than the no-timeout variant."""
+    from mallarddv_spark.streaming.stateful import sessionize_stream_flushing
+
+    events = read_events(spark, SF).filter("user_id < 15").select("user_id", "ts")
+    cut = "2024-01-16 00:00:00"
+    src = str(tmp_path / "flush_src")
+    events.filter(f"ts < timestamp'{cut}'").coalesce(1).write.parquet(f"{src}/b0")
+    events.filter(f"ts >= timestamp'{cut}'").coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        sessionize_stream_flushing(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("flushed_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "flush_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("flushed_sessions").collect()
+    }
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = events.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("ts").cast("double") - F.col("prev").cast("double") > 1800.0),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("new_s").over(w))
+    truth = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in flagged.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got <= truth  # nothing fabricated
+    # closed-by-gap sessions (all but last per user) must all be present,
+    # plus at least one timeout-flushed final session
+    n_users = events.select("user_id").distinct().count()
+    n_closed_by_gap = len(truth) - n_users
+    assert len(got) > n_closed_by_gap, (len(got), n_closed_by_gap)
