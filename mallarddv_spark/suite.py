@@ -1666,13 +1666,17 @@ def q_sql_approx_aggregates(spark, sf):
     """Approximate aggregates: HLL distinct + quantile sketch per segment.
     Declared rows-only — sketch algorithms differ across engines by design;
     exactness is pinned separately (the exact twin of approx_count_distinct
-    is dv_distinct_dedup / countDistinct elsewhere in the suite)."""
+    is dv_distinct_dedup / countDistinct elsewhere in the suite).
+
+    Quantiles are emitted as scalar ``p50``/``p95`` double columns (one
+    sketch, two ``element_at`` extracts) so downstream harnesses can sort
+    rows — an array column is not hashable/orderable in pandas."""
     li = _t(spark, sf, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000).alias(
-            "price_quantiles"
-        ),
+        F.element_at(q, 1).alias("p50"),
+        F.element_at(q, 2).alias("p95"),
         F.count("*").alias("n"),
     )
 
