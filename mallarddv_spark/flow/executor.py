@@ -84,9 +84,36 @@ class FlowExecutor:
         except Exception as ex:
             return [("register_run_start", str(ex))]
 
+        # Convention divergence from the reference (documented): the
+        # reference interpolates load_date_overwrite as a SQL *expression*
+        # (callers pass "'2025-01-01'", quotes included —
+        # etl/flow_executor.py). Here it is a BARE timestamp string cast via
+        # F.lit(...).cast('timestamp'); a reference-style quoted value would
+        # cast to NULL in non-ANSI mode and silently corrupt satellite
+        # window ordering, so reject anything Spark cannot parse up front.
         load_dts = load_date_overwrite or datetime.now(timezone.utc).strftime(
             "%Y-%m-%d %H:%M:%S.%f"
         )
+        if load_date_overwrite is not None:
+            try:
+                parsed = spark.sql(
+                    "SELECT try_cast(? as timestamp) ts", args=[load_date_overwrite]
+                ).first()[0]
+            except Exception as ex:
+                errors.append(("validate_load_date", str(ex)))
+                self._end(source_table, run_id, file_path, errors)
+                return errors
+            if parsed is None:
+                errors.append(
+                    (
+                        "validate_load_date",
+                        f"load_date_overwrite {load_date_overwrite!r} does not "
+                        "parse as a timestamp; pass a bare string like "
+                        "'2025-01-01 00:00:00' (no SQL quotes)",
+                    )
+                )
+                self._end(source_table, run_id, file_path, errors)
+                return errors
 
         # 4. file → staging
         if file_path:

@@ -26,13 +26,38 @@ from pyspark.sql import functions as F
 SUPPORTED_ALGOS = ("sha1", "md5", "sha256")
 
 
+#: ANSI-reserved words that break generated SQL when used bare as column
+#: aliases (subset of Spark's reserved list that plausibly appears as a
+#: business column name). Anything here is backtick-quoted unconditionally.
+_SQL_KEYWORDS = frozenset(
+    """all and any as asc between by case cast create current current_date
+    current_time current_timestamp current_user default delete desc distinct
+    drop else end escape except exists false filter for foreign from full
+    grant group having in inner insert intersect interval into is join
+    lateral leading left like limit natural not null offset on only or order
+    outer overlaps partition position primary references right select
+    session_user set some table then time timestamp to trailing true union
+    unique unknown update user using values when where window with""".split()
+)
+
+
 def quote_ident(name: str) -> str:
-    """Backtick-quote an identifier when it needs quoting (e.g. spaces).
+    """Backtick-quote an identifier when it needs quoting (e.g. spaces,
+    leading digits, SQL keywords, empty/exotic names).
 
     The reference double-quotes identifiers containing spaces
-    (``hub_manager.py:66-70``); Spark SQL uses backticks.
+    (``hub_manager.py:66-70``); Spark SQL uses backticks. A column literally
+    named ``order`` or ``from`` must be quoted too, and an empty name must
+    not crash the generator (it yields a quoted empty identifier, which
+    Spark then rejects with a clear parse error instead of an IndexError
+    here).
     """
-    if name.replace("_", "a").isalnum() and not name[0].isdigit():
+    if (
+        name
+        and name.replace("_", "a").isalnum()
+        and not name[0].isdigit()
+        and name.lower() not in _SQL_KEYWORDS
+    ):
         return name
     return "`" + name.replace("`", "``") + "`"
 

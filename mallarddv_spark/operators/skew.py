@@ -66,7 +66,17 @@ def salted_join(
     Use when the small side is too big to broadcast but small enough to
     replicate (|small| × salt rows shuffle). For broadcast-able dims just
     use ``F.broadcast`` — this is the middle regime.
+
+    Only ``inner`` and ``left`` joins are supported: under right/full outer
+    joins the salt replication would emit one null-extended row *per salt
+    replica* for every unmatched small-side row (salt-fold duplicates).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "right/full outer would duplicate unmatched small-side rows "
+            "once per salt replica"
+        )
     s = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
     )

@@ -127,7 +127,10 @@ def _sessionize(key, batches: Iterator[pd.DataFrame], state: GroupState):
             sessions.append((start, end, n))
             start, end, n = t, t, 1
         else:
-            end, n = t, n + 1
+            # cross-batch stitch may see an event older than the open
+            # session (no watermark in this variant): widen the interval
+            # instead of moving its end backwards
+            start, end, n = min(start, t), max(end, t), n + 1
     state.update((start, end, n))
     if sessions:
         yield pd.DataFrame(
@@ -190,7 +193,9 @@ def _sessionize_with_timeout(key, batches: Iterator[pd.DataFrame], state: GroupS
             sessions.append((start, end, n))
             start, end, n = t, t, 1
         else:
-            end, n = t, n + 1
+            # same interval-widening as _sessionize: late events within the
+            # watermark may predate the open session's start
+            start, end, n = min(start, t), max(end, t), n + 1
     state.update((start, end, n))
     # flush the open session once event time passes its gap horizon
     state.setTimeoutTimestamp((end + _GAP_US) // 1_000)

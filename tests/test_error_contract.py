@@ -65,3 +65,37 @@ def test_bad_link_group_fails_flow_and_registers_failure(spark, tmp_path):
     runs = spark.table("metadata.runinfo").collect()
     assert any(r.status == "failure" and "1 errors occurred" in r.message for r in runs)
     assert spark.table("dv.hub_item").count() == 0
+
+
+SIMPLE_TABLES = """base_name,rel_type,column_name,column_type,column_position,mapping
+simple,stg,id,INTEGER,1,c
+simple,hub,id,INTEGER,1,bk
+"""
+
+SIMPLE_TRANSITIONS = """source_table,source_field,target_table,target_field,group_name,position,raw,transformation,transfer_type
+simple,id,hub_simple,id_bk,simple,1,false,,bk
+"""
+
+
+def test_quoted_load_date_overwrite_rejected(spark, tmp_path):
+    """A reference-style quoted overwrite ("'2025-01-01'") would cast to
+    NULL load_dts and corrupt satellite window ordering — the flow must
+    reject it up front with a validate_load_date error (ADVICE r1)."""
+    drop_vault(spark)
+    v = MallardSparkVault(spark)
+    assert v.init_vault(
+        _write(tmp_path, "tables.csv", SIMPLE_TABLES),
+        _write(tmp_path, "transitions.csv", SIMPLE_TRANSITIONS),
+    ) == []
+    spark.sql("INSERT OVERWRITE stg.simple VALUES (1)")
+    errors = v.execute_flow("simple", "test", load_date_overwrite="'2025-01-01'")
+    assert len(errors) == 1
+    assert errors[0][0] == "validate_load_date"
+    assert "does not parse" in errors[0][1]
+    # nothing loaded, failure registered
+    assert spark.table("dv.hub_simple").count() == 0
+    runs = spark.table("metadata.runinfo").collect()
+    assert any(r.status == "failure" for r in runs)
+    # a bare (unquoted) value works
+    assert v.execute_flow("simple", "test", load_date_overwrite="2025-01-01") == []
+    assert spark.table("dv.hub_simple").count() == 1

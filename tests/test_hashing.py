@@ -72,3 +72,14 @@ def test_quote_ident():
     assert quote_ident("plain_name") == "plain_name"
     assert quote_ident("has space") == "`has space`"
     assert quote_ident("1leading") == "`1leading`"
+
+
+def test_quote_ident_empty_and_keywords():
+    """Empty names must not crash (ADVICE r1) and SQL keywords must be
+    quoted so generated DDL/hash-view SQL stays parseable."""
+    assert quote_ident("") == "``"
+    assert quote_ident("order") == "`order`"
+    assert quote_ident("FROM") == "`FROM`"
+    assert quote_ident("select") == "`select`"
+    # non-keyword plain names still pass through bare
+    assert quote_ident("order_id") == "order_id"

@@ -44,3 +44,18 @@ def test_salted_join_equivalence(spark):
         for r in skew.salted_join(facts, dim, on="k", salt=8).collect()
     )
     assert plain == salted
+
+
+def test_salted_join_rejects_outer(spark):
+    """Right/full outer would emit one null-extended row per salt replica
+    for unmatched small-side rows — the API refuses them (ADVICE r1)."""
+    import pytest
+    from mallarddv_spark.operators.skew import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(df, df, on="k", how=how)
+    # left joins remain accepted (unmatched skewed rows are safe: the
+    # skewed side is salted, not replicated)
+    assert salted_join(df, df.filter("k < 2"), on="k", how="left").count() == 4

@@ -174,3 +174,50 @@ def test_sessionization_timeout_flushes_idle_sessions(spark, tmp_path):
     n_users = events.select("user_id").distinct().count()
     n_closed_by_gap = len(truth) - n_users
     assert len(got) > n_closed_by_gap, (len(got), n_closed_by_gap)
+
+
+class _FakeGroupState:
+    """Minimal stand-in for GroupState to unit-test session algebra."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    @property
+    def hasTimedOut(self):
+        return False
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def test_sessionize_out_of_order_stitch_widens_interval():
+    """An event older than the open session's start (cross-batch, NoTimeout
+    variant has no watermark) must widen the interval, never move its end
+    backwards (ADVICE r1)."""
+    import pandas as pd
+    from mallarddv_spark.streaming.stateful import (
+        _sessionize,
+        _sessionize_with_timeout,
+    )
+
+    start_us, end_us = 1_000 * 1_000_000, 2_000 * 1_000_000
+    late_s = 500  # predates the open session's start, within the 30-min gap
+    for fn in (_sessionize, _sessionize_with_timeout):
+        state = _FakeGroupState((start_us, end_us, 3))
+        batch = pd.DataFrame({"ts": [pd.Timestamp(late_s, unit="s")]})
+        list(fn((7,), iter([batch]), state))
+        new_start, new_end, n = state.get
+        assert new_start == late_s * 1_000_000  # widened backwards
+        assert new_end == end_us  # NOT moved backwards
+        assert n == 4
