@@ -18,7 +18,24 @@ partition pruning).
 """
 
 from mallarddv_spark.api import MallardSparkVault
+from mallarddv_spark.exceptions import (
+    DVConfigurationError,
+    DVEntityError,
+    DVETLError,
+    DVException,
+    DVMetadataError,
+    DVSQLError,
+)
 from mallarddv_spark.session import get_spark
 
-__all__ = ["MallardSparkVault", "get_spark"]
+__all__ = [
+    "MallardSparkVault",
+    "get_spark",
+    "DVException",
+    "DVSQLError",
+    "DVMetadataError",
+    "DVEntityError",
+    "DVConfigurationError",
+    "DVETLError",
+]
 __version__ = "0.1.0"

@@ -215,9 +215,21 @@ class MallardSparkVault:
 
     # -- raw SQL passthrough ------------------------------------------------
 
-    def sql(self, query: str, args: dict | None = None) -> DataFrame:
+    def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
         """Full Spark SQL surface over the vault (reference ``mallarddv.py:87-98``
-        routed user SQL to DuckDB; here the dialect is Spark SQL)."""
-        if args:
-            return self.spark.sql(query, args=args)
-        return self.spark.sql(query)
+        routed user SQL to DuckDB; here the dialect is Spark SQL).
+
+        ``args`` may be a dict (named ``:param`` markers) or, matching the
+        reference's positional convention
+        (``db/database_connection.py:78-95``), a list bound to ``?`` markers.
+        Failures raise :class:`DVSQLError` carrying the offending statement,
+        like the reference's ``execute_sql_safely``.
+        """
+        from mallarddv_spark.exceptions import DVSQLError
+
+        try:
+            if args:
+                return self.spark.sql(query, args=args)
+            return self.spark.sql(query)
+        except Exception as ex:
+            raise DVSQLError("Error in user SQL execution", query, ex) from ex

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from mallarddv_spark.exceptions import DVConfigurationError
 
 #: hash algorithms supported for key/diff generation. ``sha1`` is the
 #: reference-parity default; ``md5`` is used by oracle-checked queries
@@ -66,7 +67,7 @@ def _algo_sql(inner: str, algo: str) -> str:
     if algo == "sha256":
         return f"sha2({inner}, 256)"
     if algo not in SUPPORTED_ALGOS:
-        raise ValueError(f"unsupported hash algo: {algo}")
+        raise DVConfigurationError(f"unsupported hash algo: {algo}")
     return f"{algo}({inner})"
 
 
@@ -95,7 +96,7 @@ def hash_col(fields: list[Column | str], algo: str = "sha1") -> Column:
         return F.md5(inner)
     if algo == "sha256":
         return F.sha2(inner, 256)
-    raise ValueError(f"unsupported hash algo: {algo}")
+    raise DVConfigurationError(f"unsupported hash algo: {algo}")
 
 
 def apply_transformation(field_sql: str, transformation: str | None) -> str:

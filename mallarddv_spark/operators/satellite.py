@@ -28,6 +28,7 @@ from mallarddv_spark.functions.hashing import quote_ident
 from mallarddv_spark.operators.hub import bucket_clause
 from mallarddv_spark.plans.model import TableColumn, TransitionRecord, group_records
 from mallarddv_spark.plans.types import spark_type_for
+from mallarddv_spark.exceptions import DVEntityError
 
 SAT_AUDIT_COLS = ["load_dts", "del_flag", "hash_diff", "record_source", "run_id"]
 
@@ -41,7 +42,7 @@ def _sat_parts(cols: list[TableColumn]) -> tuple[str, list[TableColumn]]:
     """
     hks = [c for c in cols if c.mapping == "hk"]
     if len(hks) != 1:
-        raise ValueError(
+        raise DVEntityError(
             f"satellite {cols[0].base_name} must have exactly one hub key, got {len(hks)}"
         )
     payload = sorted(

@@ -15,6 +15,7 @@ be replicated.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from mallarddv_spark.exceptions import DVConfigurationError
 
 
 def salted_aggregate(
@@ -72,7 +73,7 @@ def salted_join(
     replica* for every unmatched small-side row (salt-fold duplicates).
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
-        raise ValueError(
+        raise DVConfigurationError(
             f"salted_join supports how='inner'/'left' only, got {how!r}: "
             "right/full outer would duplicate unmatched small-side rows "
             "once per salt replica"

@@ -32,6 +32,7 @@ from mallarddv_spark.functions.hashing import (
     raw_literal_sql,
 )
 from mallarddv_spark.plans.model import TransitionRecord, group_records
+from mallarddv_spark.exceptions import DVEntityError
 
 
 @dataclass
@@ -94,7 +95,7 @@ def plan_hash_view(
             if r.transfer_type == "ll":
                 hub_rows = hub_groups.get(r.source_field)
                 if hub_rows is None:
-                    raise ValueError(
+                    raise DVEntityError(
                         f"link group '{group}' leg '{r.source_field}' does not "
                         f"match any hub group of staging table '{stg_table}'"
                     )

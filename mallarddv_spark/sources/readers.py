@@ -17,6 +17,7 @@ from pyspark.sql.types import StructType
 from mallarddv_spark.functions.hashing import quote_ident
 from mallarddv_spark.plans.model import TableColumn
 from mallarddv_spark.plans.types import spark_type_for
+from mallarddv_spark.exceptions import DVConfigurationError, DVMetadataError
 
 
 def staging_schema(table_columns: list[TableColumn], base_name: str) -> StructType:
@@ -31,7 +32,7 @@ def staging_schema(table_columns: list[TableColumn], base_name: str) -> StructTy
         key=lambda c: c.column_position,
     )
     if not cols:
-        raise ValueError(f"no staging columns defined for '{base_name}'")
+        raise DVMetadataError(f"no staging columns defined for '{base_name}'")
     ddl = ", ".join(
         f"{quote_ident(c.column_name)} {spark_type_for(c.column_type)}" for c in cols
     )
@@ -64,7 +65,7 @@ def read_file(
         )
     if ftype in ("json", "jsonl", "ndjson"):
         return spark.read.schema(schema).json(file_path)
-    raise ValueError(f"unsupported file type: {ftype}")
+    raise DVConfigurationError(f"unsupported file type: {ftype}")
 
 
 def load_file_to_staging(

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
+from mallarddv_spark.exceptions import DVConfigurationError
 
 
 def stream_files_to_staging(
@@ -49,7 +50,7 @@ def stream_files_to_staging(
     elif file_format == "json":
         stream = reader.json(source_dir)
     else:
-        raise ValueError(f"unsupported stream format: {file_format}")
+        raise DVConfigurationError(f"unsupported stream format: {file_format}")
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -99,3 +99,49 @@ def test_quoted_load_date_overwrite_rejected(spark, tmp_path):
     # a bare (unquoted) value works
     assert v.execute_flow("simple", "test", load_date_overwrite="2025-01-01") == []
     assert spark.table("dv.hub_simple").count() == 1
+
+
+def test_typed_exception_hierarchy():
+    """Callers can discriminate error classes like with the reference's
+    exceptions.py:7-37, and legacy ValueError handlers keep working."""
+    from mallarddv_spark import (
+        DVConfigurationError,
+        DVEntityError,
+        DVException,
+        DVMetadataError,
+        DVSQLError,
+    )
+    from mallarddv_spark.functions.hashing import hash_sql
+    from mallarddv_spark.operators.satellite import _sat_parts
+    from mallarddv_spark.plans.model import TableColumn
+    from mallarddv_spark.sources.readers import read_file, staging_schema
+
+    for exc in (DVEntityError, DVMetadataError, DVConfigurationError):
+        assert issubclass(exc, DVException)
+        assert issubclass(exc, ValueError)  # back-compat
+    assert issubclass(DVSQLError, DVException)
+
+    with pytest.raises(DVConfigurationError):
+        hash_sql(["x"], algo="crc32")
+    with pytest.raises(DVMetadataError):
+        staging_schema([], "ghost_table")
+    cols = [
+        TableColumn("s", "hsat", "a", "", 0, "c"),
+    ]
+    with pytest.raises(DVEntityError, match="exactly one hub key"):
+        _sat_parts(cols)
+
+
+def test_sql_positional_params_and_dvsqlerror(spark):
+    """Reference parity: sql() binds positional list params (?) and wraps
+    failures in DVSQLError carrying the statement."""
+    from mallarddv_spark import DVSQLError
+    from mallarddv_spark.api import MallardSparkVault
+
+    v = MallardSparkVault(spark)
+    assert v.sql("SELECT ? + 1 AS x", [41]).first().x == 42
+    assert v.sql("SELECT :a || 'b' AS s", {"a": "a"}).first().s == "ab"
+    with pytest.raises(DVSQLError) as ei:
+        v.sql("SELECT * FROM no_such_table_xyz")
+    assert ei.value.sql == "SELECT * FROM no_such_table_xyz"
+    assert ei.value.original_error is not None
