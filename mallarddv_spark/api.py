@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mallarddv_spark.flow.executor import FlowExecutor
 from mallarddv_spark.operators import hashview, hub, link, satellite
-from mallarddv_spark.plans.model import fetch_table_columns, fetch_transitions
+from mallarddv_spark.plans.model import MetadataCache
 from mallarddv_spark.sources import catalog
 
 
@@ -50,9 +50,13 @@ class MallardSparkVault:
         #: when set, DV tables are created CLUSTERED BY their hash key into
         #: this many buckets — loads then read pre-partitioned data
         self.dv_buckets = dv_buckets
+        #: driver-side control-table snapshot shared by init + every flow
+        #: (invalidated whenever metadata CSVs are (re)loaded here)
+        self._meta = MetadataCache(spark, metadata_db)
         self._executor = FlowExecutor(
             spark, stg_db, dv_db, bv_db, metadata_db, hash_algo,
             materialize_current=materialize_current,
+            metadata=self._meta,
         )
 
     # -- context manager (reference ``mallarddv.py:64-85``) -----------------
@@ -87,10 +91,11 @@ class MallardSparkVault:
         catalog.load_metadata_csvs(
             self.spark, self.metadata_db, tables_csv, transitions_csv
         )
+        self._meta.invalidate()
         if meta_only:
             return errors
 
-        cols = fetch_table_columns(self.spark, self.metadata_db)
+        cols = self._meta.table_columns()
         try:
             catalog.create_staging_tables(self.spark, self.stg_db, cols)
             hub.create_hub_tables(self.spark, self.dv_db, cols, self.dv_buckets)
@@ -107,7 +112,7 @@ class MallardSparkVault:
         return errors
 
     def compute_hash_view(self, stg_table: str, verbose: bool = False) -> str:
-        transitions = fetch_transitions(self.spark, self.metadata_db, stg_table)
+        transitions = self._meta.transitions(stg_table)
         return hashview.create_hash_view(
             self.spark, self.stg_db, stg_table, transitions,
             algo=self.hash_algo, verbose=verbose,
@@ -133,9 +138,7 @@ class MallardSparkVault:
     #    ``mallarddv.py:174-423``) ------------------------------------------
 
     def _cols(self, base_name=None, rel_type=None):
-        return fetch_table_columns(
-            self.spark, self.metadata_db, base_name=base_name, rel_type=rel_type
-        )
+        return self._meta.table_columns(base_name=base_name, rel_type=rel_type)
 
     def create_hub_from_metadata(self, base_name: str | None = None):
         return hub.create_hub_tables(
@@ -179,21 +182,21 @@ class MallardSparkVault:
         )
 
     def load_related_hubs(self, stg_table, run_id, record_source, load_date):
-        transitions = fetch_transitions(self.spark, self.metadata_db, stg_table)
+        transitions = self._meta.transitions(stg_table)
         return hub.load_hubs(
             self.spark, self.stg_db, self.dv_db, stg_table, transitions,
             run_id, record_source, load_date,
         )
 
     def load_related_links(self, stg_table, run_id, record_source, load_date):
-        transitions = fetch_transitions(self.spark, self.metadata_db, stg_table)
+        transitions = self._meta.transitions(stg_table)
         return link.load_links(
             self.spark, self.stg_db, self.dv_db, stg_table, transitions,
             run_id, record_source, load_date,
         )
 
     def load_related_sats(self, stg_table, run_id, record_source, load_date):
-        transitions = fetch_transitions(self.spark, self.metadata_db, stg_table)
+        transitions = self._meta.transitions(stg_table)
         return satellite.load_sats(
             self.spark, self.stg_db, self.dv_db, stg_table, transitions,
             run_id, record_source, load_date,
@@ -212,6 +215,7 @@ class MallardSparkVault:
         catalog.load_metadata_csvs(
             self.spark, self.metadata_db, tables_csv, transitions_csv
         )
+        self._meta.invalidate()
 
     # -- raw SQL passthrough ------------------------------------------------
 

@@ -6,12 +6,23 @@ are part of the public contract:
 
 1. idempotence check (skip files already ingested, unless force_load)
 2. run-id allocation
-3. register 'start'
-4. file → staging (only if the source has a staging-table definition)
-5. hash view refresh
-6. hub loads → link loads → satellite loads (each stage aborts the flow
-   on error and registers 'failure')
-7. register 'success'/'failure'
+3. file → staging (only if the source has a staging-table definition)
+4. hash view refresh
+5. hub loads → link loads → satellite loads (each stage aborts the flow
+   on error)
+6. ledger write: 'start' + 'success'/'failure' rows land in ONE append at
+   flow end.
+
+Bookkeeping is batched for orchestration throughput (a metadata-driven
+flow is dozens of small Spark jobs; at cluster scale the data jobs
+amortize but the driver-side jobs do not): the idempotence probe and
+run-id allocation share one ledger scan, control-table reads come from a
+driver-side :class:`~mallarddv_spark.plans.model.MetadataCache`, and the
+two ledger events are a single 2-row append. Divergence from the
+reference (which wrote 'start' eagerly): a killed driver leaves NO ledger
+rows instead of a dangling 'start' — the idempotence probe only reads
+'success' rows, so replay behavior is identical, and a torn flow is
+re-runnable either way.
 
 Errors are collected as (stage, message) tuples, not raised — matching the
 reference's error-list convention so callers can assert ``errors == []``.
@@ -25,7 +36,7 @@ from pyspark.sql import SparkSession
 
 from mallarddv_spark.flow import runinfo
 from mallarddv_spark.operators import hashview, hub, link, satellite
-from mallarddv_spark.plans.model import fetch_table_columns, fetch_transitions
+from mallarddv_spark.plans.model import MetadataCache
 from mallarddv_spark.sources import readers
 
 
@@ -39,6 +50,7 @@ class FlowExecutor:
         metadata_db: str = "metadata",
         hash_algo: str = "sha1",
         materialize_current: bool = False,
+        metadata: MetadataCache | None = None,
     ):
         self.spark = spark
         self.stg_db = stg_db
@@ -50,6 +62,9 @@ class FlowExecutor:
         #: the incremental dv.{sat}_current table instead of windowing the
         #: full history every load
         self.materialize_current = materialize_current
+        #: control-table snapshot, shared with the owning facade so
+        #: init_vault + N flows pay for the metadata collects once
+        self.metadata = metadata or MetadataCache(spark, metadata_db)
 
     def execute_flow(
         self,
@@ -63,26 +78,20 @@ class FlowExecutor:
         spark = self.spark
         errors: list[tuple[str, str]] = []
 
-        # 1. idempotence
-        if file_path and not force_load:
-            try:
-                if runinfo.check_previous_ingestion(
-                    spark, self.metadata_db, source_table, file_path
-                ):
-                    if verbose:
-                        print(f"{file_path} already ingested for {source_table}")
-                    return errors
-            except Exception as ex:
-                return [("check_previous_ingestion", str(ex))]
-
-        # 2-3. run id + start
+        # 1-2. idempotence probe + run-id allocation (one ledger scan)
         try:
-            run_id = runinfo.next_run_id(spark, self.metadata_db)
-            runinfo.register_run_info(
-                spark, self.metadata_db, source_table, run_id, file_path, "start"
+            ingested, run_id = runinfo.probe_ledger(
+                spark,
+                self.metadata_db,
+                source_table,
+                file_path if (file_path and not force_load) else None,
             )
+            if ingested:
+                if verbose:
+                    print(f"{file_path} already ingested for {source_table}")
+                return errors
         except Exception as ex:
-            return [("register_run_start", str(ex))]
+            return [("check_previous_ingestion", str(ex))]
 
         # Convention divergence from the reference (documented): the
         # reference interpolates load_date_overwrite as a SQL *expression*
@@ -115,14 +124,12 @@ class FlowExecutor:
                 self._end(source_table, run_id, file_path, errors)
                 return errors
 
-        # 4. file → staging
+        # 3. file → staging
         if file_path:
             try:
-                if runinfo.check_source_for_ingestion(
-                    spark, self.metadata_db, source_table
-                ):
-                    cols = fetch_table_columns(
-                        spark, self.metadata_db, base_name=source_table, rel_type="stg"
+                if self.metadata.has_staging_definition(source_table):
+                    cols = self.metadata.table_columns(
+                        base_name=source_table, rel_type="stg"
                     )
                     readers.load_file_to_staging(
                         spark, self.stg_db, source_table, file_path, cols
@@ -132,9 +139,9 @@ class FlowExecutor:
                 self._end(source_table, run_id, file_path, errors)
                 return errors
 
-        transitions = fetch_transitions(spark, self.metadata_db, source_table)
+        transitions = self.metadata.transitions(source_table)
 
-        # 5. hash view
+        # 4. hash view
         try:
             hashview.create_hash_view(
                 spark, self.stg_db, source_table, transitions,
@@ -145,55 +152,61 @@ class FlowExecutor:
             self._end(source_table, run_id, file_path, errors)
             return errors
 
-        # 6. hubs → links → sats, short-circuiting. The hash view is cached
-        # for the duration of the flow: every load stage (each hub group,
-        # link group, sat new + tombstone pass) reads it, and without the
-        # cache each read re-scans staging and recomputes every hash.
-        # Spark's cache manager matches by logical plan, so the loaders'
-        # own spark.table() lookups hit this cache.
-        hash_vw = spark.table(f"{self.stg_db}.{source_table}_hash_vw")
-        hash_vw.persist()
-        try:
-            def _sats(*args):
-                return satellite.load_sats(
-                    *args, use_current_table=self.materialize_current
-                )
+        # 5. hubs → links → sats, short-circuiting. The hash view is NOT
+        # cached: each load stage reads it through parquet column pruning,
+        # so a hub load scans only its business-key columns and computes
+        # only its own hash — measured ~0.2 s per consumer at 600 k rows,
+        # versus ~8 s to materialize the full wide view into the block
+        # cache. At 100 TB the same holds structurally: the staging scan
+        # is columnar and pruned per consumer, while caching the full-width
+        # view would not fit cluster memory at all.
+        def _sats(*args):
+            return satellite.load_sats(
+                *args, use_current_table=self.materialize_current
+            )
 
-            for stage_name, fn in (
-                ("load_hubs", hub.load_hubs),
-                ("load_links", link.load_links),
-                ("load_sats", _sats),
-            ):
-                try:
-                    fn(
-                        spark, self.stg_db, self.dv_db, source_table, transitions,
-                        run_id, record_source, load_dts,
-                    )
-                except Exception as ex:
-                    errors.append((stage_name, str(ex)))
-                    self._end(source_table, run_id, file_path, errors)
-                    return errors
-        finally:
-            hash_vw.unpersist()
+        for stage_name, fn in (
+            ("load_hubs", hub.load_hubs),
+            ("load_links", link.load_links),
+            ("load_sats", _sats),
+        ):
+            try:
+                fn(
+                    spark, self.stg_db, self.dv_db, source_table, transitions,
+                    run_id, record_source, load_dts,
+                )
+            except Exception as ex:
+                errors.append((stage_name, str(ex)))
+                self._end(source_table, run_id, file_path, errors)
+                return errors
 
         self._end(source_table, run_id, file_path, errors)
         return errors
 
     def _end(self, source_table, run_id, file_path, errors) -> None:
+        """Write the flow's ledger rows — 'start' + final status — in one
+        append (see module docstring for the crash-semantics note)."""
         message = ""
         if errors:
             message = f"{len(errors)} errors occurred: {errors[0][1]}"
             if len(errors) > 1:
                 message += f" and {len(errors) - 1} more"
+        now = datetime.now()
         try:
-            runinfo.register_run_info(
+            runinfo.write_ledger_rows(
                 self.spark,
                 self.metadata_db,
-                source_table,
-                run_id,
-                file_path,
-                "success" if not errors else "failure",
-                message,
+                [
+                    (source_table, run_id, now, file_path, "start", ""),
+                    (
+                        source_table,
+                        run_id,
+                        now,
+                        file_path,
+                        "success" if not errors else "failure",
+                        message[:4095],
+                    ),
+                ],
             )
         except Exception:
             pass

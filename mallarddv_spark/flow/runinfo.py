@@ -34,11 +34,48 @@ def register_run_info(
     status: str,
     message: str = "",
 ) -> None:
-    df = spark.createDataFrame(
+    write_ledger_rows(
+        spark,
+        metadata_db,
         [(source_table, run_id, datetime.now(), file_path, status, message[:4095])],
-        schema=RUNINFO_SCHEMA,
     )
+
+
+def write_ledger_rows(
+    spark: SparkSession, metadata_db: str, rows: list[tuple]
+) -> None:
+    """Append ledger rows in ONE write job. A flow batches its 'start' and
+    'success'/'failure' rows through this instead of paying a separate
+    1-row append (job + file-commit protocol) per event — measured ~1 s
+    each on a warm local session, pure orchestration overhead at any scale."""
+    df = spark.createDataFrame(rows, schema=RUNINFO_SCHEMA)
     df.write.mode("append").insertInto(f"{metadata_db}.runinfo")
+
+
+def probe_ledger(
+    spark: SparkSession,
+    metadata_db: str,
+    source_table: str,
+    file_path: str | None,
+    status: str = "success",
+) -> tuple[bool, int]:
+    """One scan answering both bookkeeping questions a flow asks up front:
+    (was this file already ingested successfully?, next run id).
+
+    Replaces back-to-back :func:`check_previous_ingestion` +
+    :func:`next_run_id` jobs over the same small table."""
+    agg = [F.coalesce(F.max("run_id"), F.lit(0)).alias("m")]
+    if file_path is not None:
+        agg.append(
+            F.max(
+                (F.col("source_file") == file_path)
+                & (F.col("source_table") == source_table)
+                & (F.col("status") == status)
+            ).alias("ingested")
+        )
+    row = spark.table(f"{metadata_db}.runinfo").agg(*agg).collect()[0]
+    ingested = bool(row.ingested) if file_path is not None else False
+    return ingested, int(row.m) + 1
 
 
 def check_previous_ingestion(

@@ -203,10 +203,23 @@ def ivf_topk(
         k=n_centroids, seed=seed, maxIter=5,
         featuresCol="feat", predictionCol="centroid_id",
     )
-    model = km.fit(c.withColumn("feat", array_to_vector("cv")))
-    assigned = model.transform(c.withColumn("feat", array_to_vector("cv"))).select(
-        "neighbor_id", "cv", "centroid_id"
+    # Train on a bounded sample (coreset): KMeans quality needs only a few
+    # hundred points per centroid, while fitting on the full corpus makes
+    # training cost scale with corpus size — the classic IVF recipe trains
+    # on a sample and assigns the full corpus. Deterministic via seed.
+    feat = c.withColumn("feat", array_to_vector("cv"))
+    target = n_centroids * 512
+    # count the raw corpus (metadata-only on parquet sources), not the
+    # vectorized projection — counting `feat` would materialize the
+    # array→vector transform over the whole corpus just to size the sample
+    n_corpus = corpus.count()
+    train = (
+        feat.sample(fraction=min(1.0, target / n_corpus), seed=seed)
+        if n_corpus > target
+        else feat
     )
+    model = km.fit(train)
+    assigned = model.transform(feat).select("neighbor_id", "cv", "centroid_id")
 
     centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
     spark = corpus.sparkSession

@@ -156,6 +156,73 @@ def fetch_transitions(
     ]
 
 
+class MetadataCache:
+    """Driver-side snapshot of the two control tables, shared across
+    ``init_vault`` and every ``execute_flow`` on the same facade.
+
+    The control tables are KBs, but each :func:`fetch_table_columns` /
+    :func:`fetch_transitions` call is a catalog read + Spark job; a
+    metadata-driven flow makes half a dozen of them. One ordered collect
+    per table per (re)load replaces them all — at 1000-executor scale the
+    control tables are driver-plan state, not data.
+
+    Invalidation is explicit (:meth:`invalidate`, called whenever metadata
+    CSVs are (re)loaded through the facade). Out-of-band writes to
+    ``metadata.tables``/``metadata.transitions`` via raw SQL require a
+    manual ``invalidate()``.
+    """
+
+    def __init__(self, spark: SparkSession, metadata_db: str):
+        self.spark = spark
+        self.metadata_db = metadata_db
+        self._columns: list[TableColumn] | None = None
+        self._transitions: list[TransitionRecord] | None = None
+
+    def invalidate(self) -> None:
+        self._columns = None
+        self._transitions = None
+
+    def table_columns(
+        self, base_name: str | None = None, rel_type: str | None = None
+    ) -> list[TableColumn]:
+        """Same contract (and ordering) as :func:`fetch_table_columns`."""
+        if self._columns is None:
+            self._columns = fetch_table_columns(self.spark, self.metadata_db)
+        return [
+            c
+            for c in self._columns
+            if (base_name is None or c.base_name == base_name)
+            and (rel_type is None or c.rel_type == rel_type)
+        ]
+
+    def transitions(self, source_table: str) -> list[TransitionRecord]:
+        """Same contract (and ordering) as :func:`fetch_transitions`."""
+        if self._transitions is None:
+            df = self.spark.table(f"{self.metadata_db}.transitions")
+            rows = df.orderBy(
+                "source_table", "target_table", "group_name", "position"
+            ).collect()
+            self._transitions = [
+                TransitionRecord(
+                    source_table=r.source_table,
+                    source_field=r.source_field,
+                    target_table=r.target_table,
+                    target_field=r.target_field,
+                    group_name=r.group_name,
+                    position=r.position,
+                    raw=bool(r.raw),
+                    transformation=r.transformation,
+                    transfer_type=r.transfer_type,
+                )
+                for r in rows
+            ]
+        return [t for t in self._transitions if t.source_table == source_table]
+
+    def has_staging_definition(self, base_name: str) -> bool:
+        """Cache-backed :func:`mallarddv_spark.flow.runinfo.check_source_for_ingestion`."""
+        return bool(self.table_columns(base_name=base_name, rel_type="stg"))
+
+
 def group_records(records: Iterable, keys: list[str]) -> dict[str, list]:
     """Group already-sorted records by dotted key values — same contract as
     the reference's ``HashViewGenerator.groupby`` but order-preserving and

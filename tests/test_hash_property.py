@@ -9,10 +9,17 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from mallarddv_spark.functions.hashing import hash_col
 
+# Exclude characters whose upper() mapping differs between the JVM's and
+# Python's Unicode tables: newly-added cased scripts (e.g. U+10D70 Garay,
+# Unicode 16) gain case mappings in one runtime before the other. Keep the
+# full BMP minus surrogates — that still covers NULLs, empties, '||' inside
+# values, CJK, combining marks, and every realistically-keyed script.
 text = st.one_of(
     st.none(),
     st.text(
-        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",), max_codepoint=0xFFFF
+        ),
         max_size=40,
     ),
 )
