@@ -378,15 +378,35 @@ def simhash_pairs(
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucketed: bool = False,
+    num_bits: int = 16,
+    bands: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Pairs of rows whose embeddings have cosine ≥ threshold.
 
-    Exact path: normalized vectors, self-join pruned by id order with the
-    smaller side broadcast when possible. At 100 TB, pre-bucket with
-    :mod:`mallarddv_spark.operators.similarity` LSH and run this only
-    within buckets.
+    ``bucketed=False`` is the exact path: normalized vectors, self-join
+    pruned by id order — O(n²), small corpora only.
+
+    ``bucketed=True`` is the scale path: random-hyperplane LSH signatures
+    (:func:`mallarddv_spark.operators.similarity.hyperplane_signatures`)
+    split into ``bands``; candidate pairs share ≥1 band bucket, and the
+    exact cosine runs on candidates only. Work scales with Σ bucket² of
+    the banded signature space, not n². Recall is probabilistic: a pair at
+    cosine t agrees on one bit with p = 1 - arccos(t)/π, on a band of
+    b = num_bits/bands bits with p^b, and is captured with
+    1 - (1 - p^b)^bands — at the defaults (16 bits, 8 bands of 2) a 0.95
+    pair is missed with probability ≈ 2e-6. More bands ⇒ higher recall
+    and bigger buckets; tune against the corpus's duplicate density.
     """
+    if bucketed:
+        return _embedding_neardup_bucketed(
+            df, id_col, vec_col, threshold, num_bits, bands, seed
+        )
     e = df.select(
         F.col(id_col).alias("vid"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
@@ -398,6 +418,74 @@ def embedding_neardup_pairs(
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
+            "cosine",
+            F.expr(
+                "round(aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double),"
+                " (a, x) -> a + x) / (na * nb), 6)"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _embedding_neardup_bucketed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_bits: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """LSH-bucketed near-dup: band the hyperplane signature, self-join only
+    within (band, band_value) buckets, exact cosine rerank on candidates."""
+    from mallarddv_spark.operators.similarity import hyperplane_signatures
+
+    band_bits = num_bits // bands
+    mask = (1 << band_bits) - 1
+    sigs = hyperplane_signatures(df, id_col, vec_col, num_bits, seed).withColumn(
+        "norm", F.expr("sqrt(aggregate(v, cast(0.0 as double), (a, x) -> a + x * x))")
+    )
+    chunks = [
+        F.struct(
+            F.lit(b).alias("band"),
+            (F.shiftrightunsigned("sig", b * band_bits) % F.lit(mask + 1)).alias("bv"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "vid", "v", "norm", F.explode(F.array(*chunks)).alias("c")
+    ).select("vid", "v", "norm", "c.band", "c.bv")
+
+    # candidate generation is ids-only: the distinct dedups narrow
+    # (id_a, id_b) rows instead of shuffling 64-dim vector payloads once
+    # per shared band; vectors re-attach afterwards (AQE broadcasts the
+    # signature side when it is small, shuffles on id otherwise)
+    ids = banded.select("vid", "band", "bv")
+    cand_ids = (
+        ids.alias("a")
+        .join(ids.alias("b"), ["band", "bv"])
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    vecs = sigs.select("vid", "v", "norm")
+    cand = cand_ids.join(
+        vecs.select(
+            F.col("vid").alias("id_a"), F.col("v").alias("va"),
+            F.col("norm").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+            F.col("norm").alias("nb"),
+        ),
+        "id_b",
+    )
+    return (
+        cand.withColumn(
             "cosine",
             F.expr(
                 "round(aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double),"

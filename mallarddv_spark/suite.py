@@ -1133,6 +1133,25 @@ def q_adv_similarity_ivf_topk(spark, sf):
     )
 
 
+def q_adv_embedding_neardup_lsh(spark, sf):
+    """LSH-bucketed embedding near-dup (the scale path in front of the
+    exact O(n²) similarity_pairs): hyperplane-signature band buckets →
+    intra-bucket exact cosine. At the chosen band shape (16 bits, 8 bands
+    of 2) a cosine-0.95 pair is missed with probability < 1e-5
+    (superset-of-exact asserted on planted near-dups in
+    tests/test_ext_operators.py). This query runs 24 bits / 6 bands of 4
+    at threshold 0.35 — the synthetic corpus tops out near cosine 0.48,
+    and recall at such low cosine is partial by LSH construction (~60%),
+    hence rows-only; bucket sizes stay n/16 per band instead of n/4."""
+    from mallarddv_spark.operators import dedup
+
+    e = _t(spark, sf, "embeddings")
+    return dedup.embedding_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.35,
+        bucketed=True, num_bits=24, bands=6,
+    )
+
+
 def q_adv_text_profile(spark, sf):
     """One-pass ten-metric text profile (single projection, no shuffle)."""
     from mallarddv_spark.operators import textops
@@ -1156,6 +1175,7 @@ REGISTRY.update(
     {
         "adv_minhash_lsh_pairs": (q_adv_minhash_lsh_pairs, None),
         "adv_simhash_pairs": (q_adv_simhash_pairs, None),
+        "adv_embedding_neardup_lsh": (q_adv_embedding_neardup_lsh, None),
         "adv_similarity_lsh_topk": (q_adv_similarity_lsh_topk, None),
         "adv_similarity_ivf_topk": (q_adv_similarity_ivf_topk, None),
         "adv_text_profile": (q_adv_text_profile, None),

@@ -226,3 +226,46 @@ def test_multimodal_audio_video_modalities(spark):
     assert sampled.collect()[0].frame_stride == 24
     resized = multimodal.resize_images(video, 224, 224)
     assert resized.collect()[0].target_width == 224
+
+
+def test_embedding_neardup_bucketed_superset(spark, embeddings):
+    """The LSH-bucketed near-dup path must recover every high-cosine pair
+    the exact O(n²) path finds (and no extra pairs — same scorer, fewer
+    candidates). The synthetic corpus has no pairs above cosine 0.48, so
+    plant near-identical vectors among random ones; at cosine ≥ 0.95 the
+    16-bit/8-band shape misses a pair with probability < 1e-5."""
+    import math
+    import random
+
+    rnd = random.Random(7)
+    dim = 16
+
+    def vec():
+        return [rnd.gauss(0, 1) for _ in range(dim)]
+
+    def jitter(v, eps=0.02):
+        return [x + rnd.gauss(0, eps) for x in v]
+
+    base1, base2 = vec(), vec()
+    rows = [(1, base1), (2, jitter(base1)), (3, base2), (4, jitter(base2))]
+    rows += [(i, vec()) for i in range(5, 60)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b)
+            for r in dedup.embedding_neardup_pairs(
+                df, "vec_id", "embedding", threshold=0.95, **kw
+            ).collect()
+        }
+
+    exact = pairs()
+    bucketed = pairs(bucketed=True, num_bits=16, bands=8)
+    assert {(1, 2), (3, 4)} <= exact
+    assert bucketed >= exact  # no misses at this threshold/band shape
+    assert bucketed <= exact  # no false positives: same exact scorer
+    # and on the real corpus the bucketed path runs end-to-end (plan shape)
+    dedup.embedding_neardup_pairs(
+        embeddings, "vec_id", "embedding", threshold=0.3,
+        bucketed=True, num_bits=16, bands=8,
+    ).count()
