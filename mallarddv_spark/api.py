@@ -217,6 +217,28 @@ class MallardSparkVault:
         )
         self._meta.invalidate()
 
+    # -- crash recovery -----------------------------------------------------
+
+    def recover(self) -> dict[str, int]:
+        """Roll back every torn (killed-mid-flow) run: DV rows whose run_id
+        never reached the ledger are removed and affected ``_current``
+        snapshots rebuilt. The reference needed no equivalent — DuckDB gave
+        it transactions (``db/database_connection.py:36-68``); on a parquet
+        catalog this compensation pass is the stand-in (on Delta/Iceberg it
+        becomes one ``DELETE`` per table). Returns {table: rows_removed}.
+        """
+        from mallarddv_spark.flow.recovery import recover_vault
+
+        return recover_vault(self.spark, self.metadata_db, self.dv_db)
+
+    def rollback_run(self, run_id: int) -> dict[str, int]:
+        """Explicitly roll back one run's rows (e.g. a flow that *failed*
+        and whose partial state — kept by default, reference behavior —
+        should be undone)."""
+        from mallarddv_spark.flow.recovery import rollback_runs
+
+        return rollback_runs(self.spark, self.metadata_db, self.dv_db, [run_id])
+
     # -- raw SQL passthrough ------------------------------------------------
 
     def sql(self, query: str, args: dict | list | None = None) -> DataFrame:

@@ -260,33 +260,91 @@ def _append_aligned(df: DataFrame, table_schema, table_fqn: str) -> DataFrame:
     return out
 
 
+def _current_versions(spark: SparkSession, dv_db: str, sat_name: str) -> list[int]:
+    """Existing version numbers of ``{sat}_current`` backing tables."""
+    prefix = f"{sat_name}_current__v"
+    out = []
+    for t in spark.catalog.listTables(dv_db):
+        if t.name.startswith(prefix):
+            try:
+                out.append(int(t.name[len(prefix):]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _publish_current(
+    spark: SparkSession, dv_db: str, sat_name: str, latest: DataFrame
+) -> str:
+    """Atomically publish a new snapshot of ``dv.{sat}_current``.
+
+    Version-and-swap protocol (the parquet-catalog stand-in for a Delta
+    ``MERGE``/Iceberg ``REPLACE``, which this becomes 1:1 on a lakehouse
+    deployment — reference got atomicity free from DuckDB transactions,
+    ``db/database_connection.py:36-68``):
+
+    1. write the full snapshot to a NEW table ``{sat}_current__v{N+1}``
+       (no reader references it yet — a crash here leaves unreferenced
+       files only, never a torn published table);
+    2. repoint the public VIEW ``dv.{sat}_current`` with one
+       ``CREATE OR REPLACE VIEW`` — a single catalog operation, so readers
+       see the old snapshot or the new one, never a missing/partial table;
+    3. drop superseded version tables (best-effort; leftovers are garbage,
+       not corruption).
+    """
+    cur = f"{dv_db}.{quote_ident(sat_name + '_current')}"
+    old = _current_versions(spark, dv_db, sat_name)
+    next_v = (old[-1] + 1) if old else 1
+    vt = f"{dv_db}.{quote_ident(f'{sat_name}_current__v{next_v}')}"
+    latest.write.mode("errorifexists").saveAsTable(vt)
+    # one-time migration: a pre-protocol deployment stored the snapshot as
+    # a plain TABLE under the public name; it must be dropped before the
+    # name can become a view
+    for t in spark.catalog.listTables(dv_db):
+        if t.name == f"{sat_name}_current" and t.tableType != "VIEW":
+            spark.sql(f"DROP TABLE {cur}")
+            break
+    spark.sql(f"CREATE OR REPLACE VIEW {cur} AS SELECT * FROM {vt}")
+    for v in old:
+        try:
+            spark.sql(
+                f"DROP TABLE IF EXISTS "
+                f"{dv_db}.{quote_ident(f'{sat_name}_current__v{v}')}"
+            )
+        except Exception:
+            pass
+    return cur
+
+
 def refresh_current_table(
     spark: SparkSession, dv_db: str, sat_name: str, hk_col: str
 ) -> str:
     """Materialize ``dv.{sat}_current`` — one row per key, the latest
-    version — from the full history (window + overwrite).
+    version — from the full history.
 
     The logical ``bv.*_cv`` view recomputes its window at query time; marts
     that hit current state repeatedly should pay that window once per load
-    instead. This full refresh is the bootstrap; see
-    :func:`upsert_current_table` for the per-batch incremental path.
+    instead. This full refresh is the bootstrap (and the post-recovery
+    rebuild); see :func:`upsert_current_table` for the per-batch
+    incremental path. Published via the atomic version-and-swap protocol
+    (:func:`_publish_current`).
     """
-    cur = f"{dv_db}.{quote_ident(sat_name + '_current')}"
     latest = _latest_versions(spark.table(f"{dv_db}.{quote_ident(sat_name)}"), hk_col)
-    latest.write.mode("overwrite").saveAsTable(cur)
-    return cur
+    return _publish_current(spark, dv_db, sat_name, latest)
 
 
 def upsert_current_table(
     spark: SparkSession, dv_db: str, sat_name: str, hk_col: str, batch: DataFrame
 ) -> str:
     """Incrementally fold a just-appended batch into ``dv.{sat}_current``:
-    union(current, batch) → latest per key → overwrite.
+    union(current, batch) → latest per key → publish new snapshot.
 
     Cost scales with |current| + |batch| (one shuffle on the hash key),
-    not with the full history. ``localCheckpoint`` breaks lineage so the
-    overwrite does not read from the table being replaced; on Delta/Iceberg
-    this whole function is a single ``MERGE`` with no checkpoint needed.
+    not with the full history. The new snapshot is written to a fresh
+    versioned table while reading the old one (no self-read, no lineage
+    checkpoint) and swapped in with one view replacement — readers never
+    observe a missing or half-written current table. On Delta this whole
+    function is a single ``MERGE``.
     """
     cur = f"{dv_db}.{quote_ident(sat_name + '_current')}"
     if not spark.catalog.tableExists(cur):
@@ -294,6 +352,5 @@ def upsert_current_table(
     current = spark.table(cur)
     merged = _latest_versions(
         current.unionByName(batch.select(current.columns)), hk_col
-    ).localCheckpoint(eager=True)
-    merged.write.mode("overwrite").saveAsTable(cur)
-    return cur
+    )
+    return _publish_current(spark, dv_db, sat_name, merged)

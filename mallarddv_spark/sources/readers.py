@@ -76,8 +76,16 @@ def load_file_to_staging(
     table_columns: list[TableColumn],
     file_type: str | None = None,
 ) -> None:
-    """Truncate-and-reload ``stg.{source_table}`` from a file — expressed as
-    an atomic overwrite (Delta/Iceberg make this transactional on a lake)."""
+    """Truncate-and-reload ``stg.{source_table}`` from a file.
+
+    On a plain parquet catalog the overwrite is job-atomic (a failed write
+    job commits nothing) but not crash-proof across the commit itself.
+    Staging is ephemeral by contract — it is rebuilt from the source file
+    on every flow — so a torn staging table self-heals on flow re-run: the
+    file never reached a 'success' ledger row, the idempotence probe lets
+    the flow through, and this overwrite rewrites the table
+    (proven end-to-end by ``tests/test_crash_recovery.py``). Delta/Iceberg
+    make the overwrite itself transactional on a lake deployment."""
     schema = staging_schema(table_columns, source_table)
     df = read_file(spark, file_path, schema, file_type)
     df.write.mode("overwrite").insertInto(
