@@ -1160,8 +1160,11 @@ def q_adv_text_profile(spark, sf):
 
 
 def q_adv_multimodal_features(spark, sf):
-    """Arrow-batched mapInPandas feature extraction over binary payloads
-    (decode kernel container-stubbed; plumbing real)."""
+    """Arrow-batched mapInPandas feature extraction over binary payloads.
+    Decode is tiered: real stdlib header parsing (PNG/JPEG/GIF/BMP/WAV →
+    decode_ok='ok'), PIL when installed, flagged deterministic stub
+    otherwise (this corpus is UTF-8 text bytes, so rows report
+    'stubbed')."""
     from mallarddv_spark.operators import multimodal
 
     d = _t(spark, sf, "documents").select(

@@ -269,3 +269,83 @@ def test_embedding_neardup_bucketed_superset(spark, embeddings):
         embeddings, "vec_id", "embedding", threshold=0.3,
         bucketed=True, num_bits=16, bands=8,
     ).count()
+
+
+def test_multimodal_real_header_decode(spark):
+    """Tier-1 decode is REAL: PNG/GIF/BMP/JPEG dimensions and WAV audio
+    metadata parsed from payload bytes with stdlib struct — decode_ok='ok'
+    without any image library in the container."""
+    import io
+    import struct
+    import wave
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0)
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 10
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 1080, 1920) + b"\x00" * 10
+        + b"\xff\xd9"
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x00" * 2 * 16000)  # 1 s of silence
+    wav = buf.getvalue()
+
+    imgs = spark.createDataFrame(
+        [(1, png), (2, gif), (3, bmp), (4, jpeg)], ["media_id", "blob"]
+    )
+    media = multimodal.attach_media_metadata(imgs, "media_id", "blob", "image")
+    feats = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert (feats["1"].width, feats["1"].height, feats["1"].decode_ok) == (640, 480, "ok")
+    assert (feats["2"].width, feats["2"].height, feats["2"].codec) == (320, 200, "gif")
+    assert (feats["3"].width, feats["3"].height) == (100, 50)  # abs(negative h)
+    assert (feats["4"].width, feats["4"].height, feats["4"].codec) == (1920, 1080, "jpeg")
+
+    snd = spark.createDataFrame([(9, wav)], ["media_id", "blob"])
+    audio = multimodal.attach_media_metadata(snd, "media_id", "blob", "audio")
+    a = multimodal.extract_features(audio).collect()[0]
+    assert a.decode_ok == "ok"
+    assert a.sample_rate == 16000 and a.channels == 2
+    assert 990 <= a.duration_ms <= 1010
+
+
+def test_multimodal_chunk_roundtrip(spark):
+    """chunk_payload → assemble_chunks reproduces payloads byte-exactly
+    (the >2 GB layout, exercised with small chunks); external_reference
+    rows carry URI + byte-range with NULL inline payload."""
+    import hashlib
+
+    rows = [(i, bytes(range(256)) * (3 + i)) for i in range(4)]
+    df = spark.createDataFrame(rows, ["media_id", "blob"])
+    chunks = multimodal.chunk_payload(df, "media_id", "blob", chunk_bytes=100)
+    assert chunks.filter("chunk_idx >= n_chunks").count() == 0
+    back = {
+        r.media_id: r.payload
+        for r in multimodal.assemble_chunks(chunks).collect()
+    }
+    for mid, blob in rows:
+        assert hashlib.md5(back[str(mid)]).digest() == hashlib.md5(blob).digest()
+
+    ext = multimodal.external_reference(
+        spark.createDataFrame(
+            [(7, "s3://bucket/video.mp4", 1024, 99)],
+            ["media_id", "uri", "off", "ln"],
+        ),
+        "media_id", "uri", "video",
+        byte_offset_col="off", byte_len_col="ln", mime="video/mp4",
+    )
+    r = ext.collect()[0]
+    assert r.payload is None
+    assert (r.storage_uri, r.byte_offset, r.byte_len) == ("s3://bucket/video.mp4", 1024, 99)
+    assert [f.name for f in ext.schema.fields] == [
+        f.name for f in multimodal.MEDIA_SCHEMA.fields
+    ]
