@@ -26,11 +26,14 @@ from mallarddv_spark.exceptions import (
     DVMetadataError,
     DVSQLError,
 )
+from mallarddv_spark.logging_utils import configure_logging, get_logger
 from mallarddv_spark.session import get_spark
 
 __all__ = [
     "MallardSparkVault",
     "get_spark",
+    "configure_logging",
+    "get_logger",
     "DVException",
     "DVSQLError",
     "DVMetadataError",

@@ -35,9 +35,13 @@ from datetime import datetime, timezone
 from pyspark.sql import SparkSession
 
 from mallarddv_spark.flow import runinfo
+from mallarddv_spark.logging_utils import get_logger
 from mallarddv_spark.operators import hashview, hub, link, satellite
 from mallarddv_spark.plans.model import MetadataCache
 from mallarddv_spark.sources import readers
+
+
+log = get_logger("flow")
 
 
 class FlowExecutor:
@@ -77,6 +81,7 @@ class FlowExecutor:
     ) -> list[tuple[str, str]]:
         spark = self.spark
         errors: list[tuple[str, str]] = []
+        log.info("flow start: %s (source=%s, file=%s)", source_table, record_source, file_path)
 
         # 1-2. idempotence probe + run-id allocation (one ledger scan)
         try:
@@ -87,6 +92,7 @@ class FlowExecutor:
                 file_path if (file_path and not force_load) else None,
             )
             if ingested:
+                log.info("%s already ingested for %s — skipping", file_path, source_table)
                 if verbose:
                     print(f"{file_path} already ingested for {source_table}")
                 return errors
@@ -186,6 +192,10 @@ class FlowExecutor:
     def _end(self, source_table, run_id, file_path, errors) -> None:
         """Write the flow's ledger rows — 'start' + final status — in one
         append (see module docstring for the crash-semantics note)."""
+        if errors:
+            log.error("flow failed: %s run=%s errors=%s", source_table, run_id, errors)
+        else:
+            log.info("flow success: %s run=%s", source_table, run_id)
         message = ""
         if errors:
             message = f"{len(errors)} errors occurred: {errors[0][1]}"

@@ -43,7 +43,10 @@ from datetime import datetime
 from pyspark.sql import SparkSession, functions as F
 
 from mallarddv_spark.flow import runinfo
+from mallarddv_spark.logging_utils import get_logger
 from mallarddv_spark.functions.hashing import quote_ident
+
+log = get_logger("recovery")
 
 #: DV table-name prefixes whose rows carry run_id audit columns
 _DV_PREFIXES = ("hub_", "link_", "nhl_", "hsat_", "lsat_")
@@ -123,6 +126,7 @@ def rollback_runs(
         spark.sql(f"DROP TABLE {fqn}")
         spark.sql(f"ALTER TABLE {rb} RENAME TO {fqn}")
         removed[t] = n_bad
+        log.warning("rolled back %d rows from %s", n_bad, fqn)
         if t.startswith(("hsat_", "lsat_")):
             affected_sats.append(t)
 

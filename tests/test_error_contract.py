@@ -145,3 +145,27 @@ def test_sql_positional_params_and_dvsqlerror(spark):
         v.sql("SELECT * FROM no_such_table_xyz")
     assert ei.value.sql == "SELECT * FROM no_such_table_xyz"
     assert ei.value.original_error is not None
+
+
+def test_logging_parity():
+    """configure_logging mirrors the reference utils/logging.py contract:
+    level, handler replacement, timestamped formatter, optional file."""
+    import logging
+    import tempfile
+
+    from mallarddv_spark import configure_logging, get_logger
+
+    lg = configure_logging(logging.DEBUG)
+    assert lg.name == "mallarddv_spark"
+    assert lg.level == logging.DEBUG
+    n1 = len(lg.handlers)
+    configure_logging(logging.INFO)
+    assert len(lg.handlers) == n1  # replaced, not stacked
+    with tempfile.NamedTemporaryFile(suffix=".log", delete=False) as f:
+        path = f.name
+    configure_logging(logging.INFO, log_file=path)
+    get_logger("flow").info("hello-ledger")
+    for h in lg.handlers:
+        h.flush()
+    assert "hello-ledger" in open(path).read()
+    configure_logging(logging.WARNING)  # reset for other tests
