@@ -541,6 +541,41 @@ GROUP BY 1, 2
 """
 
 
+def q_events_purchase_attribution(spark, sf):
+    """Interval-join attribution (the stream-stream join's batch twin —
+    mallarddv_spark.streaming.joins.purchase_attribution runs this exact
+    plan shape with watermarked state on streams): every (purchase, prior
+    click within 1 hour) pair per user with click-to-purchase latency."""
+    from mallarddv_spark.streaming.joins import purchase_attribution
+
+    e = _t(spark, sf, "events")
+    out = purchase_attribution(e, lookback="1 hour")
+    return out.withColumn(
+        "latency_sec",
+        F.floor(
+            F.col("purchase_ts").cast("double") - F.col("click_ts").cast("double")
+        ).cast("long"),
+    )
+
+
+O_EVENTS_ATTR = """
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_id, user_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts,
+       cast(floor(epoch(p.purchase_ts) - epoch(c.click_ts)) as bigint) AS latency_sec
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+ AND c.click_ts <= p.purchase_ts
+"""
+
+
 def q_events_sessionization(spark, sf):
     """Gaps-and-islands sessionization: a >30-minute silence starts a new
     session (lag window + running flag sum)."""
@@ -1071,6 +1106,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q10": (q_tpch_q10, O_TPCH_Q10),
     "events_hourly_agg": (q_events_hourly_agg, O_EVENTS_HOURLY),
     "events_sessionization": (q_events_sessionization, O_EVENTS_SESSION),
+    "events_purchase_attribution": (q_events_purchase_attribution, O_EVENTS_ATTR),
     "events_props_extract": (q_events_props_extract, O_EVENTS_PROPS),
     # LLM-pipeline extensions
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),

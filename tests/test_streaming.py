@@ -97,3 +97,47 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.table("deduped_events")
     assert got.count() == events.count()  # replays dropped
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (purchase attribution) must
+    emit exactly the batch twin's pairs — including pairs whose click and
+    purchase arrive in different micro-batches (buffered join state). The
+    test watermark is generous so no state is evicted before pairing."""
+    from mallarddv_spark.streaming.joins import purchase_attribution
+
+    events = read_events(spark, SF).filter("user_id < 30").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    src = str(tmp_path / "attr_src")
+    # time-split micro-batches so click→purchase pairs straddle the boundary
+    cut = "2024-01-16 00:00:00"
+    events.filter(f"ts < timestamp'{cut}'").coalesce(1).write.parquet(f"{src}/b0")
+    events.filter(f"ts >= timestamp'{cut}'").coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        purchase_attribution(stream, lookback="1 hour", watermark="100 hours")
+        .writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.purchase_id, r.click_id, r.latency_sec)
+        for r in spark.table("attributed").collect()
+    }
+    expected = {
+        (r.purchase_id, r.click_id, r.latency_sec)
+        for r in purchase_attribution(events, lookback="1 hour").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
