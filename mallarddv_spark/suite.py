@@ -666,6 +666,42 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_cluster_assign(spark, sf):
+    """Distributed connected components over a duplicate-pair list →
+    per-document cluster verdicts (the step that turns near-dup PAIRS into
+    actual dedup decisions). Pairs here are CONSECUTIVE links within each
+    exact-duplicate group (a path graph, so the component must be
+    recovered by iterative label propagation + pointer jumping, not a
+    single join) — which makes the result exactly predictable in SQL:
+    cluster_id = min doc_id per content fingerprint."""
+    from mallarddv_spark.operators.graph import dedup_assign
+
+    d = _t(spark, sf, "documents")
+    grp = (
+        d.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = grp.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ids)-2), "
+                "i -> struct(ids[i] AS doc_a, ids[i+1] AS doc_b))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return dedup_assign(d, "doc_id", pairs)
+
+
+O_DEDUP_CLUSTER = """
+SELECT doc_id AS id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+FROM documents
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     """Near-dup detection via word-3-gram Jaccard: candidates from grouping
     by shingle + JVM-side pair explosion (no exploded self-join, no O(n²)
@@ -1111,6 +1147,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # LLM-pipeline extensions
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_DEDUP_NGRAM),
+    "dedup_cluster_assign": (q_dedup_cluster_assign, O_DEDUP_CLUSTER),
     "dedup_minhash_sig": (q_dedup_minhash_sig, O_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "text_token_count": (q_text_token_count, O_TEXT_TOKENS),
