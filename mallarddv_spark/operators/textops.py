@@ -155,3 +155,82 @@ def text_profile(
         normalized_fingerprint(text_col).alias("norm_fp"),
         F.md5(F.concat_ws(" ", F.sort_array(toks))).alias("sorted_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rule-based quality filtering (C4 / Gopher-style published heuristics)
+# ---------------------------------------------------------------------------
+
+#: default filter rules, following the published C4 (Raffel et al. 2020)
+#: and Gopher (Rae et al. 2021) corpus heuristics — thresholds are the
+#: commonly cited ones; tune per corpus.
+DEFAULT_QUALITY_RULES = {
+    "min_tokens": 50,
+    "max_tokens": 100_000,
+    "min_mean_token_len": 3.0,
+    "max_mean_token_len": 10.0,
+    "min_alpha_ratio": 0.6,
+    "min_stopword_ratio": 0.01,
+    "max_dup_token_ratio": 0.6,
+}
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    rules: dict | None = None,
+    lang: str = "en",
+) -> DataFrame:
+    """Keep/drop verdict per document with machine-readable reasons.
+
+    Adds ``qf_keep`` (boolean) and ``qf_reasons`` (array<string> of failed
+    rule names, empty when kept). One projection, whole-stage-codegen'd —
+    every rule is a Column expression over the same tokenization, so the
+    100 TB pass stays a single scan with no shuffle.
+
+    Rules (all optional, ``None`` disables):
+    ``min_tokens``/``max_tokens`` — document length bounds (Gopher);
+    ``min_mean_token_len``/``max_mean_token_len`` — mean word length
+    window (Gopher 3-10); ``min_alpha_ratio`` — symbol/garbage cut;
+    ``min_stopword_ratio`` — fluency proxy (Gopher's stop-word rule);
+    ``max_dup_token_ratio`` — repetition cut: 1 - unique/total tokens.
+    """
+    r = {**DEFAULT_QUALITY_RULES, **(rules or {})}
+    t = F.col(text_col)
+    checks: list[tuple[str, Column]] = []
+    if r.get("min_tokens") is not None:
+        checks.append(("min_tokens", token_count(t) >= r["min_tokens"]))
+    if r.get("max_tokens") is not None:
+        checks.append(("max_tokens", token_count(t) <= r["max_tokens"]))
+    if r.get("min_mean_token_len") is not None:
+        checks.append(
+            ("min_mean_token_len", mean_token_length(t) >= r["min_mean_token_len"])
+        )
+    if r.get("max_mean_token_len") is not None:
+        checks.append(
+            ("max_mean_token_len", mean_token_length(t) <= r["max_mean_token_len"])
+        )
+    if r.get("min_alpha_ratio") is not None:
+        checks.append(("min_alpha_ratio", alpha_ratio(t) >= r["min_alpha_ratio"]))
+    if r.get("min_stopword_ratio") is not None:
+        checks.append(
+            ("min_stopword_ratio", stopword_ratio(t, lang) >= r["min_stopword_ratio"])
+        )
+    if r.get("max_dup_token_ratio") is not None:
+        dup_ratio = F.round(
+            1 - unique_token_count(t) / token_count(t), 6
+        )
+        checks.append(("max_dup_token_ratio", dup_ratio <= r["max_dup_token_ratio"]))
+
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(~ok, F.lit(name)).otherwise(F.lit(None))
+                for name, ok in checks
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.withColumn("qf_reasons", reasons).withColumn(
+        "qf_keep", F.size("qf_reasons") == 0
+    )

@@ -666,6 +666,59 @@ FROM documents GROUP BY 1
 """
 
 
+def q_text_quality_filter(spark, sf):
+    """C4/Gopher-style rule-based quality filtering: keep/drop verdict per
+    document with machine-readable failed-rule reasons, all in one
+    whole-stage-codegen projection (no shuffle). Reasons emitted as a CSV
+    string (array columns are not canonicalizable by the driver gate)."""
+    from mallarddv_spark.operators.textops import quality_filter
+
+    d = _t(spark, sf, "documents")
+    out = quality_filter(d, "text", rules={"min_tokens": 30})
+    return out.select(
+        "doc_id",
+        "qf_keep",
+        F.size("qf_reasons").cast("bigint").alias("n_reasons"),
+        F.concat_ws(",", "qf_reasons").alias("reasons_csv"),
+    )
+
+
+O_TEXT_QF = r"""
+WITH m AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS toks,
+           len(list_distinct(string_split_regex(trim(text), '\s+'))) AS utoks,
+           round(len(regexp_replace(text, '\s+', '', 'g'))
+                 / len(string_split_regex(trim(text), '\s+')), 6) AS mtl,
+           round(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 / len(text), 6) AS alpha,
+           round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> list_contains(['the','and','of','a','to','in','is','it'], x)))
+                 / len(string_split_regex(trim(text), '\s+')), 6) AS swr
+    FROM documents
+),
+r AS (
+    SELECT doc_id,
+           list_filter([
+               CASE WHEN NOT (toks >= 30) THEN 'min_tokens' END,
+               CASE WHEN NOT (toks <= 100000) THEN 'max_tokens' END,
+               CASE WHEN NOT (mtl >= 3.0) THEN 'min_mean_token_len' END,
+               CASE WHEN NOT (mtl <= 10.0) THEN 'max_mean_token_len' END,
+               CASE WHEN NOT (alpha >= 0.6) THEN 'min_alpha_ratio' END,
+               CASE WHEN NOT (swr >= 0.01) THEN 'min_stopword_ratio' END,
+               CASE WHEN NOT (round(1 - utoks / toks, 6) <= 0.6)
+                    THEN 'max_dup_token_ratio' END
+           ], x -> x IS NOT NULL) AS reasons
+    FROM m
+)
+SELECT doc_id,
+       len(reasons) = 0 AS qf_keep,
+       len(reasons) AS n_reasons,
+       coalesce(array_to_string(reasons, ','), '') AS reasons_csv
+FROM r
+"""
+
+
 def q_dedup_cluster_assign(spark, sf):
     """Distributed connected components over a duplicate-pair list →
     per-document cluster verdicts (the step that turns near-dup PAIRS into
@@ -1148,6 +1201,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_DEDUP_NGRAM),
     "dedup_cluster_assign": (q_dedup_cluster_assign, O_DEDUP_CLUSTER),
+    "text_quality_filter": (q_text_quality_filter, O_TEXT_QF),
     "dedup_minhash_sig": (q_dedup_minhash_sig, O_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "text_token_count": (q_text_token_count, O_TEXT_TOKENS),

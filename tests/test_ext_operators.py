@@ -349,3 +349,42 @@ def test_multimodal_chunk_roundtrip(spark):
     assert [f.name for f in ext.schema.fields] == [
         f.name for f in multimodal.MEDIA_SCHEMA.fields
     ]
+
+
+def test_quality_filter_rules(spark):
+    """Each C4/Gopher rule fires on a crafted violator and the clean doc
+    passes; reasons are machine-readable rule names."""
+    from mallarddv_spark.operators.textops import quality_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and runs into the "
+            "field where it finds a warm place to rest for the night "
+            "before another day of chasing things it likes ") * 2
+    rows = [
+        (1, good),
+        (2, "too short"),                                  # min_tokens
+        (3, " ".join(["a"] * 60)),                         # min_mean_token_len (+dup)
+        (4, " ".join(["supercalifragilistic" * 3] * 60)),  # max_mean_token_len
+        (5, " ".join(["1234%$#@"] * 60)),                  # min_alpha_ratio
+        (6, " ".join(["repeat"] * 60)),                    # max_dup_token_ratio
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.qf_keep, set(r.qf_reasons))
+        for r in quality_filter(df, "text", rules={"min_tokens": 30}).collect()
+    }
+    assert out[1] == (True, set())
+    assert out[2][0] is False and "min_tokens" in out[2][1]
+    assert "min_mean_token_len" in out[3][1]
+    assert "max_mean_token_len" in out[4][1]
+    assert "min_alpha_ratio" in out[5][1]
+    assert "max_dup_token_ratio" in out[6][1]
+    # disabling a rule removes its reason
+    relaxed = {
+        r.doc_id: r.qf_keep
+        for r in quality_filter(
+            df, "text",
+            rules={"min_tokens": None, "min_stopword_ratio": None,
+                   "min_mean_token_len": None, "max_dup_token_ratio": None},
+        ).collect()
+    }
+    assert relaxed[2] is True
