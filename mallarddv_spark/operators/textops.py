@@ -234,3 +234,64 @@ def quality_filter(
     return df.withColumn("qf_reasons", reasons).withColumn(
         "qf_keep", F.size("qf_reasons") == 0
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_budget: int = 2048,
+    n_shards: int | None = None,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Assign documents to training-batch bins under a token budget —
+    the "concat-and-chunk" packing used to build fixed-length LM batches.
+
+    Deterministic greedy packing in ``id_col`` order: documents are laid
+    end-to-end and ``bin_id = floor(running_tokens_before / budget)`` —
+    i.e. a document starts a new bin whenever the budget boundary was
+    crossed. Oversized documents (> budget) occupy their own bin span.
+    Returns (id, n_tokens, shard_id, bin_id, bin_offset).
+
+    Scale shape: a single global running sum would serialize on one
+    partition, so documents are first hashed into ``n_shards`` independent
+    shards (default: the session's shuffle parallelism) and packed per
+    shard — bins are (shard_id, bin_id) pairs, each shard's window runs in
+    parallel, and determinism is preserved because the shard hash and the
+    in-shard order are both functions of ``id_col``. Pass ``shard_col`` to
+    override the shard assignment (e.g. modulo on a numeric id, or a
+    date/source column to keep bins homogeneous).
+    """
+    spark = df.sparkSession
+    if n_shards is None:
+        n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        (
+            shard_col
+            if shard_col is not None
+            else F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+        )
+        .cast("int")
+        .alias("shard_id"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn(
+            "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "shard_id",
+            F.floor(F.col("tokens_before") / token_budget).cast("bigint").alias("bin_id"),
+            (F.col("tokens_before") % token_budget).cast("bigint").alias("bin_offset"),
+        )
+    )

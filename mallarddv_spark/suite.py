@@ -666,6 +666,44 @@ FROM documents GROUP BY 1
 """
 
 
+def q_text_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing: deterministic greedy assignment
+    of documents to fixed-token-budget training bins, sharded for
+    parallelism (per-shard running-sum window — no global serialization).
+    4 modulo shards here so DuckDB can predict shard ids (the default
+    xxhash64 sharding has no DuckDB twin); production uses hash sharding
+    with one shard per shuffle partition."""
+    from mallarddv_spark.operators.textops import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    return pack_sequences(
+        d, "doc_id", "text", token_budget=2048, n_shards=4,
+        shard_col=F.pmod("doc_id", F.lit(4)),
+    )
+
+
+O_TEXT_PACK = r"""
+WITH base AS (
+    SELECT doc_id AS id,
+           cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS n_tokens,
+           cast(doc_id % 4 as int) AS shard_id
+    FROM documents
+),
+run AS (
+    SELECT *,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard_id ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+    FROM base
+)
+SELECT id, n_tokens, shard_id,
+       cast(floor(tokens_before / 2048) as bigint) AS bin_id,
+       cast(tokens_before % 2048 as bigint) AS bin_offset
+FROM run
+"""
+
+
 def q_text_quality_filter(spark, sf):
     """C4/Gopher-style rule-based quality filtering: keep/drop verdict per
     document with machine-readable failed-rule reasons, all in one
@@ -1202,6 +1240,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_DEDUP_NGRAM),
     "dedup_cluster_assign": (q_dedup_cluster_assign, O_DEDUP_CLUSTER),
     "text_quality_filter": (q_text_quality_filter, O_TEXT_QF),
+    "text_pack_sequences": (q_text_pack_sequences, O_TEXT_PACK),
     "dedup_minhash_sig": (q_dedup_minhash_sig, O_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "text_token_count": (q_text_token_count, O_TEXT_TOKENS),

@@ -388,3 +388,31 @@ def test_quality_filter_rules(spark):
         ).collect()
     }
     assert relaxed[2] is True
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: offsets are the running token sum mod budget, a
+    bin advances exactly when the boundary was crossed, and every document
+    appears exactly once."""
+    from mallarddv_spark.operators.textops import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * n)) for i, n in
+            enumerate([100, 900, 600, 2500, 10, 10, 2048, 1])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(
+        (r.id, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in pack_sequences(
+            df, "doc_id", "text", token_budget=1000, n_shards=1,
+            shard_col=__import__("pyspark.sql.functions", fromlist=["lit"]).lit(0),
+        ).collect()
+    )
+    assert len(out) == len(rows)
+    running = 0
+    for (doc, n, bin_id, off) in out:
+        assert bin_id == running // 1000
+        assert off == running % 1000
+        running += n
+    # default hash sharding still covers every doc exactly once
+    hashed = pack_sequences(df, "doc_id", "text", token_budget=1000, n_shards=4)
+    assert hashed.count() == len(rows)
+    assert hashed.select("id").distinct().count() == len(rows)
