@@ -1,0 +1,286 @@
+"""Corpus-curation operators for LLM training-data pipelines: benchmark
+decontamination, PII scanning/redaction, deterministic splits, stratified
+sampling, vocabulary building, and corpus-frequency rarity scoring.
+
+These complement the per-document metrics in ``textops.py`` with the
+corpus-level decisions a pipeline makes before training: what leaks the
+eval set, what leaks user data, which split a document lands in, how much
+of each source to keep, and what the token distribution looks like.
+
+Scale notes are inline per operator; the common themes are (a) everything
+stays in whole-stage codegen (no Python UDFs), (b) the only shuffles are
+the aggregations that genuinely need them, and (c) every join against a
+small side (benchmark shingles, vocabulary, threshold tables) is a
+broadcast so the 100 TB corpus side never moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mallarddv_spark.operators.dedup import _shingles
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Flag training documents that share word-``shingle_size``-grams with a
+    benchmark / evaluation set (test-set contamination, the n-gram overlap
+    check popularized by GPT-3's 13-gram rule — Brown et al. 2020).
+
+    Returns one row per training document: ``(doc_id, n_hit_shingles,
+    n_bench_docs, contaminated)`` where ``n_hit_shingles`` counts the
+    distinct training-doc shingles that also occur in the benchmark and
+    ``n_bench_docs`` counts how many distinct benchmark documents share at
+    least one shingle with it.
+
+    Scale shape: the benchmark is small (eval sets are thousands of docs,
+    not billions), so its shingle set is broadcast and the 100 TB training
+    side is a scan → explode → broadcast-join → groupBy(doc) — exactly one
+    shuffle, on the training doc id. The training corpus never joins
+    itself and the benchmark never shuffles.
+    """
+    bid = bench_id_col or id_col
+    btxt = bench_text_col or text_col
+    tr = _shingles(train, id_col, text_col, shingle_size)
+    be = (
+        _shingles(benchmark, bid, btxt, shingle_size)
+        .withColumnRenamed("doc_id", "bench_id")
+        .distinct()
+    )
+    hits = (
+        tr.join(F.broadcast(be), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+    ids = train.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_shingles", F.lit(0)).alias("n_hit_shingles"),
+            F.coalesce("n_bench_docs", F.lit(0)).alias("n_bench_docs"),
+            (F.coalesce("n_hit_shingles", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scanning / redaction
+# ---------------------------------------------------------------------------
+
+#: detection patterns — deliberately restricted to regex constructs with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+#: char classes, bounded repetition, \b word boundaries, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str, kinds: list[str] | None = None) -> DataFrame:
+    """Per-document PII match counts: adds ``pii_n_<kind>`` int columns and
+    ``pii_total``. Pure projection (regexp_count per pattern), zero shuffle
+    — the whole 100 TB pass is one codegen'd scan.
+    """
+    ks = kinds or list(PII_PATTERNS)
+    out = df
+    for k in ks:
+        out = out.withColumn(
+            f"pii_n_{k}", F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k]))
+        )
+    total = sum((F.col(f"pii_n_{k}") for k in ks[1:]), F.col(f"pii_n_{ks[0]}"))
+    return out.withColumn("pii_total", total)
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str,
+    kinds: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace every PII match with ``[<KIND>]`` tokens. Patterns apply in
+    ``kinds`` order (ssn before phone matters: both are digit runs).
+    Projection-only like :func:`pii_scan`.
+    """
+    ks = kinds or list(PII_PATTERNS)
+    red: Column = F.col(text_col)
+    for k in ks:
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
+    return df.withColumn(out_col or f"{text_col}_redacted", red)
+
+
+# ---------------------------------------------------------------------------
+# deterministic splits & stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def hex_bucket(id_col: Column | str, salt: str, nchars: int = 4) -> Column:
+    """Deterministic [0,16^nchars) bucket as a lowercase hex string:
+    ``substr(md5(salt || id), 1, nchars)``. Hex-string buckets compare
+    lexicographically identically everywhere (Spark, DuckDB, Python), so
+    split thresholds are portable constants — no bigint conversions, no
+    engine-specific hash. Changing ``salt`` re-rolls every assignment.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, nchars)
+
+
+def _hex_bound(fraction: float, nchars: int) -> str:
+    """Upper bound for a [0,1] fraction as a comparable hex string. A full
+    16^nchars bound would be one char longer and sort BEFORE e.g. 'ffff'
+    lexicographically, so saturation maps to 'g' (> every hex string)."""
+    space = 16**nchars
+    bound = int(round(fraction * space))
+    return "g" if bound >= space else format(bound, f"0{nchars}x")
+
+
+def _hex_thresholds(weights: dict[str, float], nchars: int) -> list[tuple[str, str]]:
+    """Cumulative upper bounds per split name, as zero-padded hex strings."""
+    total = sum(weights.values())
+    acc = 0.0
+    out: list[tuple[str, str]] = []
+    for name, w in weights.items():
+        acc += w / total
+        out.append((name, _hex_bound(acc, nchars)))
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    nchars: int = 4,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id.
+
+    Adds ``split`` (string) and ``split_bucket`` (hex string). Assignment
+    is a pure function of (salt, id): stable across runs, engines, and
+    re-partitioning, so a document never migrates between splits when the
+    corpus grows — the property random sampling loses. Projection-only,
+    no shuffle; at 100 TB this is a free column on any existing scan.
+    """
+    w = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = hex_bucket(id_col, salt, nchars)
+    names = _hex_thresholds(w, nchars)
+    expr: Column = F.lit(names[-1][0])
+    for name, bound in reversed(names[:-1]):
+        expr = F.when(b < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split_bucket", b).withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    salt: str = "sample-v1",
+    nchars: int = 4,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the "domain mixing" step
+    that rebalances source proportions (e.g. keep 100% of books, 25% of
+    web crawl). Keeps a row iff its hex bucket falls under the stratum's
+    rate threshold; a pure filter, reproducible, and stable under corpus
+    growth. Rates are applied via a broadcastable CASE chain (strata
+    counts are small), so the 100 TB side is scan+filter with no shuffle.
+    """
+    b = hex_bucket(id_col, salt, nchars)
+    thr: Column = F.lit(_hex_bound(default_rate, nchars))
+    for name, rate in rates.items():
+        thr = F.when(
+            F.col(stratum_col) == name, F.lit(_hex_bound(rate, nchars))
+        ).otherwise(thr)
+    return df.withColumn("sample_bucket", b).filter(F.col("sample_bucket") < thr)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary & corpus-frequency scoring
+# ---------------------------------------------------------------------------
+
+
+def vocabulary(df: DataFrame, text_col: str, min_df: int = 1) -> DataFrame:
+    """Corpus vocabulary with term frequency and document frequency:
+    ``(word, tf, df)``. One explode + one groupBy(word) — the single
+    shuffle is on the word key; partial aggregation (map-side combine)
+    collapses each partition's counts before the exchange, so shuffle
+    volume is |vocab| per partition, not |tokens|.
+    """
+    toks = F.split(F.trim(text_col), r"\s+")
+    w = df.select(F.explode(toks).alias("word")).filter(F.col("word") != "")
+    agg = w.groupBy("word").agg(F.count("*").alias("tf"))
+    d = (
+        df.select(F.explode(F.array_distinct(toks)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    out = agg.join(d, "word")
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    return out
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
+    """Top-``k`` vocabulary by term frequency (ties broken by word, so the
+    result is deterministic). The rank is a single-partition window over
+    the *aggregated* vocabulary — |vocab| rows, not |corpus| rows — which
+    is the standard safe shape: aggregate first, then rank the small
+    result. For k·strata rankings partition the window by stratum.
+    """
+    from pyspark.sql import Window
+
+    v = vocabulary(df, text_col)
+    w = Window.orderBy(F.desc("tf"), F.asc("word"))
+    return (
+        v.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "word", "tf", "df")
+    )
+
+
+def doc_rarity(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame | None = None
+) -> DataFrame:
+    """Per-document corpus-frequency statistics — a deterministic,
+    integer-exact stand-in for LM perplexity filtering: documents whose
+    tokens are globally rare (low ``mean_tf``) are misspellings/garbage;
+    absurdly common-token docs are boilerplate.
+
+    Returns ``(doc_id, n_tokens, sum_tf, mean_tf)`` where ``sum_tf`` sums
+    each token's corpus term frequency (bigint — exact, so results are
+    hash-stable across engines; no floating-point log-prob accumulation).
+
+    Scale shape: two passes over the corpus (build vocab, score docs) and
+    the vocabulary joins back via broadcast when it fits (natural-language
+    vocabularies are ~10^6 words — megabytes), so scoring adds no shuffle
+    beyond the per-doc groupBy.
+    """
+    v = vocab if vocab is not None else vocabulary(df, text_col)
+    toks = F.split(F.trim(text_col), r"\s+")
+    exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("word"))
+    return (
+        exploded.join(F.broadcast(v.select("word", "tf")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("tf").cast("bigint").alias("sum_tf"),
+        )
+        .withColumn("mean_tf", F.round(F.col("sum_tf") / F.col("n_tokens"), 6))
+    )

@@ -2110,3 +2110,244 @@ GROUP BY user_id
 """
 
 REGISTRY["sql_json_extract"] = (q_sql_json_extract, O_SQL_JSON)
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: decontamination, PII, splits, sampling, vocabulary
+# ---------------------------------------------------------------------------
+
+
+def q_text_decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3-style n-gram overlap): every 50th
+    document plays the eval set; training docs are flagged when they share
+    any word-5-gram with it. Benchmark shingles broadcast; one shuffle."""
+    from mallarddv_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.pmod("doc_id", F.lit(50)) == 0)
+    train = d.filter(F.pmod("doc_id", F.lit(50)) != 0)
+    return decontaminate(train, bench, "doc_id", "text", shingle_size=5)
+
+
+O_TEXT_DECON = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                           || t[i+3] || ' ' || t[i+4])) AS shingle
+        FROM toks WHERE len(t) >= 5
+    ) s
+),
+be AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+hits AS (
+    SELECT tr.doc_id,
+           count(DISTINCT tr.shingle) AS n_hit_shingles,
+           count(DISTINCT be.bench_id) AS n_bench_docs
+    FROM tr JOIN be USING (shingle)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_hit_shingles, 0) AS n_hit_shingles,
+       coalesce(n_bench_docs, 0) AS n_bench_docs,
+       coalesce(n_hit_shingles, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN hits USING (doc_id)
+"""
+
+
+def q_text_pii_redact(spark, sf):
+    """PII scan + redaction over synthetic PII appended to each document
+    (the corpus itself is clean, so matches are injected deterministically
+    from doc_id). Counts per kind + fingerprint of the redacted text; all
+    regexp projections, zero shuffle."""
+    from mallarddv_spark.operators.curation import pii_redact, pii_scan
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            F.pmod("doc_id", F.lit(256)).cast("string"),
+            F.lit(".17 ssn 123-45-6789 tel 555-867-5309."),
+        ).alias("text"),
+    )
+    out = pii_redact(pii_scan(injected, "text"), "text")
+    return out.select(
+        "doc_id",
+        F.col("pii_n_email").cast("bigint").alias("pii_n_email"),
+        F.col("pii_n_ipv4").cast("bigint").alias("pii_n_ipv4"),
+        F.col("pii_n_ssn").cast("bigint").alias("pii_n_ssn"),
+        F.col("pii_n_phone").cast("bigint").alias("pii_n_phone"),
+        F.col("pii_total").cast("bigint").alias("pii_total"),
+        F.md5("text_redacted").alias("redacted_fp"),
+        F.length("text_redacted").cast("bigint").alias("redacted_len"),
+    )
+
+
+O_TEXT_PII = r"""
+WITH inj AS (
+    SELECT doc_id,
+           text || ' Contact: user' || cast(doc_id AS varchar)
+                || '@example.com ip 10.0.' || cast(doc_id % 256 AS varchar)
+                || '.17 ssn 123-45-6789 tel 555-867-5309.' AS text
+    FROM documents
+),
+red AS (
+    SELECT doc_id, text,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+             '\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS redacted
+    FROM inj
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS pii_n_email,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_n_ipv4,
+       len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS pii_n_ssn,
+       len(regexp_extract_all(text, '\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS pii_n_phone,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+         + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+         + len(regexp_extract_all(text, '\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS pii_total,
+       md5(redacted) AS redacted_fp,
+       length(redacted) AS redacted_len
+FROM red
+"""
+
+
+def q_text_split_assign(spark, sf):
+    """Deterministic 80/10/10 train/val/test assignment by salted md5
+    bucket — stable across runs/engines/corpus growth, projection-only."""
+    from mallarddv_spark.operators.curation import split_assign
+
+    d = _t(spark, sf, "documents")
+    return split_assign(d, "doc_id").select("doc_id", "split", "split_bucket")
+
+
+O_TEXT_SPLIT = """
+SELECT doc_id,
+       CASE WHEN b < 'cccd' THEN 'train'
+            WHEN b < 'e666' THEN 'val'
+            ELSE 'test' END AS split,
+       b AS split_bucket
+FROM (
+    SELECT doc_id,
+           substr(md5('split-v1' || cast(doc_id AS varchar)), 1, 4) AS b
+    FROM documents
+)
+"""
+
+
+def q_text_stratified_sample(spark, sf):
+    """Domain-mixing downsample: four synthetic domains with per-domain
+    keep rates (100/50/25/12.5%), applied as a deterministic hash filter
+    — reproducible scan+filter, no shuffle, no RNG."""
+    from mallarddv_spark.operators.curation import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    m = F.pmod("doc_id", F.lit(4))
+    dom = (
+        F.when(m == 0, "books")
+        .when(m == 1, "web")
+        .when(m == 2, "code")
+        .otherwise("forums")
+    )
+    rates = {"books": 1.0, "web": 0.5, "code": 0.25, "forums": 0.125}
+    out = stratified_sample(d.withColumn("domain", dom), "domain", rates, "doc_id")
+    return out.select("doc_id", "domain", "sample_bucket")
+
+
+O_TEXT_STRAT = """
+WITH d AS (
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'books' WHEN 1 THEN 'web'
+                WHEN 2 THEN 'code' ELSE 'forums' END AS domain,
+           substr(md5('sample-v1' || cast(doc_id AS varchar)), 1, 4) AS sample_bucket
+    FROM documents
+)
+SELECT doc_id, domain, sample_bucket FROM d
+WHERE sample_bucket < CASE domain WHEN 'books' THEN 'g' WHEN 'web' THEN '8000'
+                                  WHEN 'code' THEN '4000' ELSE '2000' END
+"""
+
+
+def q_text_vocab_topk(spark, sf):
+    """Top-100 vocabulary by term frequency with document frequency —
+    aggregate first (map-side combine), rank the small result."""
+    from mallarddv_spark.operators.curation import vocab_topk
+
+    v = vocab_topk(_t(spark, sf, "documents"), "text", k=100)
+    return v.select(
+        F.col("rank").cast("bigint").alias("rnk"), "word", "tf", "df"
+    )
+
+
+O_TEXT_VOCAB = r"""
+WITH w AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents
+),
+tf AS (SELECT word, count(*) AS tf FROM w WHERE word <> '' GROUP BY 1),
+dw AS (SELECT DISTINCT doc_id, word FROM w WHERE word <> ''),
+dfq AS (SELECT word, count(*) AS df FROM dw GROUP BY 1),
+r AS (
+    SELECT row_number() OVER (ORDER BY tf.tf DESC, tf.word) AS rnk,
+           tf.word, tf.tf, dfq.df
+    FROM tf JOIN dfq USING (word)
+)
+SELECT rnk, word, tf, df FROM r WHERE rnk <= 100
+"""
+
+
+def q_text_rarity_score(spark, sf):
+    """Corpus-frequency rarity scoring (integer-exact perplexity stand-in):
+    per-document sum/mean of each token's corpus term frequency. Vocab is
+    built once and broadcast back; exact bigint sums keep it hash-stable."""
+    from mallarddv_spark.operators.curation import doc_rarity
+
+    out = doc_rarity(_t(spark, sf, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("sum_tf").cast("bigint").alias("sum_tf"),
+        "mean_tf",
+    )
+
+
+O_TEXT_RARITY = r"""
+WITH w AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents
+),
+wf AS (SELECT * FROM w WHERE word <> ''),
+tf AS (SELECT word, count(*) AS tf FROM wf GROUP BY 1),
+j AS (SELECT wf.doc_id, tf.tf FROM wf JOIN tf USING (word))
+SELECT doc_id,
+       count(*) AS n_tokens,
+       cast(sum(tf) AS bigint) AS sum_tf,
+       round(cast(sum(tf) AS double) / count(*), 6) AS mean_tf
+FROM j GROUP BY 1
+"""
+
+REGISTRY.update(
+    {
+        "text_decontaminate": (q_text_decontaminate, O_TEXT_DECON),
+        "text_pii_redact": (q_text_pii_redact, O_TEXT_PII),
+        "text_split_assign": (q_text_split_assign, O_TEXT_SPLIT),
+        "text_stratified_sample": (q_text_stratified_sample, O_TEXT_STRAT),
+        "text_vocab_topk": (q_text_vocab_topk, O_TEXT_VOCAB),
+        "text_rarity_score": (q_text_rarity_score, O_TEXT_RARITY),
+    }
+)

@@ -1,0 +1,159 @@
+"""Unit tests for corpus-curation operators: decontamination, PII
+scan/redact, deterministic splits, stratified sampling, vocabulary, and
+rarity scoring."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from mallarddv_spark.operators.curation import (
+    _hex_bound,
+    decontaminate,
+    doc_rarity,
+    hex_bucket,
+    pii_redact,
+    pii_scan,
+    split_assign,
+    stratified_sample,
+    vocab_topk,
+    vocabulary,
+)
+
+
+def test_hex_bound_saturation_and_ordering():
+    # rate 1.0 must sort AFTER every hex bucket (plain 0x10000 would not)
+    assert _hex_bound(1.0, 4) == "g"
+    assert "ffff" < _hex_bound(1.0, 4)
+    assert _hex_bound(0.0, 4) == "0000"
+    assert _hex_bound(0.5, 4) == "8000"
+    # monotone in the rate
+    bounds = [_hex_bound(r / 10, 4) for r in range(11)]
+    assert bounds == sorted(bounds)
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = split_assign(df, "doc_id").groupBy("split").count().collect()
+    b = split_assign(df, "doc_id").groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # stable
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert 0.05 < counts["val"] / 2000 < 0.15
+    # growing the corpus never reassigns an existing id
+    small = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            spark.range(0, 500).withColumnRenamed("id", "doc_id"), "doc_id"
+        ).collect()
+    }
+    big = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df, "doc_id").collect()
+    }
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_split_salt_rerolls(spark):
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df, "doc_id", salt="split-v2").collect()
+    }
+    assert a != b
+
+
+def test_stratified_sample_rates(spark):
+    df = (
+        spark.range(0, 4000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "dom", F.when(F.col("doc_id") % 2 == 0, "keepall").otherwise("half")
+        )
+    )
+    out = stratified_sample(df, "dom", {"keepall": 1.0, "half": 0.5}, "doc_id")
+    counts = {r["dom"]: r["count"] for r in out.groupBy("dom").count().collect()}
+    assert counts["keepall"] == 2000  # rate 1.0 must keep EVERY row
+    assert 800 < counts["half"] < 1200
+    # default rate drops unknown strata entirely
+    out2 = stratified_sample(df, "dom", {"keepall": 1.0}, "doc_id")
+    assert out2.filter(F.col("dom") == "half").count() == 0
+
+
+def test_pii_scan_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="mail a.b+c@x-corp.io or 10.1.2.3 ssn 123-45-6789"),
+            Row(id=2, text="call 555-867-5309 x 555.867.5309"),
+            Row(id=3, text="clean text, no pii at all; v1.2 build 1.2.3"),
+        ]
+    )
+    out = pii_redact(pii_scan(df, "text"), "text").orderBy("id").collect()
+    assert (out[0]["pii_n_email"], out[0]["pii_n_ipv4"], out[0]["pii_n_ssn"]) == (1, 1, 1)
+    assert "[EMAIL]" in out[0]["text_redacted"]
+    assert "[IPV4]" in out[0]["text_redacted"]
+    assert "[SSN]" in out[0]["text_redacted"]
+    assert "123-45-6789" not in out[0]["text_redacted"]
+    assert out[1]["pii_n_phone"] == 2
+    assert out[1]["text_redacted"].count("[PHONE]") == 2
+    assert out[2]["pii_total"] == 0
+    assert out[2]["text_redacted"] == out[2]["text"]
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
+    )
+    train = spark.createDataFrame(
+        [
+            # contains "the quick brown fox jumps" 5-gram
+            Row(doc_id=1, text="intro the quick brown fox jumps away"),
+            Row(doc_id=2, text="completely unrelated words here nothing shared at all"),
+            Row(doc_id=3, text="short doc"),  # < 5 tokens
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(train, bench, "doc_id", "text", shingle_size=5).collect()
+    }
+    assert len(out) == 3  # every training doc present, hit or not
+    assert out[1]["contaminated"] and out[1]["n_hit_shingles"] >= 1
+    assert out[1]["n_bench_docs"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hit_shingles"] == 0
+    assert not out[3]["contaminated"]
+
+
+def test_vocab_and_rarity(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a b"),
+            Row(doc_id=2, text="a c"),
+        ]
+    )
+    v = {r["word"]: (r["tf"], r["df"]) for r in vocabulary(df, "text").collect()}
+    assert v == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+    top = vocab_topk(df, "text", k=2).orderBy("rank").collect()
+    assert [(r["rank"], r["word"]) for r in top] == [(1, "a"), (2, "b")]
+    r = {x["doc_id"]: x for x in doc_rarity(df, "doc_id", "text").collect()}
+    assert r[1]["n_tokens"] == 3 and r[1]["sum_tf"] == 3 + 3 + 1
+    assert r[2]["n_tokens"] == 2 and r[2]["sum_tf"] == 3 + 1
+    assert r[2]["mean_tf"] == 2.0
+
+
+def test_hex_bucket_engine_portable(spark):
+    """The bucket must equal DuckDB's substr(md5(salt||id),1,4) so split
+    thresholds are portable constants across engines."""
+    import duckdb
+
+    rows = (
+        spark.range(0, 50)
+        .select(hex_bucket(F.col("id"), "s1").alias("b"), "id")
+        .collect()
+    )
+    duck = duckdb.sql(
+        "SELECT substr(md5('s1' || cast(range AS varchar)), 1, 4) AS b, range AS id "
+        "FROM range(0, 50)"
+    ).fetchall()
+    assert sorted((r["id"], r["b"]) for r in rows) == sorted(
+        (i, b) for b, i in duck
+    )
