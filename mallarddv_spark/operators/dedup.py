@@ -240,24 +240,40 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, inter, sz_a, sz_b, jaccard), doc_a < doc_b.
     """
-    sh = _shingles(df, id_col, text_col, shingle_size)
+    # Shingles are hashed to int64 IN the n-gram transform (xxhash64 over
+    # the token triple — no concat string ever built): the groupBy key is
+    # 8 bytes instead of a ~30-byte string and the scan stays one pass.
+    # Distinctness is preserved modulo 64-bit collisions (~1e-8 at 1e6
+    # shingles), so counts match the string-shingle oracle exactly.
+    toks = F.split(F.trim(text_col), r"\s+")
+    args = ", ".join(f"toks[i+{j}]" for j in range(shingle_size))
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= shingle_size)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(toks)-{shingle_size}), "
+                        f"i -> xxhash64({args}))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
     by_sh = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("docs")
     )
     if max_shingle_df:
         by_sh = by_sh.filter(F.size("docs") <= max_shingle_df)
-        # sizes over the capped universe WITHOUT re-aggregating the doc
-        # lists: the over-cap shingle set is tiny (broadcast anti-join)
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        sz_src = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
-    else:
-        sz_src = sh
-    sizes = sz_src.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # set sizes re-derived from the capped aggregation itself (one shingle
+    # scan total; the exchange below it is reused by the pair branch)
+    sizes = (
+        by_sh.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
     # docs is sorted ascending, so nested index slicing yields each
     # unordered pair exactly once with doc_a < doc_b
     pairs = (
@@ -386,6 +402,7 @@ def embedding_neardup_pairs(
     num_bits: int = 16,
     bands: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs of rows whose embeddings have cosine ≥ threshold.
 
@@ -405,7 +422,7 @@ def embedding_neardup_pairs(
     """
     if bucketed:
         return _embedding_neardup_bucketed(
-            df, id_col, vec_col, threshold, num_bits, bands, seed
+            df, id_col, vec_col, threshold, num_bits, bands, seed, dim
         )
     e = df.select(
         F.col(id_col).alias("vid"),
@@ -437,6 +454,7 @@ def _embedding_neardup_bucketed(
     num_bits: int,
     bands: int,
     seed: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed near-dup: band the hyperplane signature, self-join only
     within (band, band_value) buckets, exact cosine rerank on candidates."""
@@ -444,7 +462,7 @@ def _embedding_neardup_bucketed(
 
     band_bits = num_bits // bands
     mask = (1 << band_bits) - 1
-    sigs = hyperplane_signatures(df, id_col, vec_col, num_bits, seed).withColumn(
+    sigs = hyperplane_signatures(df, id_col, vec_col, num_bits, seed, dim=dim).withColumn(
         "norm", F.expr("sqrt(aggregate(v, cast(0.0 as double), (a, x) -> a + x * x))")
     )
     chunks = [

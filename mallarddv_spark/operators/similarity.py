@@ -83,6 +83,12 @@ def hyperplane_signatures(
     higher-order functions — compact codegen regardless of dim × bits
     (an unrolled form is quadratic in expression size and dominates
     compile time).
+
+    Driver-side cost matters here: the matrix is rendered as ONE SQL
+    literal parsed in a single py4j call (building it from dim × bits
+    nested ``F.lit``/``F.array`` calls costs ~1 s of py4j round-trips at
+    32×64), and the ``dim`` probe is a Spark job — callers that know the
+    dimension should pass it.
     """
     import random
 
@@ -94,8 +100,10 @@ def hyperplane_signatures(
         [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
         for _ in range(num_bits)
     ]
-    planes_col = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in planes]
+    planes_col = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{x}D" for x in row) + ")" for row in planes
+        ) + ")"
     )
     e = df.select(
         F.col(id_col).alias("vid"),
@@ -119,6 +127,7 @@ def hyperplane_lsh_topk(
     num_bits: int = 16,
     bands: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 signature band with the query,
     then exact cosine rerank within candidates.
@@ -145,8 +154,10 @@ def hyperplane_lsh_topk(
             F.explode(F.array(*chunks)).alias("c"),
         ).select(out_id, "v", "c.band", "c.bv")
 
-    qs = hyperplane_signatures(queries, id_col, vec_col, num_bits, seed)
-    cs = hyperplane_signatures(corpus, id_col, vec_col, num_bits, seed)
+    if dim is None:
+        dim = int(corpus.select(F.size(vec_col).alias("d")).first().d)
+    qs = hyperplane_signatures(queries, id_col, vec_col, num_bits, seed, dim=dim)
+    cs = hyperplane_signatures(corpus, id_col, vec_col, num_bits, seed, dim=dim)
     qb = banded(qs, "query_id").withColumnRenamed("v", "qv")
     cb = banded(cs, "neighbor_id").withColumnRenamed("v", "cv")
 
@@ -199,8 +210,12 @@ def ivf_topk(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("qv"),
     )
 
+    # random init, not k-means||: the parallel init runs extra distributed
+    # passes whose quality payoff is irrelevant for coarse IVF cells (any
+    # balanced partition works — queries probe nprobe cells regardless),
+    # and a couple of Lloyd iterations on the sample converge the cells.
     km = KMeans(
-        k=n_centroids, seed=seed, maxIter=5,
+        k=n_centroids, seed=seed, maxIter=3, initMode="random",
         featuresCol="feat", predictionCol="centroid_id",
     )
     # Train on a bounded sample (coreset): KMeans quality needs only a few

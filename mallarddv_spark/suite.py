@@ -1271,11 +1271,16 @@ def q_adv_minhash_lsh_pairs(spark, sf):
 
 
 def q_adv_simhash_pairs(spark, sf):
-    """SimHash Hamming-distance pairs via pigeonhole chunk bucketing."""
+    """SimHash Hamming-distance pairs via pigeonhole chunk bucketing, run
+    in the regime the banding guarantee covers: max_hamming = chunks - 1,
+    where candidate recall is EXACT (distance ≤ 3 ⇒ some 16-bit chunk
+    matches). A looser threshold (e.g. 12) is partial-recall by
+    construction and, on this synthetic 31-word-vocabulary corpus, emits
+    ~1M pairs — output volume, not the plan, dominates."""
     from mallarddv_spark.operators import dedup
 
     d = _t(spark, sf, "documents")
-    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=12, chunks=4)
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, chunks=4)
 
 
 def q_adv_similarity_lsh_topk(spark, sf):
@@ -1285,7 +1290,8 @@ def q_adv_similarity_lsh_topk(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     return similarity.hyperplane_lsh_topk(
-        e.filter("vec_id < 10"), e.filter("vec_id >= 10"), k=5, num_bits=32, bands=8
+        e.filter("vec_id < 10"), e.filter("vec_id >= 10"), k=5, num_bits=32,
+        bands=8, dim=64,
     )
 
 
@@ -1302,19 +1308,27 @@ def q_adv_similarity_ivf_topk(spark, sf):
 def q_adv_embedding_neardup_lsh(spark, sf):
     """LSH-bucketed embedding near-dup (the scale path in front of the
     exact O(n²) similarity_pairs): hyperplane-signature band buckets →
-    intra-bucket exact cosine. At the chosen band shape (16 bits, 8 bands
-    of 2) a cosine-0.95 pair is missed with probability < 1e-5
-    (superset-of-exact asserted on planted near-dups in
-    tests/test_ext_operators.py). This query runs 24 bits / 6 bands of 4
-    at threshold 0.35 — the synthetic corpus tops out near cosine 0.48,
-    and recall at such low cosine is partial by LSH construction (~60%),
-    hence rows-only; bucket sizes stay n/16 per band instead of n/4."""
+    intra-bucket exact cosine. The corpus is seeded with deterministic
+    planted near-dups (every 10th vector re-appears lightly perturbed) so
+    the query exercises the regime the operator exists for — cosine ≥ 0.9
+    — where the 32-bit / 4-band shape has high recall (≈0.75 at 0.90,
+    ≈0.97 at 0.98) AND per-band buckets stay ~n/256: candidate volume is
+    ~20× smaller than a coarse 6×4-bit banding, which is exactly the
+    bucket discipline that keeps the rerank linear at 100 TB. Approximate
+    by construction → rows-only."""
     from mallarddv_spark.operators import dedup
 
-    e = _t(spark, sf, "embeddings")
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.pmod("vec_id", F.lit(10)) == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + 0.003 * "
+            "(pmod(vec_id * 31 + i, 7) - 3))"
+        ).alias("embedding"),
+    )
     return dedup.embedding_neardup_pairs(
-        e, "vec_id", "embedding", threshold=0.35,
-        bucketed=True, num_bits=24, bands=6,
+        e.unionByName(planted), "vec_id", "embedding", threshold=0.90,
+        bucketed=True, num_bits=32, bands=4, dim=64,
     )
 
 
