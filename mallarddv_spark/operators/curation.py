@@ -284,3 +284,118 @@ def doc_rarity(
         )
         .withColumn("mean_tf", F.round(F.col("sum_tf") / F.col("n_tokens"), 6))
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing, incremental dedup, BPE-ish tokenization
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    guarantee: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every ``window``-token span, then slide a
+    ``guarantee``-hash window over the hash sequence keeping each window's
+    minimum. The sliding (NOT tumbling) selection is what carries the
+    winnowing guarantee: any run of ``window + guarantee - 1`` tokens
+    shared by two documents yields at least one shared fingerprint,
+    regardless of how the documents' positions align — a tumbling-stripe
+    variant loses this because stripe boundaries differ per document.
+    Expected density is ~2/(guarantee+1) of the hashes.
+
+    Returns distinct ``(doc_id, fp)`` rows — the compact index that gets
+    shuffled/joined downstream; the corpus pass itself is one projection
+    (rolling hash + sliding min as array expressions), scan-only, no
+    shuffle. Hashes are md5 hex (engine-portable, lexicographic min) —
+    swap for xxhash64 when a cross-engine oracle is not needed.
+    """
+    toks = F.split(F.trim(text_col), r"\s+")
+    parts = ", ".join(f"toks[i+{j}]" for j in range(window))
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") >= window
+    )
+    hashes = F.expr(
+        f"transform(sequence(0, size(toks)-{window}), "
+        f"i -> md5(concat_ws(' ', {parts})))"
+    )
+    # sliding-window minima, all array-side; slice() clamps at the array
+    # end and greatest(...) keeps short documents (fewer hashes than the
+    # guarantee) emitting the min of what they have
+    mins = F.expr(
+        f"array_distinct(transform("
+        f"sequence(0, greatest(size(hs) - {guarantee}, 0)), "
+        f"i -> aggregate(slice(hs, i + 1, {guarantee}), cast(null as string), "
+        f"(acc, x) -> CASE WHEN acc IS NULL OR x < acc THEN x ELSE acc END)))"
+    )
+    return (
+        d.withColumn("hs", hashes)
+        .select("doc_id", F.explode(mins).alias("fp"))
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool = False,
+) -> DataFrame:
+    """Dedup a NEW batch against the accumulated corpus — the daily-crawl
+    shape: most duplicates are vs history, not within the batch.
+
+    Returns one row per new-batch document: ``(id, fingerprint, verdict,
+    keep)`` with verdict ∈ ``dup_history`` (content already in the
+    corpus), ``dup_batch`` (another batch doc with the same content has a
+    smaller id), ``new``. ``keep`` marks the canonical survivor (the
+    min-id holder of a never-seen fingerprint).
+
+    Scale shape: history never moves — the batch (small) left-joins the
+    history fingerprint set on the 16-byte md5 key, and AQE broadcasts
+    the batch side where it fits. In-batch dedup is a window over the
+    batch only. History itself is append-only: union the kept rows back
+    in downstream.
+    """
+    from pyspark.sql import Window
+
+    content = F.col(text_col)
+    if normalize:
+        content = F.trim(F.regexp_replace(F.lower(content), r"\s+", " "))
+    fp = F.md5(content)
+    hist = history_df.select(fp.alias("fingerprint")).distinct()
+    batch = new_df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    batch = batch.withColumn("min_id", F.min("id").over(w))
+    joined = batch.join(
+        hist.withColumn("in_hist", F.lit(True)), "fingerprint", "left"
+    )
+    verdict = (
+        F.when(F.col("in_hist").isNotNull(), F.lit("dup_history"))
+        .when(F.col("id") != F.col("min_id"), F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return joined.select(
+        "id",
+        "fingerprint",
+        verdict.alias("verdict"),
+        (verdict == "new").alias("keep"),
+    )
+
+
+#: GPT-2-style pretokenizer, simplified to constructs shared by Java regex
+#: and RE2 (ASCII classes, no lookahead): contraction suffixes, space-glued
+#: letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_SPLIT_REGEX = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish pretokenization — a much better LM
+    cost estimate than whitespace counting (punctuation, contractions and
+    digit runs tokenize separately). Pure regexp projection.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT_REGEX), 0))

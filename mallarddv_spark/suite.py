@@ -2365,3 +2365,135 @@ REGISTRY.update(
         "text_rarity_score": (q_text_rarity_score, O_TEXT_RARITY),
     }
 )
+
+
+def q_text_winnow_fingerprints(spark, sf):
+    """Winnowing (MOSS) fingerprint selection: sliding-window min over the
+    rolling hashes — any shared run of window+guarantee-1 tokens yields a
+    shared fingerprint at ~2/(guarantee+1) index density. All array
+    expressions inside one projection; output is the compact (doc, fp)
+    index."""
+    from mallarddv_spark.operators.curation import winnow_fingerprints
+
+    d = _t(spark, sf, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", window=4, guarantee=8)
+
+
+O_TEXT_WINNOW = r"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+h AS (
+    SELECT doc_id, i,
+           md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS fp
+    FROM (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
+        FROM t WHERE len(toks) >= 4
+    ) s
+),
+slid AS (
+    SELECT doc_id,
+           min(fp) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+           i,
+           count(*) OVER (PARTITION BY doc_id) AS nh
+    FROM h
+)
+SELECT DISTINCT doc_id, fp
+FROM slid
+WHERE i <= greatest(nh - 8, 0) + 1
+"""
+
+
+def q_text_incremental_dedup(spark, sf):
+    """Incremental batch-vs-history dedup (the daily-crawl shape): the
+    documents table plays the accumulated corpus; the new batch is built
+    from it deterministically so all three verdicts occur — every 5th doc
+    re-submitted verbatim (dup_history), every 7th re-submitted edited
+    (new), and the edited ones submitted TWICE (the second copy:
+    dup_batch). History never moves — the batch joins its fingerprint
+    set."""
+    from mallarddv_spark.operators.curation import incremental_dedup
+
+    d = _t(spark, sf, "documents")
+    resub = d.filter(F.pmod("doc_id", F.lit(5)) == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    edited = d.filter(F.pmod("doc_id", F.lit(7)) == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" [rev2]")).alias("text"),
+    )
+    edited_again = edited.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    batch = resub.unionByName(edited).unionByName(edited_again)
+    return incremental_dedup(batch, d, "doc_id", "text")
+
+
+O_TEXT_INCDEDUP = """
+WITH hist AS (
+    SELECT DISTINCT md5(text) AS fingerprint FROM documents
+),
+batch AS (
+    SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS id, text || ' [rev2]' AS text
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 3000000 AS id, text || ' [rev2]' AS text
+    FROM documents WHERE doc_id % 7 = 0
+),
+b2 AS (
+    SELECT id, md5(text) AS fingerprint,
+           min(id) OVER (PARTITION BY md5(text)) AS min_id,
+           md5(text) IN (SELECT fingerprint FROM hist) AS in_hist
+    FROM batch
+)
+SELECT id, fingerprint,
+       CASE WHEN in_hist THEN 'dup_history'
+            WHEN id <> min_id THEN 'dup_batch'
+            ELSE 'new' END AS verdict,
+       (NOT in_hist) AND id = min_id AS keep
+FROM b2
+"""
+
+
+def q_text_bpe_tokens(spark, sf):
+    """Token counting under a GPT-2-style pretokenizer regex (contractions,
+    space-glued letter/digit runs, punctuation runs) next to the
+    whitespace count — the LM cost estimate a packing/pricing pipeline
+    actually needs. Pure regexp projection, zero shuffle."""
+    from mallarddv_spark.operators.curation import bpe_token_count
+    from mallarddv_spark.operators.textops import token_count
+
+    d = _t(spark, sf, "documents")
+    ws = token_count("text").cast("bigint")
+    bpe = bpe_token_count("text").cast("bigint")
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(bpe / ws, 6).alias("bpe_ratio"),
+    )
+
+
+O_TEXT_BPE = r"""
+SELECT doc_id,
+       cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS n_ws_tokens,
+       cast(len(regexp_extract_all(text,
+           '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))
+           as bigint) AS n_bpe_tokens,
+       round(cast(len(regexp_extract_all(text,
+           '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))
+           as double)
+           / len(string_split_regex(trim(text), '\s+')), 6) AS bpe_ratio
+FROM documents
+"""
+
+REGISTRY.update(
+    {
+        "text_winnow_fingerprints": (q_text_winnow_fingerprints, O_TEXT_WINNOW),
+        "text_incremental_dedup": (q_text_incremental_dedup, O_TEXT_INCDEDUP),
+        "text_bpe_tokens": (q_text_bpe_tokens, O_TEXT_BPE),
+    }
+)

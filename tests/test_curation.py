@@ -157,3 +157,61 @@ def test_hex_bucket_engine_portable(spark):
     assert sorted((r["id"], r["b"]) for r in rows) == sorted(
         (i, b) for b, i in duck
     )
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Any shared run of window+stripe-1 tokens must yield a shared
+    fingerprint (the winnowing guarantee)."""
+    from mallarddv_spark.operators.curation import winnow_fingerprints
+
+    shared = " ".join(f"s{i}" for i in range(11))  # window 4 + stripe 8 - 1
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaa bbb " + shared + " ccc"),
+            Row(doc_id=2, text="xxx yyy zzz qqq " + shared),
+            Row(doc_id=3, text="totally different tokens only here now friend"),
+        ]
+    )
+    out = winnow_fingerprints(df, "doc_id", "text", window=4, guarantee=8)
+    fps = {
+        i: {r["fp"] for r in out.filter(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert fps[1] & fps[2], "shared run must produce a shared fingerprint"
+    assert not (fps[1] & fps[3])
+    # index is compact: far fewer fingerprints than rolling hashes
+    n_tokens = len(("aaa bbb " + shared + " ccc").split())
+    assert len(fps[1]) <= (n_tokens - 4) // 8 + 1
+
+
+def test_incremental_dedup_verdicts(spark):
+    from mallarddv_spark.operators.curation import incremental_dedup
+
+    hist = spark.createDataFrame([Row(doc_id=100, text="old content")])
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="old content"),     # dup of history
+            Row(doc_id=2, text="fresh content"),   # new
+            Row(doc_id=3, text="fresh content"),   # dup within batch
+            Row(doc_id=4, text="Old   Content"),   # distinct without normalize
+        ]
+    )
+    out = {r["id"]: r for r in incremental_dedup(batch, hist, "doc_id", "text").collect()}
+    assert out[1]["verdict"] == "dup_history" and not out[1]["keep"]
+    assert out[2]["verdict"] == "new" and out[2]["keep"]
+    assert out[3]["verdict"] == "dup_batch" and not out[3]["keep"]
+    assert out[4]["verdict"] == "new"
+    norm = {
+        r["id"]: r
+        for r in incremental_dedup(batch, hist, "doc_id", "text", normalize=True).collect()
+    }
+    assert norm[4]["verdict"] == "dup_history"
+
+
+def test_bpe_token_count(spark):
+    from mallarddv_spark.operators.curation import bpe_token_count
+
+    df = spark.createDataFrame([Row(id=1, text="I don't like 42 bugs!!")])
+    n = df.select(bpe_token_count("text").alias("n")).first()["n"]
+    # I | space-don | 't | space-like | space-42 | space-bugs | !! -> 7
+    assert n == 7
