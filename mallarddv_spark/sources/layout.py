@@ -45,3 +45,103 @@ def suggest_buckets(total_bytes: int, target_bytes: int = 128 << 20) -> int:
     while p < n:
         p <<= 1
     return p
+
+
+def table_file_stats(spark, table_fqn: str) -> dict:
+    """File-level stats for a managed parquet table: ``{n_files,
+    total_bytes, avg_bytes, small_files}`` (small = < 1/4 of the 128 MB
+    target). Reads filesystem metadata only — no data scan."""
+    import os
+
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table_fqn}")
+        .filter("col_name = 'Location'")
+        .first()[1]
+    )
+    path = loc.removeprefix("file:")
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                sizes.append(os.path.getsize(os.path.join(root, f)))
+    total = sum(sizes)
+    return {
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "avg_bytes": total // len(sizes) if sizes else 0,
+        "small_files": sum(1 for s in sizes if s < (128 << 20) // 4),
+    }
+
+
+def compact_table(
+    spark,
+    table_fqn: str,
+    target_bytes: int = 128 << 20,
+    zorder_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction (the OPTIMIZE of Delta/Iceberg, expressed with
+    Spark primitives): rewrite the table into ~``target_bytes`` files,
+    optionally clustering rows by a Z-order interleave of ``zorder_by``
+    columns for multi-column data skipping.
+
+    Streaming ingestion and per-flow appends each land a handful of files;
+    after N flows a 100 TB table is millions of small files and the scan is
+    metadata-bound. Compaction is the maintenance op that restores scan
+    health. Mechanism: read → coalesce to ceil(size/target) partitions
+    (coalesce, not repartition — no shuffle unless Z-ordering) → overwrite
+    via a staged temp view. On Delta this is ``OPTIMIZE [ZORDER BY]`` and
+    the rewrite is transactional; here the overwrite inherits the
+    table-swap atomicity documented in ``operators/satellite.py``.
+
+    Returns {before: stats, after: stats}.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    before = table_file_stats(spark, table_fqn)
+    df = spark.table(table_fqn)
+    n_parts = max(1, math.ceil(before["total_bytes"] / target_bytes))
+    if zorder_by:
+        # Z-order: interleave the bits of per-column 16-bit bins so a file
+        # covers a small hyper-rectangle of the key space — skipping works
+        # for predicates on any subset of the columns. Bins come from
+        # min/max linear scaling (one tiny agg broadcast back), NOT a
+        # global ntile window, which would serialize the whole table
+        # through one partition. Numeric columns only; mixed layouts
+        # should range-partition on the leading column instead.
+        bits = 16
+        stats = df.agg(
+            *[F.min(c).cast("double").alias(f"__mn{i}") for i, c in enumerate(zorder_by)],
+            *[F.max(c).cast("double").alias(f"__mx{i}") for i, c in enumerate(zorder_by)],
+        )
+        tmp = df.crossJoin(F.broadcast(stats))
+        rank_exprs = {
+            f"__r{i}": F.expr(
+                f"cast(least({(1 << bits) - 1}, floor("
+                f"(cast({c} as double) - __mn{i}) / "
+                f"(greatest(__mx{i} - __mn{i}, 1e-300)) * {(1 << bits) - 1})) as bigint)"
+            )
+            for i, c in enumerate(zorder_by)
+        }
+        tmp = tmp.withColumns(rank_exprs)
+        interleave = " + ".join(
+            f"shiftleft(cast(pmod(shiftrightunsigned(__r{i}, {b}), 2) as bigint), "
+            f"{b * len(zorder_by) + i})"
+            for b in range(bits)
+            for i in range(len(zorder_by))
+        )
+        drop = [f"__r{i}" for i in range(len(zorder_by))] + [
+            f"__mn{i}" for i in range(len(zorder_by))
+        ] + [f"__mx{i}" for i in range(len(zorder_by))]
+        ordered = (
+            tmp.withColumn("__z", F.expr(interleave))
+            .repartitionByRange(n_parts, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z", *drop)
+        )
+    else:
+        ordered = df.coalesce(n_parts)
+    cp = ordered.localCheckpoint(eager=True)
+    cp.write.mode("overwrite").saveAsTable(table_fqn)
+    return {"before": before, "after": table_file_stats(spark, table_fqn)}

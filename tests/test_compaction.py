@@ -1,0 +1,73 @@
+"""Compaction / Z-order maintenance ops: file counts drop, content is
+preserved, and Z-ordering tightens per-file key ranges (the property data
+skipping relies on)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mallarddv_spark.sources.layout import compact_table, table_file_stats
+
+
+@pytest.fixture()
+def fragmented_table(spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS cmp_db")
+    spark.sql("DROP TABLE IF EXISTS cmp_db.frag")
+    df = spark.range(0, 20_000).select(
+        F.col("id"),
+        (F.col("id") * 37 % 1000).alias("x"),
+        (F.col("id") * 91 % 1000).alias("y"),
+    )
+    # simulate many tiny ingestion appends
+    for i in range(8):
+        df.filter(F.col("id") % 8 == i).repartition(6).write.mode(
+            "append"
+        ).saveAsTable("cmp_db.frag")
+    yield "cmp_db.frag"
+    spark.sql("DROP TABLE IF EXISTS cmp_db.frag")
+
+
+def test_compact_reduces_files_preserves_content(spark, fragmented_table):
+    before_sum = spark.table(fragmented_table).agg(
+        F.count("*"), F.sum("id"), F.sum("x")
+    ).first()
+    stats = compact_table(spark, fragmented_table, target_bytes=10 << 20)
+    assert stats["before"]["n_files"] >= 48
+    assert stats["after"]["n_files"] < stats["before"]["n_files"]
+    assert stats["after"]["n_files"] <= 4
+    after_sum = spark.table(fragmented_table).agg(
+        F.count("*"), F.sum("id"), F.sum("x")
+    ).first()
+    assert tuple(before_sum) == tuple(after_sum)
+
+
+def test_zorder_tightens_file_ranges(spark, fragmented_table):
+    """After Z-order by (x, y), each output file should cover a small
+    rectangle of the (x, y) space — measured as the average per-partition
+    x-range being far below the global range."""
+    stats = compact_table(
+        spark, fragmented_table, target_bytes=64 << 10, zorder_by=["x", "y"]
+    )
+    assert stats["after"]["n_files"] >= 2
+    t = spark.table(fragmented_table)
+    per_part = (
+        t.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xr"),
+            (F.max("y") - F.min("y")).alias("yr"),
+        )
+        .agg(F.avg("xr").alias("axr"), F.avg("yr").alias("ayr"), F.count("*").alias("n"))
+        .first()
+    )
+    assert per_part["n"] >= 2
+    # global range is ~1000; z-ordered partitions must be much tighter on
+    # at least the average of the two dims
+    assert (per_part["axr"] + per_part["ayr"]) / 2 < 700
+    # content preserved
+    assert t.count() == 20_000
+
+
+def test_table_file_stats_counts(spark, fragmented_table):
+    s = table_file_stats(spark, fragmented_table)
+    assert s["n_files"] > 0 and s["total_bytes"] > 0
+    assert s["avg_bytes"] * s["n_files"] <= s["total_bytes"] + s["n_files"]
