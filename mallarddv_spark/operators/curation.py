@@ -239,18 +239,22 @@ def vocabulary(df: DataFrame, text_col: str, min_df: int = 1) -> DataFrame:
 
 def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
     """Top-``k`` vocabulary by term frequency (ties broken by word, so the
-    result is deterministic). The rank is a single-partition window over
-    the *aggregated* vocabulary — |vocab| rows, not |corpus| rows — which
-    is the standard safe shape: aggregate first, then rank the small
-    result. For k·strata rankings partition the window by stratum.
+    result is deterministic).
+
+    Scale shape: ``orderBy(...).limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — each partition keeps its local top-k and
+    the driver merges k·partitions rows — so the full vocabulary (billions
+    of distinct tokens at web scale: typos, ids, junk) never funnels
+    through a single-partition window exchange. Rank is then assigned by a
+    window over only the k surviving rows, which is trivially small.
     """
     from pyspark.sql import Window
 
     v = vocabulary(df, text_col)
+    top = v.orderBy(F.desc("tf"), F.asc("word")).limit(k)
     w = Window.orderBy(F.desc("tf"), F.asc("word"))
     return (
-        v.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "word", "tf", "df")
     )
 
@@ -354,11 +358,15 @@ def incremental_dedup(
     smaller id), ``new``. ``keep`` marks the canonical survivor (the
     min-id holder of a never-seen fingerprint).
 
-    Scale shape: history never moves — the batch (small) left-joins the
-    history fingerprint set on the 16-byte md5 key, and AQE broadcasts
-    the batch side where it fits. In-batch dedup is a window over the
-    batch only. History itself is append-only: union the kept rows back
-    in downstream.
+    Scale shape: history NEVER shuffles. A left join cannot broadcast the
+    small (batch) side — Spark only broadcasts the build side, which for
+    ``batch LEFT JOIN hist`` is the 100 TB history — so instead we probe
+    the history with an *inner* join whose build side is the broadcast
+    batch fingerprint set: the history scans once, streams through a
+    BroadcastHashJoin, and only the matched fingerprints (≤ |batch|) are
+    deduplicated and broadcast back onto the batch. In-batch dedup is a
+    window over the batch only. History itself is append-only: union the
+    kept rows back in downstream.
     """
     from pyspark.sql import Window
 
@@ -366,13 +374,20 @@ def incremental_dedup(
     if normalize:
         content = F.trim(F.regexp_replace(F.lower(content), r"\s+", " "))
     fp = F.md5(content)
-    hist = history_df.select(fp.alias("fingerprint")).distinct()
     batch = new_df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+    batch_fps = batch.select("fingerprint").distinct()
+    # History-side probe: broadcast the batch fingerprints, stream history
+    # through the join (no Exchange on the history branch), then distinct
+    # over the matched-only set (bounded by |batch|, not |history|).
+    hist_hits = (
+        history_df.select(fp.alias("fingerprint"))
+        .join(F.broadcast(batch_fps), "fingerprint")
+        .distinct()
+        .withColumn("in_hist", F.lit(True))
+    )
     w = Window.partitionBy("fingerprint")
     batch = batch.withColumn("min_id", F.min("id").over(w))
-    joined = batch.join(
-        hist.withColumn("in_hist", F.lit(True)), "fingerprint", "left"
-    )
+    joined = batch.join(F.broadcast(hist_hits), "fingerprint", "left")
     verdict = (
         F.when(F.col("in_hist").isNotNull(), F.lit("dup_history"))
         .when(F.col("id") != F.col("min_id"), F.lit("dup_batch"))

@@ -215,3 +215,75 @@ def test_bpe_token_count(spark):
     n = df.select(bpe_token_count("text").alias("n")).first()["n"]
     # I | space-don | 't | space-like | space-42 | space-bugs | !! -> 7
     assert n == 7
+
+
+def _physical_tree(df):
+    """Lines of the simple-mode physical plan with their tree depth."""
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    lines = []
+    for line in plan.splitlines():
+        if not line.strip() or line.startswith("=="):
+            continue
+        stripped = line.lstrip(" :+-*(1234567890)")
+        depth = len(line) - len(line.lstrip(" :+-"))
+        lines.append((depth, line.strip()))
+    return lines
+
+
+def test_incremental_dedup_history_never_shuffles(spark, tmp_path):
+    """The 100 TB side (history) must stream straight into a broadcast
+    join — no Exchange/HashAggregate between its scan and the join. A left
+    join would force Spark to build (and thus shuffle/broadcast) the
+    history side; the operator must instead broadcast the batch
+    fingerprints and probe history with an inner join."""
+    from mallarddv_spark.operators.curation import incremental_dedup
+
+    hist_path = str(tmp_path / "hist")
+    spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(100)]
+    ).write.parquet(hist_path)
+    hist = spark.read.parquet(hist_path)
+    batch = spark.createDataFrame([Row(doc_id=1, text="doc 1")])
+
+    out = incremental_dedup(batch, hist, "doc_id", "text")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # no shuffle-based join anywhere: both joins must be broadcast
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # walk from the history parquet scan up to its nearest join ancestor:
+    # nothing on that path may be an Exchange or HashAggregate
+    tree = _physical_tree(out)
+    scan_idx = next(
+        i for i, (_, text) in enumerate(tree) if "Scan parquet" in text
+    )
+    depth = tree[scan_idx][0]
+    path = []
+    for i in range(scan_idx - 1, -1, -1):
+        d, text = tree[i]
+        if d < depth:
+            path.append(text)
+            depth = d
+            if "Join" in text:
+                break
+    assert any("BroadcastHashJoin" in p for p in path), path
+    assert not any(
+        "Exchange" in p or "HashAggregate" in p for p in path
+    ), f"history branch shuffles: {path}"
+
+
+def test_vocab_topk_take_ordered(spark):
+    """Top-k must compile to TakeOrderedAndProject (per-partition top-k +
+    driver merge), never a single-partition window over the full
+    vocabulary."""
+    df = spark.createDataFrame([Row(doc_id=1, text="a a b c")])
+    out = vocab_topk(df, "text", k=2)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
