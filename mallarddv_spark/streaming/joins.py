@@ -84,7 +84,10 @@ def purchase_attribution(
         "purchase_ts",
         "click_id",
         "click_ts",
-        (
-            F.col("purchase_ts").cast("double") - F.col("click_ts").cast("double")
-        ).cast("long").alias("latency_sec"),
+        # timestampdiff is timezone-free and legal on both TIMESTAMP and
+        # TIMESTAMP_NTZ inputs (a direct cast-to-double is rejected for NTZ).
+        F.expr(
+            "cast(floor(timestampdiff(MICROSECOND, click_ts, purchase_ts) / 1e6)"
+            " as bigint)"
+        ).alias("latency_sec"),
     )

@@ -549,13 +549,7 @@ def q_events_purchase_attribution(spark, sf):
     from mallarddv_spark.streaming.joins import purchase_attribution
 
     e = _t(spark, sf, "events")
-    out = purchase_attribution(e, lookback="1 hour")
-    return out.withColumn(
-        "latency_sec",
-        F.floor(
-            F.col("purchase_ts").cast("double") - F.col("click_ts").cast("double")
-        ).cast("long"),
-    )
+    return purchase_attribution(e, lookback="1 hour")
 
 
 O_EVENTS_ATTR = """
@@ -585,7 +579,9 @@ def q_events_sessionization(spark, sf):
         "new_session",
         F.when(
             F.col("prev_ts").isNull()
-            | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800.0),
+            # NTZ-safe gap: timestampdiff needs no timezone and accepts both
+            # TIMESTAMP and TIMESTAMP_NTZ (cast-to-double rejects NTZ).
+            | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800 * 1_000_000),
             1,
         ).otherwise(0),
     )
