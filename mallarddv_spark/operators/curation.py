@@ -348,6 +348,7 @@ def incremental_dedup(
     id_col: str,
     text_col: str,
     normalize: bool = False,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Dedup a NEW batch against the accumulated corpus — the daily-crawl
     shape: most duplicates are vs history, not within the batch.
@@ -367,6 +368,14 @@ def incremental_dedup(
     deduplicated and broadcast back onto the batch. In-batch dedup is a
     window over the batch only. History itself is append-only: union the
     kept rows back in downstream.
+
+    ``broadcast=True`` (the default) HARD-REQUIRES the batch fingerprint
+    set to fit in a single executor/driver broadcast (Spark's 8 GB
+    broadcast ceiling; ~16 bytes + id per distinct fingerprint). That
+    holds for any sane daily-batch-vs-corpus shape. For a batch too large
+    to broadcast, pass ``broadcast=False``: both joins degrade to plain
+    shuffle joins (history then shuffles on fingerprint — correct, just
+    not the history-never-moves plan).
     """
     from pyspark.sql import Window
 
@@ -379,15 +388,18 @@ def incremental_dedup(
     # History-side probe: broadcast the batch fingerprints, stream history
     # through the join (no Exchange on the history branch), then distinct
     # over the matched-only set (bounded by |batch|, not |history|).
+    probe = F.broadcast(batch_fps) if broadcast else batch_fps
     hist_hits = (
         history_df.select(fp.alias("fingerprint"))
-        .join(F.broadcast(batch_fps), "fingerprint")
+        .join(probe, "fingerprint")
         .distinct()
         .withColumn("in_hist", F.lit(True))
     )
     w = Window.partitionBy("fingerprint")
     batch = batch.withColumn("min_id", F.min("id").over(w))
-    joined = batch.join(F.broadcast(hist_hits), "fingerprint", "left")
+    joined = batch.join(
+        F.broadcast(hist_hits) if broadcast else hist_hits, "fingerprint", "left"
+    )
     verdict = (
         F.when(F.col("in_hist").isNotNull(), F.lit("dup_history"))
         .when(F.col("id") != F.col("min_id"), F.lit("dup_batch"))

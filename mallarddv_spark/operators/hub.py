@@ -78,15 +78,44 @@ def load_hubs(
     from mallarddv_spark.operators.parallel import run_per_table
 
     records = [r for r in transitions if r.target_table.startswith("hub_")]
+    grouped = group_records(records, ["target_table", "group_name"])
     loaded = []
     tasks: dict[str, list] = {}
-    for key, fields in group_records(records, ["target_table", "group_name"]).items():
+
+    # Single-pass staging scan: every hub group reads the SAME narrow
+    # projection (one hk + its business keys per group) materialized once,
+    # instead of each group re-scanning + re-hashing the staging table. At
+    # 100 TB the staging scan dominates the hub stage, so N groups × 1 scan
+    # → 1 scan. The projection is a few string/key columns — orders of
+    # magnitude narrower than the full hash view (caching THAT was measured
+    # as a loss, NOTES.md) — and is evicted right after the hub stage.
+    import threading
+
+    shared: dict[str, object] = {"df": None}
+    shared_lock = threading.Lock()
+    needed_cols: list[str] = []
+    for key, fields in grouped.items():
+        _hub, group_name = key.rsplit(".", 1)
+        for c in [f"{group_name}_hk", *[f.source_field for f in fields]]:
+            if c not in needed_cols:
+                needed_cols.append(c)
+
+    def shared_projection():
+        # built lazily inside the first load (flows with zero hubs never
+        # touch the view); lock so concurrent per-table chains build it once
+        with shared_lock:
+            if shared["df"] is None:
+                src = spark.table(f"{stg_db}.{quote_ident(stg_table + '_hash_vw')}")
+                shared["df"] = src.select(*[F.col(c) for c in needed_cols]).persist()
+            return shared["df"]
+
+    for key, fields in grouped.items():
         hub_name, group_name = key.rsplit(".", 1)
         hub_hk = f"{hub_name[4:]}_hk"
 
         def load_group(hub_name=hub_name, group_name=group_name, hub_hk=hub_hk,
                        fields=fields):
-            src = spark.table(f"{stg_db}.{quote_ident(stg_table + '_hash_vw')}")
+            src = shared_projection()
             sub = src.select(
                 F.col(f"{group_name}_hk").alias("hk"),
                 *[F.col(f.source_field) for f in fields],
@@ -107,5 +136,9 @@ def load_hubs(
         tasks.setdefault(hub_name, []).append(load_group)
         loaded.append(f"{hub_name}:{group_name}")
     # different hubs load concurrently; groups feeding one hub stay ordered
-    run_per_table(tasks)
+    try:
+        run_per_table(tasks)
+    finally:
+        if shared["df"] is not None:
+            shared["df"].unpersist()
     return loaded

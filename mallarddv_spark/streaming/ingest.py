@@ -75,9 +75,11 @@ def windowed_event_aggregate(
     Returns (window_start, window_end, key, n_events, sum_value). Works on
     batch DataFrames too (same code path — that twin is oracle-checked).
     """
-    src = events
+    from mallarddv_spark.streaming.event_time import ensure_event_time
+
+    src = ensure_event_time(events, ts_col)
     if events.isStreaming:
-        src = events.withWatermark(ts_col, watermark)
+        src = src.withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col))
         .agg(
@@ -125,8 +127,12 @@ def dedup_stream(
     by the watermark, so it runs forever on unbounded streams. Works on
     batch frames too (plain dropDuplicates on the keys).
     """
+    from mallarddv_spark.streaming.event_time import ensure_event_time
+
     if not events.isStreaming:
         return events.dropDuplicates(key_cols)
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        key_cols
+    return (
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
     )

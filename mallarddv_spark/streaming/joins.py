@@ -41,8 +41,18 @@ def interval_join(
     for outer joins Spark enforces them). ``lookback`` accepts a SQL
     interval string ("1 hour", "90 minutes").
     """
-    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
-    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    from mallarddv_spark.streaming.event_time import ensure_event_time
+
+    lw = (
+        ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+        if left.isStreaming
+        else left
+    )
+    rw = (
+        ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
+        if right.isStreaming
+        else right
+    )
     cond = (
         (lw[on] == rw[on])
         & (rw[right_ts] >= F.expr(f"{left_ts} - interval {lookback}"))

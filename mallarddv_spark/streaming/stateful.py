@@ -147,12 +147,18 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     """Streaming gaps-and-islands sessionization with cross-batch state:
     emits each user's *closed* sessions (30-minute gap); the open tail
     session rides in group state until a later event closes it."""
-    return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize,
-        outputStructType=SESSION_OUTPUT,
-        stateStructType=SESSION_STATE,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    from mallarddv_spark.streaming.event_time import ensure_event_time
+
+    return (
+        ensure_event_time(events, "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -214,8 +220,11 @@ def sessionize_stream_flushing(events: DataFrame, watermark: str = "10 minutes")
     """Sessionization with EventTimeTimeout: closed sessions emit on the
     closing event; idle sessions emit when the watermark passes their gap
     horizon. Requires an event-time watermark on ``ts``."""
+    from mallarddv_spark.streaming.event_time import ensure_event_time
+
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_with_timeout,

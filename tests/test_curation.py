@@ -228,7 +228,6 @@ def _physical_tree(df):
     for line in plan.splitlines():
         if not line.strip() or line.startswith("=="):
             continue
-        stripped = line.lstrip(" :+-*(1234567890)")
         depth = len(line) - len(line.lstrip(" :+-"))
         lines.append((depth, line.strip()))
     return lines

@@ -97,7 +97,8 @@ def test_sessionization_stitches_across_batches(spark, tmp_path):
         "new_s",
         F.when(
             F.col("prev").isNull()
-            | (F.col("ts").cast("double") - F.col("prev").cast("double") > 1800.0),
+            # NTZ-safe gap (cast-to-double rejects TIMESTAMP_NTZ)
+            | (F.expr("timestampdiff(MICROSECOND, prev, ts)") > 1800 * 1_000_000),
             1,
         ).otherwise(0),
     ).withColumn("sid", F.sum("new_s").over(w))
@@ -154,7 +155,8 @@ def test_sessionization_timeout_flushes_idle_sessions(spark, tmp_path):
         "new_s",
         F.when(
             F.col("prev").isNull()
-            | (F.col("ts").cast("double") - F.col("prev").cast("double") > 1800.0),
+            # NTZ-safe gap (cast-to-double rejects TIMESTAMP_NTZ)
+            | (F.expr("timestampdiff(MICROSECOND, prev, ts)") > 1800 * 1_000_000),
             1,
         ).otherwise(0),
     ).withColumn("sid", F.sum("new_s").over(w))
