@@ -318,6 +318,29 @@ def test_multimodal_real_header_decode(spark):
     assert 990 <= a.duration_ms <= 1010
 
 
+@pytest.mark.skipif(
+    multimodal._PILImage is None,
+    reason="PIL not installed in this container — tier-2 decode inactive",
+)
+def test_multimodal_tier2_pil_decode(spark):
+    """Tier-2 decode (PIL) activates the moment the container ships the
+    library: a PPM image — a format tier-1 header parsing does NOT cover —
+    must decode through PIL with real dimensions, and corrupt bytes must
+    come back decode_ok='error' (PIL raised), never a silent stub."""
+    # binary PPM: magic, dims, maxval, then raw RGB — stdlib-writable
+    ppm = b"P6\n12 7\n255\n" + b"\x7f" * (12 * 7 * 3)
+    corrupt = b"P6\ntruncated"
+    df = spark.createDataFrame(
+        [(1, ppm), (2, corrupt)], ["media_id", "blob"]
+    )
+    media = multimodal.attach_media_metadata(df, "media_id", "blob", "image")
+    feats = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    ok = feats["1"]
+    assert (ok.width, ok.height, ok.decode_ok) == (12, 7, "ok")
+    assert ok.codec == "ppm"
+    assert feats["2"].decode_ok == "error"
+
+
 def test_multimodal_chunk_roundtrip(spark):
     """chunk_payload → assemble_chunks reproduces payloads byte-exactly
     (the >2 GB layout, exercised with small chunks); external_reference
