@@ -38,6 +38,7 @@ class MallardSparkVault:
         hash_algo: str = "sha1",
         materialize_current: bool = False,
         dv_buckets: int | None = None,
+        parallel_stages: bool = False,
     ):
         self.spark = spark
         self.scripts_path = scripts_path
@@ -57,6 +58,7 @@ class MallardSparkVault:
             spark, stg_db, dv_db, bv_db, metadata_db, hash_algo,
             materialize_current=materialize_current,
             metadata=self._meta,
+            parallel_stages=parallel_stages,
         )
 
     # -- context manager (reference ``mallarddv.py:64-85``) -----------------

@@ -55,6 +55,7 @@ class FlowExecutor:
         hash_algo: str = "sha1",
         materialize_current: bool = False,
         metadata: MetadataCache | None = None,
+        parallel_stages: bool = False,
     ):
         self.spark = spark
         self.stg_db = stg_db
@@ -69,6 +70,17 @@ class FlowExecutor:
         #: control-table snapshot, shared with the owning facade so
         #: init_vault + N flows pay for the metadata collects once
         self.metadata = metadata or MetadataCache(spark, metadata_db)
+        #: opt-in divergence from the reference's hubs → links → sats
+        #: ordering: the three entity-load stages are data-independent
+        #: (each reads only the staging hash view and writes only its own
+        #: target tables), so a bulk load can run them as concurrent job
+        #: groups — wall-clock ≈ the slowest stage instead of the sum.
+        #: Error semantics weaken from short-circuit to collect-all (every
+        #: stage attempts; all failures are reported); crash/failure
+        #: recovery is unchanged because ``recover()`` deletes a torn
+        #: run's rows by run_id across ALL DV tables regardless of which
+        #: subset committed. Default False = exact reference contract.
+        self.parallel_stages = parallel_stages
 
     def execute_flow(
         self,
@@ -171,20 +183,38 @@ class FlowExecutor:
                 *args, use_current_table=self.materialize_current
             )
 
-        for stage_name, fn in (
+        stages = (
             ("load_hubs", hub.load_hubs),
             ("load_links", link.load_links),
             ("load_sats", _sats),
-        ):
-            try:
-                fn(
-                    spark, self.stg_db, self.dv_db, source_table, transitions,
-                    run_id, record_source, load_dts,
-                )
-            except Exception as ex:
-                errors.append((stage_name, str(ex)))
+        )
+        stage_args = (
+            spark, self.stg_db, self.dv_db, source_table, transitions,
+            run_id, record_source, load_dts,
+        )
+        if self.parallel_stages:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(stages)) as pool:
+                futures = [
+                    (name, pool.submit(fn, *stage_args)) for name, fn in stages
+                ]
+                for stage_name, fut in futures:
+                    try:
+                        fut.result()
+                    except Exception as ex:
+                        errors.append((stage_name, str(ex)))
+            if errors:
                 self._end(source_table, run_id, file_path, errors)
                 return errors
+        else:
+            for stage_name, fn in stages:
+                try:
+                    fn(*stage_args)
+                except Exception as ex:
+                    errors.append((stage_name, str(ex)))
+                    self._end(source_table, run_id, file_path, errors)
+                    return errors
 
         self._end(source_table, run_id, file_path, errors)
         return errors

@@ -1983,7 +1983,10 @@ def q_dv_flow_lineitem(spark, sf):
     with open(transitions_csv, "w") as fh:
         fh.write(_LI_TRANSITIONS)
 
-    vault = MallardSparkVault(spark, hash_algo="md5", **dbs)
+    # bulk fact-table load: the three entity stages are data-independent,
+    # so run them as concurrent job groups (wall-clock ≈ slowest stage,
+    # not the sum — the shape a real 100 TB backfill would use)
+    vault = MallardSparkVault(spark, hash_algo="md5", parallel_stages=True, **dbs)
     errors = vault.init_vault(tables_csv, transitions_csv)
     assert errors == [], errors
     errors = vault.execute_flow(
