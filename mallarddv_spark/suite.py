@@ -3076,6 +3076,154 @@ def q_adv_neardup_suite(spark, sf):
     return mh.unionByName(sh).unionByName(em)
 
 
+def q_tpch_q18(spark, sf):
+    """TPC-H Q18 (large-volume customer): heavy-hitter detection via a
+    HAVING subquery over the full fact table, then a 3-way join and
+    re-aggregation — the canonical big-join + semi-join-pushdown shape.
+    Threshold 250 (data max ≈ 475) so every SF yields rows; ORDER BY
+    carries an o_orderkey tiebreak so the LIMIT set is deterministic."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    j = (
+        o.join(big, o.o_orderkey == big.big_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+    )
+    return (
+        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.expr(f"cast(sum(cast(l_quantity as {DEC})) as double)").alias("sum_qty")
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+O_TPCH_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       cast(sum(cast(l_quantity as {DEC})) as double) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 250)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+_STREAM_GATE_SEQ = [0]
+
+
+def q_streaming_sessionization(spark, sf):
+    """REAL Structured Streaming under the correctness gate: the events
+    table is re-written as three time-ordered parquet files, streamed with
+    ``maxFilesPerTrigger=1`` (three micro-batches) through the
+    applyInPandasWithState sessionizer, and drained with an availableNow
+    trigger into a memory sink. Sessions must stitch across micro-batch
+    boundaries; the oracle is the closed-form batch truth minus each
+    user's final (still-open) session, which NoTimeout state never
+    flushes."""
+    import tempfile
+
+    from mallarddv_spark.streaming.stateful import sessionize_stream
+
+    # bounded to a deterministic user subset: the gate exercises
+    # cross-batch state stitching, not raw volume (the full-corpus cost
+    # is the same pandas-state work × more rows)
+    e = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id") < 200)
+        .select("event_id", "ts", "user_id")
+    )
+    # global time-ordered thirds → per-user event order is preserved
+    # across micro-batches (state sees each user's events in ts order)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    e = e.persist()  # one scan feeds the boundary probe + three writes
+    try:
+        b1, b2 = (
+            e.select(
+                F.expr(
+                    "percentile(unix_micros(cast(ts as timestamp)), array(0.3333, 0.6667))"
+                ).alias("b")
+            ).first()["b"]
+        )
+        base = tempfile.mkdtemp(prefix="stream_gate_")
+        # written sequentially: FileStreamSource processes in mod-time order
+        e.filter(us <= b1).coalesce(1).write.mode("append").parquet(base)
+        e.filter((us > b1) & (us <= b2)).coalesce(1).write.mode("append").parquet(base)
+        e.filter(us > b2).coalesce(1).write.mode("append").parquet(base)
+    finally:
+        e.unpersist()
+
+    schema = spark.read.parquet(base).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    sessions = sessionize_stream(stream)
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"gate_stream_sessions_{_STREAM_GATE_SEQ[0]}"
+    # state-store partition count is pinned at stream start from the
+    # session's shuffle partitions; 32 partitions × 3 micro-batches of
+    # pandas-worker + state-store setup would be pure overhead for this
+    # key cardinality, so run the stream with 8 and restore after
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
+O_STREAMING_SESSION = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev_ts IS NULL OR (epoch(ts) - epoch(prev_ts)) > 1800.0
+                THEN 1 ELSE 0 END AS new_s
+    FROM (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE user_id < 200
+    ) x
+),
+sid AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+sess AS (
+    SELECT user_id, sid,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sid GROUP BY 1, 2
+),
+last AS (SELECT user_id, max(sid) AS sid FROM sess GROUP BY 1)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events
+FROM sess s LEFT JOIN last l ON s.user_id = l.user_id AND s.sid = l.sid
+WHERE l.sid IS NULL
+"""
+
+
 #: suite name → constituent micro-queries it replaced in the registry
 CONSOLIDATED_PARTS: dict[str, list[str]] = {
     "text_doc_stats": [
@@ -3126,6 +3274,8 @@ REGISTRY.update(
         "similarity_suite": (q_similarity_suite, O_SIMILARITY_SUITE),
         "adv_ann_suite": (q_adv_ann_suite, None),
         "adv_neardup_suite": (q_adv_neardup_suite, None),
+        "tpch_q18": (q_tpch_q18, O_TPCH_Q18),
+        "streaming_sessionization": (q_streaming_sessionization, O_STREAMING_SESSION),
     }
 )
 
