@@ -3179,7 +3179,12 @@ def q_streaming_sessionization(spark, sf):
     # pandas-worker + state-store setup would be pure overhead for this
     # key cardinality, so run the stream with 8 and restore after
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # NTZ → TIMESTAMP coercion and the Arrow/pandas timestamp round-trip
+    # both read the session timezone; pin UTC so naive source values and
+    # emitted session bounds are identical wall times in ANY host session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         q = (
             sessions.writeStream.format("memory")
@@ -3191,6 +3196,7 @@ def q_streaming_sessionization(spark, sf):
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return spark.table(name)
 
 
