@@ -78,6 +78,7 @@ def compact_table(
     table_fqn: str,
     target_bytes: int = 128 << 20,
     zorder_by: list[str] | None = None,
+    max_checkpoint_bytes: int = 8 << 30,
 ) -> dict:
     """Small-file compaction (the OPTIMIZE of Delta/Iceberg, expressed with
     Spark primitives): rewrite the table into ~``target_bytes`` files,
@@ -88,10 +89,23 @@ def compact_table(
     after N flows a 100 TB table is millions of small files and the scan is
     metadata-bound. Compaction is the maintenance op that restores scan
     health. Mechanism: read → coalesce to ceil(size/target) partitions
-    (coalesce, not repartition — no shuffle unless Z-ordering) → overwrite
-    via a staged temp view. On Delta this is ``OPTIMIZE [ZORDER BY]`` and
-    the rewrite is transactional; here the overwrite inherits the
-    table-swap atomicity documented in ``operators/satellite.py``.
+    (coalesce, not repartition — no shuffle unless Z-ordering) → rewrite.
+    On Delta this is ``OPTIMIZE [ZORDER BY]`` and the rewrite is
+    transactional.
+
+    Rewrite strategy is size-gated (``max_checkpoint_bytes``):
+
+    * small tables stage through ``localCheckpoint`` before the in-place
+      overwrite (read-while-overwrite safety; readers never observe a
+      missing table) — but a checkpoint holds a full copy in the block
+      manager, which at 100 TB would double cluster storage;
+    * tables above the gate rewrite into a staged ``__compact`` table
+      (plain on-disk copy — the floor for ANY compaction) followed by a
+      drop + catalog rename. Concurrent readers holding the old table's
+      file listing keep reading it; new queries resolve the compacted
+      table after the swap. The brief no-table window between drop and
+      rename is the parquet-catalog price of not having Delta's
+      transactional OPTIMIZE.
 
     Returns {before: stats, after: stats}.
     """
@@ -142,6 +156,13 @@ def compact_table(
         )
     else:
         ordered = df.coalesce(n_parts)
-    cp = ordered.localCheckpoint(eager=True)
-    cp.write.mode("overwrite").saveAsTable(table_fqn)
+    if before["total_bytes"] <= max_checkpoint_bytes:
+        cp = ordered.localCheckpoint(eager=True)
+        cp.write.mode("overwrite").saveAsTable(table_fqn)
+    else:
+        staged = f"{table_fqn}__compact"
+        spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        ordered.write.saveAsTable(staged)
+        spark.sql(f"DROP TABLE {table_fqn}")
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {table_fqn}")
     return {"before": before, "after": table_file_stats(spark, table_fqn)}

@@ -40,6 +40,25 @@ def test_compact_reduces_files_preserves_content(spark, fragmented_table):
     assert tuple(before_sum) == tuple(after_sum)
 
 
+def test_compact_staged_rename_path(spark, fragmented_table):
+    """Above the checkpoint size gate, compaction rewrites into a staged
+    __compact table and swaps via catalog rename (no block-manager copy of
+    the table) — content and file counts must behave identically."""
+    before_sum = spark.table(fragmented_table).agg(
+        F.count("*"), F.sum("id"), F.sum("x")
+    ).first()
+    stats = compact_table(
+        spark, fragmented_table, target_bytes=10 << 20, max_checkpoint_bytes=0
+    )
+    assert stats["after"]["n_files"] < stats["before"]["n_files"]
+    after_sum = spark.table(fragmented_table).agg(
+        F.count("*"), F.sum("id"), F.sum("x")
+    ).first()
+    assert tuple(before_sum) == tuple(after_sum)
+    # staging table must not linger
+    assert not spark.catalog.tableExists(f"{fragmented_table}__compact")
+
+
 def test_zorder_tightens_file_ranges(spark, fragmented_table):
     """After Z-order by (x, y), each output file should cover a small
     rectangle of the (x, y) space — measured as the average per-partition
