@@ -3121,6 +3121,55 @@ LIMIT 100
 """
 
 
+def q_dv_pit_customer(spark, sf):
+    """Point-in-time (PIT) table — the DV mart accelerator beside the
+    bridge: for each (hub key, month-start snapshot), the load_dts of the
+    latest version of EACH satellite at or before the snapshot (backward
+    as-of per sat; NULL where a sat has no version yet). Two sat histories
+    are derived from orders (all versions, and the sparser 'F'-status
+    subset) so the multi-sat shape and NULL-padding are both exercised."""
+    from mallarddv_spark.operators.asof import pit_table
+
+    o = _t(spark, sf, "orders")
+    hk = _mhash("o_custkey")
+    sat_status = o.select(
+        hk.alias("customer_hk"), F.col("o_orderdate").alias("load_dts")
+    )
+    sat_flagged = o.filter("o_orderstatus = 'F'").select(
+        hk.alias("customer_hk"), F.col("o_orderdate").alias("load_dts")
+    )
+    snaps = o.select(
+        F.date_trunc("month", "o_orderdate").alias("snapshot_ts")
+    ).distinct()
+    return pit_table(
+        {"sat_status": sat_status, "sat_flagged": sat_flagged},
+        "customer_hk",
+        snaps,
+    )
+
+
+O_DV_PIT = f"""
+WITH o AS (
+    SELECT {md5_sql(['o_custkey'])} AS customer_hk, o_orderdate, o_orderstatus
+    FROM orders
+),
+keys AS (SELECT DISTINCT customer_hk FROM o),
+snaps AS (
+    SELECT DISTINCT cast(date_trunc('month', o_orderdate) as timestamp) AS snapshot_ts
+    FROM o
+),
+grid AS (SELECT customer_hk, snapshot_ts FROM keys CROSS JOIN snaps)
+SELECT g.customer_hk, g.snapshot_ts,
+       (SELECT max(o_orderdate) FROM o s
+         WHERE s.customer_hk = g.customer_hk
+           AND s.o_orderdate <= g.snapshot_ts) AS sat_status_load_dts,
+       (SELECT max(o_orderdate) FROM o s
+         WHERE s.customer_hk = g.customer_hk AND s.o_orderstatus = 'F'
+           AND s.o_orderdate <= g.snapshot_ts) AS sat_flagged_load_dts
+FROM grid g
+"""
+
+
 _STREAM_GATE_SEQ = [0]
 
 
@@ -3282,6 +3331,7 @@ REGISTRY.update(
         "adv_neardup_suite": (q_adv_neardup_suite, None),
         "tpch_q18": (q_tpch_q18, O_TPCH_Q18),
         "streaming_sessionization": (q_streaming_sessionization, O_STREAMING_SESSION),
+        "dv_pit_customer": (q_dv_pit_customer, O_DV_PIT),
     }
 )
 
