@@ -29,6 +29,17 @@ def get_spark(
       cluster set it ≈ 2-3× total executor cores (AQE coalesces the excess).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Python workers (mapInPandas / applyInPandasWithState) must be able to
+    # import this package regardless of the caller's cwd: cloudpickled
+    # functions reference module-level names, and worker processes do not
+    # inherit the driver's sys.path mutations. Export the repo root on
+    # PYTHONPATH before the JVM launches so forked workers see it.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

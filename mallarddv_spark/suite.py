@@ -1421,7 +1421,11 @@ def q_dv_flow_e2e(spark, sf):
     with open(transitions_csv, "w") as fh:
         fh.write(_FLOW_TRANSITIONS)
 
-    vault = MallardSparkVault(spark, hash_algo="md5", **dbs)
+    # parallel entity stages: row-for-row equivalence with the sequential
+    # reference contract is fuzz-proven (test_fuzz_differential) and
+    # state-proven (test_parallel_stages); the sequential default remains
+    # covered by the integration/lifecycle suites
+    vault = MallardSparkVault(spark, hash_algo="md5", parallel_stages=True, **dbs)
     errors = vault.init_vault(tables_csv, transitions_csv)
     assert errors == [], errors
     errors = vault.execute_flow(
