@@ -2985,10 +2985,51 @@ O_SQL_SUBQUERY = (
 
 def q_dedup_signatures(spark, sf):
     """Per-document near-dup signature suite: MinHash (K=16, 4 LSH band
-    fingerprints) and 32-bit SimHash computed over the same corpus, joined
-    on doc_id. Parts: dedup_minhash_sig, dedup_simhash."""
-    return q_dedup_minhash_sig(spark, sf).join(
-        q_dedup_simhash(spark, sf), "doc_id"
+    fingerprints) and 32-bit SimHash. Parts: dedup_minhash_sig,
+    dedup_simhash.
+
+    Fused production shape: both signature families derive from the same
+    distinct-token explosion, so ONE scan + ONE per-doc aggregation
+    computes all 16 min-hashes and all 32 bit votes together — at corpus
+    scale this halves the tokenize/explode/shuffle work versus running
+    the two operators separately (whose standalone shapes stay available
+    in operators/dedup.py)."""
+    d = _t(spark, sf, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", _WS))).alias("tok"),
+        )
+        .withColumn(
+            "xr", F.expr("cast(conv(substr(md5(tok),1,15),16,10) as bigint)")
+        )
+        .withColumn("x", F.expr(f"xr % {_MH_P}"))
+    )
+    min_aggs = [
+        F.min(F.expr(f"({a} * x + {b}) % {_MH_P}")).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    vote_aggs = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright(xr,{j}) & 1) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"s{j}")
+        for j in range(_SH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*min_aggs, *vote_aggs)
+    for band in range(4):
+        cols = ",".join(f"sig_{band * 4 + j}" for j in range(4))
+        per_doc = per_doc.withColumn(
+            f"band_{band}", F.expr(f"md5(concat_ws('-',{cols}))")
+        )
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN cast({1 << j} as bigint) ELSE 0 END)"
+        for j in range(_SH_BITS)
+    )
+    return per_doc.select(
+        "doc_id",
+        *[f"sig_{i}" for i in range(16)],
+        *[f"band_{b}" for b in range(4)],
+        F.expr(sim).alias("simhash"),
     )
 
 
