@@ -1329,10 +1329,85 @@ def q_adv_embedding_neardup_lsh(spark, sf):
 
 
 def q_adv_text_profile(spark, sf):
-    """One-pass ten-metric text profile (single projection, no shuffle)."""
+    """One-pass ten-metric text profile (single projection, no shuffle).
+    Count columns are cast to bigint so the schema matches the DuckDB
+    oracle (whose len()/length() return BIGINT)."""
     from mallarddv_spark.operators import textops
 
-    return textops.text_profile(_t(spark, sf, "documents"), "doc_id", "text")
+    prof = textops.text_profile(_t(spark, sf, "documents"), "doc_id", "text")
+    return prof.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("bigint").alias("n_unique_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "stopword_ratio",
+        "alpha_ratio",
+        "mean_token_len",
+        "quality",
+        "lang_guess",
+        "norm_fp",
+        "sorted_fp",
+    )
+
+
+def _o_adv_text_profile() -> str:
+    """DuckDB twin of operators/textops.text_profile: every metric is a
+    deterministic closed-form expression, so the whole profile — including
+    the composite quality score and the stopword-vote language guess — is
+    oracle-checkable."""
+    from mallarddv_spark.operators.textops import STOPWORDS
+
+    langs = list(STOPWORDS)
+    votes = {
+        lg: "len(list_filter(toks, x -> x IN ("
+        + ",".join(f"'{w}'" for w in STOPWORDS[lg])
+        + ")))"
+        for lg in langs
+    }
+    vote_cols = ",\n       ".join(f"{v} AS v_{lg}" for lg, v in votes.items())
+    mx = "greatest(" + ",".join(f"v_{lg}" for lg in langs) + ")"
+    # first language in STOPWORDS order whose votes tie the max wins —
+    # mirrors the reversed when-chain in textops.lang_guess
+    guess = (
+        "CASE WHEN " + mx + " > 0 THEN (CASE "
+        + " ".join(f"WHEN v_{lg} >= {mx} THEN '{lg}'" for lg in langs)
+        + " END) ELSE 'unknown' END"
+    )
+    return rf"""
+WITH base AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id, text, toks,
+       len(toks) AS n_tokens,
+       {vote_cols},
+       round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+             / length(text), 6) AS alpha_ratio,
+       round(length(regexp_replace(text, '\s+', '', 'g'))
+             / len(toks), 6) AS mean_token_len
+    FROM base
+)
+SELECT doc_id,
+       n_tokens,
+       len(list_distinct(toks)) AS n_unique_tokens,
+       length(text) AS n_chars,
+       round(v_en / n_tokens, 6) AS stopword_ratio,
+       alpha_ratio,
+       mean_token_len,
+       round(least(round(v_en / n_tokens, 6) * 4.0, 1.0) * 0.4
+             + alpha_ratio * 0.4
+             + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0
+                     THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+       {guess} AS lang_guess,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS norm_fp,
+       md5(array_to_string(list_sort(toks), ' ')) AS sorted_fp
+FROM m
+"""
+
+
+O_ADV_TEXT_PROFILE = _o_adv_text_profile()
 
 
 def q_adv_multimodal_features(spark, sf):
@@ -1340,14 +1415,51 @@ def q_adv_multimodal_features(spark, sf):
     Decode is tiered: real stdlib header parsing (PNG/JPEG/GIF/BMP/WAV →
     decode_ok='ok'), PIL when installed, flagged deterministic stub
     otherwise (this corpus is UTF-8 text bytes, so rows report
-    'stubbed')."""
+    'stubbed'). Int columns are cast to bigint for oracle schema parity;
+    the stub tier is content-hash derived, so the whole output is
+    deterministic and DuckDB-predictable."""
     from mallarddv_spark.operators import multimodal
 
     d = _t(spark, sf, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("blob")
     )
     media = multimodal.attach_media_metadata(d, "doc_id", "blob", modality="image")
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "modality",
+        "byte_len",
+        "content_md5",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("channels").cast("bigint").alias("channels"),
+        "duration_ms",
+        "codec",
+        "decode_ok",
+    )
+
+
+# DuckDB twin of the stub decode tier (operators/multimodal.decode_media):
+# the corpus payloads are UTF-8 text bytes — no image header matches — so
+# width/height are the documented content-hash fakes 64 + md5_byte % 192,
+# flagged decode_ok='stubbed'. md5(text) == md5 of the UTF-8 payload bytes.
+O_ADV_MULTIMODAL = """
+SELECT cast(doc_id AS varchar) AS media_id,
+       'image' AS modality,
+       cast(octet_length(encode(text)) AS bigint) AS byte_len,
+       md5(text) AS content_md5,
+       cast(64 + (('0x' || substr(md5(text), 1, 2))::bigint % 192) AS bigint) AS width,
+       cast(64 + (('0x' || substr(md5(text), 3, 2))::bigint % 192) AS bigint) AS height,
+       cast(1 AS bigint) AS n_frames,
+       cast(NULL AS bigint) AS sample_rate,
+       cast(NULL AS bigint) AS channels,
+       cast(NULL AS bigint) AS duration_ms,
+       cast(NULL AS varchar) AS codec,
+       'stubbed' AS decode_ok
+FROM documents
+"""
 
 
 REGISTRY.update(
@@ -1357,8 +1469,8 @@ REGISTRY.update(
         "adv_embedding_neardup_lsh": (q_adv_embedding_neardup_lsh, None),
         "adv_similarity_lsh_topk": (q_adv_similarity_lsh_topk, None),
         "adv_similarity_ivf_topk": (q_adv_similarity_ivf_topk, None),
-        "adv_text_profile": (q_adv_text_profile, None),
-        "adv_multimodal_features": (q_adv_multimodal_features, None),
+        "adv_text_profile": (q_adv_text_profile, O_ADV_TEXT_PROFILE),
+        "adv_multimodal_features": (q_adv_multimodal_features, O_ADV_MULTIMODAL),
     }
 )
 
@@ -1846,28 +1958,70 @@ FROM (
 
 def q_sql_approx_aggregates(spark, sf):
     """Approximate aggregates: HLL distinct + quantile sketch per segment.
-    Declared rows-only — sketch algorithms differ across engines by design;
-    exactness is pinned separately (the exact twin of approx_count_distinct
-    is dv_distinct_dedup / countDistinct elsewhere in the suite).
 
-    Quantiles are emitted as scalar ``p50``/``p95`` double columns (one
-    sketch, two ``element_at`` extracts) so downstream harnesses can sort
-    rows — an array column is not hashable/orderable in pandas."""
+    Sketch internals differ across engines by design, so the sketch VALUES
+    are not emitted; instead each approximate aggregate is judged against
+    the exact answer computed in the same pass, and the row carries the
+    exact values plus ``*_within_*`` verdict booleans. The verdicts are
+    deterministic for fixed data+parameters (both sketches are
+    deterministic in Spark), and the tolerances carry wide margins over
+    the sketches' guarantees (HLL rsd=5%; quantile rank error n/10000),
+    so the DuckDB oracle reproduces the whole row in closed form."""
     li = _t(spark, sf, "lineitem")
     q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.element_at(q, 1).alias("p50"),
-        F.element_at(q, 2).alias("p95"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("__hll"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.element_at(q, 1).alias("__p50a"),
+        F.element_at(q, 2).alias("__p95a"),
+        F.expr(
+            "cast(round(percentile(l_extendedprice, 0.5), 4) as double)"
+        ).alias("p50_exact"),
+        F.expr(
+            "cast(round(percentile(l_extendedprice, 0.95), 4) as double)"
+        ).alias("p95_exact"),
         F.count("*").alias("n"),
     )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "exact_orders",
+        "p50_exact",
+        "p95_exact",
+        (
+            F.abs(F.col("__hll") - F.col("exact_orders"))
+            <= F.col("exact_orders") * F.lit(0.15)
+        ).alias("hll_within_15pct"),
+        (
+            F.abs(F.col("__p50a") - F.col("p50_exact"))
+            <= F.abs(F.col("p50_exact")) * F.lit(0.01)
+        ).alias("p50_within_1pct"),
+        (
+            F.abs(F.col("__p95a") - F.col("p95_exact"))
+            <= F.abs(F.col("p95_exact")) * F.lit(0.01)
+        ).alias("p95_within_1pct"),
+    )
+
+
+O_SQL_APPROX = """
+SELECT l_returnflag,
+       count(*) AS n,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       cast(round(quantile_cont(l_extendedprice, 0.5), 4) as double) AS p50_exact,
+       cast(round(quantile_cont(l_extendedprice, 0.95), 4) as double) AS p95_exact,
+       TRUE AS hll_within_15pct,
+       TRUE AS p50_within_1pct,
+       TRUE AS p95_within_1pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 REGISTRY.update(
     {
         "sql_cube": (q_sql_cube, O_SQL_CUBE),
         "sql_unpivot": (q_sql_unpivot, O_SQL_UNPIVOT),
-        "sql_approx_aggregates": (q_sql_approx_aggregates, None),
+        "sql_approx_aggregates": (q_sql_approx_aggregates, O_SQL_APPROX),
     }
 )
 
