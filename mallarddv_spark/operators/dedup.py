@@ -64,6 +64,20 @@ def duplicate_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 _MH_P = 1_000_000_007
 
+#: portable 60-bit integer from md5 — identical in any engine with md5 +
+#: hex→int conversion (DuckDB: ('0x' || substr(md5(s),1,15))::bigint), so
+#: pipelines built on it are cross-engine oracle-checkable. xxhash64 stays
+#: the default: it is JVM-native and ~3× cheaper than md5 at corpus scale.
+_MD5_INT = "cast(conv(substr(md5({col}),1,15),16,10) as bigint)"
+
+
+def _hash_int(col: str, hash_mode: str) -> F.Column:
+    if hash_mode == "md5":
+        return F.expr(_MD5_INT.format(col=col))
+    if hash_mode == "xxhash64":
+        return F.abs(F.xxhash64(col))
+    raise ValueError(f"unknown hash_mode {hash_mode!r} (md5|xxhash64)")
+
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """Distinct word-k-gram shingles per document. k=1 → unigram tokens."""
@@ -92,13 +106,17 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_size: int = 3,
     max_shingle_df: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """K-permutation MinHash signatures as columns ``sig_0..sig_{K-1}``.
 
-    Shingle ints come from xxhash64 (JVM, fast); permutations are universal
-    hashes ``(a·x + b) mod p``. ``max_shingle_df`` drops shingles appearing
-    in more than N documents — at scale these contribute nothing to
-    discrimination but dominate bucket sizes.
+    Shingle ints come from xxhash64 by default (JVM, fast); permutations
+    are universal hashes ``(a·x + b) mod p``. ``hash_mode='md5'`` swaps in
+    a portable md5-derived 60-bit int so the whole signature pipeline is
+    reproducible in other engines (used by the oracle-checked gate
+    queries). ``max_shingle_df`` drops shingles appearing in more than N
+    documents — at scale these contribute nothing to discrimination but
+    dominate bucket sizes.
     """
     sh = _shingles(df, id_col, text_col, shingle_size)
     if max_shingle_df:
@@ -108,7 +126,7 @@ def minhash_signatures(
             on="shingle",
             how="left_semi",
         )
-    x = (F.abs(F.xxhash64("shingle")) % _MH_P).alias("x")
+    x = (_hash_int("shingle", hash_mode) % _MH_P).alias("x")
     exploded = sh.select("doc_id", x)
     aggs = [
         F.min((F.lit(97 + 13 * i) * F.col("x") + F.lit(911 + 7919 * i)) % _MH_P).alias(
@@ -128,6 +146,7 @@ def minhash_lsh_pairs(
     shingle_size: int = 3,
     threshold: float = 0.7,
     max_shingle_df: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs above a Jaccard ``threshold`` via banded LSH.
 
@@ -135,11 +154,12 @@ def minhash_lsh_pairs(
     (band, bucket) → distinct candidate pairs → exact Jaccard rerank on the
     candidates only. Signature agreement ≈ Jaccard, so with r rows/band the
     capture probability is 1-(1-t^r)^bands — tune bands/num_perm for recall.
-    Returns (doc_a, doc_b, jaccard).
+    ``hash_mode='md5'`` makes the candidate generation engine-portable (see
+    :func:`minhash_signatures`). Returns (doc_a, doc_b, jaccard).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
-        df, id_col, text_col, num_perm, shingle_size, max_shingle_df
+        df, id_col, text_col, num_perm, shingle_size, max_shingle_df, hash_mode
     )
     band_cols = []
     for b in range(bands):
@@ -309,29 +329,42 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document (xxhash64 token votes, JVM-only).
+def _simhash_bits(hash_mode: str) -> int:
+    """Signature width per hash mode: xxhash64 fills 64 bits; the portable
+    md5 path derives a 60-bit int (15 hex chars — the widest that fits a
+    signed bigint cleanly in every engine)."""
+    return 60 if hash_mode == "md5" else 64
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """SimHash per document (token votes, JVM-only): 64-bit via xxhash64,
+    60-bit via the portable md5 mode.
 
     Near-duplicates differ in few bits; pair generation at scale bands the
-    64 bits into chunks (pigeonhole: Hamming distance < k ⇒ some chunk of
+    bits into chunks (pigeonhole: Hamming distance < k ⇒ some chunk of
     k equal) — see :func:`simhash_pairs`.
     """
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(F.split(F.trim(text_col), r"\s+"))).alias("tok"),
-        )
-        .withColumn("h", F.xxhash64("tok"))
+    bits = _simhash_bits(hash_mode)
+    h = (
+        F.expr(_MD5_INT.format(col="tok"))
+        if hash_mode == "md5"
+        else F.xxhash64("tok")  # raw signed value: all 64 bits carry votes
     )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.trim(text_col), r"\s+"))).alias("tok"),
+    ).withColumn("h", h)
     votes = [
         F.sum(
             F.when((F.shiftright("h", j).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
         ).alias(f"s{j}")
-        for j in range(64)
+        for j in range(bits)
     ]
     per_doc = toks.groupBy("doc_id").agg(*votes)
     sim = None
-    for j in range(64):
+    for j in range(bits):
         bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -341,16 +374,22 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Banding guarantee: distance ≤ chunks-1 ⇒ at least one 16-bit chunk is
-    identical, so a (chunk_idx, chunk_value) self-join finds all such pairs
-    without an O(n²) comparison. Exact Hamming filter reranks candidates.
+    Banding guarantee: distance ≤ chunks-1 ⇒ at least one bits/chunks-wide
+    chunk is identical, so a (chunk_idx, chunk_value) self-join finds all
+    such pairs without an O(n²) comparison. Exact Hamming filter reranks
+    candidates.
     """
-    sigs = simhash64(df, id_col, text_col)
-    chunk_bits = 64 // chunks
+    sigs = simhash64(df, id_col, text_col, hash_mode)
+    chunk_bits = _simhash_bits(hash_mode) // chunks
     chunk_cols = [
         F.struct(
             F.lit(i).alias("ci"),

@@ -68,6 +68,19 @@ def cosine_topk_bruteforce(
     )
 
 
+def hyperplane_matrix(num_bits: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """The deterministic ±1 hyperplane matrix behind
+    :func:`hyperplane_signatures` — exposed so oracle/test harnesses can
+    embed the exact same planes as literals in another engine's SQL."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(num_bits)
+    ]
+
+
 def hyperplane_signatures(
     df: DataFrame,
     id_col: str,
@@ -90,16 +103,10 @@ def hyperplane_signatures(
     32×64), and the ``dim`` probe is a Spark job — callers that know the
     dimension should pass it.
     """
-    import random
-
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         dim = int(first.d)
-    rng = random.Random(seed)
-    planes = [
-        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
-        for _ in range(num_bits)
-    ]
+    planes = hyperplane_matrix(num_bits, dim, seed)
     planes_col = F.expr(
         "array(" + ", ".join(
             "array(" + ", ".join(f"{x}D" for x in row) + ")" for row in planes
@@ -255,6 +262,82 @@ def ivf_topk(
         .select("query_id", "qv", "centroid_id")
     )
 
+    cand = probes.join(assigned, "centroid_id").withColumn(
+        "cosine",
+        F.expr(
+            f"round({_DOT.format(a='qv', b='cv')} / "
+            f"(sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})), 6)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_topk_deterministic(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_mod: int = 61,
+    centroid_rem: int = 10,
+) -> DataFrame:
+    """IVF top-k with closed-form centroids: instead of KMeans, the cell
+    centers are the corpus vectors whose id satisfies
+    ``id % centroid_mod == centroid_rem`` — a deterministic arithmetic
+    sample (~|corpus|/mod cells, no training pass, no global sort).
+
+    Same probe/rerank shape as :func:`ivf_topk` — assign each corpus row to
+    its nearest centroid, probe the ``nprobe`` nearest cells per query,
+    exact cosine rerank within probed cells. Cells are slightly worse than
+    Lloyd-refined ones, but every step (assignment, probing, rerank) is a
+    deterministic expression: squared distances are computed as
+    ``round(|a|² + |b|² − 2a·b, 6)`` with id tiebreaks, so any engine that
+    reproduces the dot products reproduces the probe sets and results
+    bit-for-bit — this is the variant the oracle-checked gate runs.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("qv"),
+    )
+    cent = corpus.filter(
+        F.pmod(F.col(id_col), F.lit(centroid_mod)) == centroid_rem
+    ).select(
+        F.col(id_col).alias("centroid_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("centroid"),
+    )
+
+    def dist6(a: str, b: str) -> F.Column:
+        return F.expr(
+            f"round({_DOT.format(a=a, b=a)} + {_DOT.format(a=b, b=b)}"
+            f" - 2 * {_DOT.format(a=a, b=b)}, 6)"
+        )
+
+    wa = Window.partitionBy("neighbor_id").orderBy(F.asc("d6"), F.asc("centroid_id"))
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("d6", dist6("cv", "centroid"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "cv", "centroid_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d6"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("d6", dist6("qv", "centroid"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
     cand = probes.join(assigned, "centroid_id").withColumn(
         "cosine",
         F.expr(

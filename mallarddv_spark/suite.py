@@ -1257,26 +1257,34 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 def q_adv_minhash_lsh_pairs(spark, sf):
     """Banded MinHash-LSH near-dup pairs with exact-Jaccard rerank — the
     scale path whose candidates are a subset of the exhaustive
-    dedup_ngram_jaccard oracle query."""
+    dedup_ngram_jaccard oracle query. Runs the REAL operator in its
+    portable md5 hash mode, so the banded candidate generation itself is
+    reproduced verbatim by the DuckDB oracle (same signatures, same
+    buckets, same pairs)."""
     from mallarddv_spark.operators import dedup
 
     d = _t(spark, sf, "documents")
     return dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", num_perm=32, bands=16, threshold=0.30
+        d, "doc_id", "text", num_perm=32, bands=16, threshold=0.30,
+        hash_mode="md5",
     )
 
 
 def q_adv_simhash_pairs(spark, sf):
     """SimHash Hamming-distance pairs via pigeonhole chunk bucketing, run
     in the regime the banding guarantee covers: max_hamming = chunks - 1,
-    where candidate recall is EXACT (distance ≤ 3 ⇒ some 16-bit chunk
+    where candidate recall is EXACT (distance ≤ 3 ⇒ some 15-bit chunk
     matches). A looser threshold (e.g. 12) is partial-recall by
     construction and, on this synthetic 31-word-vocabulary corpus, emits
-    ~1M pairs — output volume, not the plan, dominates."""
+    ~1M pairs — output volume, not the plan, dominates. Portable md5 hash
+    mode (60-bit signature) so the DuckDB oracle reproduces the exact
+    pipeline."""
     from mallarddv_spark.operators import dedup
 
     d = _t(spark, sf, "documents")
-    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, chunks=4)
+    return dedup.simhash_pairs(
+        d, "doc_id", "text", max_hamming=3, chunks=4, hash_mode="md5"
+    )
 
 
 def q_adv_similarity_lsh_topk(spark, sf):
@@ -1292,12 +1300,18 @@ def q_adv_similarity_lsh_topk(spark, sf):
 
 
 def q_adv_similarity_ivf_topk(spark, sf):
-    """IVF approximate top-k: KMeans cells, nprobe probing."""
+    """IVF approximate top-k, deterministic-centroid variant: cells from an
+    arithmetic corpus sample (vec_id % 61 == 10), nprobe probing, exact
+    rerank. The KMeans-trained variant (similarity.ivf_topk) stays the
+    production default and is pytest-covered; the gate runs this
+    closed-form twin so the DuckDB oracle reproduces assignment, probing
+    and rerank exactly."""
     from mallarddv_spark.operators import similarity
 
     e = _t(spark, sf, "embeddings")
-    return similarity.ivf_topk(
-        e.filter("vec_id < 10"), e.filter("vec_id >= 10"), k=5, n_centroids=16, nprobe=4
+    return similarity.ivf_topk_deterministic(
+        e.filter("vec_id < 10"), e.filter("vec_id >= 10"), k=5, nprobe=4,
+        centroid_mod=61, centroid_rem=10,
     )
 
 
@@ -1315,11 +1329,14 @@ def q_adv_embedding_neardup_lsh(spark, sf):
     from mallarddv_spark.operators import dedup
 
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # explicit double casts on both terms: the perturbation product is an
+    # exact decimal, so every engine that casts it to double lands on the
+    # same bits — the DuckDB oracle replays this formula verbatim
     planted = e.filter(F.pmod("vec_id", F.lit(10)) == 0).select(
         (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
         F.expr(
-            "transform(embedding, (x, i) -> x + 0.003 * "
-            "(pmod(vec_id * 31 + i, 7) - 3))"
+            "transform(embedding, (x, i) -> cast(x as double) + "
+            "cast(0.003 * (pmod(vec_id * 31 + i, 7) - 3) as double))"
         ).alias("embedding"),
     )
     return dedup.embedding_neardup_pairs(
@@ -3275,6 +3292,282 @@ def q_adv_neardup_suite(spark, sf):
     return mh.unionByName(sh).unionByName(em)
 
 
+# ---------------------------------------------------------------------------
+# DuckDB twins of the LSH scale paths. The Spark queries run the REAL
+# operators in their portable hash modes (md5-derived shingle/token ints,
+# seeded literal hyperplanes, arithmetic-sample IVF centroids), so the
+# banded candidate generation — not just the rerank — is reproduced
+# verbatim in SQL: same signatures, same buckets, same candidate pairs,
+# same scores. That upgrades the approximate operators from rows-only to
+# full rows+schema+hash correctness gates.
+# ---------------------------------------------------------------------------
+
+
+def _duck_hyperplane_sig(planes: list[list[float]]) -> str:
+    """DuckDB expression for the sign-random-projection signature of column
+    ``v`` against the given literal ±1 planes (bit j = v · plane_j > 0)."""
+    terms = []
+    for j, row in enumerate(planes):
+        arr = "[" + ", ".join(str(x) for x in row) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0"
+            f" THEN (1::BIGINT << {j}) ELSE 0 END)"
+        )
+    return "(" + "\n          + ".join(terms) + ")"
+
+
+def _o_adv_neardup() -> str:
+    from mallarddv_spark.operators.similarity import hyperplane_matrix
+
+    # --- minhash: num_perm=32, 16 bands × 2 rows, 3-gram shingles ---
+    sig_exprs = ",\n           ".join(
+        f"min(({97 + 13 * i} * x + {911 + 7919 * i}) % {_MH_P}) AS sig_{i}"
+        for i in range(32)
+    )
+    band_branches = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band,"
+        f" md5(concat_ws('-', sig_{2 * b}, sig_{2 * b + 1})) AS bh FROM mh_sigs"
+        for b in range(16)
+    )
+    # --- simhash: portable 60-bit signature, 4 chunks of 15 bits ---
+    vote_exprs = ",\n           ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(60)
+    )
+    sig_sum = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(60)
+    )
+    chunk_branches = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, sig, {i} AS ci, (sig >> {i * 15}) % 32768 AS cv"
+        f" FROM sh_sig"
+        for i in range(4)
+    )
+    # --- embedding LSH: 32-bit hyperplane signature, 4 bands of 8 bits ---
+    em_sig = _duck_hyperplane_sig(hyperplane_matrix(32, 64, 42))
+    em_band_branches = "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, {b} AS band, (sig >> {b * 8}) % 256 AS bv"
+        f" FROM em_sigs"
+        for b in range(4)
+    )
+    return rf"""
+WITH mh_sh AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents) b
+    WHERE len(t) >= 3
+),
+mh_x AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(shingle), 1, 15))::bigint) % {_MH_P} AS x
+    FROM mh_sh
+),
+mh_sigs AS MATERIALIZED (
+    SELECT doc_id,
+           {sig_exprs}
+    FROM mh_x GROUP BY doc_id
+),
+mh_buckets AS (
+{band_branches}
+),
+mh_cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM mh_buckets a JOIN mh_buckets b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+mh_sizes AS (SELECT doc_id, count(*) AS sz FROM mh_sh GROUP BY doc_id),
+mh_inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM mh_cand c
+    JOIN mh_sh sa ON sa.doc_id = c.doc_a
+    JOIN mh_sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+),
+mh_final AS (
+    SELECT i.doc_a, i.doc_b,
+           round(i.inter / (za.sz + zb.sz - i.inter), 6) AS jaccard
+    FROM mh_inter i
+    JOIN mh_sizes za ON za.doc_id = i.doc_a
+    JOIN mh_sizes zb ON zb.doc_id = i.doc_b
+    WHERE round(i.inter / (za.sz + zb.sz - i.inter), 6) >= 0.30
+),
+sh_toks AS (
+    SELECT doc_id,
+           unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+    FROM documents
+),
+sh_x AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h FROM sh_toks
+),
+sh_votes AS (
+    SELECT doc_id,
+           {vote_exprs}
+    FROM sh_x GROUP BY doc_id
+),
+sh_sig AS MATERIALIZED (
+    SELECT doc_id, {sig_sum} AS sig FROM sh_votes
+),
+sh_buckets AS (
+{chunk_branches}
+),
+sh_cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+    FROM sh_buckets a JOIN sh_buckets b
+      ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+),
+sh_final AS (
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+    FROM sh_cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+),
+em_base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000000 AS vec_id,
+           list_transform(range(1, len(embedding) + 1),
+               j -> embedding[j]::DOUBLE
+                    + CAST(0.003 * ((vec_id * 31 + (j - 1)) % 7 - 3) AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+em_sigs AS MATERIALIZED (
+    SELECT vec_id, v,
+           {em_sig} AS sig,
+           sqrt(list_dot_product(v, v)) AS norm
+    FROM em_base
+),
+em_buckets AS (
+{em_band_branches}
+),
+em_cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM em_buckets a JOIN em_buckets b
+      ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+em_final AS (
+    SELECT c.id_a, c.id_b,
+           round(list_dot_product(va.v, vb.v) / (va.norm * vb.norm), 6) AS cosine
+    FROM em_cand c
+    JOIN em_sigs va ON va.vec_id = c.id_a
+    JOIN em_sigs vb ON vb.vec_id = c.id_b
+    WHERE round(list_dot_product(va.v, vb.v) / (va.norm * vb.norm), 6) >= 0.90
+)
+SELECT 'minhash_lsh' AS part, doc_a AS id_a, doc_b AS id_b,
+       cast(jaccard AS double) AS score
+FROM mh_final
+UNION ALL
+SELECT 'simhash', doc_a, doc_b, cast(hamming AS double) FROM sh_final
+UNION ALL
+SELECT 'embedding_lsh', id_a, id_b, cast(cosine AS double) FROM em_final
+"""
+
+
+O_ADV_NEARDUP = _o_adv_neardup()
+
+
+def _o_adv_ann() -> str:
+    from mallarddv_spark.operators.similarity import hyperplane_matrix
+
+    sig32 = _duck_hyperplane_sig(hyperplane_matrix(32, 64, 42))
+    # 8 bands of 4 bits over the 32-bit signature
+    qb = "\n    UNION ALL\n".join(
+        f"    SELECT vec_id AS query_id, v, {b} AS band, (sig >> {b * 4}) % 16 AS bv"
+        f" FROM lsh_sigs WHERE vec_id < 10"
+        for b in range(8)
+    )
+    cb = "\n    UNION ALL\n".join(
+        f"    SELECT vec_id AS neighbor_id, v, {b} AS band, (sig >> {b * 4}) % 16 AS bv"
+        f" FROM lsh_sigs WHERE vec_id >= 10"
+        for b in range(8)
+    )
+    d6 = (
+        "round(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        " - 2 * list_dot_product({a}, {b}), 6)"
+    )
+    cos = (
+        "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+lsh_sigs AS MATERIALIZED (
+    SELECT vec_id, v,
+           {sig32} AS sig
+    FROM e
+),
+lsh_qb AS (
+{qb}
+),
+lsh_cb AS (
+{cb}
+),
+lsh_cand AS (
+    SELECT q.query_id, c.neighbor_id
+    FROM lsh_qb q JOIN lsh_cb c ON q.band = c.band AND q.bv = c.bv
+    GROUP BY 1, 2
+),
+lsh_scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           {cos.format(a='q.v', b='n.v')} AS cosine
+    FROM lsh_cand c
+    JOIN lsh_sigs q ON q.vec_id = c.query_id
+    JOIN lsh_sigs n ON n.vec_id = c.neighbor_id
+),
+lsh_final AS (
+    SELECT query_id, neighbor_id, rank, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM lsh_scored) x
+    WHERE rank <= 5
+),
+ivf_cent AS MATERIALIZED (
+    SELECT vec_id AS centroid_id, v AS centroid
+    FROM e WHERE vec_id >= 10 AND vec_id % 61 = 10
+),
+ivf_assigned AS (
+    SELECT neighbor_id, cv, centroid_id
+    FROM (SELECT c.vec_id AS neighbor_id, c.v AS cv, t.centroid_id,
+                 row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY {d6.format(a='c.v', b='t.centroid')} ASC,
+                              t.centroid_id ASC) AS rn
+          FROM e c, ivf_cent t WHERE c.vec_id >= 10) x
+    WHERE rn = 1
+),
+ivf_probes AS (
+    SELECT query_id, qv, centroid_id
+    FROM (SELECT q.vec_id AS query_id, q.v AS qv, t.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {d6.format(a='q.v', b='t.centroid')} ASC,
+                              t.centroid_id ASC) AS pr
+          FROM e q, ivf_cent t WHERE q.vec_id < 10) x
+    WHERE pr <= 4
+),
+ivf_scored AS (
+    SELECT p.query_id, a.neighbor_id,
+           {cos.format(a='p.qv', b='a.cv')} AS cosine
+    FROM ivf_probes p JOIN ivf_assigned a USING (centroid_id)
+),
+ivf_final AS (
+    SELECT query_id, neighbor_id, rank, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM ivf_scored) x
+    WHERE rank <= 5
+)
+SELECT 'lsh' AS part, query_id, neighbor_id, rank, cosine FROM lsh_final
+UNION ALL
+SELECT 'ivf', query_id, neighbor_id, rank, cosine FROM ivf_final
+"""
+
+
+O_ADV_ANN = _o_adv_ann()
+
+
 def q_tpch_q18(spark, sf):
     """TPC-H Q18 (large-volume customer): heavy-hitter detection via a
     HAVING subquery over the full fact table, then a 3-way join and
@@ -3526,8 +3819,8 @@ REGISTRY.update(
         "sql_subquery_suite": (q_sql_subquery_suite, O_SQL_SUBQUERY),
         "dedup_signatures": (q_dedup_signatures, O_DEDUP_SIGNATURES),
         "similarity_suite": (q_similarity_suite, O_SIMILARITY_SUITE),
-        "adv_ann_suite": (q_adv_ann_suite, None),
-        "adv_neardup_suite": (q_adv_neardup_suite, None),
+        "adv_ann_suite": (q_adv_ann_suite, O_ADV_ANN),
+        "adv_neardup_suite": (q_adv_neardup_suite, O_ADV_NEARDUP),
         "tpch_q18": (q_tpch_q18, O_TPCH_Q18),
         "streaming_sessionization": (q_streaming_sessionization, O_STREAMING_SESSION),
         "dv_pit_customer": (q_dv_pit_customer, O_DV_PIT),
