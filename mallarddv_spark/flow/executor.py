@@ -193,17 +193,57 @@ class FlowExecutor:
             run_id, record_source, load_dts,
         )
         if self.parallel_stages:
-            from concurrent.futures import ThreadPoolExecutor
+            from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
+
+            # Each stage runs under its own Spark job group so a failing
+            # sibling can interrupt it: on first failure the still-running
+            # stages' active jobs are cancelled (interruptOnCancel), which
+            # aborts their uncommitted writes — tightening the
+            # partial-commit window the collect-all semantics otherwise
+            # leave open (driver-side code between jobs is not
+            # interrupted; recover() remains the full cleanup). Job groups
+            # are thread-local under pinned-thread mode, so the tag only
+            # covers this stage's jobs.
+            gid_prefix = f"flow_{source_table}_r{run_id}"
+
+            def _grouped(name, fn):
+                spark.sparkContext.setJobGroup(
+                    f"{gid_prefix}_{name}",
+                    f"{source_table}:{name}",
+                    interruptOnCancel=True,
+                )
+                return fn(*stage_args)
 
             with ThreadPoolExecutor(max_workers=len(stages)) as pool:
                 futures = [
-                    (name, pool.submit(fn, *stage_args)) for name, fn in stages
+                    (name, pool.submit(_grouped, name, fn)) for name, fn in stages
                 ]
+                wait([f for _, f in futures], return_when=FIRST_EXCEPTION)
+                failed = any(
+                    f.done() and not f.cancelled() and f.exception() is not None
+                    for _, f in futures
+                )
+                interrupted: set[str] = set()
+                if failed:
+                    for name, f in futures:
+                        if not f.done():
+                            spark.sparkContext.cancelJobGroup(
+                                f"{gid_prefix}_{name}"
+                            )
+                            interrupted.add(name)
                 for stage_name, fut in futures:
                     try:
                         fut.result()
                     except Exception as ex:
-                        errors.append((stage_name, str(ex)))
+                        if stage_name in interrupted:
+                            # interruption fallout, not a root cause: log it,
+                            # report only genuine stage failures
+                            log.warning(
+                                "stage %s interrupted after sibling failure: %s",
+                                stage_name, ex,
+                            )
+                        else:
+                            errors.append((stage_name, str(ex)))
             if errors:
                 self._end(source_table, run_id, file_path, errors)
                 return errors
@@ -248,5 +288,14 @@ class FlowExecutor:
                     ),
                 ],
             )
-        except Exception:
-            pass
+        except Exception as ex:
+            # a lost ledger row must not fail the flow (the reference
+            # tolerated ledger errors too), but it must not vanish either:
+            # the outcome was not durably recorded, so the idempotence
+            # probe will re-run this file on replay — surface that
+            log.warning(
+                "ledger write failed for %s run=%s: %s — flow outcome not "
+                "durably recorded (replay will re-ingest this file)",
+                source_table, run_id, ex,
+            )
+            errors.append(("write_runinfo", str(ex)))

@@ -100,13 +100,21 @@ def load_hubs(
             if c not in needed_cols:
                 needed_cols.append(c)
 
+    # persist pays off only when ≥2 groups re-read the projection: a single
+    # group would persist the full staging row count for zero scan savings.
+    # MEMORY_AND_DISK (not DISK_ONLY): when the narrow projection exceeds
+    # storage memory it degrades to a disk copy, which is still one scan +
+    # one spill instead of N full staging scans.
+    do_persist = len(grouped) > 1
+
     def shared_projection():
         # built lazily inside the first load (flows with zero hubs never
         # touch the view); lock so concurrent per-table chains build it once
         with shared_lock:
             if shared["df"] is None:
                 src = spark.table(f"{stg_db}.{quote_ident(stg_table + '_hash_vw')}")
-                shared["df"] = src.select(*[F.col(c) for c in needed_cols]).persist()
+                proj = src.select(*[F.col(c) for c in needed_cols])
+                shared["df"] = proj.persist() if do_persist else proj
             return shared["df"]
 
     for key, fields in grouped.items():
@@ -139,6 +147,6 @@ def load_hubs(
     try:
         run_per_table(tasks)
     finally:
-        if shared["df"] is not None:
+        if do_persist and shared["df"] is not None:
             shared["df"].unpersist()
     return loaded

@@ -73,6 +73,62 @@ def table_file_stats(spark, table_fqn: str) -> dict:
     }
 
 
+def bucket_spec(spark, table_fqn: str) -> dict | None:
+    """The table's bucketing spec from the catalog —
+    ``{num_buckets, bucket_cols, sort_cols}`` — or None for an unbucketed
+    table. Rewrite ops (compaction) use this to REAPPLY bucketing: a plain
+    ``saveAsTable`` would silently de-bucket the table and downstream
+    shuffle-free joins would regress."""
+    rows = {
+        r.col_name: (r.data_type or "")
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_fqn}").collect()
+    }
+    nb = rows.get("Num Buckets", "").strip()
+    if not nb:
+        return None
+
+    def _cols(key: str) -> list[str]:
+        raw = rows.get(key, "").strip().strip("[]")
+        return [c.strip(" `") for c in raw.split(",") if c.strip(" `")]
+
+    return {
+        "num_buckets": int(nb),
+        "bucket_cols": _cols("Bucket Columns"),
+        "sort_cols": _cols("Sort Columns"),
+    }
+
+
+def heal_compaction(spark, table_fqn: str) -> str | None:
+    """Recover from a compaction interrupted mid-swap (see
+    :func:`compact_table`): a leftover ``__pre_compact`` backup or
+    ``__compact`` staging table is the detectable signal. Returns the
+    action taken, or None when the catalog is clean.
+
+    States, in swap order:
+    * main + staged, no backup → crashed before the swap: staged copy is
+      complete but never became live — drop it (``"dropped_staged"``);
+    * backup + main → crashed after the swap, before the backup drop: the
+      compacted table is live — drop the backup (``"dropped_backup"``);
+    * backup, no main → crashed between rename-out and rename-in: restore
+      the backup under the original name (``"restored_backup"``), leaving
+      any staged table for the next compaction run to replace.
+    """
+    staged, backup = f"{table_fqn}__compact", f"{table_fqn}__pre_compact"
+    has_main = spark.catalog.tableExists(table_fqn)
+    has_staged = spark.catalog.tableExists(staged)
+    has_backup = spark.catalog.tableExists(backup)
+    if has_backup and not has_main:
+        spark.sql(f"ALTER TABLE {backup} RENAME TO {table_fqn}")
+        return "restored_backup"
+    if has_backup and has_main:
+        spark.sql(f"DROP TABLE {backup}")
+        return "dropped_backup"
+    if has_staged and has_main:
+        spark.sql(f"DROP TABLE {staged}")
+        return "dropped_staged"
+    return None
+
+
 def compact_table(
     spark,
     table_fqn: str,
@@ -100,12 +156,22 @@ def compact_table(
       missing table) — but a checkpoint holds a full copy in the block
       manager, which at 100 TB would double cluster storage;
     * tables above the gate rewrite into a staged ``__compact`` table
-      (plain on-disk copy — the floor for ANY compaction) followed by a
-      drop + catalog rename. Concurrent readers holding the old table's
-      file listing keep reading it; new queries resolve the compacted
-      table after the swap. The brief no-table window between drop and
-      rename is the parquet-catalog price of not having Delta's
-      transactional OPTIMIZE.
+      (plain on-disk copy — the floor for ANY compaction) and swap via
+      rename-out → rename-in → drop-backup: the original is renamed to
+      ``__pre_compact``, the staged table takes its name, then the backup
+      is dropped. A crash at ANY point leaves the data catalog-resolvable
+      (as the live table, the backup, or both) and the leftover
+      ``__pre_compact``/``__compact`` table is a detectable signal that
+      :func:`heal_compaction` resolves. Concurrent readers holding the old
+      table's file listing keep reading it; new queries resolve the
+      compacted table after the swap.
+
+    Bucketed tables keep their bucketing: the spec is read from the
+    catalog (:func:`bucket_spec`) and reapplied on the rewrite, with the
+    data repartitioned to the bucket count so each bucket lands as one
+    file. ``zorder_by`` on a bucketed table raises — Z-order reorders rows
+    across buckets, destroying the co-location the bucketing exists for
+    (the bucket sort columns are that layout's clustering tool).
 
     Returns {before: stats, after: stats}.
     """
@@ -113,9 +179,23 @@ def compact_table(
 
     from pyspark.sql import functions as F
 
+    spec = bucket_spec(spark, table_fqn)
+    if spec and zorder_by:
+        raise ValueError(
+            f"{table_fqn} is bucketed by {spec['bucket_cols']}; Z-order "
+            "would destroy bucket co-location — compact without zorder_by"
+        )
     before = table_file_stats(spark, table_fqn)
     df = spark.table(table_fqn)
     n_parts = max(1, math.ceil(before["total_bytes"] / target_bytes))
+
+    def _write(out_df: DataFrame, target: str, mode: str = "errorifexists") -> None:
+        writer = out_df.write.mode(mode)
+        if spec:
+            writer = writer.bucketBy(spec["num_buckets"], *spec["bucket_cols"])
+            if spec["sort_cols"]:
+                writer = writer.sortBy(*spec["sort_cols"])
+        writer.saveAsTable(target)
     if zorder_by:
         # Z-order: interleave the bits of per-column 16-bit bins so a file
         # covers a small hyper-rectangle of the key space — skipping works
@@ -154,15 +234,22 @@ def compact_table(
             .sortWithinPartitions("__z")
             .drop("__z", *drop)
         )
+    elif spec:
+        # align rows to their buckets so the bucketed write emits one file
+        # per bucket instead of one per (task, bucket)
+        ordered = df.repartition(spec["num_buckets"], *spec["bucket_cols"])
     else:
         ordered = df.coalesce(n_parts)
     if before["total_bytes"] <= max_checkpoint_bytes:
         cp = ordered.localCheckpoint(eager=True)
-        cp.write.mode("overwrite").saveAsTable(table_fqn)
+        _write(cp, table_fqn, mode="overwrite")
     else:
         staged = f"{table_fqn}__compact"
+        backup = f"{table_fqn}__pre_compact"
         spark.sql(f"DROP TABLE IF EXISTS {staged}")
-        ordered.write.saveAsTable(staged)
-        spark.sql(f"DROP TABLE {table_fqn}")
+        spark.sql(f"DROP TABLE IF EXISTS {backup}")
+        _write(ordered, staged)
+        spark.sql(f"ALTER TABLE {table_fqn} RENAME TO {backup}")
         spark.sql(f"ALTER TABLE {staged} RENAME TO {table_fqn}")
+        spark.sql(f"DROP TABLE {backup}")
     return {"before": before, "after": table_file_stats(spark, table_fqn)}

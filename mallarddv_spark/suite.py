@@ -3699,10 +3699,28 @@ def q_streaming_sessionization(spark, sf):
             ).first()["b"]
         )
         base = tempfile.mkdtemp(prefix="stream_gate_")
-        # written sequentially: FileStreamSource processes in mod-time order
-        e.filter(us <= b1).coalesce(1).write.mode("append").parquet(base)
-        e.filter((us > b1) & (us <= b2)).coalesce(1).write.mode("append").parquet(base)
-        e.filter(us > b2).coalesce(1).write.mode("append").parquet(base)
+        # FileStreamSource processes files in modification-time order, and
+        # coarse-mtime filesystems (or fast sequential writes) can tie or
+        # reorder the three thirds — pin explicit strictly-increasing
+        # mtimes per write so micro-batch order is deterministic everywhere
+        import os as _os
+
+        def _parts(d):
+            return sorted(
+                _os.path.join(d, f)
+                for f in _os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+
+        seen: set = set()
+        for i, flt in enumerate(
+            (us <= b1, (us > b1) & (us <= b2), us > b2)
+        ):
+            e.filter(flt).coalesce(1).write.mode("append").parquet(base)
+            t = 1_700_000_000 + i * 10
+            for p in (f for f in _parts(base) if f not in seen):
+                _os.utime(p, (t, t))
+                seen.add(p)
     finally:
         e.unpersist()
 
@@ -3738,6 +3756,11 @@ def q_streaming_sessionization(spark, sf):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        # the memory sink holds the drained rows; the staged stream files
+        # are no longer needed
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)
 
 

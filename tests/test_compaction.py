@@ -90,3 +90,75 @@ def test_table_file_stats_counts(spark, fragmented_table):
     s = table_file_stats(spark, fragmented_table)
     assert s["n_files"] > 0 and s["total_bytes"] > 0
     assert s["avg_bytes"] * s["n_files"] <= s["total_bytes"] + s["n_files"]
+
+
+@pytest.fixture()
+def bucketed_table(spark):
+    from mallarddv_spark.sources.layout import write_bucketed
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS cmp_db")
+    spark.sql("DROP TABLE IF EXISTS cmp_db.bkt")
+    df = spark.range(0, 5_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    write_bucketed(df, "cmp_db.bkt", "k", num_buckets=8, sort_col="id")
+    # fragment it with appends (appends keep the bucket spec)
+    for i in range(3):
+        df.filter(F.col("id") % 4 == i).write.mode("append").bucketBy(
+            8, "k"
+        ).sortBy("id").saveAsTable("cmp_db.bkt")
+    yield "cmp_db.bkt"
+    spark.sql("DROP TABLE IF EXISTS cmp_db.bkt")
+
+
+def test_compact_preserves_bucketing(spark, bucketed_table):
+    """Compacting a bucketed table must keep the bucket spec (a plain
+    rewrite would silently de-bucket it and downstream shuffle-free joins
+    would regress) — on both the checkpoint and the staged-rename path."""
+    from mallarddv_spark.sources.layout import bucket_spec
+
+    before = bucket_spec(spark, bucketed_table)
+    assert before == {
+        "num_buckets": 8, "bucket_cols": ["k"], "sort_cols": ["id"],
+    }
+    n_before = spark.table(bucketed_table).count()
+    compact_table(spark, bucketed_table)  # checkpoint path
+    assert bucket_spec(spark, bucketed_table) == before
+    compact_table(spark, bucketed_table, max_checkpoint_bytes=0)  # staged path
+    assert bucket_spec(spark, bucketed_table) == before
+    assert spark.table(bucketed_table).count() == n_before
+
+
+def test_compact_bucketed_rejects_zorder(spark, bucketed_table):
+    with pytest.raises(ValueError, match="bucketed"):
+        compact_table(spark, bucketed_table, zorder_by=["id"])
+
+
+def test_heal_compaction_states(spark, fragmented_table):
+    """Every interruption point of the staged swap leaves a recoverable
+    catalog state that heal_compaction resolves."""
+    from mallarddv_spark.sources.layout import heal_compaction
+
+    t = fragmented_table
+    staged, backup = f"{t}__compact", f"{t}__pre_compact"
+    n = spark.table(t).count()
+
+    # clean catalog → no action
+    assert heal_compaction(spark, t) is None
+
+    # crash before swap: staged exists alongside main → staged dropped
+    spark.table(t).limit(10).write.saveAsTable(staged)
+    assert heal_compaction(spark, t) == "dropped_staged"
+    assert not spark.catalog.tableExists(staged)
+    assert spark.table(t).count() == n
+
+    # crash between rename-out and rename-in: only backup → restored
+    spark.sql(f"ALTER TABLE {t} RENAME TO {backup}")
+    assert heal_compaction(spark, t) == "restored_backup"
+    assert spark.table(t).count() == n
+
+    # crash after swap, before backup drop: both → backup dropped
+    spark.table(t).limit(10).write.saveAsTable(backup)
+    assert heal_compaction(spark, t) == "dropped_backup"
+    assert not spark.catalog.tableExists(backup)
+    assert spark.table(t).count() == n

@@ -169,3 +169,34 @@ def test_logging_parity():
         h.flush()
     assert "hello-ledger" in open(path).read()
     configure_logging(logging.WARNING)  # reset for other tests
+
+
+def test_ledger_write_failure_surfaces(spark):
+    """A flow whose final ledger append fails must not swallow it: the
+    error joins the returned error list (stage 'write_runinfo') so callers
+    know the outcome was not durably recorded and replay will re-ingest."""
+    import os
+    from unittest import mock
+
+    from mallarddv_spark.flow import runinfo
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    drop_vault(spark)
+    v = MallardSparkVault(spark)
+    assert v.init_vault(
+        os.path.join(fixtures, "tables.csv"),
+        os.path.join(fixtures, "transitions.csv"),
+    ) == []
+    spark.sql(
+        "INSERT OVERWRITE stg.customer VALUES "
+        "(1,'a','b','a@x',timestamp'2025-03-25 15:16:33',NULL,NULL)"
+    )
+
+    with mock.patch.object(
+        runinfo, "write_ledger_rows",
+        side_effect=RuntimeError("metadata store unavailable"),
+    ):
+        errors = v.execute_flow(
+            "customer", "demo", load_date_overwrite="2025-01-01 00:00:00"
+        )
+    assert errors == [("write_runinfo", "metadata store unavailable")]
