@@ -277,6 +277,151 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> dict:
+    """Materialize an IVF index on disk: the corpus written **partitioned by
+    centroid_id** plus a small centroid table, so probes become
+    partition-pruned scans instead of full-corpus reads.
+
+    Layout under ``path``::
+
+        cells/centroid_id=<i>/*.parquet   (neighbor_id, cv: array<double>)
+        centroids/*.parquet               (centroid_id, centroid)
+
+    Training mirrors :func:`ivf_topk` exactly (same KMeans config, same
+    bounded sample, same seed) so a probe over the stored index returns the
+    same results as the in-memory variant. This is the lake-scale shape: at
+    100 TB the ``cells`` write is one shuffle-free pass (each task writes
+    its rows into per-cell files) and every later probe touches only
+    ``nprobe × |queries|`` cells out of ``n_centroids``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cv"),
+    )
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=3, initMode="random",
+        featuresCol="feat", predictionCol="centroid_id",
+    )
+    feat = c.withColumn("feat", array_to_vector("cv"))
+    target = n_centroids * 512
+    n_corpus = corpus.count()
+    train = (
+        feat.sample(fraction=min(1.0, target / n_corpus), seed=seed)
+        if n_corpus > target
+        else feat
+    )
+    model = km.fit(train)
+    assigned = model.transform(feat).select("neighbor_id", "cv", "centroid_id")
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/cells"
+    )
+
+    spark = corpus.sparkSession
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(centroids, ["centroid_id", "centroid"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return {"path": path, "n_centroids": n_centroids, "n_rows": n_corpus}
+
+
+def ivf_append(
+    new_rows: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally assign appended corpus rows against the *stored*
+    centroids and append them to the matching cells — no retraining, no
+    rewrite of existing cells. Nearest centroid by squared euclidean with
+    centroid_id tiebreak (KMeans transform semantics up to exact ties)."""
+    spark = new_rows.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    rows = new_rows.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cv"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(cv, centroid, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
+    assigned = (
+        rows.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "cv", "centroid_id")
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(f"{path}/cells")
+
+
+def ivf_probe_topk(
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Probe a :func:`build_ivf_index` index: pick the ``nprobe`` nearest
+    stored centroids per query, then scan ONLY those cells (a static
+    ``centroid_id IN (...)`` filter on the partition column → partition
+    pruning at the file-source level) and exact-rerank by cosine.
+
+    The probed-cell set is collected to the driver first — it is bounded by
+    ``n_centroids`` (control metadata, like the engine's transition-table
+    reads), and turning it into a literal IN-filter is what makes the scan
+    prunable without relying on runtime DPP.
+    """
+    spark = queries.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("qv"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(qv, centroid, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    probed_ids = sorted({r.centroid_id for r in probes.select("centroid_id").distinct().collect()})
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("centroid_id").isin(probed_ids)
+    )
+    cand = probes.join(cells, "centroid_id").withColumn(
+        "cosine",
+        F.expr(
+            f"round({_DOT.format(a='qv', b='cv')} / "
+            f"(sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})), 6)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def ivf_topk_deterministic(
     queries: DataFrame,
     corpus: DataFrame,

@@ -57,6 +57,13 @@ def md5_sql(fields: list[str]) -> str:
     return f"md5(upper(concat_ws('||',{parts})))"
 
 
+def sha256_sql(fields: list[str]) -> str:
+    """DuckDB-side canonical sha256 hash (Spark twin: ``sha2(..., 256)``) —
+    exercises the third supported hash algo through the driver gate."""
+    parts = ",".join(f"coalesce(cast({f} as varchar),'')" for f in fields)
+    return f"sha256(upper(concat_ws('||',{parts})))"
+
+
 def _mhash(*cols) -> F.Column:
     return hash_col(list(cols), algo="md5")
 
@@ -1554,7 +1561,10 @@ def q_dv_flow_e2e(spark, sf):
     # reference contract is fuzz-proven (test_fuzz_differential) and
     # state-proven (test_parallel_stages); the sequential default remains
     # covered by the integration/lifecycle suites
-    vault = MallardSparkVault(spark, hash_algo="md5", parallel_stages=True, **dbs)
+    # sha256 mode: the third supported hash algo, gate-exercised end-to-end
+    # through the full flow lifecycle (sha1 is golden-pytest-pinned, md5
+    # runs in every other dv_* gate query)
+    vault = MallardSparkVault(spark, hash_algo="sha256", parallel_stages=True, **dbs)
     errors = vault.init_vault(tables_csv, transitions_csv)
     assert errors == [], errors
     errors = vault.execute_flow(
@@ -1568,10 +1578,10 @@ def q_dv_flow_e2e(spark, sf):
 
 
 O_DV_FLOW = f"""
-SELECT {md5_sql(['c_custkey'])} AS customer_hk,
+SELECT {sha256_sql(['c_custkey'])} AS customer_hk,
        timestamp '2025-01-01 00:00:00' AS load_dts,
        false AS del_flag,
-       {md5_sql(['trim(c_name)', 'c_mktsegment', 'c_nationkey'])} AS hash_diff,
+       {sha256_sql(['trim(c_name)', 'c_mktsegment', 'c_nationkey'])} AS hash_diff,
        'bench' AS record_source,
        1 AS run_id,
        trim(c_name) AS name,
