@@ -94,6 +94,9 @@ class MallardSparkVault:
             self.spark, self.metadata_db, tables_csv, transitions_csv
         )
         self._meta.invalidate()
+        # the catalog may be (re)built after a metadata reload — the
+        # hash-view DDL memo must not suppress re-creation against it
+        self._executor.hashview_issued.clear()
         if meta_only:
             return errors
 
@@ -218,6 +221,9 @@ class MallardSparkVault:
             self.spark, self.metadata_db, tables_csv, transitions_csv
         )
         self._meta.invalidate()
+        # the catalog may be (re)built after a metadata reload — the
+        # hash-view DDL memo must not suppress re-creation against it
+        self._executor.hashview_issued.clear()
 
     # -- crash recovery -----------------------------------------------------
 

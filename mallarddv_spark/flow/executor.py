@@ -81,6 +81,10 @@ class FlowExecutor:
         #: run's rows by run_id across ALL DV tables regardless of which
         #: subset committed. Default False = exact reference contract.
         self.parallel_stages = parallel_stages
+        #: hash-view DDL memo (db.table → issued view SQL): repeat flows
+        #: with unchanged metadata skip the CREATE OR REPLACE round-trip.
+        #: Discarded by the facade on init_vault (catalog may be rebuilt).
+        self.hashview_issued: dict[str, str] = {}
 
     def execute_flow(
         self,
@@ -164,6 +168,7 @@ class FlowExecutor:
             hashview.create_hash_view(
                 spark, self.stg_db, source_table, transitions,
                 algo=self.hash_algo, verbose=verbose,
+                issued=self.hashview_issued,
             )
         except Exception as ex:
             errors.append(("compute_hash_view", str(ex)))

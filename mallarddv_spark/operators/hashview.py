@@ -22,11 +22,26 @@ def create_hash_view(
     records: list[TransitionRecord],
     algo: str = "sha1",
     verbose: bool = False,
+    issued: dict[str, str] | None = None,
 ) -> str:
-    """CREATE OR REPLACE the hash view; returns the view SQL."""
+    """CREATE OR REPLACE the hash view; returns the view SQL.
+
+    ``issued`` is an optional caller-owned memo of previously issued view
+    SQL per ``db.table`` — when the byte-identical SQL was already issued,
+    the CREATE OR REPLACE round-trip is skipped (~50 ms of catalog DDL per
+    flow). View DDL is derived purely from metadata, so identical SQL means
+    an identical catalog view; any metadata or algo change produces
+    different SQL and re-issues. The memo's owner (the flow executor) must
+    discard it whenever the catalog may have been rebuilt under it
+    (``init_vault``)."""
     plan = plan_hash_view(stg_table, records, algo=algo)
     sql = plan.view_sql(stg_db)
     if verbose:
         print(sql)
+    key = f"{stg_db}.{stg_table}"
+    if issued is not None and issued.get(key) == sql:
+        return sql
     spark.sql(sql)
+    if issued is not None:
+        issued[key] = sql
     return sql

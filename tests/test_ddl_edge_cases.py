@@ -89,3 +89,76 @@ def test_raw_sql_passthrough(vault):
     )
     got = {r.sensor_id_bk: r.n for r in df.collect()}
     assert got == {1: 2, 2: 1}
+
+
+# --- hash-view DDL memo ------------------------------------------------------
+
+
+class _SQLRecorder:
+    """Duck-typed SparkSession stand-in: records issued SQL strings."""
+
+    def __init__(self):
+        self.calls = []
+
+    def sql(self, s):
+        self.calls.append(s)
+
+
+def _tr(**kw):
+    from mallarddv_spark.plans.model import TransitionRecord
+
+    base = dict(
+        source_table="customer", source_field="c_custkey",
+        target_table="hub_customer", target_field="customer_bk",
+        group_name="hk", position=1, raw=False, transformation=None,
+        transfer_type="hub",
+    )
+    base.update(kw)
+    return TransitionRecord(**base)
+
+
+def test_hash_view_ddl_memo_skips_identical_reissue():
+    from mallarddv_spark.operators.hashview import create_hash_view
+
+    fake, issued = _SQLRecorder(), {}
+    recs = [_tr()]
+    sql1 = create_hash_view(fake, "stg", "customer", recs, issued=issued)
+    sql2 = create_hash_view(fake, "stg", "customer", recs, issued=issued)
+    assert sql1 == sql2
+    assert len(fake.calls) == 1  # second call skipped the DDL round-trip
+    # changed metadata (extra field ⇒ different view SQL) → re-issued
+    recs2 = recs + [_tr(source_field="c_name", target_field="name", position=2)]
+    assert create_hash_view(
+        fake, "stg", "customer", recs2, issued=issued
+    ) != sql1
+    assert len(fake.calls) == 2
+    # without a memo every call issues DDL (legacy behavior preserved)
+    create_hash_view(fake, "stg", "customer", recs)
+    assert len(fake.calls) == 3
+
+
+def test_init_vault_clears_hash_view_memo(spark, tmp_path):
+    """Re-initing the vault (catalog may be rebuilt) must re-issue view DDL
+    even for byte-identical metadata."""
+    import shutil
+
+    from mallarddv_spark import MallardSparkVault
+
+    fx = "tests/fixtures"
+    dbs = dict(stg_db="hvm_stg", dv_db="hvm_dv", bv_db="hvm_bv",
+               metadata_db="hvm_meta")
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    v = MallardSparkVault(spark, **dbs)
+    assert v.init_vault(f"{fx}/tables.csv", f"{fx}/transitions.csv") == []
+    assert v._executor.hashview_issued == {}
+    assert v.execute_flow(
+        "customer", "t", file_path=f"{fx}/customer.csv",
+        load_date_overwrite="2025-01-01 00:00:00",
+    ) == []
+    assert "hvm_stg.customer" in v._executor.hashview_issued
+    # re-init (drops nothing here, but contract: memo must reset)
+    assert v.init_vault(f"{fx}/tables.csv", f"{fx}/transitions.csv") == []
+    assert v._executor.hashview_issued == {}
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
