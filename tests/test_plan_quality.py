@@ -46,6 +46,17 @@ def test_hub_antijoin_uses_anti_join(spark):
     assert "LeftAnti" in plan
 
 
+def test_approx_aggregates_has_no_expand(spark):
+    """countDistinct must NOT share a groupBy with the quantile sketch: the
+    combined plan expands to per-(group, order-key) partials, instantiating
+    one 10k-accuracy sketch per order key (measured 29.8 s vs 2 s at sf0.1;
+    an OOM at lake scale). The split-and-broadcast-join shape keeps both
+    passes sketch-per-group."""
+    plan = _plan(spark, "sql_approx_aggregates", "simple")
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 @pytest.mark.parametrize(
     "name",
     [n for n in REGISTRY if n != "adv_multimodal_features"],  # mapInPandas by design
