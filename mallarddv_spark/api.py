@@ -233,11 +233,18 @@ class MallardSparkVault:
         snapshots rebuilt. The reference needed no equivalent — DuckDB gave
         it transactions (``db/database_connection.py:36-68``); on a parquet
         catalog this compensation pass is the stand-in (on Delta/Iceberg it
-        becomes one ``DELETE`` per table). Returns {table: rows_removed}.
+        becomes one ``DELETE`` per table). Returns {table: rows_removed},
+        plus ``"<table> (compaction)": <action>`` entries for any
+        compaction that was interrupted mid-swap and healed first (healing
+        runs before rollback so a restored table participates in it).
         """
         from mallarddv_spark.flow.recovery import recover_vault
+        from mallarddv_spark.sources.layout import heal_all_compactions
 
-        return recover_vault(self.spark, self.metadata_db, self.dv_db)
+        healed = heal_all_compactions(self.spark, self.dv_db)
+        out: dict = recover_vault(self.spark, self.metadata_db, self.dv_db)
+        out.update({f"{t} (compaction)": a for t, a in healed.items()})
+        return out
 
     def rollback_run(self, run_id: int) -> dict[str, int]:
         """Explicitly roll back one run's rows (e.g. a flow that *failed*

@@ -129,6 +129,25 @@ def heal_compaction(spark, table_fqn: str) -> str | None:
     return None
 
 
+def heal_all_compactions(spark, db: str) -> dict[str, str]:
+    """Sweep ``db`` for compactions interrupted mid-swap (leftover
+    ``__compact`` / ``__pre_compact`` tables) and :func:`heal_compaction`
+    each. Returns {base table: action}; empty when the catalog is clean.
+    Invoked by the facade's ``recover()`` so one entry point heals both
+    torn runs and torn compactions."""
+    leftovers = set()
+    for t in spark.catalog.listTables(db):
+        for suffix in ("__pre_compact", "__compact"):
+            if t.name.endswith(suffix):
+                leftovers.add(f"{db}.{t.name[: -len(suffix)]}")
+    healed = {}
+    for base in sorted(leftovers):
+        action = heal_compaction(spark, base)
+        if action:
+            healed[base] = action
+    return healed
+
+
 def compact_table(
     spark,
     table_fqn: str,

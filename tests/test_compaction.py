@@ -162,3 +162,33 @@ def test_heal_compaction_states(spark, fragmented_table):
     assert heal_compaction(spark, t) == "dropped_backup"
     assert not spark.catalog.tableExists(backup)
     assert spark.table(t).count() == n
+
+
+def test_recover_heals_torn_compaction(spark):
+    """vault.recover() is the single entry point for crash repair: a
+    compaction that died between rename-out and rename-in (data reachable
+    only as __pre_compact) must come back catalog-resolvable."""
+    from mallarddv_spark import MallardSparkVault
+
+    dbs = dict(stg_db="hc_stg", dv_db="hc_dv", bv_db="hc_bv",
+               metadata_db="hc_meta")
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    v = MallardSparkVault(spark, **dbs)
+    assert v.init_vault("tests/fixtures/tables.csv",
+                        "tests/fixtures/transitions.csv") == []
+    assert v.execute_flow(
+        "customer", "t", file_path="tests/fixtures/customer.csv",
+        load_date_overwrite="2025-01-01 00:00:00",
+    ) == []
+    t = "hc_dv.hub_customer"
+    n = spark.table(t).count()
+    # simulate the worst interruption point: main renamed out, staged never in
+    spark.sql(f"ALTER TABLE {t} RENAME TO {t}__pre_compact")
+    assert not spark.catalog.tableExists(t)
+    out = v.recover()
+    assert out.get(f"{t} (compaction)") == "restored_backup"
+    assert spark.table(t).count() == n
+    assert v.recover() == {}  # clean second pass
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
