@@ -133,10 +133,12 @@ class MallardSparkVault:
         load_date_overwrite: str | None = None,
         force_load: bool = False,
         verbose: bool = False,
+        file_type: str | None = None,
     ) -> list[tuple[str, str]]:
         return self._executor.execute_flow(
             source_table, record_source, file_path,
             load_date_overwrite, force_load, verbose,
+            file_type=file_type,
         )
 
     # -- granular DDL/load API (1:1 with the reference facade,

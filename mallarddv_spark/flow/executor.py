@@ -94,6 +94,7 @@ class FlowExecutor:
         load_date_overwrite: str | None = None,
         force_load: bool = False,
         verbose: bool = False,
+        file_type: str | None = None,
     ) -> list[tuple[str, str]]:
         spark = self.spark
         errors: list[tuple[str, str]] = []
@@ -154,7 +155,8 @@ class FlowExecutor:
                         base_name=source_table, rel_type="stg"
                     )
                     readers.load_file_to_staging(
-                        spark, self.stg_db, source_table, file_path, cols
+                        spark, self.stg_db, source_table, file_path, cols,
+                        file_type=file_type,
                     )
             except Exception as ex:
                 errors.append(("load_file_to_staging", str(ex)))

@@ -45,18 +45,24 @@ def read_file(
     schema: StructType,
     file_type: str | None = None,
 ) -> DataFrame:
-    """Extension-dispatched read with imposed schema (csv/parquet/json)."""
+    """Extension-dispatched read with imposed schema
+    (csv/tsv/parquet/orc/json)."""
     ftype = (file_type or file_path.rsplit(".", 1)[-1]).lower()
-    if ftype == "csv":
+    if ftype in ("csv", "tsv"):
         return (
             spark.read.schema(schema)
             .option("header", True)
+            .option("sep", "\t" if ftype == "tsv" else ",")
             .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
             .csv(file_path)
         )
-    if ftype == "parquet":
-        # parquet carries its own schema; project+cast to the imposed one
-        df = spark.read.parquet(file_path)
+    if ftype in ("parquet", "orc"):
+        # both carry their own schema; project+cast to the imposed one
+        df = (
+            spark.read.parquet(file_path)
+            if ftype == "parquet"
+            else spark.read.orc(file_path)
+        )
         return df.selectExpr(
             *[
                 f"cast({quote_ident(f.name)} as {f.dataType.simpleString()}) as {quote_ident(f.name)}"

@@ -68,3 +68,37 @@ def test_two_sources_one_hub(vault, spark):
 
     cv = {r.email for r in spark.table("bv.hsat_customer_contact_cv").collect()}
     assert cv == {"a@x.com", "b@web.com", "c@web.com"}  # latest per key
+
+
+def test_orc_and_tsv_sources_feed_same_vault(vault, spark, tmp_path):
+    """S1 format dispatch: the same flow ingests CSV, ORC and TSV files —
+    self-describing formats are projected+cast to the imposed staging
+    schema, delimited ones are parsed with it."""
+    import pandas as pd
+
+    # crm batch as ORC (written via Spark: self-describing columnar file)
+    crm = spark.createDataFrame(
+        pd.DataFrame({"cid": [501, 502], "email": ["a@x.io", "b@x.io"]})
+    )
+    orc_path = str(tmp_path / "crm_batch")
+    crm.coalesce(1).write.orc(orc_path)
+    errs = vault.execute_flow(
+        "crm_customer", "orc_src", file_path=orc_path, file_type="orc",
+        load_date_overwrite="2025-07-01 00:00:00",
+    )
+    assert errs == []
+
+    # web batch as TSV (tab-separated with header)
+    tsv = tmp_path / "web.tsv"
+    tsv.write_text("customer_id\tmail\n502\tb2@x.io\n503\tc@x.io\n")
+    errs = vault.execute_flow(
+        "web_signup", "tsv_src", file_path=str(tsv),
+        load_date_overwrite="2025-07-02 00:00:00",
+    )
+    assert errs == []
+
+    hub = {r.id_bk for r in spark.table("dv.hub_customer").collect()}
+    assert {501, 502, 503} <= hub
+    sat = spark.table("bv.hsat_customer_contact_cv")
+    got = {r.email for r in sat.filter("customer_hk is not null").collect()}
+    assert {"a@x.io", "b2@x.io", "c@x.io"} <= got
