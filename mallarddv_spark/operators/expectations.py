@@ -1,0 +1,158 @@
+"""Declarative data-quality expectations over any DataFrame.
+
+A training-data pipeline (and a Data Vault staging contract) needs cheap,
+scale-safe constraint checking: *"these columns are never null, this key is
+unique, this value is in range / in set / matches a pattern, this foreign
+key resolves."* This module compiles a rule list into the minimum number of
+Spark jobs:
+
+* every **row-level** rule (not_null / in_range / in_set / matches /
+  custom predicate) becomes one boolean column in a SINGLE aggregate pass
+  over the table — one scan regardless of rule count, all JVM-side;
+* each **unique** rule is a two-phase ``groupBy(keys).count`` (its own
+  shuffle — unavoidable, and deliberately NOT folded into the row pass:
+  mixing countDistinct with other aggregates makes Catalyst plan an Expand
+  that replicates every row per distinct-rule);
+* each **referential** rule is a left-anti join against the referenced
+  table (Catalyst broadcasts small reference sides automatically; at lake
+  scale a large dim anti-join shuffles on the key — the right plan).
+
+The report is one row per rule: ``(rule, kind, target, violations, total,
+passed)``. Aggregate results are scalars, so assembling the report on the
+driver is control-plane work, not a data collect.
+
+No reference twin: the reference engine ships no constraint checker; this
+is part of the pipeline-operator surface (SURVEY §6 scope).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mallarddv_spark.exceptions import DVConfigurationError
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One rule. ``fail`` is a Column predicate that is True for VIOLATING
+    rows (row-level kinds only)."""
+
+    name: str
+    kind: str
+    target: str
+    fail: Column | None = None
+    keys: tuple[str, ...] = ()
+    ref: DataFrame | None = field(default=None, compare=False)
+    ref_col: str | None = None
+
+
+def expect_not_null(col: str, name: str | None = None) -> Expectation:
+    return Expectation(
+        name or f"not_null({col})", "not_null", col, F.col(col).isNull()
+    )
+
+
+def expect_in_range(
+    col: str, lo, hi, name: str | None = None
+) -> Expectation:
+    """Violation: value outside [lo, hi]. NULLs pass (compose with
+    expect_not_null to forbid them)."""
+    c = F.col(col)
+    return Expectation(
+        name or f"in_range({col},{lo},{hi})",
+        "in_range",
+        col,
+        c.isNotNull() & ~c.between(F.lit(lo), F.lit(hi)),
+    )
+
+
+def expect_in_set(col: str, values, name: str | None = None) -> Expectation:
+    c = F.col(col)
+    return Expectation(
+        name or f"in_set({col})",
+        "in_set",
+        col,
+        c.isNotNull() & ~c.isin(list(values)),
+    )
+
+
+def expect_matches(col: str, pattern: str, name: str | None = None) -> Expectation:
+    c = F.col(col)
+    return Expectation(
+        name or f"matches({col})",
+        "matches",
+        col,
+        c.isNotNull() & ~c.rlike(pattern),
+    )
+
+
+def expect_that(predicate: Column, name: str) -> Expectation:
+    """Custom row-level rule: ``predicate`` is True for rows that PASS."""
+    return Expectation(name, "custom", name, ~predicate)
+
+
+def expect_unique(*cols: str, name: str | None = None) -> Expectation:
+    return Expectation(
+        name or f"unique({','.join(cols)})", "unique", ",".join(cols), keys=cols
+    )
+
+
+def expect_ref(
+    col: str, ref: DataFrame, ref_col: str, name: str | None = None
+) -> Expectation:
+    """Violation: a non-null value with no match in ``ref[ref_col]``."""
+    return Expectation(
+        name or f"ref({col})", "ref", col, ref=ref, ref_col=ref_col
+    )
+
+
+def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
+    """Evaluate ``rules`` against ``df``; returns the report DataFrame
+    ``(rule, kind, target, violations, total, passed)`` ordered as given.
+    """
+    if not rules:
+        raise DVConfigurationError("run_expectations: empty rule list")
+    spark = df.sparkSession
+
+    row_rules = [r for r in rules if r.fail is not None]
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum(r.fail.cast("long")).alias(f"__v{i}")
+        for i, r in enumerate(row_rules)
+    ]
+    agg_row = df.agg(*aggs).first()
+    total = int(agg_row["__total"])
+    row_violations = {
+        r.name: int(agg_row[f"__v{i}"] or 0) for i, r in enumerate(row_rules)
+    }
+
+    results: list[tuple] = []
+    for r in rules:
+        if r.fail is not None:
+            v = row_violations[r.name]
+        elif r.kind == "unique":
+            # duplicates = rows beyond the first of each key group
+            dup = (
+                df.groupBy(*[F.col(k) for k in r.keys])
+                .count()
+                .filter(F.col("count") > 1)
+                .agg(F.sum(F.col("count") - 1).alias("d"))
+                .first()
+            )
+            v = int(dup["d"] or 0)
+        elif r.kind == "ref":
+            ref = r.ref.select(F.col(r.ref_col).alias(r.target)).distinct()
+            v = (
+                df.filter(F.col(r.target).isNotNull())
+                .join(ref, r.target, "left_anti")
+                .count()
+            )
+        else:  # pragma: no cover - constructors prevent this
+            raise DVConfigurationError(f"unknown expectation kind: {r.kind}")
+        results.append((r.name, r.kind, r.target, v, total, v == 0))
+
+    return spark.createDataFrame(
+        results, "rule string, kind string, target string, "
+                 "violations long, total long, passed boolean"
+    )

@@ -1,0 +1,129 @@
+"""Data-quality expectations: every rule kind differentially checked
+against DuckDB on the sf0.001 tables, plus plan-shape guarantees (one scan
+for all row-level rules; no Expand)."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from mallarddv_spark.operators import expectations as E
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def customer(spark):
+    return spark.read.parquet(f"{SF}/customer.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_report_matches_duckdb(spark, orders, customer, duck):
+    report = E.run_expectations(
+        orders,
+        [
+            E.expect_not_null("o_orderkey"),
+            E.expect_unique("o_orderkey"),
+            E.expect_in_range("o_totalprice", 0, 100_000),
+            E.expect_in_set("o_orderstatus", ["O", "F", "P"]),
+            E.expect_matches("o_orderpriority", r"^\d-[A-Z ]+$"),
+            E.expect_ref("o_custkey", customer, "c_custkey"),
+            E.expect_that(F.col("o_totalprice") > 0, "positive_price"),
+        ],
+    )
+    got = {r.rule: (r.violations, r.total, r.passed) for r in report.collect()}
+    total = duck.sql("SELECT count(*) FROM orders").fetchone()[0]
+
+    exp = {
+        "not_null(o_orderkey)": duck.sql(
+            "SELECT count(*) FROM orders WHERE o_orderkey IS NULL"
+        ).fetchone()[0],
+        "unique(o_orderkey)": duck.sql(
+            "SELECT count(*) - count(DISTINCT o_orderkey) FROM orders"
+        ).fetchone()[0],
+        "in_range(o_totalprice,0,100000)": duck.sql(
+            "SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL "
+            "AND (o_totalprice < 0 OR o_totalprice > 100000)"
+        ).fetchone()[0],
+        "in_set(o_orderstatus)": duck.sql(
+            "SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL "
+            "AND o_orderstatus NOT IN ('O','F','P')"
+        ).fetchone()[0],
+        "matches(o_orderpriority)": duck.sql(
+            "SELECT count(*) FROM orders WHERE o_orderpriority IS NOT NULL "
+            "AND NOT regexp_matches(o_orderpriority, '^\\d-[A-Z ]+$')"
+        ).fetchone()[0],
+        "ref(o_custkey)": duck.sql(
+            "SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND "
+            "o_custkey NOT IN (SELECT c_custkey FROM customer)"
+        ).fetchone()[0],
+        # NULL predicate → NULL fail flag → uncounted, same as the SQL filter
+        "positive_price": duck.sql(
+            "SELECT count(*) FROM orders WHERE NOT (o_totalprice > 0)"
+        ).fetchone()[0],
+    }
+    for rule, expected_v in exp.items():
+        v, t, passed = got[rule]
+        assert t == total, rule
+        assert v == expected_v, f"{rule}: {v} != {expected_v}"
+        assert passed == (expected_v == 0), rule
+    # sanity: the dataset must actually exercise both outcomes
+    assert any(p for _, _, p in got.values())
+    assert any(not p for _, _, p in got.values())
+
+
+def test_duplicate_and_orphan_counting(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (None, 30)], "k int, v int"
+    )
+    ref = spark.createDataFrame([(10,), (20,)], "rk int")
+    report = E.run_expectations(
+        df,
+        [
+            E.expect_unique("k"),
+            E.expect_ref("v", ref, "rk"),
+            E.expect_not_null("k"),
+        ],
+    )
+    got = {r.rule: r.violations for r in report.collect()}
+    assert got["unique(k)"] == 2  # three k=1 rows → 2 duplicates
+    assert got["ref(v)"] == 3  # 11, 12, 30 unmatched
+    assert got["not_null(k)"] == 1
+
+
+def test_row_rules_are_single_scan(spark, orders):
+    """All row-level rules share ONE aggregate over ONE scan: no Expand,
+    no join, exactly one parquet relation in the plan."""
+    rules = [
+        E.expect_not_null("o_orderkey"),
+        E.expect_in_range("o_totalprice", 0, 100_000),
+        E.expect_in_set("o_orderstatus", ["O", "F", "P"]),
+    ]
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum(r.fail.cast("long")).alias(f"__v{i}") for i, r in enumerate(rules)
+    ]
+    plan = orders.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan and "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_empty_rules_rejected(spark, orders):
+    from mallarddv_spark.exceptions import DVConfigurationError
+
+    with pytest.raises(DVConfigurationError):
+        E.run_expectations(orders, [])
