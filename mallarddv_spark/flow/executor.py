@@ -95,6 +95,7 @@ class FlowExecutor:
         force_load: bool = False,
         verbose: bool = False,
         file_type: str | None = None,
+        expectations: list | None = None,
     ) -> list[tuple[str, str]]:
         spark = self.spark
         errors: list[tuple[str, str]] = []
@@ -160,6 +161,34 @@ class FlowExecutor:
                     )
             except Exception as ex:
                 errors.append(("load_file_to_staging", str(ex)))
+                self._end(source_table, run_id, file_path, errors)
+                return errors
+
+        # 3b. optional ingestion quality gate: data-contract expectations
+        # evaluated against the loaded staging table BEFORE any DV load —
+        # a violated contract aborts the flow (ledger row 'failure', no
+        # partial vault state), which is the only safe default for a vault:
+        # bad staging rows otherwise become immutable history.
+        if expectations:
+            try:
+                from mallarddv_spark.operators.expectations import (
+                    run_expectations,
+                )
+
+                report = run_expectations(
+                    spark.table(f"{self.stg_db}.{source_table}"), expectations
+                )
+                failed = [
+                    f"{r.rule} ({r.violations}/{r.total} rows)"
+                    for r in report.collect()
+                    if not r.passed
+                ]
+                if failed:
+                    errors.append(("quality_gate", "; ".join(failed)))
+                    self._end(source_table, run_id, file_path, errors)
+                    return errors
+            except Exception as ex:
+                errors.append(("quality_gate", str(ex)))
                 self._end(source_table, run_id, file_path, errors)
                 return errors
 

@@ -127,3 +127,51 @@ def test_empty_rules_rejected(spark, orders):
 
     with pytest.raises(DVConfigurationError):
         E.run_expectations(orders, [])
+
+
+def test_flow_quality_gate_blocks_bad_batch(spark):
+    """A violated data contract aborts the flow before any DV load: the
+    hub stays empty, the ledger records a failure, and a clean batch with
+    the same contract loads normally."""
+    from mallarddv_spark import MallardSparkVault
+
+    dbs = dict(stg_db="qg_stg", dv_db="qg_dv", bv_db="qg_bv",
+               metadata_db="qg_meta")
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    v = MallardSparkVault(spark, **dbs)
+    assert v.init_vault("tests/fixtures/tables.csv",
+                        "tests/fixtures/transitions.csv") == []
+
+    contract = [E.expect_not_null("id"), E.expect_unique("id")]
+
+    import csv
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".csv", delete=False
+    ) as fh:
+        w = csv.writer(fh)
+        w.writerow(["id", "first_name", "last_name", "email",
+                    "created_date", "referenced_by", "reference_code"])
+        w.writerow([7, "dup", "row", "d@x.io", "2025-01-01 00:00:00", "", ""])
+        w.writerow([7, "dup", "row2", "d2@x.io", "2025-01-01 00:00:00", "", ""])
+        bad = fh.name
+
+    errs = v.execute_flow("customer", "qg", file_path=bad,
+                          load_date_overwrite="2025-01-01 00:00:00",
+                          expectations=contract)
+    assert errs and errs[0][0] == "quality_gate"
+    assert "unique(id)" in errs[0][1]
+    assert spark.table("qg_dv.hub_customer").count() == 0
+    ri = spark.table("qg_meta.runinfo").filter("status = 'failure'")
+    assert ri.count() == 1
+
+    errs = v.execute_flow("customer", "qg",
+                          file_path="tests/fixtures/customer.csv",
+                          load_date_overwrite="2025-01-02 00:00:00",
+                          expectations=contract)
+    assert errs == []
+    assert spark.table("qg_dv.hub_customer").count() > 0
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
