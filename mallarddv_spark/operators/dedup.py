@@ -325,6 +325,158 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Persisted MinHash index — incremental near-dup at corpus scale
+# ---------------------------------------------------------------------------
+
+
+def _band_rows(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """Explode per-doc signatures into (doc_id, band, bh) bucket rows —
+    the same banding as :func:`minhash_lsh_pairs`."""
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [f"sig_{b * rows_per_band + j}" for j in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("-", *cols)).alias("bh"))
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.bh")
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    max_shingle_df: int | None = None,
+    hash_mode: str = "xxhash64",
+) -> dict:
+    """Materialize a MinHash near-dup index on disk: per-doc signatures
+    plus banded bucket rows, so every future crawl batch is checked against
+    the corpus WITHOUT recomputing a single history signature.
+
+    Layout under ``path``::
+
+        sigs/*.parquet    (doc_id, sig_0..sig_{num_perm-1})
+        bands/*.parquet   (doc_id, band, bh)
+        params/*.parquet  (num_perm, bands, shingle_size, max_shingle_df,
+                           hash_mode) — pinned so appends/probes can never
+                           silently mix incompatible signatures
+
+    This is the daily-crawl shape :func:`curation.incremental_dedup` covers
+    for EXACT duplicates, extended to near-dups: the 100 TB history
+    contributes one-off signature computation and then only (band, bh)
+    join probes.
+    """
+    spark = df.sparkSession
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle_size, max_shingle_df, hash_mode
+    )
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    sigs = spark.read.parquet(f"{path}/sigs")  # reuse the written pass
+    _band_rows(sigs, num_perm, bands).write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+    spark.createDataFrame(
+        [(num_perm, bands, shingle_size, max_shingle_df, hash_mode)],
+        "num_perm int, bands int, shingle_size int, "
+        "max_shingle_df int, hash_mode string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    return {"path": path, "num_perm": num_perm, "bands": bands}
+
+
+def _minhash_index_params(spark, path: str) -> dict:
+    row = spark.read.parquet(f"{path}/params").first()
+    return row.asDict()
+
+
+def minhash_index_append(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a new batch's signatures + band rows to the stored index
+    (parameters come from the index itself — incompatible mixes are
+    impossible). Caller dedups ids; appending an existing doc_id simply
+    stores a second identical signature."""
+    spark = df.sparkSession
+    p = _minhash_index_params(spark, path)
+    sigs = minhash_signatures(
+        df, id_col, text_col, p["num_perm"], p["shingle_size"],
+        p["max_shingle_df"], p["hash_mode"],
+    )
+    sigs.write.mode("append").parquet(f"{path}/sigs")
+    _band_rows(sigs, p["num_perm"], p["bands"]).write.mode("append").parquet(
+        f"{path}/bands"
+    )
+
+
+def neardup_against_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Probe a new batch against a :func:`build_minhash_index` corpus:
+    returns ``(new_id, index_id, est_jaccard)`` for every stored document
+    sharing ≥1 LSH band with a batch document and whose signature-agreement
+    Jaccard estimate reaches ``threshold``.
+
+    Scale shape mirrors ``incremental_dedup``: the batch side (signatures
+    AND band rows) is broadcast, the stored index streams through two
+    BroadcastHashJoins — history never shuffles. The estimate is plain
+    MinHash agreement (fraction of equal signature components) because the
+    index intentionally does not retain text; rerank survivors against the
+    source-of-truth corpus if exact Jaccard is needed.
+    """
+    spark = df.sparkSession
+    p = _minhash_index_params(spark, path)
+    sigs = minhash_signatures(
+        df, id_col, text_col, p["num_perm"], p["shingle_size"],
+        p["max_shingle_df"], p["hash_mode"],
+    )
+    new_bands = _band_rows(sigs, p["num_perm"], p["bands"]).select(
+        F.col("doc_id").alias("new_id"), "band", "bh"
+    )
+    stored_bands = spark.read.parquet(f"{path}/bands").select(
+        F.col("doc_id").alias("index_id"), "band", "bh"
+    )
+    candidates = (
+        stored_bands.join(F.broadcast(new_bands), ["band", "bh"])
+        .filter(F.col("index_id") != F.col("new_id"))
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    n = p["num_perm"]
+    new_sigs = sigs.select(
+        F.col("doc_id").alias("new_id"),
+        F.array(*[f"sig_{i}" for i in range(n)]).alias("new_sig"),
+    )
+    stored_sigs = spark.read.parquet(f"{path}/sigs").select(
+        F.col("doc_id").alias("index_id"),
+        F.array(*[f"sig_{i}" for i in range(n)]).alias("idx_sig"),
+    )
+    est = F.expr(
+        "round(aggregate(zip_with(new_sig, idx_sig, (a, b) -> "
+        f"CASE WHEN a = b THEN 1.0 ELSE 0.0 END), cast(0.0 as double), "
+        f"(acc, x) -> acc + x) / {n}, 6)"
+    )
+    return (
+        stored_sigs.join(F.broadcast(candidates), "index_id")
+        .join(F.broadcast(new_sigs), "new_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "index_id", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
