@@ -2941,12 +2941,55 @@ O_TEXT_CONTAMINATION = (
 )
 
 
+def q_sql_array_functions(spark, sf):
+    """Array / higher-order function battery over part-name tokens:
+    split, sort, filter-lambda, aggregate-lambda, contains, distinct —
+    the Catalyst HOF surface the curation operators are built on."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("array_join(array_sort(split(p_name, ' ')), ',')").alias("sorted_toks"),
+        F.expr("element_at(array_sort(split(p_name, ' ')), 1)").alias("first_tok"),
+        # empty-result normalization: Spark's array_join of an empty array
+        # is '' while DuckDB's array_to_string is NULL — pin both to NULL
+        F.expr(
+            "nullif(array_join(filter(split(p_name, ' '), x -> length(x) > 5), ','), '')"
+        ).alias("long_toks"),
+        F.expr("cast(size(split(p_name, ' ')) as bigint)").alias("n_toks"),
+        F.expr(
+            "aggregate(split(p_name, ' '), 0L, (a, x) -> a + length(x))"
+        ).alias("sum_len"),
+        F.expr(
+            "cast(array_contains(split(p_name, ' '), 'green') as bigint)"
+        ).alias("has_green"),
+        F.expr(
+            "cast(size(array_distinct(split(p_name, ' '))) as bigint)"
+        ).alias("n_distinct_toks"),
+    )
+
+
+O_SQL_ARRAY = """
+SELECT p_partkey,
+       array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_toks,
+       list_sort(string_split(p_name, ' '))[1] AS first_tok,
+       array_to_string(list_filter(string_split(p_name, ' '), x -> length(x) > 5), ',') AS long_toks,
+       len(string_split(p_name, ' ')) AS n_toks,
+       cast(list_sum(list_transform(string_split(p_name, ' '), x -> length(x))) as bigint) AS sum_len,
+       cast(list_contains(string_split(p_name, ' '), 'green') as bigint) AS has_green,
+       cast(len(list_distinct(string_split(p_name, ' '))) as bigint) AS n_distinct_toks
+FROM part
+"""
+
+REGISTRY["sql_array_functions"] = (q_sql_array_functions, O_SQL_ARRAY)
+
+
 def q_sql_scalar_suite(spark, sf):
-    """Scalar-function battery: date/time, string, NULL-semantics, and JSON
-    extraction surfaces as one tagged union (timestamps emitted as formatted
-    strings so the union stays homogeneous).
+    """Scalar-function battery: date/time, string, NULL-semantics, JSON
+    extraction, and array/higher-order surfaces as one tagged union
+    (timestamps emitted as formatted strings so the union stays
+    homogeneous).
     Parts: sql_date_functions, sql_string_functions, sql_null_semantics,
-    sql_json_extract."""
+    sql_json_extract, sql_array_functions."""
     dt = q_sql_date_functions(spark, sf).select(
         F.lit("date").alias("part"),
         F.col("o_orderkey").alias("key"),
@@ -2994,7 +3037,20 @@ def q_sql_scalar_suite(spark, sf):
         F.col("n_distinct_k").alias("n3"),
         *_nulls(("n4", "bigint"), ("d1", "double")),
     )
-    return dt.unionByName(st).unionByName(nu).unionByName(js)
+    ar = q_sql_array_functions(spark, sf).select(
+        F.lit("array").alias("part"),
+        F.col("p_partkey").alias("key"),
+        F.col("sorted_toks").alias("s1"),
+        F.col("first_tok").alias("s2"),
+        F.col("long_toks").alias("s3"),
+        *_nulls(("s4", "string"), ("s5", "string")),
+        F.col("n_toks").alias("n1"),
+        F.col("sum_len").alias("n2"),
+        F.col("has_green").alias("n3"),
+        F.col("n_distinct_toks").alias("n4"),
+        *_nulls(("d1", "double")),
+    )
+    return dt.unionByName(st).unionByName(nu).unionByName(js).unionByName(ar)
 
 
 O_SQL_SCALAR = (
@@ -3014,7 +3070,11 @@ O_SQL_SCALAR = (
     " cast(NULL as varchar), cast(NULL as varchar), cast(NULL as varchar),"
     " n_with_k, sum_k, n_distinct_k, cast(NULL as bigint), cast(NULL as double)\nFROM ("
     + O_SQL_JSON
-    + ") js"
+    + ") js\nUNION ALL\nSELECT 'array', p_partkey, sorted_toks, first_tok, long_toks,"
+    " cast(NULL as varchar), cast(NULL as varchar),"
+    " n_toks, sum_len, has_green, n_distinct_toks, cast(NULL as double)\nFROM ("
+    + O_SQL_ARRAY
+    + ") ar"
 )
 
 
@@ -3825,7 +3885,7 @@ CONSOLIDATED_PARTS: dict[str, list[str]] = {
     "text_contamination_suite": ["text_decontaminate", "text_pii_redact"],
     "sql_scalar_suite": [
         "sql_date_functions", "sql_string_functions",
-        "sql_null_semantics", "sql_json_extract",
+        "sql_null_semantics", "sql_json_extract", "sql_array_functions",
     ],
     "sql_grouping_suite": [
         "sql_rollup", "sql_cube", "sql_unpivot", "sql_conditional_pivot",
