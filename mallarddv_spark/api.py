@@ -249,6 +249,18 @@ class MallardSparkVault:
         out.update({f"{t} (compaction)": a for t, a in healed.items()})
         return out
 
+    def prune_sat_history(
+        self, sat_table: str, keep_versions: int = 1, **kwargs
+    ) -> dict:
+        """Maintenance: bound a satellite's SCD2 history to the newest
+        ``keep_versions`` rows per hash key (current views and tombstone
+        state are invariant — see ``operators/retention.py``)."""
+        from mallarddv_spark.operators.retention import prune_sat_history
+
+        return prune_sat_history(
+            self.spark, f"{self.dv_db}.{sat_table}", keep_versions, **kwargs
+        )
+
     def rollback_run(self, run_id: int) -> dict[str, int]:
         """Explicitly roll back one run's rows (e.g. a flow that *failed*
         and whose partial state — kept by default, reference behavior —

@@ -208,13 +208,6 @@ def compact_table(
     df = spark.table(table_fqn)
     n_parts = max(1, math.ceil(before["total_bytes"] / target_bytes))
 
-    def _write(out_df: DataFrame, target: str, mode: str = "errorifexists") -> None:
-        writer = out_df.write.mode(mode)
-        if spec:
-            writer = writer.bucketBy(spec["num_buckets"], *spec["bucket_cols"])
-            if spec["sort_cols"]:
-                writer = writer.sortBy(*spec["sort_cols"])
-        writer.saveAsTable(target)
     if zorder_by:
         # Z-order: interleave the bits of per-column 16-bit bins so a file
         # covers a small hyper-rectangle of the key space — skipping works
@@ -259,16 +252,48 @@ def compact_table(
         ordered = df.repartition(spec["num_buckets"], *spec["bucket_cols"])
     else:
         ordered = df.coalesce(n_parts)
-    if before["total_bytes"] <= max_checkpoint_bytes:
-        cp = ordered.localCheckpoint(eager=True)
+    rewrite_table(
+        spark, table_fqn, ordered,
+        staged=before["total_bytes"] > max_checkpoint_bytes, spec=spec,
+    )
+    return {"before": before, "after": table_file_stats(spark, table_fqn)}
+
+
+def rewrite_table(
+    spark, table_fqn: str, out_df, staged: bool, spec: dict | None = None
+) -> None:
+    """Replace ``table_fqn``'s contents with ``out_df``, preserving any
+    bucketing ``spec`` (pass the result of :func:`bucket_spec`; None =
+    probe it here).
+
+    ``staged=False``: localCheckpoint then in-place overwrite (full copy
+    pinned in the block manager — small tables only). ``staged=True``: the
+    crash-safe rename swap shared with :func:`compact_table` — write to
+    ``__compact``, rename the original out to ``__pre_compact``, rename
+    the staged table in, drop the backup. A crash at any point leaves the
+    data catalog-resolvable and :func:`heal_compaction` (invoked by the
+    facade's ``recover()``) resolves the leftover state.
+    """
+    if spec is None:
+        spec = bucket_spec(spark, table_fqn)
+
+    def _write(df, target: str, mode: str = "errorifexists") -> None:
+        writer = df.write.mode(mode)
+        if spec:
+            writer = writer.bucketBy(spec["num_buckets"], *spec["bucket_cols"])
+            if spec["sort_cols"]:
+                writer = writer.sortBy(*spec["sort_cols"])
+        writer.saveAsTable(target)
+
+    if not staged:
+        cp = out_df.localCheckpoint(eager=True)
         _write(cp, table_fqn, mode="overwrite")
     else:
-        staged = f"{table_fqn}__compact"
+        staged_t = f"{table_fqn}__compact"
         backup = f"{table_fqn}__pre_compact"
-        spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        spark.sql(f"DROP TABLE IF EXISTS {staged_t}")
         spark.sql(f"DROP TABLE IF EXISTS {backup}")
-        _write(ordered, staged)
+        _write(out_df, staged_t)
         spark.sql(f"ALTER TABLE {table_fqn} RENAME TO {backup}")
-        spark.sql(f"ALTER TABLE {staged} RENAME TO {table_fqn}")
+        spark.sql(f"ALTER TABLE {staged_t} RENAME TO {table_fqn}")
         spark.sql(f"DROP TABLE {backup}")
-    return {"before": before, "after": table_file_stats(spark, table_fqn)}
