@@ -37,11 +37,16 @@ def main() -> None:
     )
     assert errors == [], errors
 
+    # data contract: a violated expectation aborts the flow BEFORE any DV
+    # load (nothing bad ever becomes immutable vault history)
+    from mallarddv_spark.operators import expectations as E
+
     errors = vault.execute_flow(
         "customer",
         "demo",
         os.path.join(HERE, "data", "customer.csv"),
         load_date_overwrite="2025-01-01 00:00:00",
+        expectations=[E.expect_not_null("id"), E.expect_unique("id")],
     )
     assert errors == [], errors
 
