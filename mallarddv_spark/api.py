@@ -249,6 +249,25 @@ class MallardSparkVault:
         out.update({f"{t} (compaction)": a for t, a in healed.items()})
         return out
 
+    def analyze_tables(self, with_columns: bool = False) -> list[str]:
+        """Maintenance: compute catalog statistics (row counts / sizes,
+        optionally per-column NDV+min/max) for every DV table so Spark's
+        cost-based optimizer can pick broadcast sides and join orders from
+        real numbers instead of file-size guesses. On a lake deployment
+        this is the ANALYZE step a scheduler runs after each bulk load.
+        Returns the analyzed table FQNs."""
+        analyzed = []
+        for t in self.spark.catalog.listTables(self.dv_db):
+            fqn = f"{self.dv_db}.{t.name}"
+            if t.tableType == "VIEW":
+                continue
+            suffix = " FOR ALL COLUMNS" if with_columns else ""
+            self.spark.sql(
+                f"ANALYZE TABLE {fqn} COMPUTE STATISTICS{suffix}"
+            )
+            analyzed.append(fqn)
+        return analyzed
+
     def prune_sat_history(
         self, sat_table: str, keep_versions: int = 1, **kwargs
     ) -> dict:

@@ -47,3 +47,28 @@ def test_bucketed_antijoin_skips_exchange(spark):
 
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges == 1, plan
+
+
+def test_analyze_tables_records_stats(spark):
+    """vault.analyze_tables() computes catalog stats the CBO can use
+    (row count visible via DESCRIBE EXTENDED)."""
+    from mallarddv_spark import MallardSparkVault
+
+    dbs = dict(stg_db="an_stg", dv_db="an_dv", bv_db="an_bv",
+               metadata_db="an_meta")
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    v = MallardSparkVault(spark, **dbs)
+    assert v.init_vault("tests/fixtures/tables.csv",
+                        "tests/fixtures/transitions.csv") == []
+    assert v.execute_flow(
+        "customer", "t", file_path="tests/fixtures/customer.csv",
+        load_date_overwrite="2025-01-01 00:00:00",
+    ) == []
+    analyzed = v.analyze_tables()
+    assert "an_dv.hub_customer" in analyzed
+    detail = spark.sql("DESCRIBE EXTENDED an_dv.hub_customer").collect()
+    stats = [r.data_type for r in detail if r.col_name == "Statistics"]
+    assert stats and "rows" in stats[0]
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
