@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from mallarddv_spark.exceptions import DVConfigurationError
 
@@ -106,6 +106,60 @@ def expect_ref(
     return Expectation(
         name or f"ref({col})", "ref", col, ref=ref, ref_col=ref_col
     )
+
+
+def split_by_expectations(
+    df: DataFrame, rules: list[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: returns ``(good, bad)`` where ``bad`` carries an
+    extra ``violated_rules`` column (comma-joined rule names) and ``good``
+    has the original schema. Every rule kind participates:
+
+    * row-level rules tag rows in the same single projection;
+    * ``unique`` keeps the FIRST row per key (ordered by the remaining
+      columns for determinism) and tags the rest;
+    * ``ref`` tags rows via a join against the distinct reference keys
+      (broadcast by Catalyst when small).
+
+    This is the quarantine alternative to the all-or-nothing flow gate:
+    load ``good``, land ``bad`` in a dead-letter table for triage.
+    """
+    if not rules:
+        raise DVConfigurationError("split_by_expectations: empty rule list")
+    tagged = df
+    tag_cols = []
+    for i, r in enumerate(rules):
+        c = f"__x{i}"
+        tag_cols.append((c, r.name))
+        if r.fail is not None:
+            tagged = tagged.withColumn(c, F.coalesce(r.fail, F.lit(False)))
+        elif r.kind == "unique":
+            order = [k for k in df.columns if k not in r.keys] or list(r.keys)
+            w = F.row_number().over(
+                Window.partitionBy(*r.keys).orderBy(*order)
+            )
+            tagged = tagged.withColumn(c, w > 1)
+        elif r.kind == "ref":
+            ref = r.ref.select(
+                F.col(r.ref_col).alias(r.target)
+            ).distinct().withColumn("__hit", F.lit(True))
+            tagged = tagged.join(ref, r.target, "left").withColumn(
+                c, F.col(r.target).isNotNull() & F.col("__hit").isNull()
+            ).drop("__hit")
+        else:  # pragma: no cover
+            raise DVConfigurationError(f"unknown expectation kind: {r.kind}")
+    violated = F.concat_ws(
+        ",", *[F.when(F.col(c), F.lit(name)) for c, name in tag_cols]
+    )
+    any_bad = None
+    for c, _ in tag_cols:
+        any_bad = F.col(c) if any_bad is None else (any_bad | F.col(c))
+    out_cols = df.columns
+    good = tagged.filter(~any_bad).select(*out_cols)
+    bad = tagged.filter(any_bad).select(
+        *out_cols, violated.alias("violated_rules")
+    )
+    return good, bad
 
 
 def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:

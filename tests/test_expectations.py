@@ -175,3 +175,41 @@ def test_flow_quality_gate_blocks_bad_batch(spark):
     assert spark.table("qg_dv.hub_customer").count() > 0
     for db in dbs.values():
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_split_by_expectations(spark):
+    """Dead-letter split: good keeps the original schema, bad rows carry
+    the violated rule names; unique keeps exactly one row per key."""
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, 11, "y"), (2, None, "z"), (3, 99, "w"), (None, 20, "v")],
+        "k int, fk int, payload string",
+    )
+    ref = spark.createDataFrame([(10,), (11,), (20,)], "rk int")
+    rules = [
+        E.expect_not_null("k"),
+        E.expect_unique("k"),
+        E.expect_ref("fk", ref, "rk"),
+    ]
+    good, bad = E.split_by_expectations(df, rules)
+    assert good.columns == df.columns
+    assert bad.columns == df.columns + ["violated_rules"]
+
+    good_rows = {(r.k, r.fk) for r in good.collect()}
+    bad_rows = {(r.k, r.fk): r.violated_rules for r in bad.collect()}
+    # k=1 duplicated → first (by fk,payload order) kept, second tagged;
+    # k=2 has fk NULL (ref passes on NULL); k=3 fk=99 unmatched; k NULL tagged
+    assert (1, 10) in good_rows and (2, None) in good_rows
+    assert bad_rows[(1, 11)] == "unique(k)"
+    assert bad_rows[(3, 99)] == "ref(fk)"
+    assert bad_rows[(None, 20)] == "not_null(k)"
+    assert good.count() + bad.count() == df.count()
+
+
+def test_split_multiple_violations_tagged(spark):
+    df = spark.createDataFrame([(None, -5)], "k int, v int")
+    good, bad = E.split_by_expectations(
+        df, [E.expect_not_null("k"), E.expect_in_range("v", 0, 10)]
+    )
+    assert good.count() == 0
+    row = bad.collect()[0]
+    assert row.violated_rules == "not_null(k),in_range(v,0,10)"
