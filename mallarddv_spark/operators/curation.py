@@ -210,6 +210,60 @@ def stratified_sample(
     return df.withColumn("sample_bucket", b).filter(F.col("sample_bucket") < thr)
 
 
+def mix_to_token_budget(
+    df: DataFrame,
+    stratum_col: str,
+    token_col: str,
+    id_col: str,
+    budget_tokens: int,
+    weights: dict[str, float],
+    salt: str = "mix-v1",
+    nchars: int = 4,
+) -> tuple[DataFrame, dict]:
+    """Pretraining corpus mixing to a token budget: given target mixture
+    ``weights`` per stratum (domain/source/language) and a total
+    ``budget_tokens``, derive each stratum's keep rate from its ACTUAL
+    token mass and apply the deterministic :func:`stratified_sample`.
+
+    Returns ``(sampled_df, report)`` with per-stratum
+    ``{actual_tokens, target_tokens, rate}``. Rates cap at 1.0 — an
+    under-represented stratum contributes everything it has (the report
+    shows the shortfall; upsampling/epoch repetition is a trainer-side
+    decision, not a filter).
+
+    One aggregate pass computes the per-stratum token sums (a scalar
+    collect — control metadata); the sampling itself is the same
+    scan+filter as ``stratified_sample`` (no shuffle at 100 TB).
+    Per-document sampling hits the budget in expectation, not exactly —
+    documents are atomic; the expected error is one document's tokens per
+    stratum.
+    """
+    total_w = sum(weights.values())
+    sums = {
+        r[stratum_col]: int(r.toks)
+        for r in df.groupBy(stratum_col)
+        .agg(F.sum(token_col).alias("toks"))
+        .collect()
+    }
+    report: dict = {}
+    rates: dict[str, float] = {}
+    for name, w in weights.items():
+        target = budget_tokens * (w / total_w)
+        actual = sums.get(name, 0)
+        rate = 1.0 if actual <= target else target / actual
+        rates[name] = rate
+        report[name] = {
+            "actual_tokens": actual,
+            "target_tokens": int(target),
+            "rate": round(rate, 6),
+        }
+    sampled = stratified_sample(
+        df, stratum_col, rates, id_col, default_rate=0.0,
+        salt=salt, nchars=nchars,
+    )
+    return sampled, report
+
+
 # ---------------------------------------------------------------------------
 # vocabulary & corpus-frequency scoring
 # ---------------------------------------------------------------------------

@@ -286,3 +286,50 @@ def test_vocab_topk_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_mix_to_token_budget(spark):
+    """Token-budget corpus mixing: over-represented strata are rate-capped
+    toward their weight share; under-represented ones keep everything
+    (rate 1.0) and the report shows the shortfall. Deterministic."""
+    from mallarddv_spark.operators.curation import mix_to_token_budget
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("toks", F.size(F.split("text", r"\s+")))
+        .withColumn(
+            "domain",
+            F.when(F.col("doc_id") % 10 < 8, "web").otherwise("books"),
+        )
+    )
+    totals = {
+        r.domain: r.t
+        for r in docs.groupBy("domain").agg(F.sum("toks").alias("t")).collect()
+    }
+    # budget sized so books' 50% share exceeds its actual mass (keep-all)
+    # while web's 50% share is far under its actual mass (downsample)
+    budget = int(totals["books"] * 2.5)
+    sampled, report = mix_to_token_budget(
+        docs, "domain", "toks", "doc_id", budget,
+        weights={"web": 0.5, "books": 0.5},
+    )
+    assert report["web"]["rate"] < 1.0
+    assert report["books"]["rate"] == 1.0  # under-represented: keep all
+    assert report["books"]["actual_tokens"] == totals["books"]
+
+    got = {
+        r.domain: r.t
+        for r in sampled.groupBy("domain").agg(F.sum("toks").alias("t")).collect()
+    }
+    assert got["books"] == totals["books"]
+    target_web = budget * 0.5
+    assert abs(got["web"] - target_web) / target_web < 0.2  # expectation ±20%
+
+    # determinism: identical output on re-run
+    sampled2, _ = mix_to_token_budget(
+        docs, "domain", "toks", "doc_id", budget,
+        weights={"web": 0.5, "books": 0.5},
+    )
+    assert sorted(r.doc_id for r in sampled.select("doc_id").collect()) == \
+           sorted(r.doc_id for r in sampled2.select("doc_id").collect())
