@@ -2983,13 +2983,43 @@ FROM part
 REGISTRY["sql_array_functions"] = (q_sql_array_functions, O_SQL_ARRAY)
 
 
+def q_sql_regexp_functions(spark, sf):
+    """Regexp battery over part attributes: extract (group), anchored
+    extract, replace-all, match test, and an occurrence count via the
+    length-difference identity (portable across regex dialects)."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("starred"),
+        F.expr("cast(p_name rlike 'green' as bigint)").alias("has_green"),
+        F.expr(
+            "cast(length(p_name) - length(regexp_replace(p_name, '[aeiou]', '')) as bigint)"
+        ).alias("n_vowels"),
+    )
+
+
+O_SQL_REGEXP = """
+SELECT p_partkey,
+       regexp_extract(p_brand, '(\\d+)', 1) AS brand_num,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+       cast(regexp_matches(p_name, 'green') as bigint) AS has_green,
+       cast(length(p_name) - length(regexp_replace(p_name, '[aeiou]', '', 'g')) as bigint) AS n_vowels
+FROM part
+"""
+
+REGISTRY["sql_regexp_functions"] = (q_sql_regexp_functions, O_SQL_REGEXP)
+
+
 def q_sql_scalar_suite(spark, sf):
     """Scalar-function battery: date/time, string, NULL-semantics, JSON
-    extraction, and array/higher-order surfaces as one tagged union
-    (timestamps emitted as formatted strings so the union stays
+    extraction, array/higher-order, and regexp surfaces as one tagged
+    union (timestamps emitted as formatted strings so the union stays
     homogeneous).
     Parts: sql_date_functions, sql_string_functions, sql_null_semantics,
-    sql_json_extract, sql_array_functions."""
+    sql_json_extract, sql_array_functions, sql_regexp_functions."""
     dt = q_sql_date_functions(spark, sf).select(
         F.lit("date").alias("part"),
         F.col("o_orderkey").alias("key"),
@@ -3050,7 +3080,21 @@ def q_sql_scalar_suite(spark, sf):
         F.col("n_distinct_toks").alias("n4"),
         *_nulls(("d1", "double")),
     )
-    return dt.unionByName(st).unionByName(nu).unionByName(js).unionByName(ar)
+    rx = q_sql_regexp_functions(spark, sf).select(
+        F.lit("regex").alias("part"),
+        F.col("p_partkey").alias("key"),
+        F.col("brand_num").alias("s1"),
+        F.col("type_head").alias("s2"),
+        F.col("starred").alias("s3"),
+        *_nulls(("s4", "string"), ("s5", "string")),
+        F.col("has_green").alias("n1"),
+        F.col("n_vowels").alias("n2"),
+        *_nulls(("n3", "bigint"), ("n4", "bigint"), ("d1", "double")),
+    )
+    return (
+        dt.unionByName(st).unionByName(nu).unionByName(js)
+        .unionByName(ar).unionByName(rx)
+    )
 
 
 O_SQL_SCALAR = (
@@ -3074,7 +3118,12 @@ O_SQL_SCALAR = (
     " cast(NULL as varchar), cast(NULL as varchar),"
     " n_toks, sum_len, has_green, n_distinct_toks, cast(NULL as double)\nFROM ("
     + O_SQL_ARRAY
-    + ") ar"
+    + ") ar\nUNION ALL\nSELECT 'regex', p_partkey, brand_num, type_head, starred,"
+    " cast(NULL as varchar), cast(NULL as varchar),"
+    " has_green, n_vowels, cast(NULL as bigint), cast(NULL as bigint),"
+    " cast(NULL as double)\nFROM ("
+    + O_SQL_REGEXP
+    + ") rx"
 )
 
 
@@ -3886,6 +3935,7 @@ CONSOLIDATED_PARTS: dict[str, list[str]] = {
     "sql_scalar_suite": [
         "sql_date_functions", "sql_string_functions",
         "sql_null_semantics", "sql_json_extract", "sql_array_functions",
+        "sql_regexp_functions",
     ],
     "sql_grouping_suite": [
         "sql_rollup", "sql_cube", "sql_unpivot", "sql_conditional_pivot",
