@@ -112,8 +112,9 @@ def split_by_expectations(
     df: DataFrame, rules: list[Expectation]
 ) -> tuple[DataFrame, DataFrame]:
     """Dead-letter split: returns ``(good, bad)`` where ``bad`` carries an
-    extra ``violated_rules`` column (comma-joined rule names) and ``good``
-    has the original schema. Every rule kind participates:
+    extra ``violated_rules`` column (semicolon-joined rule names — default
+    names contain commas, so ``;`` is the unambiguous delimiter) and
+    ``good`` has the original schema. Every rule kind participates:
 
     * row-level rules tag rows in the same single projection;
     * ``unique`` keeps the FIRST row per key (ordered by the remaining
@@ -149,7 +150,7 @@ def split_by_expectations(
         else:  # pragma: no cover
             raise DVConfigurationError(f"unknown expectation kind: {r.kind}")
     violated = F.concat_ws(
-        ",", *[F.when(F.col(c), F.lit(name)) for c, name in tag_cols]
+        ";", *[F.when(F.col(c), F.lit(name)) for c, name in tag_cols]
     )
     any_bad = None
     for c, _ in tag_cols:

@@ -212,4 +212,32 @@ def test_split_multiple_violations_tagged(spark):
     )
     assert good.count() == 0
     row = bad.collect()[0]
-    assert row.violated_rules == "not_null(k),in_range(v,0,10)"
+    assert row.violated_rules == "not_null(k);in_range(v,0,10)"
+
+
+from hypothesis import given, settings, strategies as st
+
+_vals = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(_vals, _vals), min_size=1, max_size=25))
+def test_report_and_split_agree(spark, rows):
+    """Property: for any data, the report's violation counts equal the
+    per-rule tag counts in the split's bad side, and good+bad partition
+    the input."""
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id int, k int, v int"
+    )
+    rules = [
+        E.expect_not_null("k"),
+        E.expect_in_range("v", -2, 2),
+        E.expect_unique("k"),
+    ]
+    report = {r.rule: r.violations for r in E.run_expectations(df, rules).collect()}
+    good, bad = E.split_by_expectations(df, rules)
+    bad_rows = bad.collect()
+    assert good.count() + len(bad_rows) == len(rows)
+    for rule in report:
+        tagged = sum(1 for r in bad_rows if rule in r.violated_rules.split(";"))
+        assert tagged == report[rule], (rule, tagged, report[rule])
