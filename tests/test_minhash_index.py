@@ -79,3 +79,27 @@ def test_append_uses_stored_params(spark, docs, tmp_path):
     dedup.minhash_index_append(docs.filter("doc_id = 55"), path)
     cols = spark.read.parquet(f"{path}/sigs").columns
     assert "sig_31" in cols and "sig_32" not in cols
+
+
+def test_probe_broadcasts_batch_not_history(spark, docs, index_path):
+    """Scale shape: both probe joins must be BroadcastHashJoins with the
+    (small) batch side broadcast — the stored index streams through with
+    no shuffle Exchange on its branch."""
+    batch = docs.filter("doc_id >= 450")
+    out = dedup.neardup_against_index(batch, index_path, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # the only shuffle exchanges allowed are on batch-derived branches
+    # (signature aggregation over the new batch, candidate-pair dedup) —
+    # never a shuffle whose source is an index scan. Batch-derived
+    # shuffles partition on doc_id / new_id; an index-side shuffle would
+    # partition on bh or index_id alone.
+    import re
+
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange (hash|range|SinglePartition)", ln)
+    ]
+    for ln in shuffles:
+        assert "doc_id" in ln or "new_id" in ln, f"index-side shuffle: {ln}"
