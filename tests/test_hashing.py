@@ -83,3 +83,37 @@ def test_quote_ident_empty_and_keywords():
     assert quote_ident("select") == "`select`"
     # non-keyword plain names still pass through bare
     assert quote_ident("order_id") == "order_id"
+
+
+def test_subsecond_timestamp_hash_fidelity(spark):
+    """SURVEY §7 hard-part #1: `cast(ts as string)` must render identically
+    to DuckDB's `::varchar` for EVERY fractional-second shape, or every
+    hash key over a timestamp column diverges. Differential over the
+    tricky shapes: full micros, trailing-zero trimming, whole seconds,
+    single leading micro, and TIMESTAMP_NTZ."""
+    import duckdb
+
+    shapes = [
+        "2023-01-01 10:00:00.123456",
+        "2023-01-01 10:00:00.100000",
+        "2023-01-01 10:00:00",
+        "2023-01-01 10:00:00.000001",
+        "2023-01-01 10:00:00.120000",
+    ]
+    from mallarddv_spark.functions.hashing import hash_sql
+
+    expr = hash_sql(["ts"], algo="md5")
+    for ntz in (False, True):
+        t = "timestamp_ntz" if ntz else "timestamp"
+        spark_rows = spark.sql(
+            "SELECT " + expr + " AS h FROM VALUES "
+            + ", ".join(f"({t} '{s}')" for s in shapes) + " AS v(ts)"
+        ).collect()
+        duck_rows = duckdb.sql(
+            "SELECT md5(upper(concat_ws('||', coalesce(cast(ts as varchar), '')))) AS h "
+            "FROM (VALUES " + ", ".join(f"(timestamp '{s}')" for s in shapes)
+            + ") AS v(ts)"
+        ).fetchall()
+        assert [r.h for r in spark_rows] == [r[0] for r in duck_rows], (
+            f"ntz={ntz}: timestamp cast rendering diverged"
+        )
