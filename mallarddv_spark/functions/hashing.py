@@ -11,6 +11,15 @@ which is byte-identical to the hash the reference system computes
 40 chars for SHA1. NULL inputs coalesce to '' (this is why "ghost" hub rows
 for NULL business keys hash to sha1('')).
 
+Cross-engine cast fidelity (differential-tested in ``test_hashing``):
+int/bool/decimal/date/timestamp (every fractional shape) render identically
+in Spark and DuckDB. The ONE divergent type is FLOAT/DOUBLE at magnitudes
+≥ 1e7: Spark renders scientific (``1.0E7``), DuckDB plain
+(``10000000.0``). Don't use raw floating-point columns as hash inputs —
+apply a ``cast(# as decimal(...))`` metadata transformation first (exact
+decimals render identically, and a float business key is a modeling smell
+anyway).
+
 Everything is a Catalyst expression — JVM-side, whole-stage-codegen'd, no
 Python in the hot path.
 """

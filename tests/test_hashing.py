@@ -117,3 +117,40 @@ def test_subsecond_timestamp_hash_fidelity(spark):
         assert [r.h for r in spark_rows] == [r[0] for r in duck_rows], (
             f"ntz={ntz}: timestamp cast rendering diverged"
         )
+
+
+def test_scalar_cast_fidelity_matrix(spark):
+    """Cross-engine `cast(x as string)` parity for every hashable scalar
+    type — plus a canary pinning the KNOWN divergence (double >= 1e7
+    renders scientific in Spark, plain in DuckDB; documented in
+    functions/hashing.py: cast floats to decimal before hashing). If an
+    engine upgrade changes either side, this test says so."""
+    import duckdb
+
+    exprs = [
+        ("cast(42 as string)", "cast(42 as varchar)"),
+        ("cast(true as string)", "cast(true as varchar)"),
+        ("cast(false as string)", "cast(false as varchar)"),
+        ("cast(cast(1.50 as decimal(10,2)) as string)",
+         "cast(cast(1.50 as decimal(10,2)) as varchar)"),
+        ("cast(cast(0.1 as double) as string)",
+         "cast(cast(0.1 as double) as varchar)"),
+        ("cast(cast(-0.0 as double) as string)",
+         "cast(cast(-0.0 as double) as varchar)"),
+        ("cast(date '2023-02-01' as string)",
+         "cast(date '2023-02-01' as varchar)"),
+        ("cast(cast(1.5 as float) as string)",
+         "cast(cast(1.5 as float) as varchar)"),
+    ]
+    got_s = spark.sql(
+        "SELECT " + ", ".join(f"{s} AS c{i}" for i, (s, _) in enumerate(exprs))
+    ).collect()[0]
+    got_d = duckdb.sql(
+        "SELECT " + ", ".join(f"{d} AS c{i}" for i, (_, d) in enumerate(exprs))
+    ).fetchone()
+    assert list(got_s) == list(got_d)
+
+    # canary: the double>=1e7 divergence must stay KNOWN, not silent
+    s_big = spark.sql("SELECT cast(cast(1e7 as double) as string) AS v").first().v
+    d_big = duckdb.sql("SELECT cast(cast(1e7 as double) as varchar)").fetchone()[0]
+    assert s_big == "1.0E7" and d_big == "10000000.0"
