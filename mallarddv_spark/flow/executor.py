@@ -194,7 +194,34 @@ class FlowExecutor:
 
         transitions = self.metadata.transitions(source_table)
 
-        # 4. hash view
+        # 4. hash view — first warn about float-typed hash inputs: Spark
+        # and DuckDB render double >= 1e7 differently (scientific vs
+        # plain; see functions/hashing.py), so a raw float feeding a hash
+        # key silently breaks cross-engine key parity. The fix is a
+        # cast-to-decimal metadata transformation.
+        try:
+            stg_types = {
+                c.column_name: (c.column_type or "").upper()
+                for c in self.metadata.table_columns(
+                    base_name=source_table, rel_type="stg"
+                )
+            }
+            for tr in transitions:
+                t = stg_types.get(tr.source_field, "")
+                if (
+                    not tr.raw
+                    and ("FLOAT" in t or "DOUBLE" in t or t == "REAL")
+                    and "cast" not in (tr.transformation or "").lower()
+                ):
+                    log.warning(
+                        "hash input %s.%s is %s: floating-point string "
+                        "rendering differs across engines — add a "
+                        "cast(# as decimal(...)) transformation to keep "
+                        "hash keys portable",
+                        source_table, tr.source_field, t,
+                    )
+        except Exception:  # advisory only — never block the flow
+            pass
         try:
             hashview.create_hash_view(
                 spark, self.stg_db, source_table, transitions,

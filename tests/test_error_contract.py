@@ -200,3 +200,42 @@ def test_ledger_write_failure_surfaces(spark):
             "customer", "demo", load_date_overwrite="2025-01-01 00:00:00"
         )
     assert errors == [("write_runinfo", "metadata store unavailable")]
+
+
+def test_float_hash_input_warns(spark, caplog):
+    """A DOUBLE column feeding a hash without a cast transformation logs a
+    portability warning (float rendering diverges across engines); the
+    flow itself proceeds."""
+    import logging
+
+    from mallarddv_spark import MallardSparkVault
+
+    dbs = dict(stg_db="fw_stg", dv_db="fw_dv", bv_db="fw_bv",
+               metadata_db="fw_meta")
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    tables = (
+        "base_name,rel_type,column_name,column_type,column_position,mapping\n"
+        "m,stg,score,DOUBLE,1,c\n"
+        "m,hub,score_bk,DOUBLE,1,bk\n"
+    )
+    transitions = (
+        "source_table,source_field,target_table,target_field,group_name,"
+        "position,raw,transformation,transfer_type\n"
+        "m,score,hub_m,score_bk,m,1,false,,bk\n"
+    )
+    import tempfile, os
+    td = tempfile.mkdtemp()
+    open(os.path.join(td, "t.csv"), "w").write(tables)
+    open(os.path.join(td, "tr.csv"), "w").write(transitions)
+    v = MallardSparkVault(spark, **dbs)
+    assert v.init_vault(os.path.join(td, "t.csv"),
+                        os.path.join(td, "tr.csv")) == []
+    spark.sql("INSERT INTO fw_stg.m VALUES (20000000.0)")
+    with caplog.at_level(logging.WARNING, logger="mallarddv_spark.flow"):
+        assert v.execute_flow("m", "t",
+                              load_date_overwrite="2025-01-01 00:00:00") == []
+    assert any("floating-point" in r.message for r in caplog.records)
+    assert spark.table("fw_dv.hub_m").count() > 0
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
