@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from mallarddv_spark.flow import runinfo
 from mallarddv_spark.logging_utils import get_logger
@@ -96,6 +96,7 @@ class FlowExecutor:
         verbose: bool = False,
         file_type: str | None = None,
         expectations: list | None = None,
+        quarantine_table: str | None = None,
     ) -> list[tuple[str, str]]:
         spark = self.spark
         errors: list[tuple[str, str]] = []
@@ -165,28 +166,56 @@ class FlowExecutor:
                 return errors
 
         # 3b. optional ingestion quality gate: data-contract expectations
-        # evaluated against the loaded staging table BEFORE any DV load —
-        # a violated contract aborts the flow (ledger row 'failure', no
-        # partial vault state), which is the only safe default for a vault:
-        # bad staging rows otherwise become immutable history.
+        # evaluated against the loaded staging table BEFORE any DV load.
+        # Default (no quarantine_table): a violated contract aborts the
+        # flow (ledger row 'failure', no partial vault state) — the only
+        # safe default for a vault, where bad staging rows become
+        # immutable history. With quarantine_table set: violating rows are
+        # appended there (dead-letter, extra `violated_rules` column) and
+        # the flow proceeds over the clean remainder.
         if expectations:
             try:
-                from mallarddv_spark.operators.expectations import (
-                    run_expectations,
-                )
+                if quarantine_table:
+                    from mallarddv_spark.operators.expectations import (
+                        split_by_expectations,
+                    )
 
-                report = run_expectations(
-                    spark.table(f"{self.stg_db}.{source_table}"), expectations
-                )
-                failed = [
-                    f"{r.rule} ({r.violations}/{r.total} rows)"
-                    for r in report.collect()
-                    if not r.passed
-                ]
-                if failed:
-                    errors.append(("quality_gate", "; ".join(failed)))
-                    self._end(source_table, run_id, file_path, errors)
-                    return errors
+                    stg = spark.table(f"{self.stg_db}.{source_table}")
+                    good, bad = split_by_expectations(stg, expectations)
+                    # checkpoint both BEFORE touching staging: they read
+                    # the table we are about to overwrite
+                    bad_cp = bad.localCheckpoint(eager=True)
+                    n_bad = bad_cp.count()
+                    if n_bad:
+                        good_cp = good.localCheckpoint(eager=True)
+                        bad_cp.withColumn(
+                            "quarantined_run_id", F.lit(run_id)
+                        ).write.mode("append").saveAsTable(quarantine_table)
+                        good_cp.write.mode("overwrite").insertInto(
+                            f"{self.stg_db}.{source_table}", overwrite=True
+                        )
+                        log.warning(
+                            "quality gate quarantined %d row(s) of %s into %s",
+                            n_bad, source_table, quarantine_table,
+                        )
+                else:
+                    from mallarddv_spark.operators.expectations import (
+                        run_expectations,
+                    )
+
+                    report = run_expectations(
+                        spark.table(f"{self.stg_db}.{source_table}"),
+                        expectations,
+                    )
+                    failed = [
+                        f"{r.rule} ({r.violations}/{r.total} rows)"
+                        for r in report.collect()
+                        if not r.passed
+                    ]
+                    if failed:
+                        errors.append(("quality_gate", "; ".join(failed)))
+                        self._end(source_table, run_id, file_path, errors)
+                        return errors
             except Exception as ex:
                 errors.append(("quality_gate", str(ex)))
                 self._end(source_table, run_id, file_path, errors)

@@ -241,3 +241,51 @@ def test_report_and_split_agree(spark, rows):
     for rule in report:
         tagged = sum(1 for r in bad_rows if rule in r.violated_rules.split(";"))
         assert tagged == report[rule], (rule, tagged, report[rule])
+
+
+def test_flow_quarantine_mode_loads_good_rows(spark):
+    """quarantine_table mode: violating rows land in the dead-letter table
+    (with violated_rules + run id), the clean remainder loads normally."""
+    from mallarddv_spark import MallardSparkVault
+
+    dbs = dict(stg_db="qr_stg", dv_db="qr_dv", bv_db="qr_bv",
+               metadata_db="qr_meta")
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql("DROP TABLE IF EXISTS default.qr_deadletter")
+    v = MallardSparkVault(spark, **dbs)
+    assert v.init_vault("tests/fixtures/tables.csv",
+                        "tests/fixtures/transitions.csv") == []
+
+    import csv
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as fh:
+        w = csv.writer(fh)
+        w.writerow(["id", "first_name", "last_name", "email",
+                    "created_date", "referenced_by", "reference_code"])
+        w.writerow([1, "ok", "row", "a@x.io", "2025-01-01 00:00:00", "", ""])
+        w.writerow(["", "bad", "null-key", "b@x.io",
+                    "2025-01-01 00:00:00", "", ""])
+        w.writerow([2, "ok", "row2", "c@x.io", "2025-01-01 00:00:00", "", ""])
+        path = fh.name
+
+    errs = v.execute_flow(
+        "customer", "qr", file_path=path,
+        load_date_overwrite="2025-01-01 00:00:00",
+        expectations=[E.expect_not_null("id")],
+        quarantine_table="default.qr_deadletter",
+    )
+    assert errs == []
+    # both clean business keys reached the hub (+ NULL ghost row)
+    hub_bks = {r.id_bk for r in spark.table("qr_dv.hub_customer").collect()}
+    assert {1, 2} <= hub_bks
+    dead = spark.table("default.qr_deadletter").collect()
+    assert len(dead) == 1
+    assert dead[0].violated_rules == "not_null(id)"
+    assert dead[0].quarantined_run_id == 1
+    # staging holds only the clean rows now
+    assert spark.table("qr_stg.customer").count() == 2
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql("DROP TABLE IF EXISTS default.qr_deadletter")
