@@ -416,6 +416,38 @@ def minhash_index_append(
     )
 
 
+def minhash_index_compact(spark, path: str) -> dict:
+    """Maintenance for an append-heavy index: collapse duplicate
+    ``doc_id`` rows (re-appended documents store identical signatures —
+    harmless for correctness, wasteful for probe fan-out) and coalesce
+    the small files the appends accumulated. Rewrites ``sigs`` and
+    ``bands`` in place via a temp directory swap; probes running against
+    the old file listing finish on the old files."""
+    import math
+
+    out = {}
+    for sub, key_cols in (("sigs", ["doc_id"]), ("bands", ["doc_id", "band"])):
+        d = f"{path}/{sub}"
+        df = spark.read.parquet(d)
+        before = df.count()
+        deduped = df.dropDuplicates(key_cols)
+        n_parts = max(1, math.ceil(before / 4_000_000))
+        tmp = f"{d}__compact"
+        deduped.coalesce(n_parts).write.mode("overwrite").parquet(tmp)
+        fresh = spark.read.parquet(tmp)
+        after = fresh.count()
+        fresh.write.mode("overwrite").parquet(d)
+        # best-effort temp cleanup (local/HDFS path via Hadoop FS API)
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+        except Exception:
+            pass
+        out[sub] = {"rows_before": before, "rows_after": after}
+    return out
+
+
 def neardup_against_index(
     df: DataFrame,
     path: str,

@@ -113,6 +113,43 @@ def stream_events_to_console_demo(
     )
 
 
+def vault_stream_processor(
+    vault,
+    source_table: str,
+    record_source: str,
+    expectations: list | None = None,
+    quarantine_table: str | None = None,
+    load_date_overwrite: str | None = None,
+):
+    """Ready-made ``process_batch`` for :func:`stream_files_to_staging`:
+    each micro-batch overwrites staging and runs the full vault flow —
+    including the data-contract gate (abort) or dead-letter quarantine,
+    exactly as in batch mode. The anti-join load protocol absorbs
+    micro-batch replays idempotently; a contract violation in abort mode
+    raises, which fails the streaming query rather than silently dropping
+    the batch (at-least-once semantics preserved — fix the data or switch
+    to ``quarantine_table`` and restart from the checkpoint).
+    """
+
+    def process(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").insertInto(
+            f"{vault.stg_db}.{source_table}", overwrite=True
+        )
+        errs = vault.execute_flow(
+            source_table,
+            record_source,
+            load_date_overwrite=load_date_overwrite,
+            expectations=expectations,
+            quarantine_table=quarantine_table,
+        )
+        if errs:
+            raise RuntimeError(
+                f"vault stream batch {batch_id} failed: {errs}"
+            )
+
+    return process
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str],

@@ -103,3 +103,26 @@ def test_probe_broadcasts_batch_not_history(spark, docs, index_path):
     ]
     for ln in shuffles:
         assert "doc_id" in ln or "new_id" in ln, f"index-side shuffle: {ln}"
+
+
+def test_index_compact_dedupes_reappends(spark, docs, tmp_path):
+    """Re-appending the same batch doubles the index; compaction collapses
+    it back to one row per doc (per band) and probes are unchanged."""
+    path = str(tmp_path / "idx")
+    base = docs.filter("doc_id < 200")
+    dedup.build_minhash_index(base, path, **PARAMS)
+    batch = docs.filter("doc_id >= 100 AND doc_id < 200")
+    dedup.minhash_index_append(batch, path)  # 100 docs now stored twice
+
+    probe_q = docs.filter("doc_id >= 480")
+    before_probe = sorted(map(tuple, dedup.neardup_against_index(
+        probe_q, path, threshold=0.5).collect()))
+
+    out = dedup.minhash_index_compact(spark, path)
+    assert out["sigs"]["rows_before"] == 300
+    assert out["sigs"]["rows_after"] == 200
+    assert out["bands"]["rows_after"] == 200 * PARAMS["bands"]
+
+    after_probe = sorted(map(tuple, dedup.neardup_against_index(
+        probe_q, path, threshold=0.5).collect()))
+    assert after_probe == before_probe

@@ -141,3 +141,49 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_vault_stream_processor_with_quarantine(spark, tmp_path):
+    """The packaged stream processor runs the full flow per micro-batch,
+    quarantining contract-violating rows instead of failing the query."""
+    from mallarddv_spark.operators import expectations as E
+    from mallarddv_spark.plans.model import fetch_table_columns
+    from mallarddv_spark.sources.readers import staging_schema
+
+    drop_vault(spark)
+    spark.sql("DROP TABLE IF EXISTS default.stream_dead")
+    vault = MallardSparkVault(spark)
+    assert vault.init_vault(
+        os.path.join(FIXTURES, "tables.csv"),
+        os.path.join(FIXTURES, "transitions.csv"),
+    ) == []
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    # fixture file + a second drop containing one contract-violating row
+    shutil.copy(os.path.join(FIXTURES, "customer.csv"), src)
+    with open(os.path.join(src, "batch2.csv"), "w") as fh:
+        fh.write("id,first_name,last_name,email,created_date,"
+                 "referenced_by,reference_code\n")
+        fh.write("9,new,cust,n@x.io,2025-06-01 00:00:00,,\n")
+        fh.write(",bad,row,b@x.io,2025-06-01 00:00:00,,\n")
+
+    cols = fetch_table_columns(spark, "metadata", base_name="customer",
+                               rel_type="stg")
+    process = ingest.vault_stream_processor(
+        vault, "customer", "stream",
+        expectations=[E.expect_not_null("id")],
+        quarantine_table="default.stream_dead",
+        load_date_overwrite="2025-06-01 00:00:00",
+    )
+    q = ingest.stream_files_to_staging(
+        spark, src, staging_schema(cols, "customer"),
+        str(tmp_path / "ckpt"), process, file_format="csv",
+    )
+    q.awaitTermination(120)
+
+    hub_bks = {r.id_bk for r in spark.table("dv.hub_customer").collect()}
+    assert 9 in hub_bks  # clean row from the violating batch loaded
+    dead = spark.table("default.stream_dead").collect()
+    assert len(dead) == 1 and dead[0].violated_rules == "not_null(id)"
+    spark.sql("DROP TABLE IF EXISTS default.stream_dead")
