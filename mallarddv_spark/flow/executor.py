@@ -85,8 +85,38 @@ class FlowExecutor:
         #: with unchanged metadata skip the CREATE OR REPLACE round-trip.
         #: Discarded by the facade on init_vault (catalog may be rebuilt).
         self.hashview_issued: dict[str, str] = {}
+        #: flow serialization: run ids are a GLOBAL max+1 over the ledger
+        #: (reference GET_RUN_ID contract), so two flows racing the probe
+        #: would share a run_id — and rollback_run(run_id) would then
+        #: cross-delete both flows' rows. Same-vault flows therefore
+        #: serialize on this lock (caller threads just queue); the
+        #: catalog-level contract remains SINGLE WRITER per metadata_db —
+        #: separate processes must coordinate externally (on Delta/Iceberg
+        #: the ledger append becomes a transactional conflict instead).
+        import threading
+
+        self._flow_lock = threading.Lock()
 
     def execute_flow(
+        self,
+        source_table: str,
+        record_source: str,
+        file_path: str | None = None,
+        load_date_overwrite: str | None = None,
+        force_load: bool = False,
+        verbose: bool = False,
+        file_type: str | None = None,
+        expectations: list | None = None,
+        quarantine_table: str | None = None,
+    ) -> list[tuple[str, str]]:
+        # same-vault flows serialize (see _flow_lock rationale in __init__)
+        with self._flow_lock:
+            return self._execute_flow(
+                source_table, record_source, file_path, load_date_overwrite,
+                force_load, verbose, file_type, expectations, quarantine_table,
+            )
+
+    def _execute_flow(
         self,
         source_table: str,
         record_source: str,
