@@ -72,3 +72,28 @@ def test_analyze_tables_records_stats(spark):
     assert stats and "rows" in stats[0]
     for db in dbs.values():
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_analyzed_stats_flow_into_optimizer(spark):
+    """With CBO on, ANALYZE'd row counts reach the optimizer's plan
+    statistics (the numbers broadcast decisions and join reordering read);
+    conf change is test-scoped."""
+    spark.sql("DROP TABLE IF EXISTS default.cbo_probe")
+    spark.range(1000).selectExpr("id", "id % 7 AS k").write.saveAsTable(
+        "default.cbo_probe"
+    )
+    old = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql("ANALYZE TABLE default.cbo_probe COMPUTE STATISTICS")
+        stats = (
+            spark.table("default.cbo_probe")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .toString()
+        )
+        assert "rowCount=1.00E+3" in stats or "rowCount=1000" in stats, stats
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
+        spark.sql("DROP TABLE IF EXISTS default.cbo_probe")
