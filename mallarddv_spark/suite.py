@@ -273,19 +273,21 @@ WHERE s.s_uid IS NULL OR s.s_hd <> i.hash_diff
 
 
 def q_dv_sat_full_tombstones(spark, sf):
-    """sat_full delete detection (F4/J3): latest state of keys seen in the
-    first half of the month that are absent from the second half →
-    tombstone rows carrying the old hash_diff and payload."""
+    """sat_full delete detection (F4/J3): latest state of keys seen before
+    the cutoff that are absent from the tail of the month → tombstone rows
+    carrying the old hash_diff and payload. Cutoff sits late (Jan 30 noon)
+    because the synthetic users are highly active — an earlier cutoff strands
+    nobody and the gate would be vacuous."""
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    first = e.filter("ts < timestamp'2024-01-16 00:00:00'")
+    first = e.filter("ts < timestamp'2024-01-30 12:00:00'")
     latest = (
         first.withColumn("r", F.row_number().over(w))
         .filter("r = 1")
         .select("user_id", "event_type", _mhash(*_EV_HD).alias("hash_diff"))
     )
     present = (
-        e.filter("ts >= timestamp'2024-01-16 00:00:00'").select("user_id").distinct()
+        e.filter("ts >= timestamp'2024-01-30 12:00:00'").select("user_id").distinct()
     )
     gone = latest.join(present, on="user_id", how="left_anti")
     return gone.select(
@@ -297,10 +299,10 @@ O_DV_TOMBSTONE = f"""
 WITH latest AS (
     SELECT user_id, event_type, {md5_sql(_EV_HD)} AS hash_diff
     FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) r
-          FROM events WHERE ts < timestamp '2024-01-16 00:00:00') x WHERE r = 1
+          FROM events WHERE ts < timestamp '2024-01-30 12:00:00') x WHERE r = 1
 ),
 present AS (
-    SELECT DISTINCT user_id FROM events WHERE ts >= timestamp '2024-01-16 00:00:00'
+    SELECT DISTINCT user_id FROM events WHERE ts >= timestamp '2024-01-30 12:00:00'
 )
 SELECT l.user_id, l.event_type, l.hash_diff, true AS del_flag
 FROM latest l LEFT OUTER JOIN present p ON l.user_id = p.user_id
@@ -431,7 +433,7 @@ def q_tpch_q5(spark, sf):
     n = _t(spark, sf, "nation")
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(
-        "o_orderdate >= timestamp'1994-01-01 00:00:00' AND o_orderdate < timestamp'1995-01-01 00:00:00'"
+        "o_orderdate >= timestamp'1996-01-01 00:00:00' AND o_orderdate < timestamp'1997-01-01 00:00:00'"
     )
     li = _t(spark, sf, "lineitem")
     s = _t(spark, sf, "supplier")
@@ -455,8 +457,8 @@ JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= timestamp '1994-01-01 00:00:00'
-  AND o_orderdate <  timestamp '1995-01-01 00:00:00'
+  AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+  AND o_orderdate <  timestamp '1997-01-01 00:00:00'
 GROUP BY n_name
 """
 
@@ -464,8 +466,8 @@ GROUP BY n_name
 def q_tpch_q6(spark, sf):
     """TPC-H Q6 forecast revenue — pushed-down filters + single aggregate."""
     li = _t(spark, sf, "lineitem").filter(
-        "l_shipdate >= timestamp'1994-01-01 00:00:00' "
-        "AND l_shipdate < timestamp'1995-01-01 00:00:00' "
+        "l_shipdate >= timestamp'1996-01-01 00:00:00' "
+        "AND l_shipdate < timestamp'1997-01-01 00:00:00' "
         "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
     )
     return li.agg(
@@ -480,8 +482,8 @@ O_TPCH_Q6 = f"""
 SELECT cast(round(sum(cast(l_extendedprice as {DEC}) * cast(l_discount as {DEC})),2) as double) AS revenue,
        count(*) AS n_rows
 FROM lineitem
-WHERE l_shipdate >= timestamp '1994-01-01 00:00:00'
-  AND l_shipdate <  timestamp '1995-01-01 00:00:00'
+WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+  AND l_shipdate <  timestamp '1997-01-01 00:00:00'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
 """
 
@@ -490,7 +492,7 @@ def q_tpch_q10(spark, sf):
     """TPC-H Q10-style returned-item report — deterministic top-20."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(
-        "o_orderdate >= timestamp'1993-10-01 00:00:00' AND o_orderdate < timestamp'1994-01-01 00:00:00'"
+        "o_orderdate >= timestamp'1995-10-01 00:00:00' AND o_orderdate < timestamp'1996-01-01 00:00:00'"
     )
     li = _t(spark, sf, "lineitem").filter("l_returnflag = 'R'")
     n = _t(spark, sf, "nation")
@@ -513,8 +515,8 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
-  AND o_orderdate >= timestamp '1993-10-01 00:00:00'
-  AND o_orderdate <  timestamp '1994-01-01 00:00:00'
+  AND o_orderdate >= timestamp '1995-10-01 00:00:00'
+  AND o_orderdate <  timestamp '1996-01-01 00:00:00'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
