@@ -232,7 +232,9 @@ class MallardSparkVault:
 
     # -- crash recovery -----------------------------------------------------
 
-    def recover(self) -> dict[str, int]:
+    def recover(
+        self, minhash_index_paths: list[str] | None = None
+    ) -> dict[str, int]:
         """Roll back every torn (killed-mid-flow) run: DV rows whose run_id
         never reached the ledger are removed and affected ``_current``
         snapshots rebuilt. The reference needed no equivalent — DuckDB gave
@@ -242,13 +244,22 @@ class MallardSparkVault:
         plus ``"<table> (compaction)": <action>`` entries for any
         compaction that was interrupted mid-swap and healed first (healing
         runs before rollback so a restored table participates in it).
+
+        ``minhash_index_paths``: on-disk MinHash indexes to sweep for torn
+        ``minhash_index_compact`` swaps (they live at caller-chosen paths,
+        not in the catalog, so recovery can't discover them). Optional —
+        indexes also self-heal on next open.
         """
         from mallarddv_spark.flow.recovery import recover_vault
+        from mallarddv_spark.operators.dedup import heal_minhash_index
         from mallarddv_spark.sources.layout import heal_all_compactions
 
         healed = heal_all_compactions(self.spark, self.dv_db)
         out: dict = recover_vault(self.spark, self.metadata_db, self.dv_db)
         out.update({f"{t} (compaction)": a for t, a in healed.items()})
+        for p in minhash_index_paths or []:
+            for sub, action in heal_minhash_index(self.spark, p).items():
+                out[f"{p}/{sub} (index compaction)"] = action
         return out
 
     def analyze_tables(self, with_columns: bool = False) -> list[str]:
@@ -261,7 +272,10 @@ class MallardSparkVault:
         analyzed = []
         for t in self.spark.catalog.listTables(self.dv_db):
             fqn = f"{self.dv_db}.{t.name}"
-            if t.tableType == "VIEW":
+            # listTables also returns session temp views (tableType
+            # 'TEMPORARY'); ANALYZE on those raises and would abort the
+            # whole maintenance pass — only real tables are analyzable
+            if t.isTemporary or t.tableType not in ("MANAGED", "EXTERNAL"):
                 continue
             suffix = " FOR ALL COLUMNS" if with_columns else ""
             self.spark.sql(

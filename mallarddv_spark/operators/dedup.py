@@ -390,6 +390,9 @@ def build_minhash_index(
 
 
 def _minhash_index_params(spark, path: str) -> dict:
+    # opening the index heals any compaction interrupted mid-swap first,
+    # so appends/probes always resolve a complete sigs/bands copy
+    heal_minhash_index(spark, path)
     row = spark.read.parquet(f"{path}/params").first()
     return row.asDict()
 
@@ -416,34 +419,101 @@ def minhash_index_append(
     )
 
 
+def _index_fs(spark, path_str: str):
+    """(Hadoop FileSystem, Path) for a string path — directory renames go
+    through this API so the swap below works identically on local disk,
+    HDFS, and rename-capable object stores."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+_INDEX_SUBDIRS = ("sigs", "bands")
+
+
+def heal_minhash_index(spark, path: str) -> dict[str, str]:
+    """Resolve a :func:`minhash_index_compact` interrupted mid-swap. The
+    swap is rename-out → rename-in → drop-backup per subdirectory, so the
+    leftover ``__pre_compact`` backup / ``__compact`` staging directory is
+    the detectable signal. States, in swap order (mirrors the table
+    protocol in ``sources.layout.heal_compaction``):
+
+    * live + staged, no backup → crashed during/after the staged write:
+      drop the incomplete staged copy (``"dropped_staged"``);
+    * backup + live → crashed after the swap, before the backup drop: the
+      compacted directory is live — drop the backup (``"dropped_backup"``);
+    * backup, no live → crashed between rename-out and rename-in: restore
+      the backup (``"restored_backup"``), leaving any staged directory for
+      the next compaction to overwrite.
+
+    Returns {subdir: action}; empty when the index is clean. Invoked
+    automatically whenever the index is opened (append / probe / compact)
+    and by the facade's ``recover(minhash_index_paths=...)``.
+    """
+    healed: dict[str, str] = {}
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    for sub in _INDEX_SUBDIRS:
+        d = f"{path}/{sub}"
+        fs, live = _index_fs(spark, d)
+        staged, backup = Path(d + "__compact"), Path(d + "__pre_compact")
+        has_live, has_staged, has_backup = (
+            fs.exists(live), fs.exists(staged), fs.exists(backup),
+        )
+        if has_backup and not has_live:
+            if not fs.rename(backup, live):
+                raise IOError(f"failed to restore {d} from compaction backup")
+            healed[sub] = "restored_backup"
+        elif has_backup and has_live:
+            fs.delete(backup, True)
+            healed[sub] = "dropped_backup"
+        elif has_staged and has_live:
+            fs.delete(staged, True)
+            healed[sub] = "dropped_staged"
+    return healed
+
+
 def minhash_index_compact(spark, path: str) -> dict:
     """Maintenance for an append-heavy index: collapse duplicate
     ``doc_id`` rows (re-appended documents store identical signatures —
     harmless for correctness, wasteful for probe fan-out) and coalesce
-    the small files the appends accumulated. Rewrites ``sigs`` and
-    ``bands`` in place via a temp directory swap; probes running against
-    the old file listing finish on the old files."""
+    the small files the appends accumulated.
+
+    Crash-safe: each subdirectory is rewritten into a ``__compact``
+    staging directory, then swapped live via rename-out (live →
+    ``__pre_compact``) → rename-in (staged → live) → drop-backup — the
+    same protocol ``sources.layout.rewrite_table`` uses for catalog
+    tables, expressed with Hadoop FS directory renames. A crash at any
+    point leaves a complete copy resolvable by :func:`heal_minhash_index`
+    (which also runs here first, so a torn previous compact self-heals).
+    The two subdirectories swap sequentially; a crash between them leaves
+    ``sigs`` compacted and ``bands`` not — both fully readable, and the
+    dedup is idempotent so re-running completes the job. Probes holding
+    the old file listing finish on the old files (renames don't delete
+    data); probes that *open* mid-swap heal first and resolve a complete
+    copy.
+    """
     import math
 
-    out = {}
+    out: dict = {"healed": heal_minhash_index(spark, path)}
+    Path = spark._jvm.org.apache.hadoop.fs.Path
     for sub, key_cols in (("sigs", ["doc_id"]), ("bands", ["doc_id", "band"])):
         d = f"{path}/{sub}"
         df = spark.read.parquet(d)
         before = df.count()
         deduped = df.dropDuplicates(key_cols)
         n_parts = max(1, math.ceil(before / 4_000_000))
-        tmp = f"{d}__compact"
-        deduped.coalesce(n_parts).write.mode("overwrite").parquet(tmp)
-        fresh = spark.read.parquet(tmp)
-        after = fresh.count()
-        fresh.write.mode("overwrite").parquet(d)
-        # best-effort temp cleanup (local/HDFS path via Hadoop FS API)
-        try:
-            jvm = spark._jvm
-            p = jvm.org.apache.hadoop.fs.Path(tmp)
-            p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
-        except Exception:
-            pass
+        staged = f"{d}__compact"
+        deduped.coalesce(n_parts).write.mode("overwrite").parquet(staged)
+        after = spark.read.parquet(staged).count()
+        fs, live = _index_fs(spark, d)
+        backup = Path(d + "__pre_compact")
+        if not fs.rename(live, backup):
+            raise IOError(f"compaction swap failed: could not rename {d} out")
+        if not fs.rename(Path(staged), live):
+            # put the original back rather than leave no live directory
+            fs.rename(backup, live)
+            raise IOError(f"compaction swap failed: could not rename {staged} in")
+        fs.delete(backup, True)
         out[sub] = {"rows_before": before, "rows_after": after}
     return out
 

@@ -1,9 +1,13 @@
 """Persisted MinHash index: build → probe new batch → append, with parity
 against the one-shot in-memory LSH pipeline at the same parameters."""
 
+import os
+
 import pytest
 
 from mallarddv_spark.operators import dedup
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SF = "/root/testdata/sf0.001"
 PARAMS = dict(num_perm=32, bands=8, shingle_size=3, hash_mode="xxhash64")
@@ -126,3 +130,117 @@ def test_index_compact_dedupes_reappends(spark, docs, tmp_path):
     after_probe = sorted(map(tuple, dedup.neardup_against_index(
         probe_q, path, threshold=0.5).collect()))
     assert after_probe == before_probe
+
+
+CRASH_SCRIPT = """
+import os, sys
+sys.path.insert(0, {repo!r})
+from mallarddv_spark import get_spark
+from mallarddv_spark.operators import dedup
+
+spark = get_spark(master="local[4]", shuffle_partitions=4,
+                  warehouse_dir={wh!r})
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+dedup.build_minhash_index(
+    docs.filter("doc_id < 200"), {path!r},
+    num_perm=32, bands=8, shingle_size=3, hash_mode="xxhash64")
+dedup.minhash_index_append(docs.filter("doc_id >= 100 AND doc_id < 200"),
+                           {path!r})
+
+# die right after the FIRST rename of the swap (live -> __pre_compact):
+# the worst torn state — no live sigs directory at all
+_real = dedup._index_fs
+class _KillAfterRename:
+    def __init__(self, fs):
+        self._fs = fs
+    def exists(self, p):
+        return self._fs.exists(p)
+    def delete(self, p, rec):
+        return self._fs.delete(p, rec)
+    def rename(self, a, b):
+        ok = self._fs.rename(a, b)
+        os._exit(137)
+def _patched(spark, d):
+    fs, p = _real(spark, d)
+    return _KillAfterRename(fs), p
+dedup._index_fs = _patched
+dedup.minhash_index_compact(spark, {path!r})
+"""
+
+
+def test_index_compact_crash_midswap_heals(spark, docs, tmp_path):
+    """Kill the driver between rename-out and rename-in (real process
+    death, à la test_crash_recovery): recover(minhash_index_paths=...)
+    must restore a probe-able index identical to the pre-compact one, and
+    re-running the compaction must complete."""
+    import subprocess
+    import sys
+
+    from mallarddv_spark.api import MallardSparkVault
+
+    path = str(tmp_path / "idx")
+    script = CRASH_SCRIPT.format(
+        repo=REPO, wh=str(tmp_path / "wh"), path=path
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 137, proc.stderr[-2000:]
+
+    assert not os.path.exists(f"{path}/sigs"), "rename-out must have fired"
+    assert os.path.exists(f"{path}/sigs__pre_compact")
+    assert os.path.exists(f"{path}/sigs__compact")
+
+    vault = MallardSparkVault(spark)
+    assert vault.init_vault(
+        os.path.join(REPO, "tests/fixtures/tables.csv"),
+        os.path.join(REPO, "tests/fixtures/transitions.csv"),
+    ) == []
+    healed = vault.recover(minhash_index_paths=[path])
+    assert healed.get(f"{path}/sigs (index compaction)") == "restored_backup"
+
+    # the restored index is the pre-compact one: 300 sig rows (100 dup)
+    assert spark.read.parquet(f"{path}/sigs").count() == 300
+    probe = dedup.neardup_against_index(
+        docs.filter("doc_id >= 480"), path, threshold=0.5
+    ).collect()
+    assert {r.index_id for r in probe} <= set(range(200))
+
+    # the probe's heal-on-open already dropped the leftover staged dir
+    assert not os.path.exists(f"{path}/sigs__compact")
+    # re-running the compaction completes the interrupted job cleanly
+    out = dedup.minhash_index_compact(spark, path)
+    assert out["healed"] == {}
+    assert out["sigs"]["rows_after"] == 200
+
+
+def test_index_heal_other_states(spark, docs, tmp_path):
+    """The two cheaper torn states: backup+live (crash before backup
+    drop) → dropped_backup keeps the live copy; live+staged (crash during
+    staged write) → dropped_staged. Probes self-heal on open."""
+    path = str(tmp_path / "idx")
+    dedup.build_minhash_index(
+        docs.filter("doc_id < 100"), path, **PARAMS
+    )
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    fs, _ = dedup._index_fs(spark, f"{path}/sigs")
+
+    # backup + live: copy live to backup (rename then rename back a copy
+    # is awkward — write a stale backup instead)
+    spark.read.parquet(f"{path}/sigs").limit(10).write.parquet(
+        f"{path}/sigs__pre_compact"
+    )
+    # live + staged
+    spark.read.parquet(f"{path}/bands").limit(5).write.parquet(
+        f"{path}/bands__compact"
+    )
+
+    # probe path heals on open
+    got = dedup.neardup_against_index(
+        docs.filter("doc_id >= 480"), path, threshold=0.5
+    )
+    got.count()
+    assert not fs.exists(Path(f"{path}/sigs__pre_compact"))
+    assert not fs.exists(Path(f"{path}/bands__compact"))
+    assert spark.read.parquet(f"{path}/sigs").count() == 100
