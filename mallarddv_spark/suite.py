@@ -2008,18 +2008,54 @@ def q_sql_approx_aggregates(spark, sf):
         F.approx_count_distinct("l_orderkey").alias("__hll"),
         F.element_at(q, 1).alias("__p50a"),
         F.element_at(q, 2).alias("__p95a"),
-        F.expr(
-            "cast(round(percentile(l_extendedprice, 0.5), 4) as double)"
-        ).alias("p50_exact"),
-        F.expr(
-            "cast(round(percentile(l_extendedprice, 0.95), 4) as double)"
-        ).alias("p95_exact"),
         F.count("*").alias("n"),
     )
     exact_cd = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders")
     )
-    agg = sketches.join(F.broadcast(exact_cd), "l_returnflag")
+    # the exact-percentile verification side is rank-based, NOT Spark's
+    # percentile(): the exact aggregate buffers every group value in one
+    # ObjectHashAggregate — fine at sf0.1, an OOM at 100 TB in this
+    # 3-group shape. A row_number window sorts (and spills) instead of
+    # buffering, and the percentile_cont interpolation v_lo + frac *
+    # (v_hi - v_lo) reduces to a 2-4-row weighted sum per group.
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = (
+        li.select("l_returnflag", "l_extendedprice")
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    grp_n = ranked.groupBy("l_returnflag").agg(F.count("*").alias("__n"))
+    jr = ranked.join(F.broadcast(grp_n), "l_returnflag")
+    for tag, p in (("50", "0.5"), ("95", "0.95")):
+        jr = (
+            jr.withColumn(f"__pos{tag}", F.expr(f"(__n - 1) * {p} + 1"))
+            .withColumn(f"__lo{tag}", F.expr(f"cast(floor(__pos{tag}) as bigint)"))
+            .withColumn(f"__hi{tag}", F.expr(f"cast(ceil(__pos{tag}) as bigint)"))
+            .withColumn(
+                f"__w{tag}",
+                F.expr(
+                    f"CASE WHEN __rn = __lo{tag} AND __rn = __hi{tag} THEN 1.0d "
+                    f"WHEN __rn = __lo{tag} THEN 1.0d - (__pos{tag} - __lo{tag}) "
+                    f"WHEN __rn = __hi{tag} THEN __pos{tag} - __lo{tag} "
+                    "ELSE 0.0d END"
+                ),
+            )
+        )
+    exact_pct = (
+        jr.filter("__w50 > 0 OR __w95 > 0")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "cast(round(sum(l_extendedprice * __w50), 4) as double)"
+            ).alias("p50_exact"),
+            F.expr(
+                "cast(round(sum(l_extendedprice * __w95), 4) as double)"
+            ).alias("p95_exact"),
+        )
+    )
+    agg = sketches.join(F.broadcast(exact_cd), "l_returnflag").join(
+        F.broadcast(exact_pct), "l_returnflag"
+    )
     return agg.select(
         "l_returnflag",
         "n",

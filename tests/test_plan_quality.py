@@ -57,6 +57,20 @@ def test_approx_aggregates_has_no_expand(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_approx_aggregates_no_exact_percentile_buffer(spark):
+    """The exact-percentile verification side must be the rank-based
+    window (sorts, spills), never the percentile() aggregate (buffers the
+    whole group in one ObjectHashAggregate — an OOM at lake scale)."""
+    plan = _plan(spark, "sql_approx_aggregates", "simple")
+    import re
+    exact_pct = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bpercentile\(", ln) and "percentile_approx" not in ln
+    ]
+    assert not exact_pct, exact_pct
+    assert "row_number" in plan  # the rank-based replacement is present
+
+
 @pytest.mark.parametrize(
     "name",
     [n for n in REGISTRY if n != "adv_multimodal_features"],  # mapInPandas by design
