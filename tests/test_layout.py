@@ -97,3 +97,51 @@ def test_analyzed_stats_flow_into_optimizer(spark):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old)
         spark.sql("DROP TABLE IF EXISTS default.cbo_probe")
+
+
+def test_analyze_drives_broadcast_decision(spark):
+    """End-to-end CBO demonstration: with AQE off and a broadcast
+    threshold between the dim's filtered and unfiltered sizes, the
+    filtered-dim join is a SortMergeJoin until ANALYZE ... FOR ALL
+    COLUMNS lands column stats — then CBO's filter-selectivity estimate
+    drops the build side under the threshold and the SAME query plans a
+    BroadcastHashJoin. This is the maintenance loop analyze_tables exists
+    for: stats, not file-size guesses, pick the join strategy."""
+    spark.sql("DROP TABLE IF EXISTS default.cbo_fact")
+    spark.sql("DROP TABLE IF EXISTS default.cbo_dim")
+    spark.range(200_000).selectExpr("id", "id % 1000 AS k").write.saveAsTable(
+        "default.cbo_fact"
+    )
+    spark.range(50_000).selectExpr(
+        "id AS did", "cast(id % 1000 as int) AS k2", "repeat('x', 60) AS pad"
+    ).write.saveAsTable("default.cbo_dim")
+
+    def plan():
+        df = spark.sql(
+            "SELECT f.id, d.did FROM default.cbo_fact f "
+            "JOIN (SELECT * FROM default.cbo_dim WHERE k2 = 1) d ON f.k = d.k2"
+        )
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024),
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        before = plan()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before
+        spark.sql(
+            "ANALYZE TABLE default.cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        spark.sql("ANALYZE TABLE default.cbo_fact COMPUTE STATISTICS")
+        after = plan()
+        assert "BroadcastHashJoin" in after, after
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS default.cbo_fact")
+        spark.sql("DROP TABLE IF EXISTS default.cbo_dim")
