@@ -218,8 +218,25 @@ class FlowExecutor:
                     n_bad = bad_cp.count()
                     if n_bad:
                         good_cp = good.localCheckpoint(eager=True)
+                        # File replays are idempotent: a retried flow
+                        # (crash after this append, before the ledger row)
+                        # re-derives the SAME bad rows from the same file,
+                        # so prior dead-letter rows for this (source, file)
+                        # are replaced, not duplicated. Non-file flows
+                        # have no stable replay identity — their
+                        # dead-letter is at-least-once by design.
+                        if file_path and spark.catalog.tableExists(
+                            quarantine_table
+                        ):
+                            self._purge_quarantined_file(
+                                quarantine_table, source_table, file_path
+                            )
                         bad_cp.withColumn(
                             "quarantined_run_id", F.lit(run_id)
+                        ).withColumn(
+                            "quarantined_source", F.lit(source_table)
+                        ).withColumn(
+                            "quarantined_file", F.lit(file_path)
                         ).write.mode("append").saveAsTable(quarantine_table)
                         good_cp.write.mode("overwrite").insertInto(
                             f"{self.stg_db}.{source_table}", overwrite=True
@@ -380,6 +397,35 @@ class FlowExecutor:
 
         self._end(source_table, run_id, file_path, errors)
         return errors
+
+    def _purge_quarantined_file(
+        self, quarantine_table: str, source_table: str, file_path: str
+    ) -> None:
+        """Drop prior dead-letter rows for one (source, file) before a
+        replay re-appends them (the quarantine-append idempotence half of
+        the flow's replay contract). Same staged-rename rewrite as
+        ``rollback_runs``; no-op for tables predating the
+        ``quarantined_file`` column or holding no rows for this file."""
+        spark = self.spark
+        existing = spark.table(quarantine_table)
+        if "quarantined_file" not in existing.columns:
+            return
+        mine = (F.col("quarantined_source") == source_table) & (
+            F.col("quarantined_file") == file_path
+        )
+        n_prior = existing.filter(mine).count()
+        if not n_prior:
+            return
+        keep = existing.filter(~mine).localCheckpoint(eager=True)
+        rb = f"{quarantine_table}__rb"
+        spark.sql(f"DROP TABLE IF EXISTS {rb}")
+        keep.write.mode("errorifexists").saveAsTable(rb)
+        spark.sql(f"DROP TABLE {quarantine_table}")
+        spark.sql(f"ALTER TABLE {rb} RENAME TO {quarantine_table}")
+        log.info(
+            "replaced %d previously quarantined row(s) of %s for replayed %s",
+            n_prior, source_table, file_path,
+        )
 
     def _end(self, source_table, run_id, file_path, errors) -> None:
         """Write the flow's ledger rows — 'start' + final status — in one

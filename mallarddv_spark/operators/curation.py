@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from mallarddv_spark.exceptions import DVConfigurationError
 from mallarddv_spark.operators.dedup import _shingles
 
 # ---------------------------------------------------------------------------
@@ -238,7 +239,16 @@ def mix_to_token_budget(
     documents are atomic; the expected error is one document's tokens per
     stratum.
     """
+    if not weights or any(w < 0 for w in weights.values()):
+        raise DVConfigurationError(
+            "mix_to_token_budget: weights must be non-empty and non-negative"
+        )
     total_w = sum(weights.values())
+    if total_w <= 0:
+        raise DVConfigurationError(
+            "mix_to_token_budget: weights sum to zero — at least one "
+            "stratum needs positive weight"
+        )
     sums = {
         r[stratum_col]: int(r.toks)
         for r in df.groupBy(stratum_col)
@@ -256,6 +266,14 @@ def mix_to_token_budget(
             "actual_tokens": actual,
             "target_tokens": int(target),
             "rate": round(rate, 6),
+        }
+    # strata in the data but absent from weights are dropped (rate 0) —
+    # surface them in the report instead of vanishing silently
+    for name in sorted(set(sums) - set(weights), key=str):
+        report[name] = {
+            "actual_tokens": sums[name],
+            "target_tokens": 0,
+            "rate": 0.0,
         }
     sampled = stratified_sample(
         df, stratum_col, rates, id_col, default_rate=0.0,

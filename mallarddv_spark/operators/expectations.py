@@ -48,6 +48,19 @@ class Expectation:
     ref_col: str | None = None
 
 
+def _reject_duplicate_names(rules: list[Expectation]) -> None:
+    """Rule names label report rows and ``violated_rules`` tags; two rules
+    sharing a name (easy via explicit ``name=`` or ``expect_that``) would
+    make those outputs ambiguous — fail fast instead."""
+    seen: set[str] = set()
+    dupes = sorted({r.name for r in rules if r.name in seen or seen.add(r.name)})
+    if dupes:
+        raise DVConfigurationError(
+            f"duplicate expectation names: {dupes} — give each rule a "
+            "distinct name"
+        )
+
+
 def expect_not_null(col: str, name: str | None = None) -> Expectation:
     return Expectation(
         name or f"not_null({col})", "not_null", col, F.col(col).isNull()
@@ -127,6 +140,7 @@ def split_by_expectations(
     """
     if not rules:
         raise DVConfigurationError("split_by_expectations: empty rule list")
+    _reject_duplicate_names(rules)
     tagged = df
     tag_cols = []
     for i, r in enumerate(rules):
@@ -169,23 +183,23 @@ def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     """
     if not rules:
         raise DVConfigurationError("run_expectations: empty rule list")
+    _reject_duplicate_names(rules)
     spark = df.sparkSession
 
-    row_rules = [r for r in rules if r.fail is not None]
+    row_rules = [(i, r) for i, r in enumerate(rules) if r.fail is not None]
     aggs = [F.count(F.lit(1)).alias("__total")] + [
-        F.sum(r.fail.cast("long")).alias(f"__v{i}")
-        for i, r in enumerate(row_rules)
+        F.sum(r.fail.cast("long")).alias(f"__v{i}") for i, r in row_rules
     ]
     agg_row = df.agg(*aggs).first()
     total = int(agg_row["__total"])
-    row_violations = {
-        r.name: int(agg_row[f"__v{i}"] or 0) for i, r in enumerate(row_rules)
-    }
+    # keyed by rule INDEX, not name — names are caller-supplied and a
+    # collision must not silently alias two rules' counts
+    row_violations = {i: int(agg_row[f"__v{i}"] or 0) for i, _ in row_rules}
 
     results: list[tuple] = []
-    for r in rules:
+    for i, r in enumerate(rules):
         if r.fail is not None:
-            v = row_violations[r.name]
+            v = row_violations[i]
         elif r.kind == "unique":
             # duplicates = rows beyond the first of each key group
             dup = (

@@ -333,3 +333,33 @@ def test_mix_to_token_budget(spark):
     )
     assert sorted(r.doc_id for r in sampled.select("doc_id").collect()) == \
            sorted(r.doc_id for r in sampled2.select("doc_id").collect())
+
+
+def test_mix_weight_validation_and_dropped_strata(spark):
+    """Empty/zero-sum/negative weights fail fast; strata present in the
+    data but absent from weights surface in the report at rate 0.0
+    instead of vanishing silently."""
+    import pytest
+
+    from mallarddv_spark.exceptions import DVConfigurationError
+    from mallarddv_spark.operators.curation import mix_to_token_budget
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("toks", F.size(F.split("text", r"\s+")))
+        .withColumn(
+            "domain",
+            F.when(F.col("doc_id") % 10 < 8, "web").otherwise("books"),
+        )
+    )
+    for bad in ({}, {"web": 0.0}, {"web": -1.0, "books": 2.0}):
+        with pytest.raises(DVConfigurationError):
+            mix_to_token_budget(docs, "domain", "toks", "doc_id", 1000, bad)
+
+    sampled, report = mix_to_token_budget(
+        docs, "domain", "toks", "doc_id", 10_000, {"web": 1.0}
+    )
+    assert report["books"]["rate"] == 0.0
+    assert report["books"]["actual_tokens"] > 0
+    assert sampled.filter("domain = 'books'").count() == 0

@@ -7,6 +7,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from mallarddv_spark.exceptions import DVConfigurationError
 from mallarddv_spark.operators import expectations as E
 
 SF = "/root/testdata/sf0.001"
@@ -284,8 +285,37 @@ def test_flow_quarantine_mode_loads_good_rows(spark):
     assert len(dead) == 1
     assert dead[0].violated_rules == "not_null(id)"
     assert dead[0].quarantined_run_id == 1
+    assert dead[0].quarantined_source == "customer"
+    assert dead[0].quarantined_file == path
     # staging holds only the clean rows now
     assert spark.table("qr_stg.customer").count() == 2
+
+    # replaying the SAME file (force_load, e.g. a retry after a crash
+    # between quarantine append and ledger row) must REPLACE the file's
+    # dead-letter rows, not duplicate them
+    errs = v.execute_flow(
+        "customer", "qr", file_path=path,
+        load_date_overwrite="2025-01-01 00:00:00",
+        expectations=[E.expect_not_null("id")],
+        quarantine_table="default.qr_deadletter",
+        force_load=True,
+    )
+    assert errs == []
+    dead = spark.table("default.qr_deadletter").collect()
+    assert len(dead) == 1
+    assert dead[0].quarantined_run_id == 2
+
     for db in dbs.values():
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     spark.sql("DROP TABLE IF EXISTS default.qr_deadletter")
+
+
+def test_duplicate_rule_names_rejected(spark):
+    """Two rules sharing a name would alias each other's report counts
+    and violated_rules tags — both entry points fail fast instead."""
+    df = spark.range(3).selectExpr("id AS a", "id AS b")
+    rules = [E.expect_that(F.col("a") < 0, "r"),
+             E.expect_that(F.col("b") < 0, "r")]
+    for fn in (E.run_expectations, E.split_by_expectations):
+        with pytest.raises(DVConfigurationError, match="duplicate"):
+            fn(df, rules)
