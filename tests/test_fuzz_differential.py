@@ -9,7 +9,7 @@ import sys
 
 import duckdb
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from mallarddv_spark.api import MallardSparkVault
 from mallarddv_spark.sources.catalog import drop_vault
@@ -147,6 +147,21 @@ D3 = "2025-01-03 00:00:00"
 
 @settings(max_examples=5, deadline=None)
 @given(b1=_prod_batch, b2=_prod_batch, b3=_prod_batch)
+# pinned lifecycles so the critical transitions run on EVERY execution,
+# not just when the random batches happen to produce them:
+# key 2 vanishes in b2 (tombstone) and reinserts IDENTICALLY in b3
+# (resurrection must re-open the history, SURVEY §8.4)
+@example(
+    b1=[(1, "a", "x"), (2, "b", "y")],
+    b2=[(1, "a", "x")],
+    b3=[(1, "a", "x"), (2, "b", "y")],
+)
+# key 1 vanishes and comes back CHANGED; key 2 stays deleted
+@example(
+    b1=[(1, "a", "x"), (2, "b", "y")],
+    b2=[],
+    b3=[(1, "A", "x2")],
+)
 def test_fuzz_sat_full_lifecycle_matches_reference(
     spark, tmp_path_factory, b1, b2, b3
 ):
