@@ -485,6 +485,128 @@ def incremental_dedup(
     )
 
 
+def remove_duplicated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_dup_docs: int = 2,
+    min_line_chars: int = 10,
+    sep: str = "\n",
+    exact: bool = True,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet / RefinedWeb line-dedup
+    stage): drop every line whose normalized form appears in at least
+    ``min_dup_docs`` DISTINCT documents — nav bars, cookie banners, footer
+    text. Returns ``(id, text, lines_kept, lines_dropped)`` with the text
+    reassembled from the surviving lines in original order.
+
+    Lines shorter than ``min_line_chars`` after trimming are kept
+    unconditionally (blank lines and stray punctuation are structure, not
+    boilerplate, and their hash buckets would be the hottest keys in the
+    corpus — skipping them also removes the worst skew).
+
+    Scale shape: one posexplode projection → one groupBy on the 64-bit
+    line hash (map-side combined; ``exact=False`` switches the
+    distinct-document count to ``approx_count_distinct``, the right call
+    at 100 TB where exact distinct per line would carry doc-id sets
+    through the shuffle) → the duplicated-line hash set joins back via
+    broadcast when small (Catalyst/AQE decides; boilerplate vocabularies
+    are tiny relative to the corpus) → one groupBy(id) reassembly using
+    a sort within the aggregate, not a window.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(F.split(F.col(text_col), sep)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("norm", F.lower(F.trim("line")))
+    eligible = F.length("norm") >= min_line_chars
+    hashed = lines.withColumn(
+        "lh", F.when(eligible, F.xxhash64("norm"))
+    )
+    cd = (
+        F.countDistinct("id") if exact else F.approx_count_distinct("id")
+    )
+    dup_hashes = (
+        hashed.filter("lh IS NOT NULL")
+        .groupBy("lh")
+        .agg(cd.alias("docs"))
+        .filter(F.col("docs") >= min_dup_docs)
+        .select("lh", F.lit(True).alias("__dup"))
+    )
+    tagged = hashed.join(dup_hashes, "lh", "left")
+    kept = tagged.withColumn("__drop", F.coalesce("__dup", F.lit(False)))
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN NOT __drop "
+                    "THEN struct(pos, line) END)), s -> s.line)"
+                ),
+            ).alias("text"),
+            F.sum(F.expr("CASE WHEN __drop THEN 0 ELSE 1 END")).alias(
+                "lines_kept"
+            ),
+            F.sum(F.expr("CASE WHEN __drop THEN 1 ELSE 0 END")).alias(
+                "lines_dropped"
+            ),
+        )
+    )
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1), one scan, zero shuffle, all array expressions:
+
+    * ``dup_line_frac`` — fraction of lines that are duplicates of an
+      earlier line in the same document;
+    * ``dup_line_char_frac`` — fraction of characters inside those
+      duplicated lines (catches short-line spam that the count fraction
+      underweights);
+    * ``dup_para_frac`` — same over blank-line-separated paragraphs.
+
+    Feed the result to a filter (Gopher cuts dup_line_frac > 0.30,
+    dup_para_frac > 0.30) or store as curation metadata columns.
+    """
+
+    def fracs(split_re: str, prefix: str, with_chars: bool):
+        # split_re is already escaped for embedding in a SQL string
+        # literal ('\\n' -> regex \n after the parser unescapes)
+        arr = f"filter(transform(split({text_col}, '{split_re}'), "
+        arr += "s -> lower(trim(s))), s -> length(s) > 0)"
+        cnt = F.expr(f"size({arr})")
+        dcnt = F.expr(f"size({arr}) - size(array_distinct({arr}))")
+        out = [
+            F.when(cnt > 0, dcnt / cnt).otherwise(0.0).alias(
+                f"dup_{prefix}_frac"
+            )
+        ]
+        if with_chars:
+            chars = F.expr(f"aggregate({arr}, 0L, (a, s) -> a + length(s))")
+            # chars inside duplicated elements = total - distinct-set chars
+            dchars = F.expr(
+                f"aggregate({arr}, 0L, (a, s) -> a + length(s)) - "
+                f"aggregate(array_distinct({arr}), 0L, "
+                "(a, s) -> a + length(s))"
+            )
+            out.append(
+                F.when(chars > 0, dchars / chars).otherwise(0.0).alias(
+                    f"dup_{prefix}_char_frac"
+                )
+            )
+        return out
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        *fracs(r"\\n", "line", True),
+        *fracs(r"\\n\\s*\\n", "para", False),
+    )
+
+
 #: GPT-2-style pretokenizer, simplified to constructs shared by Java regex
 #: and RE2 (ASCII classes, no lookahead): contraction suffixes, space-glued
 #: letter runs, digit runs, punctuation runs, whitespace runs.

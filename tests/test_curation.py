@@ -363,3 +363,82 @@ def test_mix_weight_validation_and_dropped_strata(spark):
     assert report["books"]["rate"] == 0.0
     assert report["books"]["actual_tokens"] > 0
     assert sampled.filter("domain = 'books'").count() == 0
+
+
+def test_remove_duplicated_lines(spark):
+    """Corpus-level line dedup: lines appearing in >= min_dup_docs distinct
+    documents are dropped, short lines are exempt, order is preserved, and
+    the verdict matches a DuckDB replay of the same protocol."""
+    import duckdb
+
+    from mallarddv_spark.operators.curation import remove_duplicated_lines
+
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        (1, f"unique opening line one\n{boiler}\nmore unique content here"),
+        (2, f"{boiler}\na different body entirely\nok"),
+        (3, f"totally original document\nnothing shared with others"),
+        (4, f"  {boiler.upper()}  \nanother body"),  # normalized match
+        (5, ""),  # empty doc must survive
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {
+        r.id: r
+        for r in remove_duplicated_lines(
+            df, "id", "text", min_dup_docs=2, min_line_chars=10
+        ).collect()
+    }
+    assert len(out) == 5  # empty doc kept
+    assert boiler not in out[1].text and out[1].lines_dropped == 1
+    assert out[1].text == "unique opening line one\nmore unique content here"
+    assert out[2].text == "a different body entirely\nok"  # 'ok' short-exempt
+    assert out[3].lines_dropped == 0
+    assert out[4].text == "another body"
+    assert out[5].text == ""
+
+    # DuckDB replay of the same protocol (trim/lower normalize, >=2 docs)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(id int, text varchar)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    duck = {
+        r[0]: r[1]
+        for r in con.sql("""
+            WITH raw AS (
+                SELECT id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS pos
+                FROM docs
+            ),
+            lines AS (
+                SELECT id, line, pos, lower(trim(line)) AS norm FROM raw
+            ),
+            dups AS (
+                SELECT norm FROM lines WHERE length(norm) >= 10
+                GROUP BY norm HAVING count(DISTINCT id) >= 2
+            )
+            SELECT id, coalesce(string_agg(line, chr(10) ORDER BY pos)
+                   FILTER (WHERE norm NOT IN (SELECT norm FROM dups)), '')
+            FROM lines GROUP BY id
+        """).fetchall()
+    }
+    assert {k: v.text for k, v in out.items()} == duck
+
+
+def test_repetition_profile(spark):
+    """Gopher repetition fractions: duplicated lines/paragraphs within one
+    document, counted and char-weighted."""
+    from mallarddv_spark.operators.curation import repetition_profile
+
+    rows = [
+        (1, "aaaa\nbbbb\naaaa\ncccc"),          # 1 dup line of 4
+        (2, "para one here\n\npara one here\n\npara two"),  # dup para
+        (3, "clean\ntext"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r.id: r for r in repetition_profile(df, "id", "text").collect()}
+    assert abs(got[1].dup_line_frac - 0.25) < 1e-9
+    assert abs(got[1].dup_line_char_frac - 4 / 16) < 1e-9
+    assert got[2].dup_para_frac > 0.3  # 1 of 3 paragraphs duplicated
+    assert got[3].dup_line_frac == 0.0 and got[3].dup_para_frac == 0.0
+    assert got[4].dup_line_frac == 0.0
