@@ -2636,6 +2636,67 @@ WHERE i <= greatest(nh - 8, 0) + 1
 """
 
 
+def q_text_line_dedup(spark, sf):
+    """Corpus-level boilerplate line removal (the CCNet/RefinedWeb stage,
+    `operators/curation.remove_duplicated_lines`): lines appearing in ≥2
+    distinct documents are dropped and documents reassembled in order.
+    The synthetic docs are single-line word soup, so lines are first
+    synthesized deterministically as 3-token windows — plenty of genuine
+    cross-document duplicates at every SF (1.4k duplicated lines at
+    sf0.001)."""
+    from mallarddv_spark.operators.curation import remove_duplicated_lines
+
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(3))
+    lines = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, 3)))
+    relined = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = remove_duplicated_lines(
+        relined, "doc_id", "text", min_dup_docs=2, min_line_chars=10
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("text").alias("clean_text"),
+        "lines_kept",
+        "lines_dropped",
+    )
+
+
+O_TEXT_LINE_DEDUP = """
+WITH relined AS (
+    SELECT doc_id,
+           array_to_string(
+             list_transform(generate_series(1, len(string_split(text,' ')), 3),
+               s -> array_to_string(
+                      string_split(text,' ')[s:least(s+2, len(string_split(text,' ')))],
+                      ' ')),
+             chr(10)) AS text
+    FROM documents
+),
+raw AS (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS line,
+           generate_subscripts(string_split(text, chr(10)), 1) AS pos
+    FROM relined
+),
+lines AS (SELECT doc_id, line, pos, lower(trim(line)) AS norm FROM raw),
+dups AS (
+    SELECT norm FROM lines WHERE length(norm) >= 10
+    GROUP BY norm HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE norm NOT IN (SELECT norm FROM dups)), '')
+           AS clean_text,
+       count(*) FILTER (WHERE norm NOT IN (SELECT norm FROM dups))
+           AS lines_kept,
+       count(*) FILTER (WHERE norm IN (SELECT norm FROM dups))
+           AS lines_dropped
+FROM lines
+GROUP BY doc_id
+"""
+
+
 def q_text_incremental_dedup(spark, sf):
     """Incremental batch-vs-history dedup (the daily-crawl shape): the
     documents table plays the accumulated corpus; the new batch is built
@@ -2724,6 +2785,7 @@ FROM documents
 REGISTRY.update(
     {
         "text_winnow_fingerprints": (q_text_winnow_fingerprints, O_TEXT_WINNOW),
+        "text_line_dedup": (q_text_line_dedup, O_TEXT_LINE_DEDUP),
         "text_incremental_dedup": (q_text_incremental_dedup, O_TEXT_INCDEDUP),
         "text_bpe_tokens": (q_text_bpe_tokens, O_TEXT_BPE),
     }
@@ -2874,8 +2936,9 @@ O_TEXT_CURATION_ASSIGN = (
 
 def q_text_chunking_winnow(spark, sf):
     """Per-document derived-sequence suite: overlapping token-window training
-    chunks plus winnowing (MOSS) fingerprint index, as one tagged union.
-    Parts: text_chunking, text_winnow_fingerprints."""
+    chunks, winnowing (MOSS) fingerprint index, and corpus-level line
+    dedup, as one tagged union. Parts: text_chunking,
+    text_winnow_fingerprints, text_line_dedup."""
     c = q_text_chunking(spark, sf).select(
         F.lit("chunk").alias("part"),
         "doc_id",
@@ -2890,7 +2953,14 @@ def q_text_chunking_winnow(spark, sf):
         F.col("fp").alias("payload"),
         *_nulls(("n_tokens", "bigint")),
     )
-    return c.unionByName(w)
+    ld = q_text_line_dedup(spark, sf).select(
+        F.lit("linededup").alias("part"),
+        "doc_id",
+        F.col("lines_dropped").alias("idx"),
+        F.col("clean_text").alias("payload"),
+        F.col("lines_kept").alias("n_tokens"),
+    )
+    return c.unionByName(w).unionByName(ld)
 
 
 O_TEXT_CHUNKING_WINNOW = (
@@ -2900,7 +2970,10 @@ O_TEXT_CHUNKING_WINNOW = (
     + ") c\nUNION ALL\nSELECT 'winnow' AS part, doc_id, cast(NULL as bigint) AS idx,"
     " fp AS payload, cast(NULL as bigint) AS n_tokens\nFROM ("
     + O_TEXT_WINNOW
-    + ") w"
+    + ") w\nUNION ALL\nSELECT 'linededup' AS part, doc_id, lines_dropped AS idx,"
+    " clean_text AS payload, lines_kept AS n_tokens\nFROM ("
+    + O_TEXT_LINE_DEDUP
+    + ") ld"
 )
 
 
@@ -3967,7 +4040,9 @@ CONSOLIDATED_PARTS: dict[str, list[str]] = {
         "text_fingerprint", "text_bpe_tokens",
     ],
     "text_curation_assign": ["text_split_assign", "text_stratified_sample"],
-    "text_chunking_winnow": ["text_chunking", "text_winnow_fingerprints"],
+    "text_chunking_winnow": [
+        "text_chunking", "text_winnow_fingerprints", "text_line_dedup",
+    ],
     "text_frequency_suite": ["text_vocab_topk", "text_rarity_score"],
     "text_contamination_suite": ["text_decontaminate", "text_pii_redact"],
     "sql_scalar_suite": [
