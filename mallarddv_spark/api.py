@@ -233,7 +233,9 @@ class MallardSparkVault:
     # -- crash recovery -----------------------------------------------------
 
     def recover(
-        self, minhash_index_paths: list[str] | None = None
+        self,
+        minhash_index_paths: list[str] | None = None,
+        ivf_index_paths: list[str] | None = None,
     ) -> dict[str, int]:
         """Roll back every torn (killed-mid-flow) run: DV rows whose run_id
         never reached the ledger are removed and affected ``_current``
@@ -245,21 +247,26 @@ class MallardSparkVault:
         compaction that was interrupted mid-swap and healed first (healing
         runs before rollback so a restored table participates in it).
 
-        ``minhash_index_paths``: on-disk MinHash indexes to sweep for torn
-        ``minhash_index_compact`` swaps (they live at caller-chosen paths,
-        not in the catalog, so recovery can't discover them). Optional —
-        indexes also self-heal on next open.
+        ``minhash_index_paths`` / ``ivf_index_paths``: on-disk indexes to
+        sweep for torn ``*_index_compact`` swaps (they live at
+        caller-chosen paths, not in the catalog, so recovery can't
+        discover them). Optional — indexes also self-heal on next open.
         """
         from mallarddv_spark.flow.recovery import recover_vault
         from mallarddv_spark.operators.dedup import heal_minhash_index
+        from mallarddv_spark.operators.similarity import heal_ivf_index
         from mallarddv_spark.sources.layout import heal_all_compactions
 
         healed = heal_all_compactions(self.spark, self.dv_db)
         out: dict = recover_vault(self.spark, self.metadata_db, self.dv_db)
         out.update({f"{t} (compaction)": a for t, a in healed.items()})
-        for p in minhash_index_paths or []:
-            for sub, action in heal_minhash_index(self.spark, p).items():
-                out[f"{p}/{sub} (index compaction)"] = action
+        for paths, heal in (
+            (minhash_index_paths, heal_minhash_index),
+            (ivf_index_paths, heal_ivf_index),
+        ):
+            for p in paths or []:
+                for sub, action in heal(self.spark, p).items():
+                    out[f"{p}/{sub} (index compaction)"] = action
         return out
 
     def analyze_tables(self, with_columns: bool = False) -> list[str]:

@@ -420,12 +420,11 @@ def minhash_index_append(
 
 
 def _index_fs(spark, path_str: str):
-    """(Hadoop FileSystem, Path) for a string path — directory renames go
-    through this API so the swap below works identically on local disk,
-    HDFS, and rename-capable object stores."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path_str)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+    """Shim kept for the crash-injection test's fault proxy — the real
+    implementation is the shared :func:`sources.layout.dir_fs`."""
+    from mallarddv_spark.sources.layout import dir_fs
+
+    return dir_fs(spark, path_str)
 
 
 _INDEX_SUBDIRS = ("sigs", "bands")
@@ -450,25 +449,13 @@ def heal_minhash_index(spark, path: str) -> dict[str, str]:
     automatically whenever the index is opened (append / probe / compact)
     and by the facade's ``recover(minhash_index_paths=...)``.
     """
+    from mallarddv_spark.sources import layout
+
     healed: dict[str, str] = {}
-    Path = spark._jvm.org.apache.hadoop.fs.Path
     for sub in _INDEX_SUBDIRS:
-        d = f"{path}/{sub}"
-        fs, live = _index_fs(spark, d)
-        staged, backup = Path(d + "__compact"), Path(d + "__pre_compact")
-        has_live, has_staged, has_backup = (
-            fs.exists(live), fs.exists(staged), fs.exists(backup),
-        )
-        if has_backup and not has_live:
-            if not fs.rename(backup, live):
-                raise IOError(f"failed to restore {d} from compaction backup")
-            healed[sub] = "restored_backup"
-        elif has_backup and has_live:
-            fs.delete(backup, True)
-            healed[sub] = "dropped_backup"
-        elif has_staged and has_live:
-            fs.delete(staged, True)
-            healed[sub] = "dropped_staged"
+        action = layout.heal_dir_swap(spark, f"{path}/{sub}")
+        if action:
+            healed[sub] = action
     return healed
 
 

@@ -336,6 +336,61 @@ def build_ivf_index(
     return {"path": path, "n_centroids": n_centroids, "n_rows": n_corpus}
 
 
+_IVF_SUBDIRS = ("cells", "centroids")
+
+
+def heal_ivf_index(spark, path: str) -> dict[str, str]:
+    """Resolve an :func:`ivf_index_compact` interrupted mid-swap (same
+    staged-rename protocol and state machine as the MinHash index — see
+    ``sources.layout.heal_dir_swap``). Invoked automatically whenever the
+    index is opened (append / probe / compact) and on demand via the
+    facade's ``recover(ivf_index_paths=...)``."""
+    from mallarddv_spark.sources import layout
+
+    healed: dict[str, str] = {}
+    for sub in _IVF_SUBDIRS:
+        action = layout.heal_dir_swap(spark, f"{path}/{sub}")
+        if action:
+            healed[sub] = action
+    return healed
+
+
+def _ivf_centroids(spark, path: str) -> DataFrame:
+    """Open the stored centroid table, healing any torn compaction swap
+    first so append/probe always resolve a complete index."""
+    heal_ivf_index(spark, path)
+    return spark.read.parquet(f"{path}/centroids")
+
+
+def ivf_index_compact(spark, path: str, target_rows_per_file: int = 4_000_000) -> dict:
+    """Maintenance for an append-heavy IVF index: every :func:`ivf_append`
+    lands a handful of files per touched cell, and after N crawl batches a
+    probe's partition-pruned scan is metadata-bound on thousands of tiny
+    files. Rewrites ``cells`` with one file per cell (cells are
+    independent, so the rewrite is one shuffle-free pass repartitioned on
+    the partition column), swapped live via the crash-safe staged-rename
+    protocol shared with table compaction and the MinHash index
+    (``sources.layout.swap_dir_live``; torn swaps heal on next open or via
+    ``recover(ivf_index_paths=...)``). Also drops duplicate
+    ``neighbor_id`` rows a re-appended batch stored twice."""
+    from mallarddv_spark.sources import layout
+
+    out: dict = {"healed": heal_ivf_index(spark, path)}
+    d = f"{path}/cells"
+    cells = spark.read.parquet(d)
+    before = cells.count()
+    deduped = (
+        cells.dropDuplicates(["neighbor_id", "centroid_id"])
+        .repartition("centroid_id")
+    )
+    staged = f"{d}__compact"
+    deduped.write.mode("overwrite").partitionBy("centroid_id").parquet(staged)
+    after = spark.read.parquet(staged).count()
+    layout.swap_dir_live(spark, d)
+    out["cells"] = {"rows_before": before, "rows_after": after}
+    return out
+
+
 def ivf_append(
     new_rows: DataFrame,
     path: str,
@@ -347,7 +402,7 @@ def ivf_append(
     rewrite of existing cells. Nearest centroid by squared euclidean with
     centroid_id tiebreak (KMeans transform semantics up to exact ties)."""
     spark = new_rows.sparkSession
-    cent = spark.read.parquet(f"{path}/centroids")
+    cent = _ivf_centroids(spark, path)
     rows = new_rows.select(
         F.col(id_col).alias("neighbor_id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cv"),
@@ -386,7 +441,7 @@ def ivf_probe_topk(
     prunable without relying on runtime DPP.
     """
     spark = queries.sparkSession
-    cent = spark.read.parquet(f"{path}/centroids")
+    cent = _ivf_centroids(spark, path)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("qv"),

@@ -297,3 +297,61 @@ def rewrite_table(
         spark.sql(f"ALTER TABLE {table_fqn} RENAME TO {backup}")
         spark.sql(f"ALTER TABLE {staged_t} RENAME TO {table_fqn}")
         spark.sql(f"DROP TABLE {backup}")
+
+
+# ---------------------------------------------------------------------------
+# crash-safe swap protocol for raw parquet DIRECTORIES (persisted indexes
+# live outside the catalog, so the table rename protocol above doesn't
+# apply — this is its Hadoop-FS twin, shared by the MinHash and IVF
+# index compactors in operators/dedup.py and operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def dir_fs(spark, path_str: str):
+    """(Hadoop FileSystem, Path) for a string path — directory renames go
+    through this API so the swap works identically on local disk, HDFS,
+    and rename-capable object stores."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def heal_dir_swap(spark, d: str) -> str | None:
+    """Resolve a :func:`swap_dir_live` interrupted mid-swap for one
+    directory. Same state machine as :func:`heal_compaction`, expressed
+    with FS renames: backup-without-live → restore; backup+live → drop
+    backup; staged+live → drop the incomplete staged copy. Returns the
+    action taken, or None when clean."""
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    fs, live = dir_fs(spark, d)
+    staged, backup = Path(d + "__compact"), Path(d + "__pre_compact")
+    has_live, has_staged, has_backup = (
+        fs.exists(live), fs.exists(staged), fs.exists(backup),
+    )
+    if has_backup and not has_live:
+        if not fs.rename(backup, live):
+            raise IOError(f"failed to restore {d} from compaction backup")
+        return "restored_backup"
+    if has_backup and has_live:
+        fs.delete(backup, True)
+        return "dropped_backup"
+    if has_staged and has_live:
+        fs.delete(staged, True)
+        return "dropped_staged"
+    return None
+
+
+def swap_dir_live(spark, d: str) -> None:
+    """Make ``{d}__compact`` (already fully written by the caller) the
+    live ``d``: rename-out → rename-in → drop-backup. A crash at any
+    point leaves a complete copy resolvable by :func:`heal_dir_swap`."""
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    fs, live = dir_fs(spark, d)
+    backup = Path(d + "__pre_compact")
+    if not fs.rename(live, backup):
+        raise IOError(f"compaction swap failed: could not rename {d} out")
+    if not fs.rename(Path(d + "__compact"), live):
+        # put the original back rather than leave no live directory
+        fs.rename(backup, live)
+        raise IOError(f"compaction swap failed: could not rename {d}__compact in")
+    fs.delete(backup, True)

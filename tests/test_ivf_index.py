@@ -69,3 +69,60 @@ def test_ivf_append_assigns_against_stored_centroids(spark, embeddings, tmp_path
     row = probe_q.select("vec_id").first()
     out = similarity.ivf_probe_topk(probe_q, path, k=1, nprobe=2).collect()
     assert out and out[0].neighbor_id == row.vec_id and out[0].cosine == 1.0
+
+
+def test_ivf_compact_collapses_files_and_survives_torn_swap(
+    spark, embeddings, tmp_path
+):
+    """Append-heavy maintenance: compaction collapses per-cell small files
+    and duplicate re-appends, probes are unchanged, and a torn swap
+    (simulated backup/staged leftovers) heals on next open / recover()."""
+    import os
+
+    path = str(tmp_path / "idx")
+    base = embeddings.filter("vec_id >= 5 AND vec_id < 300")
+    similarity.build_ivf_index(base, path, n_centroids=8, seed=42)
+    batch = embeddings.filter("vec_id >= 300 AND vec_id < 350")
+    similarity.ivf_append(batch, path)
+    similarity.ivf_append(batch, path)  # duplicate re-append
+
+    probe_q = embeddings.filter("vec_id < 5")
+    before = sorted(map(tuple, similarity.ivf_probe_topk(
+        probe_q, path, k=3, nprobe=2).collect()))
+
+    n_files_before = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(f"{path}/cells")
+    )
+    out = similarity.ivf_index_compact(spark, path)
+    assert out["cells"]["rows_before"] == base.count() + 2 * batch.count()
+    assert out["cells"]["rows_after"] == base.count() + batch.count()
+    n_files_after = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(f"{path}/cells")
+    )
+    assert n_files_after < n_files_before
+    assert not os.path.exists(f"{path}/cells__compact")
+
+    after = sorted(map(tuple, similarity.ivf_probe_topk(
+        probe_q, path, k=3, nprobe=2).collect()))
+    assert after == before
+
+    # torn states: stale backup next to live; stale staged next to live
+    spark.read.parquet(f"{path}/cells").limit(1).write.parquet(
+        f"{path}/cells__pre_compact"
+    )
+    spark.read.parquet(f"{path}/centroids").write.parquet(
+        f"{path}/centroids__compact"
+    )
+    healed_probe = similarity.ivf_probe_topk(probe_q, path, k=3, nprobe=2)
+    healed_probe.count()  # opening the index heals
+    assert not os.path.exists(f"{path}/cells__pre_compact")
+    assert not os.path.exists(f"{path}/centroids__compact")
+
+    # worst state: no live centroids dir, only the backup → restore
+    os.rename(f"{path}/centroids", f"{path}/centroids__pre_compact")
+    healed = similarity.heal_ivf_index(spark, path)
+    assert healed == {"centroids": "restored_backup"}
+    assert sorted(map(tuple, similarity.ivf_probe_topk(
+        probe_q, path, k=3, nprobe=2).collect())) == before
