@@ -2644,7 +2644,10 @@ def q_text_line_dedup(spark, sf):
     synthesized deterministically as 3-token windows — plenty of genuine
     cross-document duplicates at every SF (1.4k duplicated lines at
     sf0.001)."""
-    from mallarddv_spark.operators.curation import remove_duplicated_lines
+    from mallarddv_spark.operators.curation import (
+        remove_duplicated_lines,
+        repetition_profile,
+    )
 
     d = _t(spark, sf, "documents")
     toks = F.split("text", " ")
@@ -2654,11 +2657,19 @@ def q_text_line_dedup(spark, sf):
     out = remove_duplicated_lines(
         relined, "doc_id", "text", min_dup_docs=2, min_line_chars=10
     )
-    return out.select(
-        F.col("id").alias("doc_id"),
+    # within-document repetition signal (operators/curation.
+    # repetition_profile) over the same relined text — ~1% of the
+    # synthetic docs repeat a 3-token window, so the gate checks real
+    # nonzero fractions alongside the zero majority
+    rep = repetition_profile(relined, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "dup_line_frac"
+    )
+    return out.join(rep, out.id == rep.doc_id).select(
+        "doc_id",
         F.col("text").alias("clean_text"),
         "lines_kept",
         "lines_dropped",
+        "dup_line_frac",
     )
 
 
@@ -2684,16 +2695,22 @@ dups AS (
     SELECT norm FROM lines WHERE length(norm) >= 10
     GROUP BY norm HAVING count(DISTINCT doc_id) >= 2
 )
-SELECT doc_id,
+SELECT l.doc_id,
        coalesce(string_agg(line, chr(10) ORDER BY pos)
                 FILTER (WHERE norm NOT IN (SELECT norm FROM dups)), '')
            AS clean_text,
        count(*) FILTER (WHERE norm NOT IN (SELECT norm FROM dups))
            AS lines_kept,
        count(*) FILTER (WHERE norm IN (SELECT norm FROM dups))
-           AS lines_dropped
-FROM lines
-GROUP BY doc_id
+           AS lines_dropped,
+       CASE WHEN count(*) FILTER (WHERE length(norm) > 0) > 0
+            THEN cast(count(*) FILTER (WHERE length(norm) > 0)
+                      - count(DISTINCT norm) FILTER (WHERE length(norm) > 0)
+                      as double)
+                 / count(*) FILTER (WHERE length(norm) > 0)
+            ELSE 0.0 END AS dup_line_frac
+FROM lines l
+GROUP BY l.doc_id
 """
 
 
@@ -2945,13 +2962,14 @@ def q_text_chunking_winnow(spark, sf):
         F.col("chunk_idx").alias("idx"),
         F.col("chunk_text").alias("payload"),
         F.col("chunk_tokens").alias("n_tokens"),
+        *_nulls(("d1", "double")),
     )
     w = q_text_winnow_fingerprints(spark, sf).select(
         F.lit("winnow").alias("part"),
         "doc_id",
         *_nulls(("idx", "bigint")),
         F.col("fp").alias("payload"),
-        *_nulls(("n_tokens", "bigint")),
+        *_nulls(("n_tokens", "bigint"), ("d1", "double")),
     )
     ld = q_text_line_dedup(spark, sf).select(
         F.lit("linededup").alias("part"),
@@ -2959,19 +2977,20 @@ def q_text_chunking_winnow(spark, sf):
         F.col("lines_dropped").alias("idx"),
         F.col("clean_text").alias("payload"),
         F.col("lines_kept").alias("n_tokens"),
+        F.col("dup_line_frac").alias("d1"),
     )
     return c.unionByName(w).unionByName(ld)
 
 
 O_TEXT_CHUNKING_WINNOW = (
     "SELECT 'chunk' AS part, doc_id, chunk_idx AS idx, chunk_text AS payload,"
-    " chunk_tokens AS n_tokens\nFROM ("
+    " chunk_tokens AS n_tokens, cast(NULL as double) AS d1\nFROM ("
     + O_TEXT_CHUNKING
     + ") c\nUNION ALL\nSELECT 'winnow' AS part, doc_id, cast(NULL as bigint) AS idx,"
-    " fp AS payload, cast(NULL as bigint) AS n_tokens\nFROM ("
+    " fp AS payload, cast(NULL as bigint) AS n_tokens, cast(NULL as double) AS d1\nFROM ("
     + O_TEXT_WINNOW
     + ") w\nUNION ALL\nSELECT 'linededup' AS part, doc_id, lines_dropped AS idx,"
-    " clean_text AS payload, lines_kept AS n_tokens\nFROM ("
+    " clean_text AS payload, lines_kept AS n_tokens, dup_line_frac AS d1\nFROM ("
     + O_TEXT_LINE_DEDUP
     + ") ld"
 )
