@@ -493,6 +493,7 @@ def remove_duplicated_lines(
     min_line_chars: int = 10,
     sep: str = "\n",
     exact: bool = True,
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """Corpus-level boilerplate removal (the CCNet / RefinedWeb line-dedup
     stage): drop every line whose normalized form appears in at least
@@ -509,10 +510,13 @@ def remove_duplicated_lines(
     line hash (map-side combined; ``exact=False`` switches the
     distinct-document count to ``approx_count_distinct``, the right call
     at 100 TB where exact distinct per line would carry doc-id sets
-    through the shuffle) → the duplicated-line hash set joins back via
-    broadcast when small (Catalyst/AQE decides; boilerplate vocabularies
-    are tiny relative to the corpus) → one groupBy(id) reassembly using
-    a sort within the aggregate, not a window.
+    through the shuffle) → the duplicated-line hash set joins back
+    BROADCAST by default (its size is bounded by corpus/min_dup_docs and
+    boilerplate vocabularies are tiny relative to the corpus; post-agg
+    size estimates are too coarse for Catalyst to pick this alone —
+    ``broadcast_dups=False`` is the escape hatch for a pathological dup
+    set) → one groupBy(id) reassembly using a sort within the aggregate,
+    not a window.
     """
     lines = df.select(
         F.col(id_col).alias("id"),
@@ -534,6 +538,8 @@ def remove_duplicated_lines(
         .filter(F.col("docs") >= min_dup_docs)
         .select("lh", F.lit(True).alias("__dup"))
     )
+    if broadcast_dups:
+        dup_hashes = F.broadcast(dup_hashes)
     tagged = hashed.join(dup_hashes, "lh", "left")
     kept = tagged.withColumn("__drop", F.coalesce("__dup", F.lit(False)))
     return (
