@@ -439,3 +439,58 @@ def test_pack_sequences_invariants(spark):
     hashed = pack_sequences(df, "doc_id", "text", token_budget=1000, n_shards=4)
     assert hashed.count() == len(rows)
     assert hashed.select("id").distinct().count() == len(rows)
+
+
+def test_embedding_quantization_roundtrip_and_probe(spark):
+    """int8 SQ: schema is array<tinyint> + double scale, round-trip error
+    bounded by s/2 per component, zero vectors survive, and the quantized
+    brute-force probe agrees with the float probe on top-1 for
+    overwhelmingly most queries."""
+    from mallarddv_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qz = quantize_embeddings(emb)
+    assert dict(qz.dtypes)["q_embedding"] == "array<tinyint>"
+    assert dict(qz.dtypes)["q_scale"] == "double"
+
+    # round-trip error per component <= scale/2 (+eps)
+    bad = (
+        dequantize_embeddings(qz, out_col="deq")
+        .selectExpr(
+            "aggregate(zip_with(transform(embedding, x -> cast(x as double)),"
+            " deq, (x, y) -> abs(x - y)), cast(0.0 as double),"
+            " (a, x) -> greatest(a, x)) AS max_err",
+            "q_scale",
+        )
+        .filter("max_err > q_scale / 2 + 1e-9")
+        .count()
+    )
+    assert bad == 0
+
+    # zero vector: scale 0, codes 0, dequantizes to zeros
+    z = quantize_embeddings(
+        spark.createDataFrame(
+            [(0, [0.0] * 8)], "vec_id int, embedding array<float>"
+        )
+    ).first()
+    assert z.q_scale == 0.0 and set(z.q_embedding) == {0}
+
+    queries = emb.filter("vec_id < 20")
+    corpus = emb.filter("vec_id >= 20")
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk_bruteforce(queries, corpus, k=1).collect()
+    }
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk_quantized(
+            queries, quantize_embeddings(corpus), k=1
+        ).collect()
+    }
+    agree = sum(1 for q in exact if approx.get(q) == exact[q])
+    assert agree >= len(exact) * 0.9, (agree, len(exact))
