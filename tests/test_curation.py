@@ -442,3 +442,45 @@ def test_repetition_profile(spark):
     assert got[2].dup_para_frac > 0.3  # 1 of 3 paragraphs duplicated
     assert got[3].dup_line_frac == 0.0 and got[3].dup_para_frac == 0.0
     assert got[4].dup_line_frac == 0.0
+
+
+def test_line_dedup_property(spark):
+    """Property (hypothesis): after cleanup, NO eligible normalized line
+    appears in >= min_dup_docs distinct documents; ineligible (short)
+    lines are never dropped; per-doc line counts reconcile."""
+    from hypothesis import given, settings, strategies as st
+
+    from mallarddv_spark.operators.curation import remove_duplicated_lines
+
+    words = st.sampled_from(
+        ["alpha", "beta", "gamma", "delta", "x", "", "  spaced  "]
+    )
+    line = st.lists(words, min_size=0, max_size=3).map(" ".join)
+    doc = st.lists(line, min_size=0, max_size=5).map("\n".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts=st.lists(doc, min_size=1, max_size=5))
+    def run(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "id int, text string"
+        )
+        out = remove_duplicated_lines(
+            df, "id", "text", min_dup_docs=2, min_line_chars=8
+        ).collect()
+        assert len(out) == len(texts)
+        # rebuild the corpus line multiset from the cleaned texts
+        from collections import defaultdict
+
+        doc_sets = defaultdict(set)
+        for r in out:
+            for ln in (r.text.split("\n") if r.text else []):
+                norm = ln.strip().lower()
+                if len(norm) >= 8:
+                    doc_sets[norm].add(r.id)
+            # reconciliation: kept + dropped = original line count
+            orig = texts[r.id].split("\n")
+            assert r.lines_kept + r.lines_dropped == len(orig)
+        for norm, ids in doc_sets.items():
+            assert len(ids) < 2, f"{norm!r} still in docs {ids}"
+
+    run()
