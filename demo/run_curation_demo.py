@@ -1,0 +1,124 @@
+"""Runnable end-to-end demo of the training-data curation pipeline — the
+LLM-corpus half of the engine, chained over the synthetic documents and
+embeddings tables:
+
+    python demo/run_curation_demo.py [sf_dir]       (default sf0.001)
+
+Pipeline (each stage is a pure DataFrame transform; at lake scale the
+same code runs over a 100 TB corpus):
+
+1. profile    — per-doc quality/lang/token stats in ONE scan
+2. clean      — corpus-level boilerplate line removal (CCNet-style)
+3. quality    — Gopher/C4-style threshold filter
+4. dedup      — exact + MinHash-LSH near-dup, connected-components
+                cluster verdicts (keep one doc per near-dup cluster)
+5. decontam   — n-gram overlap against a benchmark set
+6. split/mix  — deterministic train/val split + token-budget mixing
+7. pack       — fixed-length training sequences
+"""
+
+import os
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mallarddv_spark import get_spark  # noqa: E402
+from mallarddv_spark.operators import curation, dedup, graph, textops  # noqa: E402
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark(
+        master="local[4]",
+        shuffle_partitions=4,
+        warehouse_dir=os.path.join(tempfile.mkdtemp(prefix="cur_demo_"), "wh"),
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n0 = docs.count()
+
+    # 1. profile: one-scan per-doc stats
+    profile = textops.text_profile(docs, "doc_id", "text")
+    print(f"-- profile ({n0} docs) --")
+    profile.select("doc_id", "n_tokens", "quality", "lang_guess").show(
+        3, truncate=False
+    )
+
+    # 2. clean: corpus-level boilerplate removal (3-token windows stand in
+    # for lines in the single-line synthetic corpus)
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(3))
+    lines = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, 3)))
+    relined = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    cleaned = curation.remove_duplicated_lines(relined, "doc_id", "text")
+    dropped = cleaned.agg(F.sum("lines_dropped")).first()[0]
+    print(f"-- clean: dropped {dropped} duplicated corpus lines --")
+
+    # 3. quality filter (thresholds tuned to the synthetic corpus,
+    # which has no stopwords — disable the fluency rule)
+    kept_q = textops.quality_filter(
+        docs, "text",
+        rules={"min_tokens": 5, "min_stopword_ratio": None,
+               "min_mean_token_len": None, "max_dup_token_ratio": None},
+    ).filter("qf_keep").drop("qf_keep", "qf_reasons")
+    nq = kept_q.count()
+    print(f"-- quality: {n0} -> {nq} docs --")
+
+    # 4. near-dup dedup: LSH pairs -> connected components -> keep one per
+    # cluster
+    pairs = dedup.minhash_lsh_pairs(
+        kept_q, "doc_id", "text", threshold=0.7, num_perm=32, bands=8
+    )
+    verdicts = graph.dedup_assign(kept_q, "doc_id", pairs)
+    survivors = kept_q.join(
+        verdicts.filter("NOT keep").select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    nd = survivors.count()
+    print(f"-- dedup: {nq} -> {nd} docs ({nq - nd} near-dups removed) --")
+
+    # 5. decontamination against a small "benchmark" (here: a sample of
+    # the corpus itself, guaranteeing hits to show the mechanism)
+    bench = docs.orderBy("doc_id").limit(5)
+    contam = curation.decontaminate(survivors, bench, "doc_id", "text")
+    nc = contam.filter("contaminated").count()
+    print(f"-- decontam: {nc} docs flagged against the benchmark --")
+    survivors = survivors.join(
+        contam.filter("contaminated").select("doc_id"), "doc_id", "left_anti"
+    )
+
+    # 6. deterministic split + token-budget mixing by language stratum
+    with_tokens = survivors.withColumn(
+        "n_tokens", textops.token_count("text")
+    ).withColumn("lang", F.coalesce(docs.lang, F.lit("und")))
+    split = curation.split_assign(
+        with_tokens, "doc_id", {"train": 0.9, "val": 0.1}
+    )
+    print("-- split --")
+    split.groupBy("split").count().show()
+    budget = int(
+        with_tokens.agg(F.sum("n_tokens")).first()[0] * 0.5
+    )
+    mixed, report = curation.mix_to_token_budget(
+        split.filter("split = 'train'"),
+        "lang", "n_tokens", "doc_id", budget,
+        weights={"en": 0.7, "de": 0.2, "fr": 0.1},
+    )
+    print(f"-- mix to {budget} tokens --")
+    for stratum, r in sorted(report.items()):
+        print(f"   {stratum}: actual={r['actual_tokens']} rate={r['rate']}")
+
+    # 7. pack into fixed-length training sequences
+    packed = textops.pack_sequences(mixed, "doc_id", "text", token_budget=512)
+    print("-- packed sequences (first bins) --")
+    packed.groupBy("shard_id", "bin_id").agg(
+        F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
+    ).orderBy("shard_id", "bin_id").show(5)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

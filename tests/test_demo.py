@@ -55,3 +55,20 @@ def test_demo_end_to_end(spark):
         "customer", "demo", os.path.join(DEMO, "data", "customer.csv")
     ) == []
     assert spark.table("metadata.runinfo").count() == n_runs
+
+
+def test_curation_demo_runs():
+    """The shipped curation-pipeline demo runs end-to-end as a user would
+    (own subprocess and session) and prints every stage marker."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(DEMO, "run_curation_demo.py")],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    for marker in ("-- profile", "-- clean:", "-- quality:", "-- dedup:",
+                   "-- decontam:", "-- split --", "-- mix to",
+                   "-- packed sequences"):
+        assert marker in proc.stdout, f"missing {marker}"
