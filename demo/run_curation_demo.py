@@ -52,9 +52,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(3))
     lines = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, 3)))
     relined = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
-    cleaned = curation.remove_duplicated_lines(relined, "doc_id", "text")
+    # min_dup_docs=5: boilerplate means MANY documents share the line;
+    # a lower bar would also strip content shared by near-dup pairs,
+    # which the fuzzy-dedup stage below exists to handle
+    cleaned = curation.remove_duplicated_lines(
+        relined, "doc_id", "text", min_dup_docs=5
+    )
     dropped = cleaned.agg(F.sum("lines_dropped")).first()[0]
     print(f"-- clean: dropped {dropped} duplicated corpus lines --")
+    # the cleaned corpus (boilerplate lines removed, newlines back to
+    # spaces) is what every later stage consumes
+    docs = cleaned.select(
+        F.col("id").alias("doc_id"),
+        F.regexp_replace("text", "\n", " ").alias("text"),
+    ).join(docs.select("doc_id", "lang"), "doc_id")
 
     # 3. quality filter (thresholds tuned to the synthetic corpus,
     # which has no stopwords — disable the fluency rule)
@@ -93,7 +104,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # 6. deterministic split + token-budget mixing by language stratum
     with_tokens = survivors.withColumn(
         "n_tokens", textops.token_count("text")
-    ).withColumn("lang", F.coalesce(docs.lang, F.lit("und")))
+    ).withColumn("lang", F.coalesce("lang", F.lit("und")))
     split = curation.split_assign(
         with_tokens, "doc_id", {"train": 0.9, "val": 0.1}
     )

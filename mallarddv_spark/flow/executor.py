@@ -225,18 +225,33 @@ class FlowExecutor:
                         # are replaced, not duplicated. Non-file flows
                         # have no stable replay identity — their
                         # dead-letter is at-least-once by design.
-                        if file_path and spark.catalog.tableExists(
-                            quarantine_table
-                        ):
-                            self._purge_quarantined_file(
-                                quarantine_table, source_table, file_path
-                            )
+                        if spark.catalog.tableExists(quarantine_table):
+                            # legacy dead-letter tables predate the
+                            # identity columns — widen them (existing
+                            # rows read NULL) so the append below fits
+                            existing_cols = spark.table(
+                                quarantine_table
+                            ).columns
+                            if "quarantined_file" not in existing_cols:
+                                spark.sql(
+                                    f"ALTER TABLE {quarantine_table} ADD "
+                                    "COLUMNS (quarantined_source string, "
+                                    "quarantined_file string)"
+                                )
+                            if file_path:
+                                self._purge_quarantined_file(
+                                    quarantine_table, source_table, file_path
+                                )
+                        # casts: F.lit(None) is VOID-typed and would pin
+                        # the table's column type on first create
                         bad_cp.withColumn(
                             "quarantined_run_id", F.lit(run_id)
                         ).withColumn(
-                            "quarantined_source", F.lit(source_table)
+                            "quarantined_source",
+                            F.lit(source_table).cast("string"),
                         ).withColumn(
-                            "quarantined_file", F.lit(file_path)
+                            "quarantined_file",
+                            F.lit(file_path).cast("string"),
                         ).write.mode("append").saveAsTable(quarantine_table)
                         good_cp.write.mode("overwrite").insertInto(
                             f"{self.stg_db}.{source_table}", overwrite=True
@@ -403,10 +418,25 @@ class FlowExecutor:
     ) -> None:
         """Drop prior dead-letter rows for one (source, file) before a
         replay re-appends them (the quarantine-append idempotence half of
-        the flow's replay contract). Same staged-rename rewrite as
-        ``rollback_runs``; no-op for tables predating the
-        ``quarantined_file`` column or holding no rows for this file."""
+        the flow's replay contract). The rewrite uses the crash-safe
+        staged-rename swap (``layout.rewrite_table(staged=True)``) and
+        heals its own leftovers first, so a crash mid-purge never loses
+        the dead-letter history — a torn swap resolves on the next
+        replay (or via ``layout.heal_compaction(quarantine_table)``).
+        No-op for tables predating the ``quarantined_file`` column or
+        holding no rows for this file."""
+        from mallarddv_spark.sources.layout import (
+            heal_compaction,
+            rewrite_table,
+        )
+
         spark = self.spark
+        action = heal_compaction(spark, quarantine_table)
+        if action:
+            log.warning(
+                "healed torn dead-letter purge on %s: %s",
+                quarantine_table, action,
+            )
         existing = spark.table(quarantine_table)
         if "quarantined_file" not in existing.columns:
             return
@@ -417,11 +447,7 @@ class FlowExecutor:
         if not n_prior:
             return
         keep = existing.filter(~mine).localCheckpoint(eager=True)
-        rb = f"{quarantine_table}__rb"
-        spark.sql(f"DROP TABLE IF EXISTS {rb}")
-        keep.write.mode("errorifexists").saveAsTable(rb)
-        spark.sql(f"DROP TABLE {quarantine_table}")
-        spark.sql(f"ALTER TABLE {rb} RENAME TO {quarantine_table}")
+        rewrite_table(spark, quarantine_table, keep, staged=True, spec=None)
         log.info(
             "replaced %d previously quarantined row(s) of %s for replayed %s",
             n_prior, source_table, file_path,

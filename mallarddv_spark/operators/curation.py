@@ -518,9 +518,14 @@ def remove_duplicated_lines(
     set) → one groupBy(id) reassembly using a sort within the aggregate,
     not a window.
     """
+    import re
+
+    # sep is a LITERAL separator (used verbatim in the reassembling
+    # concat_ws) — escape it for the regex-based split so metacharacter
+    # separators ('|', '. ') don't shred the text
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode_outer(F.split(F.col(text_col), sep)).alias(
+        F.posexplode_outer(F.split(F.col(text_col), re.escape(sep))).alias(
             "pos", "line"
         ),
     ).withColumn("norm", F.lower(F.trim("line")))

@@ -419,14 +419,6 @@ def minhash_index_append(
     )
 
 
-def _index_fs(spark, path_str: str):
-    """Shim kept for the crash-injection test's fault proxy — the real
-    implementation is the shared :func:`sources.layout.dir_fs`."""
-    from mallarddv_spark.sources.layout import dir_fs
-
-    return dir_fs(spark, path_str)
-
-
 _INDEX_SUBDIRS = ("sigs", "bands")
 
 
@@ -481,8 +473,9 @@ def minhash_index_compact(spark, path: str) -> dict:
     """
     import math
 
+    from mallarddv_spark.sources import layout
+
     out: dict = {"healed": heal_minhash_index(spark, path)}
-    Path = spark._jvm.org.apache.hadoop.fs.Path
     for sub, key_cols in (("sigs", ["doc_id"]), ("bands", ["doc_id", "band"])):
         d = f"{path}/{sub}"
         df = spark.read.parquet(d)
@@ -492,15 +485,7 @@ def minhash_index_compact(spark, path: str) -> dict:
         staged = f"{d}__compact"
         deduped.coalesce(n_parts).write.mode("overwrite").parquet(staged)
         after = spark.read.parquet(staged).count()
-        fs, live = _index_fs(spark, d)
-        backup = Path(d + "__pre_compact")
-        if not fs.rename(live, backup):
-            raise IOError(f"compaction swap failed: could not rename {d} out")
-        if not fs.rename(Path(staged), live):
-            # put the original back rather than leave no live directory
-            fs.rename(backup, live)
-            raise IOError(f"compaction swap failed: could not rename {staged} in")
-        fs.delete(backup, True)
+        layout.swap_dir_live(spark, d)
         out[sub] = {"rows_before": before, "rows_after": after}
     return out
 

@@ -384,7 +384,11 @@ def ivf_index_compact(spark, path: str, target_rows_per_file: int = 4_000_000) -
         .repartition("centroid_id")
     )
     staged = f"{d}__compact"
-    deduped.write.mode("overwrite").partitionBy("centroid_id").parquet(staged)
+    # one file per cell, unless a cell outgrows target_rows_per_file —
+    # then the writer rolls to additional files to bound file size
+    deduped.write.mode("overwrite").option(
+        "maxRecordsPerFile", target_rows_per_file
+    ).partitionBy("centroid_id").parquet(staged)
     after = spark.read.parquet(staged).count()
     layout.swap_dir_live(spark, d)
     out["cells"] = {"rows_before": before, "rows_after": after}

@@ -44,11 +44,18 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
 
 
 def alpha_ratio(text: Column | str) -> Column:
-    """Share of characters that are ascii letters — a cheap garbage filter."""
+    """Share of characters that are ascii letters — a cheap garbage filter.
+    Empty text scores 0.0 (a guarded divide: under ANSI mode the naive
+    ratio raises DIVIDE_BY_ZERO on zero-length documents, which corpus
+    cleanup stages legitimately produce)."""
     t = F.col(text) if isinstance(text, str) else text
-    return F.round(
-        F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")) / F.length(t), 6
-    )
+    return F.when(
+        F.length(t) > 0,
+        F.round(
+            F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")) / F.length(t),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
 
 
 def mean_token_length(text: Column | str) -> Column:
@@ -133,9 +140,15 @@ def text_profile(
 
     t = F.col(text_col)
     sw_ratio = F.round(stop_cnt(lang) / n_tokens, 6)
-    a_ratio = F.round(
-        F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")) / F.length(t), 6
-    )
+    # guarded divide: empty documents (legitimate after corpus cleanup)
+    # raise DIVIDE_BY_ZERO under ANSI mode in the naive ratio
+    a_ratio = F.when(
+        F.length(t) > 0,
+        F.round(
+            F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")) / F.length(t),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
     mtl = F.round(F.length(F.regexp_replace(t, WS, "")) / n_tokens, 6)
     len_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
     quality = F.round(

@@ -484,3 +484,17 @@ def test_line_dedup_property(spark):
             assert len(ids) < 2, f"{norm!r} still in docs {ids}"
 
     run()
+
+
+def test_line_dedup_metachar_separator(spark):
+    """sep is a literal: regex metacharacters ('|') must split and
+    reassemble cleanly instead of shredding the text."""
+    from mallarddv_spark.operators.curation import remove_duplicated_lines
+
+    df = spark.createDataFrame(
+        [(1, "unique alpha line|shared boilerplate line|tail one"),
+         (2, "shared boilerplate line|different body here")],
+        "id int, text string")
+    out = {r.id: r.text for r in
+           remove_duplicated_lines(df, "id", "text", sep="|").collect()}
+    assert out == {1: "unique alpha line|tail one", 2: "different body here"}

@@ -319,3 +319,77 @@ def test_duplicate_rule_names_rejected(spark):
     for fn in (E.run_expectations, E.split_by_expectations):
         with pytest.raises(DVConfigurationError, match="duplicate"):
             fn(df, rules)
+
+
+def test_quarantine_nonfile_then_file_and_legacy_upgrade(spark):
+    """Two found-in-review crashers: (1) a non-file flow quarantining
+    first must not pin quarantined_file as VOID (later file flows would
+    fail the cast); (2) a legacy dead-letter table created without the
+    identity columns must be widened, not break the append."""
+    from mallarddv_spark import MallardSparkVault
+
+    dbs = dict(stg_db="qr2_stg", dv_db="qr2_dv", bv_db="qr2_bv",
+               metadata_db="qr2_meta")
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    for t in ("default.qr2_dl", "default.qr2_legacy"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    v = MallardSparkVault(spark, **dbs)
+    assert v.init_vault("tests/fixtures/tables.csv",
+                        "tests/fixtures/transitions.csv") == []
+
+    import csv
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as fh:
+        w = csv.writer(fh)
+        w.writerow(["id", "first_name", "last_name", "email",
+                    "created_date", "referenced_by", "reference_code"])
+        w.writerow([1, "ok", "row", "a@x.io", "2025-01-01 00:00:00", "", ""])
+        w.writerow(["", "bad", "nokey", "b@x.io",
+                    "2025-01-01 00:00:00", "", ""])
+        path = fh.name
+
+    # (1) non-file flow first: stage bad rows directly, no file_path
+    spark.sql(
+        "INSERT OVERWRITE qr2_stg.customer VALUES "
+        "(3,'ok','row','c@x.io',timestamp'2025-01-01',NULL,NULL),"
+        "(NULL,'bad','nokey','d@x.io',timestamp'2025-01-01',NULL,NULL)"
+    )
+    assert v.execute_flow(
+        "customer", "qr2",
+        load_date_overwrite="2025-01-01 00:00:00",
+        expectations=[E.expect_not_null("id")],
+        quarantine_table="default.qr2_dl",
+    ) == []
+    assert dict(spark.table("default.qr2_dl").dtypes)[
+        "quarantined_file"
+    ] == "string"
+    # then a FILE flow into the same table must append cleanly
+    assert v.execute_flow(
+        "customer", "qr2", file_path=path,
+        load_date_overwrite="2025-01-02 00:00:00",
+        expectations=[E.expect_not_null("id")],
+        quarantine_table="default.qr2_dl",
+    ) == []
+    assert spark.table("default.qr2_dl").count() == 2
+
+    # (2) legacy table: only the pre-upgrade columns
+    stg_cols = spark.table("qr2_stg.customer")
+    stg_cols.limit(0).selectExpr(
+        "*", "'x' AS violated_rules", "0 AS quarantined_run_id"
+    ).write.saveAsTable("default.qr2_legacy")
+    assert v.execute_flow(
+        "customer", "qr2", file_path=path, force_load=True,
+        load_date_overwrite="2025-01-03 00:00:00",
+        expectations=[E.expect_not_null("id")],
+        quarantine_table="default.qr2_legacy",
+    ) == []
+    legacy = spark.table("default.qr2_legacy")
+    assert "quarantined_file" in legacy.columns
+    assert legacy.count() == 1
+
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    for t in ("default.qr2_dl", "default.qr2_legacy"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

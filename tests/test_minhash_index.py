@@ -148,8 +148,11 @@ dedup.minhash_index_append(docs.filter("doc_id >= 100 AND doc_id < 200"),
                            {path!r})
 
 # die right after the FIRST rename of the swap (live -> __pre_compact):
-# the worst torn state — no live sigs directory at all
-_real = dedup._index_fs
+# the worst torn state — no live sigs directory at all. The fault is
+# injected at layout.dir_fs, the single FS seam the shared swap protocol
+# (swap_dir_live) and all its callers go through.
+from mallarddv_spark.sources import layout
+_real = layout.dir_fs
 class _KillAfterRename:
     def __init__(self, fs):
         self._fs = fs
@@ -160,10 +163,10 @@ class _KillAfterRename:
     def rename(self, a, b):
         ok = self._fs.rename(a, b)
         os._exit(137)
-def _patched(spark, d):
-    fs, p = _real(spark, d)
+def _patched(path_str):
+    fs, p = _real(spark, path_str)
     return _KillAfterRename(fs), p
-dedup._index_fs = _patched
+layout.dir_fs = lambda sp, d: _patched(d)
 dedup.minhash_index_compact(spark, {path!r})
 """
 
@@ -224,7 +227,9 @@ def test_index_heal_other_states(spark, docs, tmp_path):
         docs.filter("doc_id < 100"), path, **PARAMS
     )
     Path = spark._jvm.org.apache.hadoop.fs.Path
-    fs, _ = dedup._index_fs(spark, f"{path}/sigs")
+    from mallarddv_spark.sources.layout import dir_fs
+
+    fs, _ = dir_fs(spark, f"{path}/sigs")
 
     # backup + live: copy live to backup (rename then rename back a copy
     # is awkward — write a stale backup instead)
