@@ -86,3 +86,15 @@ def test_no_python_udf_stages(spark, name):
 def test_whole_stage_codegen_active(spark):
     plan = _plan(spark, "tpch_q1", "codegen")
     assert "WholeStageCodegen" in plan
+
+
+def test_line_dedup_broadcasts_dup_set(spark):
+    """The duplicated-line hash set must join back as a broadcast — a
+    shuffled join here would move the whole exploded corpus twice."""
+    plan = _plan(spark, "text_chunking_winnow", "simple")
+    # the linededup branch contains a left BroadcastHashJoin on lh
+    assert "BroadcastHashJoin" in plan
+    import re
+    bhj = [ln for ln in plan.splitlines()
+           if "BroadcastHashJoin" in ln and re.search(r"\blh\b|lh#", ln)]
+    assert bhj, "no broadcast join on the line-hash key in:\n" + plan
