@@ -1188,6 +1188,72 @@ WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.25
 """
 
 
+def q_similarity_quantized_topk(spark, sf):
+    """int8-quantized brute-force cosine top-k
+    (`operators/similarity.quantize_embeddings` + `cosine_topk_quantized`):
+    the corpus side stores tinyint codes + a per-vector scale (4x scan
+    I/O at lake scale) and dequantizes inside the dot product. The oracle
+    replays the SQ8 arithmetic — max(|v|)/127 scale, round-half-away
+    tinyint codes, dequantized cosine — in closed form; Spark's fold-left
+    dot products and DuckDB's list_dot_product agree exactly."""
+    from mallarddv_spark.operators.similarity import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter("vec_id < 10")
+    corpus_q = quantize_embeddings(e.filter("vec_id >= 10"))
+    out = cosine_topk_quantized(queries, corpus_q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"),
+        "cosine",
+    )
+
+
+O_SIM_QTOPK = """
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+qz AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+    FROM base WHERE vec_id >= 10
+),
+c AS (
+    SELECT vec_id AS neighbor_id,
+           CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+                ELSE list_transform(v, x ->
+                     cast(cast(round(x / s) AS TINYINT) as double) * s)
+           END AS cv
+    FROM qz
+),
+cn AS (
+    SELECT neighbor_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv,
+           sqrt(list_dot_product(v, v)) AS qn
+    FROM base WHERE vec_id < 10
+),
+pairs AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN cn = 0 OR qn = 0 THEN 0.0
+                ELSE round(list_dot_product(qv, cv) / (qn * cn), 6)
+           END AS cosine
+    FROM q, cn
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+    ) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+
 def q_multimodal_binary_meta(spark, sf):
     """Multimodal-column plumbing: treat content as opaque bytes with typed
     metadata — byte length + content hash, aggregated per source. (Decode /
@@ -1254,6 +1320,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FP),
     "similarity_topk": (q_similarity_topk, O_SIM_TOPK),
     "similarity_pairs": (q_similarity_pairs, O_SIM_PAIRS),
+    "similarity_quantized_topk": (q_similarity_quantized_topk, O_SIM_QTOPK),
     "multimodal_binary_meta": (q_multimodal_binary_meta, O_MULTIMODAL),
 }
 
@@ -3495,7 +3562,14 @@ def q_similarity_suite(spark, sf):
         *_nulls(("rank", "bigint")),
         F.col("cosine"),
     )
-    return tk.unionByName(pr)
+    qt = q_similarity_quantized_topk(spark, sf).select(
+        F.lit("qtopk").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("rank"),
+        F.col("cosine"),
+    )
+    return tk.unionByName(pr).unionByName(qt)
 
 
 O_SIMILARITY_SUITE = (
@@ -3503,7 +3577,9 @@ O_SIMILARITY_SUITE = (
     + O_SIM_TOPK
     + ") tk\nUNION ALL\nSELECT 'pairs', id_a, id_b, cast(NULL as bigint), cosine\nFROM ("
     + O_SIM_PAIRS
-    + ") pr"
+    + ") pr\nUNION ALL\nSELECT 'qtopk', query_id, neighbor_id, rank, cosine\nFROM ("
+    + O_SIM_QTOPK
+    + ") qt"
 )
 
 
@@ -4085,7 +4161,9 @@ CONSOLIDATED_PARTS: dict[str, list[str]] = {
         "sql_set_ops", "sql_correlated_exists", "sql_exact_percentile",
     ],
     "dedup_signatures": ["dedup_minhash_sig", "dedup_simhash"],
-    "similarity_suite": ["similarity_topk", "similarity_pairs"],
+    "similarity_suite": [
+        "similarity_topk", "similarity_pairs", "similarity_quantized_topk",
+    ],
     "adv_ann_suite": ["adv_similarity_lsh_topk", "adv_similarity_ivf_topk"],
     "adv_neardup_suite": [
         "adv_minhash_lsh_pairs", "adv_simhash_pairs", "adv_embedding_neardup_lsh",
