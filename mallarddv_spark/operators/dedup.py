@@ -778,3 +778,38 @@ def _embedding_neardup_bucketed(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucketed: bool = True,
+    **lsh_kwargs,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): rows
+    whose embeddings exceed ``threshold`` cosine form near-dup clusters
+    (connected components over the pair graph) and one representative per
+    cluster survives (min id — deterministic). Returns the survivors with
+    the original schema.
+
+    Composition of the existing scale paths: hyperplane-LSH bucketed pair
+    generation (``bucketed=True``, the 100 TB default — candidates only
+    within signature-band buckets), min-label-propagation connected
+    components (O(log diameter) rounds), and an anti-join against the
+    non-keepers. ``bucketed=False`` switches to the exact O(n²) pair path
+    for small corpora.
+    """
+    from mallarddv_spark.operators.graph import dedup_assign
+
+    pairs = embedding_neardup_pairs(
+        df, id_col, vec_col, threshold=threshold, bucketed=bucketed,
+        **lsh_kwargs,
+    )
+    verdicts = dedup_assign(df, id_col, pairs, pair_a="id_a", pair_b="id_b")
+    return df.join(
+        verdicts.filter("NOT keep").select(F.col("id").alias(id_col)),
+        on=id_col,
+        how="left_anti",
+    )
