@@ -798,18 +798,21 @@ def semantic_dedup(
     generation (``bucketed=True``, the 100 TB default — candidates only
     within signature-band buckets), min-label-propagation connected
     components (O(log diameter) rounds), and an anti-join against the
-    non-keepers. ``bucketed=False`` switches to the exact O(n²) pair path
-    for small corpora.
+    non-keepers. The drop set comes straight from the component map
+    (``node != component`` — every non-minimum member), which is sized by
+    the near-dup pairs, NOT the corpus; the corpus is touched exactly
+    twice (pair generation, final anti-join). ``bucketed=False`` switches
+    to the exact O(n²) pair path for small corpora.
     """
-    from mallarddv_spark.operators.graph import dedup_assign
+    from mallarddv_spark.operators.graph import connected_components
 
     pairs = embedding_neardup_pairs(
         df, id_col, vec_col, threshold=threshold, bucketed=bucketed,
         **lsh_kwargs,
     )
-    verdicts = dedup_assign(df, id_col, pairs, pair_a="id_a", pair_b="id_b")
-    return df.join(
-        verdicts.filter("NOT keep").select(F.col("id").alias(id_col)),
-        on=id_col,
-        how="left_anti",
+    drops = (
+        connected_components(pairs, "id_a", "id_b")
+        .filter("node != component")
+        .select(F.col("node").alias(id_col))
     )
+    return df.join(drops, on=id_col, how="left_anti")

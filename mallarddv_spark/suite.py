@@ -3546,8 +3546,9 @@ O_DEDUP_SIGNATURES = (
 
 def q_similarity_suite(spark, sf):
     """Embedding-similarity suite: brute-force cosine top-k (queries ×
-    candidates) and the above-threshold all-pairs variant as one tagged
-    union. Parts: similarity_topk, similarity_pairs."""
+    candidates), the above-threshold all-pairs variant, and the
+    int8-quantized top-k probe as one tagged union. Parts:
+    similarity_topk, similarity_pairs, similarity_quantized_topk."""
     tk = q_similarity_topk(spark, sf).select(
         F.lit("topk").alias("part"),
         F.col("query_id").alias("id_a"),

@@ -523,8 +523,18 @@ def test_semantic_dedup(spark):
     ]
     assert alive_pairs == []
     assert exact.columns == emb.columns
-    # bucketed path: recall-limited but must never keep a pair it found
+    # bucketed path: recall-limited, but NO pair the bucketed generator
+    # itself finds may survive the bucketed dedup
     bucketed = semantic_dedup(
         emb, "vec_id", "embedding", 0.4, bucketed=True, num_bits=16, bands=8
     )
-    assert bucketed.count() <= emb.count()
+    b_survivors = {r.vec_id for r in bucketed.select("vec_id").collect()}
+    b_pairs = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", 0.4, bucketed=True, num_bits=16, bands=8
+    ).collect()
+    assert b_pairs, "bucketed generator must find pairs on this corpus"
+    alive_b = [
+        (r.id_a, r.id_b) for r in b_pairs
+        if r.id_a in b_survivors and r.id_b in b_survivors
+    ]
+    assert alive_b == []
