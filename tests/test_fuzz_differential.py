@@ -11,6 +11,10 @@ import duckdb
 import pytest
 from hypothesis import example, given, settings, strategies as st
 
+#: depth knob: CI runs the default 5 examples; a deep parity sweep sets
+#: FUZZ_EXAMPLES=25+ (each example is a full two-system vault lifecycle)
+_N = int(os.environ.get("FUZZ_EXAMPLES", "5"))
+
 from mallarddv_spark.api import MallardSparkVault
 from mallarddv_spark.sources.catalog import drop_vault
 
@@ -102,7 +106,7 @@ def _run_ref(mdv, date, run_id):
     assert errors == [], errors
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=_N, deadline=None)
 @given(batch1=_batch, batch2=_batch)
 def test_fuzz_two_batches_match_reference(spark, tmp_path_factory, batch1, batch2):
     con, mdv = _ref_system(tmp_path_factory)
@@ -145,7 +149,7 @@ _prod_batch = st.lists(_prod_row, min_size=0, max_size=4, unique_by=lambda r: r[
 D3 = "2025-01-03 00:00:00"
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=_N, deadline=None)
 @given(b1=_prod_batch, b2=_prod_batch, b3=_prod_batch)
 # pinned lifecycles so the critical transitions run on EVERY execution,
 # not just when the random batches happen to produce them:
