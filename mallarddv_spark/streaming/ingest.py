@@ -173,3 +173,50 @@ def dedup_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(key_cols)
     )
+
+
+def neardup_stream_processor(
+    index_path: str,
+    sink_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+):
+    """Ready-made ``process_batch`` for :func:`stream_files_to_staging`:
+    the continuous-crawl near-dup gate. Each micro-batch is
+
+    1. exact-deduped on ``id_col`` within itself,
+    2. probed against the persisted MinHash index
+       (:func:`operators.dedup.neardup_against_index`) — documents
+       matching ANY stored document at ≥ ``threshold`` signature
+       agreement are dropped (a probe hit on the document's own id means
+       a replayed batch: also dropped, which is what makes fully-committed
+       replays no-ops),
+    3. survivors append to ``sink_table`` first, then to the index —
+       so later batches dedup against them without recomputing a single
+       history signature.
+
+    Crash semantics (documented at-least-once): a crash between the sink
+    append and the index append re-admits the batch on replay — the sink
+    may hold duplicates (dedup downstream on ``id_col``) and the index
+    then catches up. A crash before the sink append loses nothing: the
+    probe drops only documents already visible in the index.
+    """
+
+    def process(batch_df, batch_id: int) -> None:
+        from mallarddv_spark.operators import dedup
+
+        batch = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        hits = dedup.neardup_against_index(
+            batch, index_path, id_col, text_col, threshold
+        )
+        dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
+        fresh = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        if fresh.isEmpty():
+            return
+        fresh.write.mode("append").saveAsTable(sink_table)
+        dedup.minhash_index_append(fresh, index_path, id_col, text_col)
+
+    return process

@@ -187,3 +187,51 @@ def test_vault_stream_processor_with_quarantine(spark, tmp_path):
     dead = spark.table("default.stream_dead").collect()
     assert len(dead) == 1 and dead[0].violated_rules == "not_null(id)"
     spark.sql("DROP TABLE IF EXISTS default.stream_dead")
+
+
+def test_neardup_stream_processor(spark, tmp_path):
+    """Continuous-crawl near-dup gate: batch 1's fresh docs land in the
+    sink AND the index; batch 2 (same texts under new ids) is dropped
+    entirely because batch 1 is now part of the index."""
+    from pyspark.sql import functions as F
+
+    from mallarddv_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(
+        docs.filter("doc_id < 200"), index_path,
+        num_perm=32, bands=8, shingle_size=3,
+    )
+    spark.sql("DROP TABLE IF EXISTS default.crawl_sink")
+
+    src = str(tmp_path / "crawl")
+    batch1 = docs.filter("doc_id >= 400 AND doc_id < 450")
+    batch1.coalesce(1).write.parquet(f"{src}/f1")
+
+    process = ingest.neardup_stream_processor(
+        index_path, "default.crawl_sink", threshold=0.9
+    )
+    q = ingest.stream_files_to_staging(
+        spark, f"{src}/*", batch1.schema, str(tmp_path / "ck1"),
+        process, file_format="parquet",
+    )
+    q.awaitTermination(180)
+    n1 = spark.table("default.crawl_sink").count()
+    assert n1 > 0
+    idx_n = spark.read.parquet(f"{index_path}/sigs").count()
+    assert idx_n == 200 + n1  # survivors joined the index
+
+    # batch 2: identical texts under shifted ids → all near-dups now
+    batch1.withColumn("doc_id", F.col("doc_id") + 100000).coalesce(1).write.parquet(
+        f"{src}/f2"
+    )
+    q = ingest.stream_files_to_staging(
+        spark, f"{src}/*", batch1.schema, str(tmp_path / "ck1"),
+        process, file_format="parquet",
+    )
+    q.awaitTermination(180)
+    assert spark.table("default.crawl_sink").count() == n1  # nothing new
+    assert spark.read.parquet(f"{index_path}/sigs").count() == idx_n
+
+    spark.sql("DROP TABLE IF EXISTS default.crawl_sink")
