@@ -538,3 +538,49 @@ def test_semantic_dedup(spark):
         if r.id_a in b_survivors and r.id_b in b_survivors
     ]
     assert alive_b == []
+
+
+def test_mergeable_distinct_sketches(spark):
+    """Daily HLL sketches union to the month without rescanning: the
+    rolled-up estimate matches exact countDistinct within the lg_k=12
+    error bound, per-stratum rollups group correctly, and re-unioning is
+    idempotent (sketch state is a set union)."""
+    from mallarddv_spark.operators import sketches as sk
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    daily = sk.build_distinct_sketches(
+        ev.withColumn("day", F.to_date("ts")), ["day"], "user_id"
+    )
+    assert daily.count() == ev.select(F.to_date("ts")).distinct().count()
+
+    month = sk.merge_distinct_sketches(daily).first()
+    exact = ev.select("user_id").distinct().count()
+    assert abs(month.distinct_estimate - exact) <= max(3, exact * 0.05)
+    assert month.n_rows == ev.count()
+
+    # per-stratum rollup: (day, event_type) sketches → per-type uniques
+    typed = sk.build_distinct_sketches(
+        ev.withColumn("day", F.to_date("ts")), ["day", "event_type"], "user_id"
+    )
+    per_type = {
+        r.event_type: r.distinct_estimate
+        for r in sk.merge_distinct_sketches(typed, ["event_type"]).collect()
+    }
+    exact_per_type = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact_per_type.items():
+        assert abs(per_type[t] - n) <= max(3, n * 0.05), t
+
+    # idempotent: unioning the month sketch with itself changes nothing
+    twice = sk.merge_distinct_sketches(
+        spark.createDataFrame(
+            [(month.distinct_sketch, 1), (month.distinct_sketch, 1)],
+            "distinct_sketch binary, n_rows long",
+        )
+    ).first()
+    assert twice.distinct_estimate == month.distinct_estimate
