@@ -66,3 +66,93 @@ def estimate_distinct(
     return sketches.withColumn(
         "distinct_estimate", F.expr(f"hll_sketch_estimate({sketch_col})")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches — distinct counting WITH set algebra (union, intersection,
+# difference). The question HLL cannot answer: "how many users did BOTH X
+# and Y" across stored per-segment sketches, no rescan.
+# ---------------------------------------------------------------------------
+
+
+def build_theta_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    sketch_col: str = "theta_sketch",
+) -> DataFrame:
+    """One theta sketch of ``value_col``'s distinct values per group:
+    ``(*group_cols, sketch binary, n_rows)``. Same storage pattern as
+    :func:`build_distinct_sketches`, but the stored state also supports
+    ``theta_intersection`` / ``theta_difference``."""
+    return df.groupBy(*group_cols).agg(
+        F.expr(f"theta_sketch_agg({value_col})").alias(sketch_col),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def merge_theta_sketches(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    sketch_col: str = "theta_sketch",
+) -> DataFrame:
+    """Union stored theta sketches to a coarser grouping, with the point
+    estimate attached."""
+    out = sketches.groupBy(*(group_cols or [])).agg(
+        F.expr(f"theta_union_agg({sketch_col})").alias(sketch_col),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return out.withColumn(
+        "distinct_estimate", F.expr(f"theta_sketch_estimate({sketch_col})")
+    )
+
+
+def theta_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    sketch_col: str = "theta_sketch",
+) -> DataFrame:
+    """Per-key audience algebra over two stored sketch tables: joins on
+    ``on`` and returns distinct estimates for left, right, their
+    intersection (both), and their difference (left only) — e.g. "users
+    active in BOTH January and February, per region", answered from a few
+    KB per key instead of two corpus scans plus a join."""
+    l = left.select(*on, F.col(sketch_col).alias("__l"))
+    r = right.select(*on, F.col(sketch_col).alias("__r"))
+    j = l.join(r, on)
+    return j.select(
+        *on,
+        F.expr("theta_sketch_estimate(__l)").alias("left_distinct"),
+        F.expr("theta_sketch_estimate(__r)").alias("right_distinct"),
+        F.expr("theta_sketch_estimate(theta_intersection(__l, __r))").alias(
+            "both_distinct"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(__l, __r))").alias(
+            "left_only_distinct"
+        ),
+    )
+
+
+def approx_heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most frequent values per group via Spark's frequent-items
+    sketch (``approx_top_k``), exploded to ``(*group_cols, item,
+    approx_count, rnk)`` rows. The sketch is a bounded-memory aggregate —
+    the exact top-k needs a full groupBy on the value (every distinct
+    value shuffles); this shuffles only the sketch state per group."""
+    agg = df.groupBy(*group_cols).agg(
+        F.expr(f"approx_top_k({value_col}, {int(k)})").alias("__tk")
+    )
+    return agg.select(
+        *group_cols, F.posexplode("__tk").alias("__pos", "__e")
+    ).select(
+        *group_cols,
+        F.col("__e.item").alias("item"),
+        F.col("__e.count").alias("approx_count"),
+        (F.col("__pos") + 1).alias("rnk"),
+    )

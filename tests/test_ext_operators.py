@@ -584,3 +584,58 @@ def test_mergeable_distinct_sketches(spark):
         )
     ).first()
     assert twice.distinct_estimate == month.distinct_estimate
+
+
+def test_theta_sketch_set_algebra_and_heavy_hitters(spark):
+    """Theta sketches answer per-key set-algebra questions from stored
+    state: month-over-month user overlap matches exact set arithmetic
+    within sketch error; heavy hitters recover the exact top event types."""
+    from mallarddv_spark.operators import sketches as sk
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    early = ev.filter("ts < timestamp'2024-01-15'")
+    late = ev.filter("ts >= timestamp'2024-01-15'")
+    a = sk.build_theta_sketches(early, ["event_type"], "user_id")
+    b = sk.build_theta_sketches(late, ["event_type"], "user_id")
+    got = {r.event_type: r for r in sk.theta_overlap(a, b, ["event_type"]).collect()}
+
+    exact_a = {r.event_type: set(r.u) for r in early.groupBy("event_type")
+               .agg(F.collect_set("user_id").alias("u")).collect()}
+    exact_b = {r.event_type: set(r.u) for r in late.groupBy("event_type")
+               .agg(F.collect_set("user_id").alias("u")).collect()}
+    for t in got:
+        both = len(exact_a[t] & exact_b[t])
+        only = len(exact_a[t] - exact_b[t])
+        assert abs(got[t].both_distinct - both) <= max(3, both * 0.05), t
+        assert abs(got[t].left_only_distinct - only) <= max(3, only * 0.05), t
+
+    # union across segments matches global distinct
+    merged = sk.merge_theta_sketches(a).first()
+    exact_early = early.select("user_id").distinct().count()
+    assert abs(merged.distinct_estimate - exact_early) <= max(3, exact_early * 0.05)
+
+    # heavy hitters: top-3 event types per user bucket match exact counts
+    hh = sk.approx_heavy_hitters(
+        ev.withColumn("bucket", F.col("user_id") % 2), ["bucket"],
+        "event_type", k=3,
+    )
+    got_top = {(r.bucket, r.rnk): (r.item, r.approx_count) for r in hh.collect()}
+    exact = (
+        ev.withColumn("bucket", F.col("user_id") % 2)
+        .groupBy("bucket", "event_type").count().collect()
+    )
+    from collections import defaultdict
+    per_bucket = defaultdict(list)
+    for r in exact:
+        per_bucket[r.bucket].append((r["count"], r.event_type))
+    for bkt, items in per_bucket.items():
+        top_counts = sorted((c for c, _ in items), reverse=True)[:3]
+        got_bkt = sorted(
+            (cnt, item) for (b, _), (item, cnt) in got_top.items() if b == bkt
+        )
+        # counts agree exactly (tie ORDER between equal-count items is
+        # sketch-defined, so compare the count multiset + membership)
+        assert sorted((c for c, _ in got_bkt), reverse=True) == top_counts
+        exact_lookup = {(c, i) for c, i in items}
+        assert all((c, i) in exact_lookup for c, i in got_bkt), (bkt, got_bkt)
