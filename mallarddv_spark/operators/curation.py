@@ -631,3 +631,29 @@ def bpe_token_count(text: Column | str) -> Column:
     """
     t = F.col(text) if isinstance(text, str) else text
     return F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT_REGEX), 0))
+
+
+def temperature_weights(
+    masses: dict[str, float], temperature: float = 1.0
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights from per-stratum token masses:
+    ``w_i ∝ mass_i^(1/T)`` (Conneau & Lample 2019's multilingual sampling;
+    T=1 reproduces natural proportions, T→∞ approaches uniform, T<1
+    exaggerates head strata). Feed the result to
+    :func:`mix_to_token_budget` — the standard way to up-weight low-resource
+    strata without hand-tuning each rate."""
+    if temperature <= 0:
+        raise DVConfigurationError(
+            "temperature_weights: temperature must be > 0"
+        )
+    if not masses or any(m < 0 for m in masses.values()):
+        raise DVConfigurationError(
+            "temperature_weights: masses must be non-empty and non-negative"
+        )
+    scaled = {k: m ** (1.0 / temperature) for k, m in masses.items()}
+    total = sum(scaled.values())
+    if total <= 0:
+        raise DVConfigurationError(
+            "temperature_weights: all masses are zero"
+        )
+    return {k: v / total for k, v in scaled.items()}

@@ -498,3 +498,56 @@ def test_line_dedup_metachar_separator(spark):
     out = {r.id: r.text for r in
            remove_duplicated_lines(df, "id", "text", sep="|").collect()}
     assert out == {1: "unique alpha line|tail one", 2: "different body here"}
+
+
+def test_temperature_weights(spark):
+    """T=1 reproduces natural proportions; higher T flattens toward
+    uniform (low-resource stratum gains share); invalid inputs raise."""
+    import pytest
+
+    from mallarddv_spark.exceptions import DVConfigurationError
+    from mallarddv_spark.operators.curation import (
+        mix_to_token_budget,
+        temperature_weights,
+    )
+    from pyspark.sql import functions as F
+
+    masses = {"en": 900.0, "sw": 100.0}
+    w1 = temperature_weights(masses, 1.0)
+    assert abs(w1["en"] - 0.9) < 1e-12 and abs(w1["sw"] - 0.1) < 1e-12
+    w5 = temperature_weights(masses, 5.0)
+    assert 0.1 < w5["sw"] < 0.5  # flattened toward uniform
+    assert w5["sw"] > w1["sw"]
+    assert abs(sum(w5.values()) - 1.0) < 1e-12
+
+    for bad_T in (0, -1):
+        with pytest.raises(DVConfigurationError):
+            temperature_weights(masses, bad_T)
+    with pytest.raises(DVConfigurationError):
+        temperature_weights({})
+    with pytest.raises(DVConfigurationError):
+        temperature_weights({"a": 0.0})
+
+    # end-to-end: temperature weights drive the budget mixer
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("toks", F.size(F.split("text", r"\s+")))
+        .withColumn(
+            "domain",
+            F.when(F.col("doc_id") % 10 < 9, "web").otherwise("books"),
+        )
+    )
+    sums = {
+        r.domain: float(r.t)
+        for r in docs.groupBy("domain").agg(F.sum("toks").alias("t")).collect()
+    }
+    w = temperature_weights(sums, 3.0)
+    budget = int(sum(sums.values()) * 0.3)
+    _, report = mix_to_token_budget(
+        docs, "domain", "toks", "doc_id", budget, weights=w
+    )
+    # the minority stratum's target share exceeds its natural share
+    assert (
+        report["books"]["target_tokens"] / budget
+        > sums["books"] / sum(sums.values())
+    )
