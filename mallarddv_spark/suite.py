@@ -2424,6 +2424,42 @@ GROUP BY user_id
 REGISTRY["sql_json_extract"] = (q_sql_json_extract, O_SQL_JSON)
 
 
+def q_sql_variant_extract(spark, sf):
+    """VARIANT semi-structured path (functions/semistructured.shred_variant):
+    the props payload parses ONCE into Spark 4's VARIANT and the typed
+    field shreds into a real column — per-user stats must match DuckDB's
+    json_extract in closed form. Complements sql_json_extract (the
+    string-JSON path) with the lakehouse-native one."""
+    from mallarddv_spark.functions.semistructured import shred_variant
+
+    e = _t(spark, sf, "events")
+    shredded = shred_variant(e, "props", {"k": ("$.k", "int")}, variant_col=None)
+    return shredded.groupBy("user_id").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+    )
+
+
+O_SQL_VARIANT = """
+SELECT user_id,
+       count(k) AS n_with_k,
+       cast(sum(k) as bigint) AS sum_k,
+       cast(max(k) as bigint) AS max_k,
+       cast(min(k) as bigint) AS min_k
+FROM (
+    SELECT user_id, cast(json_extract_string(props, '$.k') as int) AS k
+    FROM events
+) x
+GROUP BY user_id
+"""
+
+REGISTRY["sql_variant_extract"] = (q_sql_variant_extract, O_SQL_VARIANT)
+
+
+
+
 # ---------------------------------------------------------------------------
 # corpus curation: decontamination, PII, splits, sampling, vocabulary
 # ---------------------------------------------------------------------------
@@ -3218,11 +3254,12 @@ REGISTRY["sql_regexp_functions"] = (q_sql_regexp_functions, O_SQL_REGEXP)
 
 def q_sql_scalar_suite(spark, sf):
     """Scalar-function battery: date/time, string, NULL-semantics, JSON
-    extraction, array/higher-order, and regexp surfaces as one tagged
-    union (timestamps emitted as formatted strings so the union stays
-    homogeneous).
+    extraction, VARIANT semi-structured extraction, array/higher-order,
+    and regexp surfaces as one tagged union (timestamps emitted as
+    formatted strings so the union stays homogeneous).
     Parts: sql_date_functions, sql_string_functions, sql_null_semantics,
-    sql_json_extract, sql_array_functions, sql_regexp_functions."""
+    sql_json_extract, sql_variant_extract, sql_array_functions,
+    sql_regexp_functions."""
     dt = q_sql_date_functions(spark, sf).select(
         F.lit("date").alias("part"),
         F.col("o_orderkey").alias("key"),
@@ -3270,6 +3307,17 @@ def q_sql_scalar_suite(spark, sf):
         F.col("n_distinct_k").alias("n3"),
         *_nulls(("n4", "bigint"), ("d1", "double")),
     )
+    vr = q_sql_variant_extract(spark, sf).select(
+        F.lit("variant").alias("part"),
+        F.col("user_id").alias("key"),
+        *_nulls(("s1", "string"), ("s2", "string"), ("s3", "string"),
+                ("s4", "string"), ("s5", "string")),
+        F.col("n_with_k").alias("n1"),
+        F.col("sum_k").alias("n2"),
+        F.col("max_k").alias("n3"),
+        F.col("min_k").alias("n4"),
+        *_nulls(("d1", "double")),
+    )
     ar = q_sql_array_functions(spark, sf).select(
         F.lit("array").alias("part"),
         F.col("p_partkey").alias("key"),
@@ -3296,7 +3344,7 @@ def q_sql_scalar_suite(spark, sf):
     )
     return (
         dt.unionByName(st).unionByName(nu).unionByName(js)
-        .unionByName(ar).unionByName(rx)
+        .unionByName(vr).unionByName(ar).unionByName(rx)
     )
 
 
@@ -3317,7 +3365,11 @@ O_SQL_SCALAR = (
     " cast(NULL as varchar), cast(NULL as varchar), cast(NULL as varchar),"
     " n_with_k, sum_k, n_distinct_k, cast(NULL as bigint), cast(NULL as double)\nFROM ("
     + O_SQL_JSON
-    + ") js\nUNION ALL\nSELECT 'array', p_partkey, sorted_toks, first_tok, long_toks,"
+    + ") js\nUNION ALL\nSELECT 'variant', user_id, cast(NULL as varchar), cast(NULL as varchar),"
+    " cast(NULL as varchar), cast(NULL as varchar), cast(NULL as varchar),"
+    " n_with_k, sum_k, max_k, min_k, cast(NULL as double)\nFROM ("
+    + O_SQL_VARIANT
+    + ") vr\nUNION ALL\nSELECT 'array', p_partkey, sorted_toks, first_tok, long_toks,"
     " cast(NULL as varchar), cast(NULL as varchar),"
     " n_toks, sum_len, has_green, n_distinct_toks, cast(NULL as double)\nFROM ("
     + O_SQL_ARRAY
@@ -4149,8 +4201,8 @@ CONSOLIDATED_PARTS: dict[str, list[str]] = {
     "text_contamination_suite": ["text_decontaminate", "text_pii_redact"],
     "sql_scalar_suite": [
         "sql_date_functions", "sql_string_functions",
-        "sql_null_semantics", "sql_json_extract", "sql_array_functions",
-        "sql_regexp_functions",
+        "sql_null_semantics", "sql_json_extract", "sql_variant_extract",
+        "sql_array_functions", "sql_regexp_functions",
     ],
     "sql_grouping_suite": [
         "sql_rollup", "sql_cube", "sql_unpivot", "sql_conditional_pivot",
