@@ -308,3 +308,75 @@ def pack_sequences(
             (F.col("tokens_before") % token_budget).cast("bigint").alias("bin_offset"),
         )
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    token_budget: int = 2048,
+    n_shards: int | None = None,
+) -> dict:
+    """Materialize a packed training corpus: :func:`pack_sequences`
+    assignment joined back to the documents, written as
+    ``shard_id=<i>/*.parquet`` with in-shard rows ordered ``(bin_id,
+    bin_offset)`` — the layout a trainer consumes shard-by-shard — plus a
+    ``manifest.json`` (per-shard doc/token/bin counts and totals) written
+    LAST, so a manifest's presence certifies a complete write (readers
+    key off it; a torn job leaves data files but no manifest).
+
+    The shard write is one hash-partitioned shuffle + ordered write; the
+    manifest aggregate is a second pass over the (small) assignment
+    output, collected to the driver — control metadata, not data.
+    """
+    import json
+
+    spark = df.sparkSession
+    assign = pack_sequences(df, id_col, text_col, token_budget, n_shards)
+    out = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .join(assign, "id")
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "bin_id", "bin_offset")
+    )
+    out.write.mode("errorifexists").partitionBy("shard_id").parquet(
+        f"{path}/data"
+    )
+    stats = (
+        assign.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (F.max("bin_id") + 1).alias("n_bins"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    manifest = {
+        "token_budget": token_budget,
+        "n_shards": len(stats),
+        "total_docs": int(sum(r.n_docs for r in stats)),
+        "total_tokens": int(sum(r.n_tokens for r in stats)),
+        "shards": [
+            {
+                "shard_id": int(r.shard_id),
+                "n_docs": int(r.n_docs),
+                "n_tokens": int(r.n_tokens),
+                "n_bins": int(r.n_bins),
+            }
+            for r in stats
+        ],
+    }
+    payload = json.dumps(manifest, indent=2)
+    # write through the Hadoop FS API so the manifest lands next to the
+    # data on whatever filesystem the path points at
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(payload.encode("utf-8")))
+    finally:
+        stream.close()
+    return manifest

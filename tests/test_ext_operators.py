@@ -639,3 +639,44 @@ def test_theta_sketch_set_algebra_and_heavy_hitters(spark):
         assert sorted((c for c, _ in got_bkt), reverse=True) == top_counts
         exact_lookup = {(c, i) for c, i in items}
         assert all((c, i) in exact_lookup for c, i in got_bkt), (bkt, got_bkt)
+
+
+def test_write_training_shards(spark, tmp_path):
+    """Shard writer: data lands partitioned by shard, in-shard order is
+    (bin, offset), the manifest reconciles with the data exactly, and a
+    second write refuses to clobber."""
+    import json
+    import os
+
+    import pytest
+
+    from mallarddv_spark.operators.textops import write_training_shards
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    path = str(tmp_path / "corpus")
+    manifest = write_training_shards(
+        docs, path, "doc_id", "text", token_budget=256, n_shards=4
+    )
+    assert manifest["total_docs"] == 200
+    assert manifest["n_shards"] == 4
+    assert os.path.exists(f"{path}/manifest.json")
+    disk = json.loads(open(f"{path}/manifest.json").read())
+    assert disk == manifest
+
+    data = spark.read.parquet(f"{path}/data")
+    assert data.count() == 200
+    per_shard = {
+        r.shard_id: (r.n, r.t)
+        for r in data.groupBy("shard_id")
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    for sh in manifest["shards"]:
+        assert per_shard[sh["shard_id"]] == (sh["n_docs"], sh["n_tokens"])
+
+    with pytest.raises(Exception):
+        write_training_shards(
+            docs, path, "doc_id", "text", token_budget=256, n_shards=4
+        )
