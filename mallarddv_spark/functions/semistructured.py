@@ -55,7 +55,12 @@ def shred_variant(
         out = out.withColumn(name, variant_field(F.col("__v"), path, dtype, safe))
     if variant_col:
         out = out.withColumn(variant_col, F.col("__v"))
-    return out.drop("__v", json_col)
+    out = out.drop("__v")
+    # in-place shredding (variant_col or a field named after json_col)
+    # must not drop the column it just produced
+    if json_col != variant_col and json_col not in fields:
+        out = out.drop(json_col)
+    return out
 
 
 def inferred_payload_schema(df: DataFrame, json_col: str) -> str:
@@ -63,6 +68,6 @@ def inferred_payload_schema(df: DataFrame, json_col: str) -> str:
     (``schema_of_variant_agg``) — the discovery step before choosing which
     fields to shred. One aggregate scan; returns the DDL-ish string."""
     row = df.select(
-        F.expr(f"schema_of_variant_agg(try_parse_json({json_col}))").alias("s")
+        F.schema_of_variant_agg(F.try_parse_json(F.col(json_col))).alias("s")
     ).first()
     return row.s

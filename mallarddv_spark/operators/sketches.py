@@ -33,7 +33,7 @@ def build_distinct_sketches(
     result partitioned by the grouping — e.g. per ingestion day — and
     roll up later with :func:`merge_distinct_sketches`."""
     return df.groupBy(*group_cols).agg(
-        F.expr(f"hll_sketch_agg({value_col}, {int(lg_k)})").alias(sketch_col),
+        F.hll_sketch_agg(F.col(value_col), F.lit(int(lg_k))).alias(sketch_col),
         F.count("*").alias("n_rows"),
     )
 
@@ -50,12 +50,11 @@ def merge_distinct_sketches(
     sketching the month directly."""
     gb = sketches.groupBy(*(group_cols or []))
     out = gb.agg(
-        F.expr(f"hll_union_agg({sketch_col})").alias(sketch_col),
+        F.hll_union_agg(F.col(sketch_col)).alias(sketch_col),
         F.sum("n_rows").alias("n_rows"),
     )
     return out.withColumn(
-        "distinct_estimate",
-        F.expr(f"hll_sketch_estimate({sketch_col})"),
+        "distinct_estimate", F.hll_sketch_estimate(F.col(sketch_col))
     )
 
 
@@ -64,7 +63,7 @@ def estimate_distinct(
 ) -> DataFrame:
     """Attach the point estimate to each stored sketch row."""
     return sketches.withColumn(
-        "distinct_estimate", F.expr(f"hll_sketch_estimate({sketch_col})")
+        "distinct_estimate", F.hll_sketch_estimate(F.col(sketch_col))
     )
 
 
@@ -86,7 +85,7 @@ def build_theta_sketches(
     :func:`build_distinct_sketches`, but the stored state also supports
     ``theta_intersection`` / ``theta_difference``."""
     return df.groupBy(*group_cols).agg(
-        F.expr(f"theta_sketch_agg({value_col})").alias(sketch_col),
+        F.theta_sketch_agg(F.col(value_col)).alias(sketch_col),
         F.count("*").alias("n_rows"),
     )
 
@@ -99,11 +98,11 @@ def merge_theta_sketches(
     """Union stored theta sketches to a coarser grouping, with the point
     estimate attached."""
     out = sketches.groupBy(*(group_cols or [])).agg(
-        F.expr(f"theta_union_agg({sketch_col})").alias(sketch_col),
+        F.theta_union_agg(F.col(sketch_col)).alias(sketch_col),
         F.sum("n_rows").alias("n_rows"),
     )
     return out.withColumn(
-        "distinct_estimate", F.expr(f"theta_sketch_estimate({sketch_col})")
+        "distinct_estimate", F.theta_sketch_estimate(F.col(sketch_col))
     )
 
 
@@ -113,24 +112,36 @@ def theta_overlap(
     on: list[str],
     sketch_col: str = "theta_sketch",
 ) -> DataFrame:
-    """Per-key audience algebra over two stored sketch tables: joins on
-    ``on`` and returns distinct estimates for left, right, their
+    """Per-key audience algebra over two stored sketch tables: full-outer
+    joins on ``on`` and returns distinct estimates for left, right, their
     intersection (both), and their difference (left only) — e.g. "users
     active in BOTH January and February, per region", answered from a few
-    KB per key instead of two corpus scans plus a join."""
+    KB per key instead of two corpus scans plus a join. Keys present in
+    only one side surface with the other side's count at 0 (total churn
+    is the highest-signal row, not one to drop)."""
     l = left.select(*on, F.col(sketch_col).alias("__l"))
     r = right.select(*on, F.col(sketch_col).alias("__r"))
-    j = l.join(r, on)
+    j = l.join(r, on, "full_outer")
+    est_l = F.when(
+        F.col("__l").isNotNull(), F.theta_sketch_estimate(F.col("__l"))
+    ).otherwise(F.lit(0))
+    est_r = F.when(
+        F.col("__r").isNotNull(), F.theta_sketch_estimate(F.col("__r"))
+    ).otherwise(F.lit(0))
+    both = F.when(
+        F.col("__l").isNotNull() & F.col("__r").isNotNull(),
+        F.expr("theta_sketch_estimate(theta_intersection(__l, __r))"),
+    ).otherwise(F.lit(0))
+    left_only = F.when(
+        F.col("__l").isNotNull() & F.col("__r").isNotNull(),
+        F.expr("theta_sketch_estimate(theta_difference(__l, __r))"),
+    ).otherwise(est_l)
     return j.select(
         *on,
-        F.expr("theta_sketch_estimate(__l)").alias("left_distinct"),
-        F.expr("theta_sketch_estimate(__r)").alias("right_distinct"),
-        F.expr("theta_sketch_estimate(theta_intersection(__l, __r))").alias(
-            "both_distinct"
-        ),
-        F.expr("theta_sketch_estimate(theta_difference(__l, __r))").alias(
-            "left_only_distinct"
-        ),
+        est_l.alias("left_distinct"),
+        est_r.alias("right_distinct"),
+        both.alias("both_distinct"),
+        left_only.alias("left_only_distinct"),
     )
 
 

@@ -343,8 +343,13 @@ def write_training_shards(
     out.write.mode("errorifexists").partitionBy("shard_id").parquet(
         f"{path}/data"
     )
+    # the manifest certifies the bytes actually written: stats come from
+    # reading the data back, never from re-executing the assignment plan
+    # (a second evaluation could pack different rows on non-deterministic
+    # inputs, and would pay the full tokenization + window again)
     stats = (
-        assign.groupBy("shard_id")
+        spark.read.parquet(f"{path}/data")
+        .groupBy("shard_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),

@@ -26,6 +26,29 @@ from pyspark.sql.types import StructType
 from mallarddv_spark.exceptions import DVConfigurationError
 
 
+def _refresh_after_batch_write(batch_session: SparkSession, table: str) -> None:
+    """Invalidate cached relation metadata for ``table`` after a
+    ``foreachBatch`` write.
+
+    ``foreachBatch`` hands the callback a DataFrame bound to a CLONED
+    SparkSession (Spark isolates each micro-batch's SQL conf), so a
+    ``saveAsTable``/``insertInto`` through it refreshes only the clone's
+    relation cache. Any OTHER session that already resolved the table —
+    the user's main session, the vault facade — keeps serving the stale
+    file listing, which reads as silently missing (append) or vanished
+    (overwrite) rows. Refreshing both the batch session and the driver's
+    active session restores read-your-writes for the normal single-user
+    pattern; independent third sessions still follow standard Spark
+    semantics (``REFRESH TABLE`` before reading externally-written
+    tables)."""
+    for s in {batch_session, SparkSession.getActiveSession()}:
+        if s is not None:
+            try:
+                s.catalog.refreshTable(table)
+            except Exception:
+                pass  # table may not exist yet in that session's catalog
+
+
 def stream_files_to_staging(
     spark: SparkSession,
     source_dir: str,
@@ -135,6 +158,16 @@ def vault_stream_processor(
         batch_df.write.mode("overwrite").insertInto(
             f"{vault.stg_db}.{source_table}", overwrite=True
         )
+        # the overwrite ran on foreachBatch's CLONED session; the vault
+        # facade reads staging through ITS session — refresh there or
+        # execute_flow can resolve the previous batch's (deleted) files
+        try:
+            vault.spark.catalog.refreshTable(f"{vault.stg_db}.{source_table}")
+        except Exception:
+            pass
+        _refresh_after_batch_write(
+            batch_df.sparkSession, f"{vault.stg_db}.{source_table}"
+        )
         errs = vault.execute_flow(
             source_table,
             record_source,
@@ -185,28 +218,53 @@ def neardup_stream_processor(
     """Ready-made ``process_batch`` for :func:`stream_files_to_staging`:
     the continuous-crawl near-dup gate. Each micro-batch is
 
-    1. exact-deduped on ``id_col`` within itself,
-    2. probed against the persisted MinHash index
+    1. exact-deduped on ``id_col`` within itself, and ids ALREADY in the
+       index are dropped (a column-pruned scan of the index's stored
+       doc_ids — this is what makes a replay of a fully-committed batch a
+       no-op),
+    2. near-deduped WITHIN the batch (banded LSH pairs at the index's own
+       parameters → keep the min id per matching pair-graph component —
+       the same article under three urls in one crawl file admits once),
+    3. the within-batch survivors are probed against the persisted index
        (:func:`operators.dedup.neardup_against_index`) — documents
        matching ANY stored document at ≥ ``threshold`` signature
-       agreement are dropped (a probe hit on the document's own id means
-       a replayed batch: also dropped, which is what makes fully-committed
-       replays no-ops),
-    3. survivors append to ``sink_table`` first, then to the index —
-       so later batches dedup against them without recomputing a single
+       agreement are dropped,
+    4. final survivors append to ``sink_table`` first, then to the index
+       — so later batches dedup against them without recomputing a single
        history signature.
 
     Crash semantics (documented at-least-once): a crash between the sink
     append and the index append re-admits the batch on replay — the sink
-    may hold duplicates (dedup downstream on ``id_col``) and the index
-    then catches up. A crash before the sink append loses nothing: the
-    probe drops only documents already visible in the index.
+    may hold duplicates (dedup downstream on ``id_col``; the already-
+    ingested-id check only consults the INDEX) and the index then catches
+    up. A crash before the sink append loses nothing: only documents
+    already visible in the index are dropped.
     """
 
     def process(batch_df, batch_id: int) -> None:
         from mallarddv_spark.operators import dedup
+        from mallarddv_spark.operators.graph import dedup_assign
 
+        spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        # replay fence: ids the index already holds were fully processed
+        seen = spark.read.parquet(f"{index_path}/sigs").select(
+            F.col("doc_id").alias(id_col)
+        )
+        batch = batch.join(seen, id_col, "left_anti")
+        # within-batch near-dups (same params as the stored index)
+        p = dedup._minhash_index_params(spark, index_path)
+        self_pairs = dedup.minhash_lsh_pairs(
+            batch, id_col, text_col,
+            num_perm=p["num_perm"], bands=p["bands"],
+            shingle_size=p["shingle_size"], threshold=threshold,
+            max_shingle_df=p["max_shingle_df"], hash_mode=p["hash_mode"],
+        )
+        verdicts = dedup_assign(batch, id_col, self_pairs)
+        batch = batch.join(
+            verdicts.filter("NOT keep").select(F.col("id").alias(id_col)),
+            id_col, "left_anti",
+        ).localCheckpoint(eager=True)
         hits = dedup.neardup_against_index(
             batch, index_path, id_col, text_col, threshold
         )
@@ -217,6 +275,7 @@ def neardup_stream_processor(
         if fresh.isEmpty():
             return
         fresh.write.mode("append").saveAsTable(sink_table)
+        _refresh_after_batch_write(spark, sink_table)
         dedup.minhash_index_append(fresh, index_path, id_col, text_col)
 
     return process

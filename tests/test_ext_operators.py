@@ -610,6 +610,19 @@ def test_theta_sketch_set_algebra_and_heavy_hitters(spark):
         assert abs(got[t].both_distinct - both) <= max(3, both * 0.05), t
         assert abs(got[t].left_only_distinct - only) <= max(3, only * 0.05), t
 
+    # full-outer semantics: a key present on one side only surfaces with
+    # the other side at 0 and left_only = its full count
+    extra = sk.build_theta_sketches(
+        early.withColumn("event_type", F.lit("ghost_type")),
+        ["event_type"], "user_id",
+    )
+    ga = {r.event_type: r for r in sk.theta_overlap(
+        a.unionByName(extra), b, ["event_type"]).collect()}
+    g = ga["ghost_type"]
+    assert g.right_distinct == 0 and g.both_distinct == 0
+    exact_ghost = early.select("user_id").distinct().count()
+    assert abs(g.left_only_distinct - exact_ghost) <= max(3, exact_ghost * 0.05)
+
     # union across segments matches global distinct
     merged = sk.merge_theta_sketches(a).first()
     exact_early = early.select("user_id").distinct().count()

@@ -58,6 +58,17 @@ def test_safe_parse_dirty_feed(spark):
         strict.collect()
 
 
+def test_shred_in_place(spark):
+    """variant_col == json_col replaces the string column with the
+    VARIANT instead of silently dropping it."""
+    df = spark.createDataFrame([(1, '{"a": 7}')], "id int, payload string")
+    out = sv.shred_variant(
+        df, "payload", {"a": ("$.a", "int")}, variant_col="payload"
+    )
+    assert dict(out.dtypes)["payload"] == "variant"
+    assert out.first().a == 7
+
+
 def test_inferred_payload_schema(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     schema = sv.inferred_payload_schema(ev, "props")

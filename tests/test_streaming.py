@@ -217,21 +217,45 @@ def test_neardup_stream_processor(spark, tmp_path):
         process, file_format="parquet",
     )
     q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
     n1 = spark.table("default.crawl_sink").count()
     assert n1 > 0
     idx_n = spark.read.parquet(f"{index_path}/sigs").count()
     assert idx_n == 200 + n1  # survivors joined the index
 
-    # batch 2: identical texts under shifted ids → all near-dups now
+    # replayed batch (fresh checkpoint forces reprocessing of f1): the
+    # already-in-index id fence makes it a strict no-op
+    q = ingest.stream_files_to_staging(
+        spark, f"{src}/*", batch1.schema, str(tmp_path / "ck_replay"),
+        process, file_format="parquet",
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    assert spark.table("default.crawl_sink").count() == n1
+    assert spark.read.parquet(f"{index_path}/sigs").count() == idx_n
+
+    # batch 2: identical texts under shifted ids → all near-dups now;
+    # PLUS the same new doc under two ids in ONE batch → admits once
     batch1.withColumn("doc_id", F.col("doc_id") + 100000).coalesce(1).write.parquet(
         f"{src}/f2"
     )
+    unique_text = " ".join(f"zq{i}xv" for i in range(40))  # novel tokens
+    novel = spark.createDataFrame(
+        [(900001, unique_text, "en", "synthetic", len(unique_text)),
+         (900002, unique_text, "en", "synthetic", len(unique_text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).select(*batch1.columns)
+    novel.coalesce(1).write.parquet(f"{src}/f3")
     q = ingest.stream_files_to_staging(
         spark, f"{src}/*", batch1.schema, str(tmp_path / "ck1"),
         process, file_format="parquet",
     )
     q.awaitTermination(180)
-    assert spark.table("default.crawl_sink").count() == n1  # nothing new
-    assert spark.read.parquet(f"{index_path}/sigs").count() == idx_n
+    assert q.exception() is None, q.exception()
+    sink = spark.table("default.crawl_sink")
+    # shifted copies all dropped; the twin novel doc admitted exactly once
+    new_rows = sink.filter("doc_id >= 900000").collect()
+    assert len(new_rows) == 1, [r.doc_id for r in new_rows]
+    assert sink.count() == n1 + 1
 
     spark.sql("DROP TABLE IF EXISTS default.crawl_sink")
