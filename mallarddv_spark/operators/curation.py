@@ -79,6 +79,135 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    shingle_size: int = 5,
+    fpp: float = 1e-6,
+    expected_shingles: int | None = None,
+) -> DataFrame:
+    """Probabilistic :func:`decontaminate` that never shuffles or explodes
+    the training corpus.
+
+    The benchmark's distinct shingles are folded into ONE Bloom filter
+    sized for ``fpp``, which rides a single broadcast row; each training
+    document then counts its matching shingles with an array-lambda bit
+    probe — a pure projection. The exact operator explodes the corpus to
+    one row per shingle and shuffles it for the per-document regroup;
+    here the 100 TB side is scan → project, full stop, and the filter is
+    a few MB no matter how many eval sets are folded in.
+
+    The filter is built from Catalyst expressions only (no UDFs, no
+    engine-private sketch format): Kirsch–Mitzenmacher double hashing
+    ``pos_i = (h1 + i·h2) mod m`` over two independent xxhash64 views of
+    each shingle, OR-folded into an ``array<long>`` of bit words — so
+    build and probe stay in whole-stage codegen and the stored bits are
+    reproducible anywhere xxhash64 exists.
+
+    Trade-offs vs exact: false positives at ``fpp`` (no false negatives),
+    and no ``n_bench_docs`` (a Bloom filter can't attribute hits). The
+    intended composition at scale: bloom pass over everything, exact
+    :func:`decontaminate` only on the flagged sliver.
+
+    ``expected_shingles`` skips the sizing count when the caller already
+    knows the benchmark's cardinality (e.g. from a stored manifest).
+    """
+    import math
+
+    if not 0.0 < fpp < 1.0:
+        raise DVConfigurationError(f"fpp must be in (0, 1), got {fpp}")
+    bid = bench_id_col or id_col
+    btxt = bench_text_col or text_col
+    k = int(shingle_size)
+    be = _shingles(benchmark, bid, btxt, k).select("shingle").distinct()
+    n_items = max(int(expected_shingles or be.count()), 1)
+    m_bits = -n_items * math.log(fpp) / (math.log(2) ** 2)
+    n_words = max(1, math.ceil(m_bits / 64))
+    m = n_words * 64
+    n_hashes = max(1, round(m / n_items * math.log(2)))
+
+    def positions(s) -> Column:
+        # two independent 64-bit views, pre-reduced so i·h2 stays well
+        # inside long range under ANSI arithmetic; h2 is forced nonzero
+        # so the k probes never collapse onto one bit
+        h1 = F.pmod(F.xxhash64(s), F.lit(m))
+        h2 = F.pmod(F.xxhash64(s, F.lit(0x9E3779B9)), F.lit(m - 1)) + 1
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m)),
+        )
+
+    def bit_mask(p) -> Column:
+        return F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+
+    word = be.select(F.explode(positions(F.col("shingle"))).alias("p")).select(
+        (F.col("p") / 64).cast("int").alias("w"),
+        bit_mask(F.col("p")).alias("b"),
+    )
+    bloom = (
+        word.groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
+                "__m"
+            )
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i), F.lit(0).cast("long")
+                ),
+            ).alias("__bloom")
+        )
+    )
+
+    toks = F.split(F.trim(text_col), r"\s+")
+    if k == 1:
+        arr = F.array_distinct(F.col("__toks"))
+    else:
+        parts = ", ".join(f"__toks[i+{j}]" for j in range(k))
+        arr = F.when(
+            F.size("__toks") >= k,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(__toks)-{k}), "
+                    f"i -> concat_ws(' ', {parts}))"
+                )
+            ),
+        ).otherwise(F.expr("cast(array() as array<string>)"))
+    t = (
+        train.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .select("doc_id", arr.alias("__sh"))
+    )
+
+    def in_bloom(s) -> Column:
+        return F.forall(
+            positions(s),
+            lambda p: (
+                F.element_at(F.col("__bloom"), (p / 64).cast("int") + 1)
+                .bitwiseAND(bit_mask(p))
+                != 0
+            ),
+        )
+
+    # one-row broadcast; an empty benchmark yields an all-zero filter,
+    # which cleanly reports zero hits everywhere
+    j = t.crossJoin(F.broadcast(bloom))
+    hits = F.size(F.filter(F.col("__sh"), in_bloom))
+    return j.select(
+        "doc_id",
+        hits.alias("n_hit_shingles"),
+        (hits > 0).alias("contaminated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scanning / redaction
 # ---------------------------------------------------------------------------

@@ -8,6 +8,7 @@ from pyspark.sql import Row, functions as F
 from mallarddv_spark.operators.curation import (
     _hex_bound,
     decontaminate,
+    decontaminate_bloom,
     doc_rarity,
     hex_bucket,
     pii_redact,
@@ -121,6 +122,63 @@ def test_decontaminate_flags_overlap_only(spark):
     assert out[1]["n_bench_docs"] == 1
     assert not out[2]["contaminated"] and out[2]["n_hit_shingles"] == 0
     assert not out[3]["contaminated"]
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    """Bloom pass agrees with the exact operator at tiny fpp (no false
+    negatives by construction; false positives vanishingly unlikely on
+    this cardinality), and its corpus side is a pure projection — no
+    shuffle join, no corpus-side explode."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.filter("doc_id < 300")
+    bench = docs.filter("doc_id >= 450").select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    exact = {
+        r["doc_id"]: r["n_hit_shingles"]
+        for r in decontaminate(
+            train, bench, "doc_id", "text",
+            bench_id_col="bid", bench_text_col="btext", shingle_size=5,
+        ).collect()
+    }
+    out = decontaminate_bloom(
+        train, bench, "doc_id", "text",
+        bench_id_col="bid", bench_text_col="btext", shingle_size=5,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == set(exact)
+    assert any(exact[d] > 0 for d in exact)  # non-vacuous: real overlap
+    for d, n in exact.items():
+        assert got[d]["n_hit_shingles"] == n, d
+        assert got[d]["contaminated"] == (n > 0), d
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "forall" in plan  # the bit-probe lambda survived into the plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # both Generates belong to the benchmark build (shingle explode +
+    # probe-position explode); the train side stays an array projection
+    # (count only the AQE final plan — the initial-plan echo doubles it)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate") <= 2, plan
+
+    # empty benchmark → zero hits everywhere, no error
+    none = decontaminate_bloom(
+        train, bench.filter("bid < 0"), "doc_id", "text",
+        bench_id_col="bid", bench_text_col="btext",
+    )
+    assert none.filter("contaminated").count() == 0
+
+    # short docs (< shingle_size tokens) survive with zero hits
+    short = spark.createDataFrame([Row(doc_id=9, text="tiny doc")])
+    s = decontaminate_bloom(short, bench, "doc_id", "text",
+                            bench_id_col="bid", bench_text_col="btext").first()
+    assert s["n_hit_shingles"] == 0 and not s["contaminated"]
+
+    import pytest as _pt
+    from mallarddv_spark.exceptions import DVConfigurationError
+    with _pt.raises(DVConfigurationError):
+        decontaminate_bloom(train, bench, "doc_id", "text",
+                            bench_id_col="bid", bench_text_col="btext", fpp=0)
 
 
 def test_vocab_and_rarity(spark):
