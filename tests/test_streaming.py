@@ -189,6 +189,61 @@ def test_vault_stream_processor_with_quarantine(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS default.stream_dead")
 
 
+def test_vault_stream_staging_not_stale(spark, tmp_path):
+    """Regression: foreachBatch overwrites staging through a CLONED
+    session, so without an explicit refresh the vault session's relation
+    cache keeps the previous batch's (deleted) staging file listing and
+    execute_flow loads stale or missing data. Pre-caching the staging
+    relation in the vault session before each stream reproduces the
+    hazard; every batch's keys must still land."""
+    from mallarddv_spark.plans.model import fetch_table_columns
+    from mallarddv_spark.sources.readers import staging_schema
+
+    drop_vault(spark)
+    vault = MallardSparkVault(spark)
+    assert vault.init_vault(
+        os.path.join(FIXTURES, "tables.csv"),
+        os.path.join(FIXTURES, "transitions.csv"),
+    ) == []
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    shutil.copy(os.path.join(FIXTURES, "customer.csv"), src)
+
+    cols = fetch_table_columns(spark, "metadata", base_name="customer",
+                               rel_type="stg")
+    schema = staging_schema(cols, "customer")
+    process = ingest.vault_stream_processor(
+        vault, "customer", "stream",
+        load_date_overwrite="2025-06-01 00:00:00",
+    )
+    ck = str(tmp_path / "ckpt")
+
+    # poison: resolve staging in the vault session so its relation cache
+    # holds the pre-stream (empty) file listing
+    spark.table("stg.customer").count()
+    q = ingest.stream_files_to_staging(
+        spark, src, schema, ck, process, file_format="csv"
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    assert {r.id_bk for r in spark.table("dv.hub_customer").collect()} >= {1, 2}
+
+    # re-poison with batch 1's listing, then stream a second file through
+    # the SAME checkpoint (guaranteed separate micro-batch)
+    spark.table("stg.customer").count()
+    with open(os.path.join(src, "batch2.csv"), "w") as fh:
+        fh.write("id,first_name,last_name,email,created_date,"
+                 "referenced_by,reference_code\n")
+        fh.write("7,late,arrival,l@x.io,2025-06-02 00:00:00,,\n")
+    q = ingest.stream_files_to_staging(
+        spark, src, schema, ck, process, file_format="csv"
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    assert 7 in {r.id_bk for r in spark.table("dv.hub_customer").collect()}
+
+
 def test_neardup_stream_processor(spark, tmp_path):
     """Continuous-crawl near-dup gate: batch 1's fresh docs land in the
     sink AND the index; batch 2 (same texts under new ids) is dropped
