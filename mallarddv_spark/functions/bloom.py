@@ -1,0 +1,147 @@
+"""Expression-built Bloom filters: a set-membership sketch that rides a
+single broadcast row and probes in whole-stage codegen.
+
+Spark's own bloom machinery (``bloom_filter_agg`` / ``might_contain``)
+is not registered on the SQL function path in every build, and its bit
+layout is engine-private. This module builds the filter from built-in
+expressions only — Kirsch–Mitzenmacher double hashing over two
+independent xxhash64 views of each value, OR-folded into an
+``array<long>`` of bit words — so:
+
+* build and probe both run in whole-stage codegen (no UDFs),
+* the stored bits are reproducible anywhere xxhash64 exists,
+* the filter persists as one parquet row (:func:`save_bloom` /
+  :func:`load_bloom`) and can gate every future batch of a stream
+  without touching the corpus that built it.
+
+Scale shape: the build explodes only the SMALL side (the set being
+sketched — a benchmark, a key census, a stop-list); the probe side is a
+pure projection over the broadcast row. No false negatives; false
+positives bounded by ``fpp``.
+
+Used by ``operators.curation.decontaminate_bloom`` (benchmark shingles)
+and available for any "is this value in the known set" pre-pass where
+an exact broadcast join would ship the whole set to every executor.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from mallarddv_spark.exceptions import DVConfigurationError
+
+# second-view hash salt (golden-ratio constant, arbitrary but pinned:
+# stored filters must keep probing identically forever)
+_SEED2 = 0x9E3779B9
+
+
+def bloom_params(n_items: int, fpp: float) -> dict:
+    """Size a filter: bits rounded up to whole 64-bit words, optimal
+    hash count for that geometry."""
+    if not 0.0 < fpp < 1.0:
+        raise DVConfigurationError(f"fpp must be in (0, 1), got {fpp}")
+    n_items = max(int(n_items), 1)
+    m_bits = -n_items * math.log(fpp) / (math.log(2) ** 2)
+    n_words = max(1, math.ceil(m_bits / 64))
+    m = n_words * 64
+    n_hashes = max(1, round(m / n_items * math.log(2)))
+    return {"n_words": n_words, "m": m, "n_hashes": n_hashes}
+
+
+def bloom_positions(value, m: int, n_hashes: int) -> Column:
+    """Array of ``n_hashes`` probe bit-positions for ``value`` (any
+    xxhash64-able column). Both hash views are pre-reduced so the
+    ``h1 + i·h2`` walk stays inside long range under ANSI arithmetic;
+    h2 is forced nonzero so the probes never collapse onto one bit."""
+    h1 = F.pmod(F.xxhash64(value), F.lit(m))
+    h2 = F.pmod(F.xxhash64(value, F.lit(_SEED2)), F.lit(m - 1)) + 1
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m)),
+    )
+
+
+def _bit_mask(p) -> Column:
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+    )
+
+
+def build_bloom(
+    df: DataFrame,
+    value_col: str | Column,
+    fpp: float = 1e-6,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Fold the distinct values of ``value_col`` into ONE filter row:
+    ``(__bloom array<long>, m long, n_hashes int, n_items long)``.
+
+    ``expected_items`` skips the sizing count when the caller already
+    knows the cardinality (e.g. from a stored manifest). An empty input
+    yields an all-zero filter that cleanly reports nothing present."""
+    vals = df.select(F.col(value_col).alias("__v") if isinstance(value_col, str)
+                     else value_col.alias("__v")).distinct()
+    n_items = int(expected_items or vals.count())
+    p = bloom_params(n_items, fpp)
+    m, n_hashes, n_words = p["m"], p["n_hashes"], p["n_words"]
+    word = vals.select(
+        F.explode(bloom_positions(F.col("__v"), m, n_hashes)).alias("p")
+    ).select(
+        (F.col("p") / 64).cast("int").alias("w"),
+        _bit_mask(F.col("p")).alias("b"),
+    )
+    return (
+        word.groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
+                "__m"
+            )
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i), F.lit(0).cast("long")
+                ),
+            ).alias("__bloom"),
+            F.lit(m).cast("long").alias("m"),
+            F.lit(n_hashes).cast("int").alias("n_hashes"),
+            F.lit(max(n_items, 1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def bloom_contains(value, bloom_col, m: int, n_hashes: int) -> Column:
+    """Membership probe expression: true iff every probe bit of ``value``
+    is set in ``bloom_col`` (an ``array<long>`` column in scope — in
+    practice the broadcast filter row). Composable inside array lambdas."""
+    return F.forall(
+        bloom_positions(value, m, n_hashes),
+        lambda p: (
+            F.element_at(bloom_col, (p / 64).cast("int") + 1)
+            .bitwiseAND(_bit_mask(p))
+            != 0
+        ),
+    )
+
+
+def save_bloom(bloom: DataFrame, path: str) -> None:
+    """Persist the one-row filter (bits + geometry) as parquet."""
+    bloom.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bloom(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Load a stored filter: the one-row DataFrame to broadcast, plus its
+    geometry (one tiny driver read — probes need ``m``/``n_hashes`` at
+    plan-build time, so a mismatch is impossible by construction)."""
+    df = spark.read.parquet(path)
+    row = df.select("m", "n_hashes", "n_items").first()
+    params = {
+        "m": int(row.m),
+        "n_hashes": int(row.n_hashes),
+        "n_items": int(row.n_items),
+    }
+    return df.select("__bloom"), params

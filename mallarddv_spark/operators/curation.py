@@ -114,59 +114,56 @@ def decontaminate_bloom(
     :func:`decontaminate` only on the flagged sliver.
 
     ``expected_shingles`` skips the sizing count when the caller already
-    knows the benchmark's cardinality (e.g. from a stored manifest).
+    knows the benchmark's cardinality (e.g. from a stored manifest). For
+    a continuously-arriving corpus, :func:`build_benchmark_bloom` once +
+    :func:`decontaminate_with_bloom` per batch avoids rebuilding the
+    filter every time.
     """
-    import math
-
-    if not 0.0 < fpp < 1.0:
-        raise DVConfigurationError(f"fpp must be in (0, 1), got {fpp}")
     bid = bench_id_col or id_col
     btxt = bench_text_col or text_col
-    k = int(shingle_size)
-    be = _shingles(benchmark, bid, btxt, k).select("shingle").distinct()
-    n_items = max(int(expected_shingles or be.count()), 1)
-    m_bits = -n_items * math.log(fpp) / (math.log(2) ** 2)
-    n_words = max(1, math.ceil(m_bits / 64))
-    m = n_words * 64
-    n_hashes = max(1, round(m / n_items * math.log(2)))
-
-    def positions(s) -> Column:
-        # two independent 64-bit views, pre-reduced so i·h2 stays well
-        # inside long range under ANSI arithmetic; h2 is forced nonzero
-        # so the k probes never collapse onto one bit
-        h1 = F.pmod(F.xxhash64(s), F.lit(m))
-        h2 = F.pmod(F.xxhash64(s, F.lit(0x9E3779B9)), F.lit(m - 1)) + 1
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m)),
-        )
-
-    def bit_mask(p) -> Column:
-        return F.call_function(
-            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
-        )
-
-    word = be.select(F.explode(positions(F.col("shingle"))).alias("p")).select(
-        (F.col("p") / 64).cast("int").alias("w"),
-        bit_mask(F.col("p")).alias("b"),
+    bloom = build_benchmark_bloom(
+        benchmark, bid, btxt, shingle_size=shingle_size, fpp=fpp,
+        expected_shingles=expected_shingles,
     )
-    bloom = (
-        word.groupBy("w")
-        .agg(F.expr("bit_or(b)").alias("bits"))
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
-                "__m"
-            )
-        )
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("__m"), i), F.lit(0).cast("long")
-                ),
-            ).alias("__bloom")
-        )
+    return decontaminate_with_bloom(train, bloom, id_col, text_col)
+
+
+def build_benchmark_bloom(
+    benchmark: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str,
+    shingle_size: int = 5,
+    fpp: float = 1e-6,
+    expected_shingles: int | None = None,
+) -> DataFrame:
+    """One-row Bloom filter over the benchmark's distinct word shingles
+    (see :mod:`functions.bloom` for the expression-built format). Persist
+    with ``functions.bloom.save_bloom`` and a streaming ingest gate can
+    decontaminate every crawl batch against it without ever re-reading
+    the benchmark. The shingle size is carried in the row so probes can't
+    silently shingle differently."""
+    from mallarddv_spark.functions import bloom as B
+
+    be = _shingles(
+        benchmark, bench_id_col, bench_text_col, int(shingle_size)
+    ).select("shingle")
+    return B.build_bloom(be, "shingle", fpp, expected_shingles).withColumn(
+        "shingle_size", F.lit(int(shingle_size))
     )
+
+
+def decontaminate_with_bloom(
+    train: DataFrame,
+    bloom: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The probe half of :func:`decontaminate_bloom`, against an
+    already-built (possibly loaded-from-disk) benchmark filter."""
+    from mallarddv_spark.functions import bloom as B
+
+    geo = bloom.select("m", "n_hashes", "shingle_size").first()
+    m, n_hashes, k = int(geo.m), int(geo.n_hashes), int(geo.shingle_size)
 
     toks = F.split(F.trim(text_col), r"\s+")
     if k == 1:
@@ -187,20 +184,15 @@ def decontaminate_bloom(
         .select("doc_id", arr.alias("__sh"))
     )
 
-    def in_bloom(s) -> Column:
-        return F.forall(
-            positions(s),
-            lambda p: (
-                F.element_at(F.col("__bloom"), (p / 64).cast("int") + 1)
-                .bitwiseAND(bit_mask(p))
-                != 0
-            ),
-        )
-
     # one-row broadcast; an empty benchmark yields an all-zero filter,
     # which cleanly reports zero hits everywhere
-    j = t.crossJoin(F.broadcast(bloom))
-    hits = F.size(F.filter(F.col("__sh"), in_bloom))
+    j = t.crossJoin(F.broadcast(bloom.select("__bloom")))
+    hits = F.size(
+        F.filter(
+            F.col("__sh"),
+            lambda s: B.bloom_contains(s, F.col("__bloom"), m, n_hashes),
+        )
+    )
     return j.select(
         "doc_id",
         hits.alias("n_hit_shingles"),

@@ -1,0 +1,93 @@
+"""Expression-built Bloom filter primitives (functions/bloom.py):
+membership guarantees, false-positive bound, persistence round-trip, and
+the stored-filter decontamination path."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from mallarddv_spark.exceptions import DVConfigurationError
+from mallarddv_spark.functions import bloom as B
+
+
+def test_bloom_membership_and_fpp(spark):
+    members = spark.range(0, 2000).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("v")
+    )
+    bloom = B.build_bloom(members, "v", fpp=1e-4)
+    geo = bloom.first()
+    probes = spark.range(0, 40000).select(
+        F.when(F.col("id") < 2000, F.concat(F.lit("key_"), F.col("id")))
+        .otherwise(F.concat(F.lit("other_"), F.col("id")))
+        .alias("v")
+    )
+    got = probes.crossJoin(F.broadcast(bloom.select("__bloom"))).select(
+        "v",
+        B.bloom_contains(
+            F.col("v"), F.col("__bloom"), int(geo.m), int(geo.n_hashes)
+        ).alias("hit"),
+    )
+    # every member hits (no false negatives)
+    assert got.filter("v like 'key_%' AND NOT hit").count() == 0
+    # non-members false-positive well under 100x the target rate
+    fp = got.filter("v like 'other_%' AND hit").count()
+    assert fp <= 38000 * 1e-4 * 100, fp
+
+
+def test_bloom_save_load_roundtrip(spark, tmp_path):
+    members = spark.createDataFrame([Row(v="alpha"), Row(v="beta")])
+    path = str(tmp_path / "bf")
+    B.save_bloom(B.build_bloom(members, "v", fpp=1e-6), path)
+    loaded, params = B.load_bloom(spark, path)
+    assert params["n_items"] == 2 and params["m"] % 64 == 0
+    probes = spark.createDataFrame(
+        [Row(v="alpha"), Row(v="beta"), Row(v="gamma"), Row(v="delta")]
+    )
+    got = {
+        r.v: r.hit
+        for r in probes.crossJoin(F.broadcast(loaded))
+        .select(
+            "v",
+            B.bloom_contains(
+                F.col("v"), F.col("__bloom"), params["m"], params["n_hashes"]
+            ).alias("hit"),
+        )
+        .collect()
+    }
+    assert got["alpha"] and got["beta"]
+    assert not got["gamma"] and not got["delta"]
+
+
+def test_bloom_param_validation(spark):
+    with pytest.raises(DVConfigurationError):
+        B.bloom_params(10, 0.0)
+    with pytest.raises(DVConfigurationError):
+        B.bloom_params(10, 1.0)
+    p = B.bloom_params(0, 0.01)  # degenerate input still yields a filter
+    assert p["n_words"] >= 1 and p["n_hashes"] >= 1
+
+
+def test_stored_bloom_decontamination_matches_inline(spark, tmp_path):
+    """build once → save → reload → per-batch probe gives the same
+    verdicts as the one-shot operator (the streaming-crawl shape)."""
+    from mallarddv_spark.operators.curation import (
+        build_benchmark_bloom,
+        decontaminate_bloom,
+        decontaminate_with_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.filter("doc_id < 200")
+    bench = docs.filter("doc_id >= 450")
+    path = str(tmp_path / "bench_bloom")
+    B.save_bloom(
+        build_benchmark_bloom(bench, "doc_id", "text", shingle_size=5), path
+    )
+    stored = decontaminate_with_bloom(
+        train, spark.read.parquet(path), "doc_id", "text"
+    )
+    inline = decontaminate_bloom(
+        train, bench, "doc_id", "text", shingle_size=5
+    )
+    s = {r.doc_id: r.n_hit_shingles for r in stored.collect()}
+    i = {r.doc_id: r.n_hit_shingles for r in inline.collect()}
+    assert s == i and any(v > 0 for v in s.values())
