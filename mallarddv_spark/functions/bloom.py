@@ -128,6 +128,111 @@ def bloom_contains(value, bloom_col, m: int, n_hashes: int) -> Column:
     )
 
 
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two filters of IDENTICAL geometry (elementwise bit OR): the
+    merged filter contains every value either side contains. Geometry is
+    checked plan-side — mismatched word counts fail the zip rather than
+    silently probing wrong bits."""
+    ga = a.select("m", "n_hashes").first()
+    gb = b.select("m", "n_hashes").first()
+    if (ga.m, ga.n_hashes) != (gb.m, gb.n_hashes):
+        raise DVConfigurationError(
+            f"bloom geometry mismatch: {(ga.m, ga.n_hashes)} vs "
+            f"{(gb.m, gb.n_hashes)} — rebuild at a common size"
+        )
+    extra = [c for c in a.columns if c not in ("__bloom", "n_items")]
+    return (
+        a.select(
+            F.col("__bloom").alias("__a"),
+            F.col("n_items").alias("__na"),
+            *extra,
+        )
+        .crossJoin(
+            F.broadcast(
+                b.select(
+                    F.col("__bloom").alias("__b"),
+                    F.col("n_items").alias("__nb"),
+                )
+            )
+        )
+        .select(
+            F.zip_with(
+                "__a", "__b", lambda x, y: x.bitwiseOR(y)
+            ).alias("__bloom"),
+            *[c for c in extra if c not in ("m", "n_hashes")],
+            F.col("m"),
+            F.col("n_hashes"),
+            # upper bound (duplicates across sides can't be told apart);
+            # the fpp degrades past the original sizing once the true
+            # count outgrows it — callers watching n_items can rebuild
+            (F.col("__na") + F.col("__nb")).alias("n_items"),
+        )
+    )
+
+
+def bloom_append(
+    spark: SparkSession,
+    path: str,
+    new_values: DataFrame,
+    value_col: str | Column,
+) -> dict:
+    """Fold a batch of new values into a STORED filter in place: build a
+    batch filter at the stored geometry (no resize — membership of old
+    values must survive), OR it in, rewrite. Returns the stored geometry
+    with the updated item-count upper bound. The rewrite goes through a
+    fresh subdirectory-free overwrite of one tiny row — crash mid-write
+    re-runs cleanly because the source filter is read fully first.
+
+    Watch ``n_items``: once it outgrows the count the filter was sized
+    for, the per-value false-positive rate degrades quickly (doubling
+    the load takes 1e-6 to roughly 1e-3), and callers that flag a row
+    when ANY of its values hits (e.g. per-document shingle probes)
+    amplify that by the values-per-row. Rebuild at the new size instead
+    of appending past ~the original sizing."""
+    stored = spark.read.parquet(path)
+    geo = stored.select("m", "n_hashes").first()
+    vals = new_values.select(
+        F.col(value_col).alias("__v") if isinstance(value_col, str)
+        else value_col.alias("__v")
+    ).distinct()
+    n_new = vals.count()
+    word = vals.select(
+        F.explode(
+            bloom_positions(F.col("__v"), int(geo.m), int(geo.n_hashes))
+        ).alias("p")
+    ).select(
+        (F.col("p") / 64).cast("int").alias("w"),
+        _bit_mask(F.col("p")).alias("b"),
+    )
+    batch = (
+        word.groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
+                "__m"
+            )
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(geo.m) // 64 - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i), F.lit(0).cast("long")
+                ),
+            ).alias("__bloom"),
+            F.lit(int(geo.m)).cast("long").alias("m"),
+            F.lit(int(geo.n_hashes)).cast("int").alias("n_hashes"),
+            F.lit(n_new).cast("long").alias("n_items"),
+        )
+    )
+    merged = merge_blooms(stored, batch)
+    rows = merged.collect()  # one tiny row — detach from the input files
+    out = spark.createDataFrame(rows, merged.schema)
+    out.coalesce(1).write.mode("overwrite").parquet(path)
+    g = rows[0]
+    return {"m": int(g.m), "n_hashes": int(g.n_hashes),
+            "n_items": int(g.n_items)}
+
+
 def save_bloom(bloom: DataFrame, path: str) -> None:
     """Persist the one-row filter (bits + geometry) as parquet."""
     bloom.coalesce(1).write.mode("overwrite").parquet(path)

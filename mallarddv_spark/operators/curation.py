@@ -108,8 +108,11 @@ def decontaminate_bloom(
     build and probe stay in whole-stage codegen and the stored bits are
     reproducible anywhere xxhash64 exists.
 
-    Trade-offs vs exact: false positives at ``fpp`` (no false negatives),
-    and no ``n_bench_docs`` (a Bloom filter can't attribute hits). The
+    Trade-offs vs exact: false positives (no false negatives), and no
+    ``n_bench_docs`` (a Bloom filter can't attribute hits). ``fpp`` is
+    PER SHINGLE; a document is flagged when any of its shingles hits, so
+    the per-document rate is roughly ``fpp × shingles_per_doc`` — the
+    1e-6 default keeps that negligible for ordinary documents. The
     intended composition at scale: bloom pass over everything, exact
     :func:`decontaminate` only on the flagged sliver.
 

@@ -66,6 +66,49 @@ def test_bloom_param_validation(spark):
     assert p["n_words"] >= 1 and p["n_hashes"] >= 1
 
 
+def test_bloom_merge_and_append(spark, tmp_path):
+    """Same-geometry filters OR together; a stored filter absorbs new
+    batches in place without losing old members."""
+    a_vals = spark.range(0, 500).select(
+        F.concat(F.lit("a_"), F.col("id")).alias("v")
+    )
+    b_vals = spark.range(0, 500).select(
+        F.concat(F.lit("b_"), F.col("id")).alias("v")
+    )
+    # common geometry via expected_items (sized for the eventual union)
+    a = B.build_bloom(a_vals, "v", fpp=1e-5, expected_items=1000)
+    b = B.build_bloom(b_vals, "v", fpp=1e-5, expected_items=1000)
+    merged = B.merge_blooms(a, b)
+    g = merged.first()
+    assert g.n_items == 2000  # upper bound: both sides' recorded counts
+    probes = a_vals.unionByName(b_vals)
+    hit = probes.crossJoin(F.broadcast(merged.select("__bloom"))).select(
+        B.bloom_contains(
+            F.col("v"), F.col("__bloom"), int(g.m), int(g.n_hashes)
+        ).alias("hit")
+    )
+    assert hit.filter("NOT hit").count() == 0
+
+    # geometry mismatch refuses rather than probing wrong bits
+    import pytest as _pt
+    tiny = B.build_bloom(b_vals, "v", fpp=1e-5, expected_items=10)
+    with _pt.raises(DVConfigurationError):
+        B.merge_blooms(a, tiny)
+
+    # stored append: old and new members both present after the rewrite
+    path = str(tmp_path / "grow")
+    B.save_bloom(a, path)
+    geo = B.bloom_append(spark, path, b_vals, "v")
+    assert geo["n_items"] == 1500  # stored bound 1000 + 500 new distinct
+    loaded, params = B.load_bloom(spark, path)
+    hit2 = probes.crossJoin(F.broadcast(loaded)).select(
+        B.bloom_contains(
+            F.col("v"), F.col("__bloom"), params["m"], params["n_hashes"]
+        ).alias("hit")
+    )
+    assert hit2.filter("NOT hit").count() == 0
+
+
 def test_stored_bloom_decontamination_matches_inline(spark, tmp_path):
     """build once → save → reload → per-batch probe gives the same
     verdicts as the one-shot operator (the streaming-crawl shape)."""
