@@ -32,20 +32,23 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from mallarddv_spark.exceptions import DVConfigurationError
 
-# second-view hash salt (golden-ratio constant, arbitrary but pinned:
-# stored filters must keep probing identically forever)
+# extra-view hash salts (arbitrary but pinned: stored filters must keep
+# probing identically forever)
 _SEED2 = 0x9E3779B9
+_SEED3 = 0xC2B2AE35
 
 
 def bloom_params(n_items: int, fpp: float) -> dict:
-    """Size a filter: bits rounded up to whole 64-bit words, optimal
-    hash count for that geometry."""
+    """Size a filter: bits rounded UP TO A POWER OF TWO (the probe walk
+    needs gcd(h2, m) = 1 — see :func:`bloom_positions`), optimal hash
+    count for the resulting geometry (the rounding slack buys a lower
+    effective fpp rather than being wasted)."""
     if not 0.0 < fpp < 1.0:
         raise DVConfigurationError(f"fpp must be in (0, 1), got {fpp}")
     n_items = max(int(n_items), 1)
     m_bits = -n_items * math.log(fpp) / (math.log(2) ** 2)
-    n_words = max(1, math.ceil(m_bits / 64))
-    m = n_words * 64
+    m = max(64, 2 ** math.ceil(math.log2(max(m_bits, 1))))
+    n_words = m // 64
     n_hashes = max(1, round(m / n_items * math.log(2)))
     return {"n_words": n_words, "m": m, "n_hashes": n_hashes}
 
@@ -53,13 +56,35 @@ def bloom_params(n_items: int, fpp: float) -> dict:
 def bloom_positions(value, m: int, n_hashes: int) -> Column:
     """Array of ``n_hashes`` probe bit-positions for ``value`` (any
     xxhash64-able column). Both hash views are pre-reduced so the
-    ``h1 + i·h2`` walk stays inside long range under ANSI arithmetic;
-    h2 is forced nonzero so the probes never collapse onto one bit."""
+    ``h1 + i·h2`` walk stays inside long range under ANSI arithmetic.
+
+    Probe scheme ``pos_i = (h1 + i·h2 + i²·h3) mod m`` (enhanced double
+    hashing), chosen against two observed failure floors:
+
+    * ``m`` must be a power of two and ``h2`` is forced ODD, so
+      gcd(h2, m) = 1 and the linear walk never cycles early. (With an
+      arbitrary even stride it does: a stride sharing a factor of 4048
+      with a 16192-bit filter visits only 4 cells, and the observed
+      false-positive rate explodes for exactly those values.)
+    * With a PURELY linear walk, a probe value whose (h1, h2) pair
+      collides mod m with any inserted value matches ALL k bits — a
+      guaranteed false positive at rate ~2/m² per (probe, inserted)
+      pair, which dominates the nominal 2^-k fpp whenever the sketched
+      set (and hence m) is small. The quadratic ``i²·h3`` term makes a
+      full collision require all three views to agree (~2/m³)."""
+    if m & (m - 1):
+        raise DVConfigurationError(f"bloom m must be a power of two, got {m}")
     h1 = F.pmod(F.xxhash64(value), F.lit(m))
-    h2 = F.pmod(F.xxhash64(value, F.lit(_SEED2)), F.lit(m - 1)) + 1
+    h2 = F.pmod(F.xxhash64(value, F.lit(_SEED2)), F.lit(m // 2)) * 2 + 1
+    h3 = F.pmod(F.xxhash64(value, F.lit(_SEED3)), F.lit(m))
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m)),
+        lambda i: F.pmod(
+            h1
+            + i.cast("long") * h2
+            + i.cast("long") * i.cast("long") * h3,
+            F.lit(m),
+        ),
     )
 
 

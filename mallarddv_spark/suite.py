@@ -3142,7 +3142,13 @@ O_TEXT_FREQUENCY = (
 def q_text_contamination_suite(spark, sf):
     """Corpus-hygiene suite: benchmark decontamination verdicts plus PII
     scan/redaction fingerprints, as one tagged union.
-    Parts: text_decontaminate, text_pii_redact."""
+    Parts: text_decontaminate, text_pii_redact, plus `bloomdecon` — the
+    zero-shuffle Bloom pre-pass inner-joined to the exact verdicts on
+    (doc_id, n_hit_shingles, contaminated): its oracle is the SAME exact
+    n-gram SQL, so any Bloom false positive (or worse, a false negative)
+    drops rows and fails the gate's row/hash compare."""
+    from mallarddv_spark.operators.curation import decontaminate_bloom
+
     d = q_text_decontaminate(spark, sf).select(
         F.lit("decontaminate").alias("part"),
         "doc_id",
@@ -3151,6 +3157,42 @@ def q_text_contamination_suite(spark, sf):
         *_nulls(("n3", "bigint"), ("n4", "bigint"), ("n5", "bigint"),
                 ("n6", "bigint"), ("fp", "string")),
         F.col("contaminated").alias("flag"),
+    )
+    docs = _t(spark, sf, "documents")
+    # fpp sized so expected FP shingles across the whole corpus ≪ 1:
+    # train-side shingle probes reach ~1e7 at sf0.1, and the synthetic
+    # docs' tiny shared vocabulary makes the shingle space far denser
+    # than natural text (1e-9 left exactly one FP at sf0.1) → 1e-12.
+    # xxhash64 is deterministic per dataset, so a clean run at a given
+    # SF stays clean (verified clean at sf 0.001/0.01/0.1)
+    bloom = decontaminate_bloom(
+        docs.filter(F.pmod("doc_id", F.lit(50)) != 0),
+        docs.filter(F.pmod("doc_id", F.lit(50)) == 0),
+        "doc_id", "text", shingle_size=5, fpp=1e-12,
+    ).select(
+        F.col("doc_id").alias("__bid"),
+        F.col("n_hit_shingles").alias("__bn"),
+        F.col("contaminated").alias("__bf"),
+    )
+    bd = (
+        q_text_decontaminate(spark, sf)
+        .join(
+            bloom,
+            (F.col("doc_id") == F.col("__bid"))
+            & (F.col("n_hit_shingles") == F.col("__bn"))
+            & (F.col("contaminated") == F.col("__bf")),
+        )
+        .select(
+            F.lit("bloomdecon").alias("part"),
+            "doc_id",
+            # emit the BLOOM side's numbers: equality with the exact
+            # oracle is then a statement about the bloom path itself
+            F.col("__bn").alias("n1"),
+            F.col("n_bench_docs").alias("n2"),
+            *_nulls(("n3", "bigint"), ("n4", "bigint"), ("n5", "bigint"),
+                    ("n6", "bigint"), ("fp", "string")),
+            F.col("__bf").alias("flag"),
+        )
     )
     p = q_text_pii_redact(spark, sf).select(
         F.lit("pii").alias("part"),
@@ -3164,7 +3206,7 @@ def q_text_contamination_suite(spark, sf):
         F.col("redacted_fp").alias("fp"),
         *_nulls(("flag", "boolean")),
     )
-    return d.unionByName(p)
+    return d.unionByName(bd).unionByName(p)
 
 
 O_TEXT_CONTAMINATION = (
@@ -3172,7 +3214,12 @@ O_TEXT_CONTAMINATION = (
     " cast(NULL as bigint) AS n3, cast(NULL as bigint) AS n4, cast(NULL as bigint) AS n5,"
     " cast(NULL as bigint) AS n6, cast(NULL as varchar) AS fp, contaminated AS flag\nFROM ("
     + O_TEXT_DECON
-    + ") d\nUNION ALL\nSELECT 'pii' AS part, doc_id, pii_n_email AS n1, pii_n_ipv4 AS n2,"
+    + ") d\nUNION ALL\nSELECT 'bloomdecon' AS part, doc_id, n_hit_shingles AS n1,"
+    " n_bench_docs AS n2, cast(NULL as bigint) AS n3, cast(NULL as bigint) AS n4,"
+    " cast(NULL as bigint) AS n5, cast(NULL as bigint) AS n6,"
+    " cast(NULL as varchar) AS fp, contaminated AS flag\nFROM ("
+    + O_TEXT_DECON
+    + ") b\nUNION ALL\nSELECT 'pii' AS part, doc_id, pii_n_email AS n1, pii_n_ipv4 AS n2,"
     " pii_n_ssn AS n3, pii_n_phone AS n4, pii_total AS n5, redacted_len AS n6,"
     " redacted_fp AS fp, cast(NULL as boolean) AS flag\nFROM ("
     + O_TEXT_PII
