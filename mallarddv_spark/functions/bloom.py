@@ -49,7 +49,17 @@ def bloom_params(n_items: int, fpp: float) -> dict:
     m_bits = -n_items * math.log(fpp) / (math.log(2) ** 2)
     m = max(64, 2 ** math.ceil(math.log2(max(m_bits, 1))))
     n_words = m // 64
-    n_hashes = max(1, round(m / n_items * math.log(2)))
+    # the power-of-two rounding can nearly double m; the geometry-optimal
+    # k grows with m/n and would waste probe work — ceil(log2(1/fpp))
+    # hashes already achieve the target once m is at least optimally
+    # sized (bit load ≤ 1/2 → per-probe hit rate ≤ 1/2 → fpp ≤ 2^-k)
+    n_hashes = max(
+        1,
+        min(
+            round(m / n_items * math.log(2)),
+            math.ceil(-math.log2(fpp)),
+        ),
+    )
     return {"n_words": n_words, "m": m, "n_hashes": n_hashes}
 
 

@@ -3165,8 +3165,13 @@ def q_text_contamination_suite(spark, sf):
     # than natural text (1e-9 left exactly one FP at sf0.1) → 1e-12.
     # xxhash64 is deterministic per dataset, so a clean run at a given
     # SF stays clean (verified clean at sf 0.001/0.01/0.1)
+    # documents.parquet is ONE file locally → the probe projection (a
+    # wide per-shingle hash expression) would run as a single task and
+    # get re-evaluated around the verification join; pre-shuffling the
+    # train side spreads it across cores (a lake corpus arrives in many
+    # files and needs no such help) — same fix as the linededup gate
     bloom = decontaminate_bloom(
-        docs.filter(F.pmod("doc_id", F.lit(50)) != 0),
+        docs.filter(F.pmod("doc_id", F.lit(50)) != 0).repartition(32, "doc_id"),
         docs.filter(F.pmod("doc_id", F.lit(50)) == 0),
         "doc_id", "text", shingle_size=5, fpp=1e-12,
     ).select(
@@ -3174,13 +3179,15 @@ def q_text_contamination_suite(spark, sf):
         F.col("n_hit_shingles").alias("__bn"),
         F.col("contaminated").alias("__bf"),
     )
+    # join on doc_id alone, equality-check in a filter: keeps the wide
+    # probe expression out of the join keys so it is evaluated once on
+    # the bloom side instead of around the shuffle
     bd = (
         q_text_decontaminate(spark, sf)
-        .join(
-            bloom,
-            (F.col("doc_id") == F.col("__bid"))
-            & (F.col("n_hit_shingles") == F.col("__bn"))
-            & (F.col("contaminated") == F.col("__bf")),
+        .join(bloom, F.col("doc_id") == F.col("__bid"))
+        .filter(
+            (F.col("n_hit_shingles") == F.col("__bn"))
+            & (F.col("contaminated") == F.col("__bf"))
         )
         .select(
             F.lit("bloomdecon").alias("part"),
