@@ -214,6 +214,8 @@ def neardup_stream_processor(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    contamination_bloom_path: str | None = None,
+    contamination_table: str | None = None,
 ):
     """Ready-made ``process_batch`` for :func:`stream_files_to_staging`:
     the continuous-crawl near-dup gate. Each micro-batch is
@@ -229,7 +231,15 @@ def neardup_stream_processor(
        (:func:`operators.dedup.neardup_against_index`) — documents
        matching ANY stored document at ≥ ``threshold`` signature
        agreement are dropped,
-    4. final survivors append to ``sink_table`` first, then to the index
+    4. with ``contamination_bloom_path`` set, survivors are screened
+       against the stored benchmark Bloom filter
+       (``operators.curation.decontaminate_with_bloom`` over a filter
+       persisted by ``build_benchmark_bloom`` + ``bloom.save_bloom``) —
+       eval-set leakage is dropped at ingest, optionally recorded to
+       ``contamination_table`` with the hit count; the filter row is a
+       broadcast and the probe a projection, so this step adds no
+       shuffle,
+    5. final survivors append to ``sink_table`` first, then to the index
        — so later batches dedup against them without recomputing a single
        history signature.
 
@@ -238,7 +248,9 @@ def neardup_stream_processor(
     may hold duplicates (dedup downstream on ``id_col``; the already-
     ingested-id check only consults the INDEX) and the index then catches
     up. A crash before the sink append loses nothing: only documents
-    already visible in the index are dropped.
+    already visible in the index are dropped. ``contamination_table``
+    records are likewise at-least-once (a replayed batch re-screens and
+    re-records; dedup downstream on ``(doc_id, batch_id)``).
     """
 
     def process(batch_df, batch_id: int) -> None:
@@ -272,6 +284,25 @@ def neardup_stream_processor(
         fresh = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
             eager=True
         )
+        if contamination_bloom_path is not None:
+            from mallarddv_spark.operators.curation import (
+                decontaminate_with_bloom,
+            )
+
+            verdicts = decontaminate_with_bloom(
+                fresh, spark.read.parquet(contamination_bloom_path),
+                id_col, text_col,
+            )
+            dirty = verdicts.filter("contaminated")
+            if contamination_table is not None:
+                dirty.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).saveAsTable(contamination_table)
+                _refresh_after_batch_write(spark, contamination_table)
+            fresh = fresh.join(
+                dirty.select(F.col("doc_id").alias(id_col)),
+                id_col, "left_anti",
+            ).localCheckpoint(eager=True)
         if fresh.isEmpty():
             return
         fresh.write.mode("append").saveAsTable(sink_table)

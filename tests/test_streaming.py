@@ -189,6 +189,63 @@ def test_vault_stream_processor_with_quarantine(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS default.stream_dead")
 
 
+def test_neardup_stream_contamination_gate(spark, tmp_path):
+    """The crawl processor's optional decontamination screen: documents
+    sharing 5-grams with the stored benchmark filter are dropped at
+    ingest and recorded; clean documents flow through to sink + index."""
+    from pyspark.sql import functions as F
+
+    from mallarddv_spark.functions import bloom as B
+    from mallarddv_spark.operators import dedup
+    from mallarddv_spark.operators.curation import build_benchmark_bloom
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(
+        docs.filter("doc_id < 100"), index_path,
+        num_perm=32, bands=8, shingle_size=3,
+    )
+    # benchmark = one specific crawl doc's text → that doc must be caught
+    bench = docs.filter("doc_id = 420")
+    bloom_path = str(tmp_path / "bench_bloom")
+    B.save_bloom(
+        build_benchmark_bloom(bench, "doc_id", "text", shingle_size=5),
+        bloom_path,
+    )
+    spark.sql("DROP TABLE IF EXISTS default.gate_sink")
+    spark.sql("DROP TABLE IF EXISTS default.gate_dirty")
+
+    src = str(tmp_path / "crawl")
+    batch = docs.filter("doc_id >= 400 AND doc_id < 430")
+    batch.coalesce(1).write.parquet(f"{src}/f1")
+    process = ingest.neardup_stream_processor(
+        index_path, "default.gate_sink", threshold=0.9,
+        contamination_bloom_path=bloom_path,
+        contamination_table="default.gate_dirty",
+    )
+    q = ingest.stream_files_to_staging(
+        spark, f"{src}/*", batch.schema, str(tmp_path / "ck"),
+        process, file_format="parquet",
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+
+    sink_ids = {r.doc_id for r in spark.table("default.gate_sink").collect()}
+    dirty = {r.doc_id: r for r in spark.table("default.gate_dirty").collect()}
+    assert 420 not in sink_ids and 420 in dirty
+    assert dirty[420].n_hit_shingles > 0
+    assert len(sink_ids) > 0
+    # contaminated docs never reach the index either
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{index_path}/sigs")
+        .select("doc_id").collect()
+    }
+    assert 420 not in idx_ids and sink_ids <= idx_ids
+    spark.sql("DROP TABLE IF EXISTS default.gate_sink")
+    spark.sql("DROP TABLE IF EXISTS default.gate_dirty")
+
+
 def test_vault_stream_staging_not_stale(spark, tmp_path):
     """Regression: foreachBatch overwrites staging through a CLONED
     session, so without an explicit refresh the vault session's relation
