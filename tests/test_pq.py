@@ -1,0 +1,122 @@
+"""Product quantization: codebook geometry, encode determinism, ADC math
+against a NumPy reference, and recall vs exact search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mallarddv_spark.exceptions import DVConfigurationError
+from mallarddv_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_pq_train_geometry(spark, emb):
+    cb = S.pq_train(emb, m=8, n_codes=16).first()
+    assert cb.m == 8 and cb.dsub == 8 and cb.n_codes == 16
+    assert len(cb.cb) == 8
+    assert all(len(sub) == 16 for sub in cb.cb)
+    assert all(len(c) == 8 for sub in cb.cb for c in sub)
+    with pytest.raises(DVConfigurationError):
+        S.pq_train(emb, m=7)  # 64 % 7 != 0
+
+
+def test_pq_encode_matches_numpy_argmin(spark, emb):
+    books = S.pq_train(emb, m=8, n_codes=16)
+    enc = S.pq_encode(emb, books)
+    rows = enc.select("vec_id", "embedding", "pq_codes").collect()
+    cb = np.array(books.first().cb)  # (m, n_codes, dsub)
+    m, dsub = cb.shape[0], cb.shape[2]
+    for r in rows[:50]:
+        v = np.array(r.embedding, dtype=np.float64)
+        for s in range(m):
+            sub = v[s * dsub:(s + 1) * dsub]
+            d = ((cb[s] - sub) ** 2).sum(axis=1)
+            assert r.pq_codes[s] == int(np.argmin(d)), (r.vec_id, s)
+
+
+def test_pq_adc_matches_numpy_and_recall(spark, emb):
+    books = S.pq_train(emb, m=8, n_codes=64)
+    enc = S.pq_encode(emb, books)
+    queries = emb.filter("vec_id < 10")
+    got = S.pq_topk_adc(queries, enc, books, k=5).collect()
+    assert {r.query_id for r in got} == set(range(10))
+
+    # ADC distances match the NumPy table-lookup computation
+    cb = np.array(books.first().cb)
+    m, dsub = cb.shape[0], cb.shape[2]
+    codes = {r.vec_id: r.pq_codes for r in enc.select("vec_id", "pq_codes").collect()}
+    qv = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+          for r in queries.collect()}
+    for r in got:
+        q = qv[r.query_id]
+        want = sum(
+            ((cb[s][codes[r.neighbor_id][s]] - q[s * dsub:(s + 1) * dsub]) ** 2).sum()
+            for s in range(m)
+        )
+        assert abs(r.adc_dist - want) < 1e-4, (r.query_id, r.neighbor_id)
+
+    # recall@5 vs exact L2 (self-match guaranteed: each query is in the
+    # corpus and its own codes give the minimal reconstruction distance
+    # only approximately, so we measure overlap, not rank-1 identity)
+    all_v = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+             for r in emb.collect()}
+    ids = sorted(all_v)
+    mat = np.stack([all_v[i] for i in ids])
+    hits = total = 0
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qid, approx in by_q.items():
+        d = ((mat - all_v[qid]) ** 2).sum(axis=1)
+        exact = {ids[j] for j in np.argsort(d, kind="stable")[:5]}
+        hits += len(exact & approx)
+        total += 5
+    recall = hits / total
+    # raw ADC on unstructured random vectors (PQ's worst case) — the
+    # deployment path is pq_topk_rerank, asserted below
+    assert recall >= 0.4, recall
+
+    # shortlist + exact rerank: the standard composition recovers recall
+    rr = S.pq_topk_rerank(queries, emb, enc, books, k=5, shortlist=50)
+    hits2 = 0
+    for qid, grp in _group(rr.collect()).items():
+        d = ((mat - all_v[qid]) ** 2).sum(axis=1)
+        exact = {ids[j] for j in np.argsort(d, kind="stable")[:5]}
+        hits2 += len(exact & grp)
+    assert hits2 / total >= 0.85, hits2 / total
+    # the reranked rank-1 for a query that is itself in the corpus must
+    # be the query (exact distance 0 survives any shortlist)
+    r1 = {r.query_id: r.neighbor_id for r in rr.collect() if r.rank == 1}
+    assert all(r1[q] == q for q in r1), r1
+
+
+def _group(rows):
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return by_q
+
+
+def test_pq_plan_shape(spark, emb):
+    """Encode is a projection (no shuffle, no explode); the ADC probe's
+    only exchange is the final top-k window."""
+    books = S.pq_train(emb, m=8, n_codes=16)
+    enc = S.pq_encode(emb, books)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the codebook row broadcast is the only allowed exchange — the
+    # corpus itself must not shuffle or explode
+    assert "Exchange hashpartitioning" not in final, final
+    assert "Exchange rangepartitioning" not in final, final
+    assert "Generate" not in plan
+
+    probe = S.pq_topk_adc(emb.filter("vec_id < 3"), enc, books, k=3)
+    pplan = probe._jdf.queryExecution().executedPlan().toString()
+    final = pplan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
