@@ -868,3 +868,29 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "l2_dist")
     )
+
+
+def pq_codebooks_deterministic(
+    spark, m: int = 8, dsub: int = 8, n_codes: int = 16
+) -> DataFrame:
+    """Fixed-grid PQ codebooks from a closed-form rule —
+    ``centroid[s][j][d] = (((j·31 + d·7 + s·3) mod 17) − 8) / 8`` — the
+    same row shape :func:`pq_train` produces, with no training step.
+
+    Exists for cross-engine verification (the driver gate's DuckDB
+    oracle replays the rule, the encode argmin, and the ADC sums in
+    SQL), mirroring ``ivf_topk_deterministic``; recall of the arbitrary
+    grid is far below trained codebooks, but every downstream code path
+    (encode, ADC, rerank) is identical."""
+    books = [
+        [
+            [float((((j * 31 + d * 7 + s * 3) % 17) - 8) / 8.0)
+             for d in range(dsub)]
+            for j in range(n_codes)
+        ]
+        for s in range(m)
+    ]
+    return spark.createDataFrame(
+        [(books, m, dsub, n_codes)],
+        "cb array<array<array<double>>>, m int, dsub int, n_codes int",
+    )

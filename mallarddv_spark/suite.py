@@ -3650,11 +3650,85 @@ O_DEDUP_SIGNATURES = (
 )
 
 
+def q_similarity_pq_adc(spark, sf):
+    """Product-quantization ADC top-k, deterministic-codebook variant
+    (`operators/similarity.pq_codebooks_deterministic` + `pq_encode` +
+    `pq_topk_adc`): the fixed-grid codebook rule, the per-subvector
+    argmin encode (first-minimum tie-break), and the asymmetric-distance
+    table-lookup sums all replay in closed-form DuckDB SQL — the same
+    cross-engine strategy that oracles the IVF variant. Production
+    callers use `pq_train`'s KMeans codebooks; every downstream
+    expression here is identical."""
+    from mallarddv_spark.operators.similarity import (
+        pq_codebooks_deterministic,
+        pq_encode,
+        pq_topk_adc,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    books = pq_codebooks_deterministic(spark, m=8, dsub=8, n_codes=16)
+    enc = pq_encode(e.filter("vec_id >= 10"), books)
+    out = pq_topk_adc(e.filter("vec_id < 10"), enc, books, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"),
+        "adc_dist",
+    )
+
+
+O_SIM_PQADC = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cb AS (
+    SELECT s.s, j.j,
+           list_transform(range(0, 8), d ->
+               ((((j.j * 31 + d * 7 + s.s * 3) % 17) - 8) / 8.0)) AS c
+    FROM (SELECT unnest(range(0, 8)) AS s) s,
+         (SELECT unnest(range(0, 16)) AS j) j
+),
+subdist AS (
+    SELECT e.vec_id, cb.s, cb.j,
+           list_sum(list_transform(range(0, 8), d ->
+               (e.v[cb.s * 8 + d + 1] - cb.c[d + 1])
+               * (e.v[cb.s * 8 + d + 1] - cb.c[d + 1]))) AS dist
+    FROM e, cb WHERE e.vec_id >= 10
+),
+codes AS (
+    SELECT vec_id, s, j AS code
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+          FROM subdist) x
+    WHERE rn = 1
+),
+qsub AS (
+    SELECT e.vec_id AS query_id, cb.s, cb.j,
+           list_sum(list_transform(range(0, 8), d ->
+               (e.v[cb.s * 8 + d + 1] - cb.c[d + 1])
+               * (e.v[cb.s * 8 + d + 1] - cb.c[d + 1]))) AS dist
+    FROM e, cb WHERE e.vec_id < 10
+),
+adc AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round(sum(q.dist), 6) AS adc_dist
+    FROM codes c JOIN qsub q ON q.s = c.s AND q.j = c.code
+    GROUP BY q.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, rank, adc_dist
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+      FROM adc) x
+WHERE rank <= 5
+"""
+
+
 def q_similarity_suite(spark, sf):
     """Embedding-similarity suite: brute-force cosine top-k (queries ×
-    candidates), the above-threshold all-pairs variant, and the
-    int8-quantized top-k probe as one tagged union. Parts:
-    similarity_topk, similarity_pairs, similarity_quantized_topk."""
+    candidates), the above-threshold all-pairs variant, the
+    int8-quantized top-k probe, and the deterministic-codebook PQ ADC
+    top-k (`pqadc` — its `cosine` slot carries the ADC squared distance)
+    as one tagged union. Parts: similarity_topk, similarity_pairs,
+    similarity_quantized_topk, plus the pqadc part oracled by
+    O_SIM_PQADC."""
     tk = q_similarity_topk(spark, sf).select(
         F.lit("topk").alias("part"),
         F.col("query_id").alias("id_a"),
@@ -3676,7 +3750,14 @@ def q_similarity_suite(spark, sf):
         F.col("rank"),
         F.col("cosine"),
     )
-    return tk.unionByName(pr).unionByName(qt)
+    pq = q_similarity_pq_adc(spark, sf).select(
+        F.lit("pqadc").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("rank"),
+        F.col("adc_dist").alias("cosine"),
+    )
+    return tk.unionByName(pr).unionByName(qt).unionByName(pq)
 
 
 O_SIMILARITY_SUITE = (
@@ -3686,7 +3767,9 @@ O_SIMILARITY_SUITE = (
     + O_SIM_PAIRS
     + ") pr\nUNION ALL\nSELECT 'qtopk', query_id, neighbor_id, rank, cosine\nFROM ("
     + O_SIM_QTOPK
-    + ") qt"
+    + ") qt\nUNION ALL\nSELECT 'pqadc', query_id, neighbor_id, rank, adc_dist\nFROM ("
+    + O_SIM_PQADC
+    + ") pq"
 )
 
 
