@@ -894,3 +894,181 @@ def pq_codebooks_deterministic(
         [(books, m, dsub, n_codes)],
         "cb array<array<array<double>>>, m int, dsub int, n_codes int",
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+) -> dict:
+    """IVF-PQ: the billion-scale ANN layout — coarse KMeans cells for
+    partition pruning, and inside each cell only the PQ codes of the
+    RESIDUAL (vector − cell centroid) are stored. Residuals concentrate
+    around zero, so one shared codebook serves every cell (the classic
+    IVFADC arrangement); the stored bytes per vector are m code ids
+    instead of the float vector — the difference between scanning 100 TB
+    of floats and ~3 TB of codes.
+
+    Layout under ``path``::
+
+        cells/centroid_id=<i>/*.parquet   (neighbor_id, pq_codes)
+        centroids/*.parquet               (centroid_id, centroid)
+        codebooks/*.parquet               (cb, m, dsub, n_codes) — 1 row
+
+    The float source-of-truth stays wherever the caller keeps it;
+    :func:`ivfpq_probe_topk` accepts it for the exact-rerank tail.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cv"),
+    )
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=3, initMode="random",
+        featuresCol="feat", predictionCol="centroid_id",
+    )
+    feat = c.withColumn("feat", array_to_vector("cv"))
+    target = n_centroids * 512
+    n_corpus = corpus.count()
+    train = (
+        feat.sample(fraction=min(1.0, target / n_corpus), seed=seed)
+        if n_corpus > target
+        else feat
+    )
+    model = km.fit(train)
+    assigned = model.transform(feat).select("neighbor_id", "cv", "centroid_id")
+
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(centroids, ["centroid_id", "centroid"])
+
+    resid = assigned.join(F.broadcast(cent_df), "centroid_id").select(
+        "neighbor_id", "centroid_id",
+        F.expr("zip_with(cv, centroid, (x, y) -> x - y)").alias("rv"),
+    )
+    books = pq_train(
+        resid, id_col="neighbor_id", vec_col="rv",
+        m=m, n_codes=n_codes, seed=seed,
+    )
+    enc = pq_encode(resid, books, id_col="neighbor_id", vec_col="rv")
+    enc.select("neighbor_id", "centroid_id", "pq_codes").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(f"{path}/cells")
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    books.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return {
+        "path": path, "n_centroids": n_centroids, "m": m,
+        "n_codes": n_codes, "n_rows": n_corpus,
+    }
+
+
+def ivfpq_probe_topk(
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+    rerank_corpus: DataFrame | None = None,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Probe a :func:`build_ivfpq_index`: the ``nprobe`` nearest cells per
+    query are read partition-pruned (static ``centroid_id IN`` filter,
+    same mechanism as :func:`ivf_probe_topk`), each (query, cell) pair
+    precomputes its RESIDUAL distance table (the query residual differs
+    per cell), and candidate distances are m table lookups over the code
+    bytes. With ``rerank_corpus`` (the float source) the top
+    ``shortlist`` ADC candidates per query are exactly reranked and the
+    result carries true L2 distances; without it, ADC distances rank.
+
+    Returns (query_id, neighbor_id, rank, dist)."""
+    spark = queries.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/codebooks")
+    geo = books.select("m", "dsub").first()
+    mm, dsub = int(geo.m), int(geo.dsub)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("qv"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(qv, centroid, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "centroid_id", "centroid")
+    )
+    # per-(query, cell) residual distance table over the shared codebook
+    table = (
+        f"transform(__cb, (sub_cb, s) -> transform(sub_cb, c_arr -> "
+        f"aggregate(zip_with(slice(zip_with(qv, centroid, (x, y) -> x - y), "
+        f"s * {dsub} + 1, {dsub}), c_arr, "
+        f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (a, x) -> a + x)))"
+    )
+    probes_t = probes.crossJoin(
+        F.broadcast(books.select(F.col("cb").alias("__cb")))
+    ).select("query_id", "qv", "centroid_id", F.expr(table).alias("__t"))
+
+    probed_ids = sorted(
+        {r.centroid_id for r in probes.select("centroid_id").distinct().collect()}
+    )
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("centroid_id").isin(probed_ids)
+    )
+    adc = (
+        "round(aggregate(transform(pq_codes, (cd, s) -> "
+        "element_at(element_at(__t, s + 1), cd + 1)), "
+        "cast(0.0 as double), (a, x) -> a + x), 6)"
+    )
+    cand = cells.join(F.broadcast(probes_t), "centroid_id").withColumn(
+        "adc_dist", F.expr(adc)
+    )
+    n_keep = shortlist if rerank_corpus is not None else k
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    top = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_keep)
+    )
+    if rerank_corpus is None:
+        return top.select(
+            "query_id", "neighbor_id", "rank",
+            F.col("adc_dist").alias("dist"),
+        )
+    c = rerank_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cv"),
+    )
+    pairs = c.join(
+        F.broadcast(top.select("query_id", "neighbor_id", "qv")), "neighbor_id"
+    ).withColumn(
+        "l2_dist",
+        F.expr(
+            "round(aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+            "cast(0.0 as double), (a, x) -> a + x), 6)"
+        ),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("l2_dist"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("l2_dist").alias("dist"))
+    )

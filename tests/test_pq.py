@@ -103,6 +103,49 @@ def _group(rows):
     return by_q
 
 
+def test_ivfpq_index_roundtrip_and_recall(spark, emb, tmp_path):
+    """Build → probe a stored IVF-PQ index: codes-only cells, partition-
+    pruned reads, residual ADC, exact rerank against the float source."""
+    path = str(tmp_path / "ivfpq")
+    info = S.build_ivfpq_index(emb, path, n_centroids=8, m=8, n_codes=64)
+    assert info["n_rows"] == emb.count()
+    # cells store ONLY ids + codes (no float vectors) under partition dirs
+    cells = spark.read.parquet(f"{path}/cells")
+    assert set(cells.columns) == {"neighbor_id", "pq_codes", "centroid_id"}
+
+    queries = emb.filter("vec_id < 10")
+    rr = S.ivfpq_probe_topk(
+        queries, path, k=5, nprobe=4, rerank_corpus=emb, shortlist=50
+    )
+    rows = rr.collect()
+    assert {r.query_id for r in rows} == set(range(10))
+    # each query is in the corpus: after exact rerank its own cell holds
+    # it (nprobe includes the nearest centroid) → rank-1 self at dist 0
+    r1 = {r.query_id: (r.neighbor_id, r.dist) for r in rows if r.rank == 1}
+    assert all(n == q and d == 0.0 for q, (n, d) in r1.items()), r1
+
+    # recall@5 vs exact L2 with half the cells probed
+    import numpy as np
+    all_v = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+             for r in emb.collect()}
+    ids = sorted(all_v)
+    mat = np.stack([all_v[i] for i in ids])
+    hits = 0
+    for qid, grp in _group(rows).items():
+        d = ((mat - all_v[qid]) ** 2).sum(axis=1)
+        exact = {ids[j] for j in np.argsort(d, kind="stable")[:5]}
+        hits += len(exact & grp)
+    assert hits / 50 >= 0.5, hits / 50  # nprobe=4 of 8 cells bounds recall
+
+    # ADC-only probe (no rerank) still returns k rows per query and its
+    # scan is pruned to the probed cells
+    adc_only = S.ivfpq_probe_topk(queries, path, k=3, nprobe=2)
+    assert adc_only.count() == 30
+    plan = adc_only._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id IN" in plan or "isin" in plan.lower() or \
+        plan.count("PartitionFilters: [") > 0
+
+
 def test_pq_plan_shape(spark, emb):
     """Encode is a projection (no shuffle, no explode); the ADC probe's
     only exchange is the final top-k window."""
