@@ -747,21 +747,20 @@ def pq_encode(
     Pure expression path: the codebook row cross-joins in as a broadcast
     and the argmin over codes is an array lambda — no explode, no
     shuffle, no Python; encoding 100 TB is one codegen projection.
-    Ties break to the lowest code id (``array_position`` finds the first
-    minimum), keeping assignments deterministic."""
-    geo = codebooks.select("m", "dsub").first()
-    m, dsub = int(geo.m), int(geo.dsub)
+    The argmin is ``array_min`` over (distance, code) structs, so every
+    distance is computed ONCE and ties break to the lowest code id
+    (struct ordering compares the code second)."""
+    geo = codebooks.select("m", "dsub", "n_codes").first()
+    m, dsub, n_codes = int(geo.m), int(geo.dsub), int(geo.n_codes)
     v = f"transform({vec_col}, x -> cast(x as double))"
     codes = (
         f"transform(sequence(0, {m - 1}), s -> "
-        f"cast(array_position("
-        f"  transform(element_at(__cb, s + 1), c_arr -> "
-        f"    aggregate(zip_with(slice({v}, s * {dsub} + 1, {dsub}), c_arr, "
-        f"      (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (a, x) -> a + x)), "
-        f"  array_min(transform(element_at(__cb, s + 1), c_arr -> "
-        f"    aggregate(zip_with(slice({v}, s * {dsub} + 1, {dsub}), c_arr, "
-        f"      (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (a, x) -> a + x)))"
-        f") - 1 as int))"
+        f"array_min(transform(sequence(0, {n_codes - 1}), j -> "
+        f"  struct("
+        f"    aggregate(zip_with(slice({v}, s * {dsub} + 1, {dsub}), "
+        f"      element_at(element_at(__cb, s + 1), j + 1), "
+        f"      (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (a, x) -> a + x) AS d, "
+        f"    j AS j))).j)"
     )
     return (
         corpus.crossJoin(F.broadcast(codebooks.select(F.col("cb").alias("__cb"))))

@@ -3667,7 +3667,9 @@ def q_similarity_pq_adc(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     books = pq_codebooks_deterministic(spark, m=8, dsub=8, n_codes=16)
-    enc = pq_encode(e.filter("vec_id >= 10"), books)
+    # embeddings.parquet is ONE file locally → pre-shuffle so the encode
+    # projection parallelizes (a lake corpus arrives in many files)
+    enc = pq_encode(e.filter("vec_id >= 10").repartition(32, "vec_id"), books)
     out = pq_topk_adc(e.filter("vec_id < 10"), enc, books, k=5)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"),
