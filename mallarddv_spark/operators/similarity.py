@@ -1071,3 +1071,48 @@ def ivfpq_probe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.col("l2_dist").alias("dist"))
     )
+
+
+def ivfpq_append(
+    new_rows: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a :func:`build_ivfpq_index`: assign
+    each against the STORED centroids (nearest squared-euclidean,
+    centroid_id tiebreak), encode its residual against the STORED
+    codebooks, append the codes to the matching cells. No retraining —
+    the continuous-ingest path; code quality for the new rows matches
+    the original build because residual codebooks are cell-agnostic.
+    Same at-least-once caveat as :func:`ivf_append`: replays append
+    duplicate ids (probes then surface the duplicate; dedup on id
+    downstream or compact)."""
+    spark = new_rows.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/codebooks")
+    rows = new_rows.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cv"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(cv, centroid, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(
+        F.asc("dist"), F.asc("centroid_id")
+    )
+    resid = (
+        rows.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "neighbor_id", "centroid_id",
+            F.expr("zip_with(cv, centroid, (x, y) -> x - y)").alias("rv"),
+        )
+    )
+    enc = pq_encode(resid, books, id_col="neighbor_id", vec_col="rv")
+    enc.select("neighbor_id", "centroid_id", "pq_codes").write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(f"{path}/cells")

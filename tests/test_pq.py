@@ -145,6 +145,26 @@ def test_ivfpq_index_roundtrip_and_recall(spark, emb, tmp_path):
     assert "centroid_id IN" in plan or "isin" in plan.lower() or \
         plan.count("PartitionFilters: [") > 0
 
+    # append new vectors against the stored geometry: no retrain, the
+    # appended vector becomes its own exact-rerank rank-1
+    novel = spark.createDataFrame(
+        [(900001, [0.123] * 64)], "vec_id long, embedding array<double>"
+    )
+    S.ivfpq_append(novel, path)
+    cells2 = spark.read.parquet(f"{path}/cells")
+    assert cells2.filter("neighbor_id = 900001").count() == 1
+    novel_as_emb = novel.select(
+        F.col("vec_id").cast(dict(emb.dtypes)["vec_id"]),
+        F.col("embedding").cast(dict(emb.dtypes)["embedding"]),
+    )
+    rr2 = S.ivfpq_probe_topk(
+        novel, path, k=3, nprobe=4,
+        rerank_corpus=emb.select("vec_id", "embedding").unionByName(novel_as_emb),
+        shortlist=50,
+    )
+    top = [r for r in rr2.collect() if r.rank == 1]
+    assert len(top) == 1 and top[0].neighbor_id == 900001 and top[0].dist == 0.0
+
 
 def test_pq_plan_shape(spark, emb):
     """Encode is a projection (no shuffle, no explode); the ADC probe's
