@@ -104,23 +104,21 @@ def _bit_mask(p) -> Column:
     )
 
 
-def build_bloom(
-    df: DataFrame,
-    value_col: str | Column,
-    fpp: float = 1e-6,
-    expected_items: int | None = None,
-) -> DataFrame:
-    """Fold the distinct values of ``value_col`` into ONE filter row:
-    ``(__bloom array<long>, m long, n_hashes int, n_items long)``.
+def _distinct_vals(df: DataFrame, value_col: str | Column) -> DataFrame:
+    return df.select(
+        F.col(value_col).alias("__v") if isinstance(value_col, str)
+        else value_col.alias("__v")
+    ).distinct()
 
-    ``expected_items`` skips the sizing count when the caller already
-    knows the cardinality (e.g. from a stored manifest). An empty input
-    yields an all-zero filter that cleanly reports nothing present."""
-    vals = df.select(F.col(value_col).alias("__v") if isinstance(value_col, str)
-                     else value_col.alias("__v")).distinct()
-    n_items = int(expected_items or vals.count())
-    p = bloom_params(n_items, fpp)
-    m, n_hashes, n_words = p["m"], p["n_hashes"], p["n_words"]
+
+def _fold_filter(
+    vals: DataFrame, m: int, n_hashes: int, n_items: int
+) -> DataFrame:
+    """The ONE filter-building plan — explode probe positions, OR-fold
+    per 64-bit word, densify to ``array<long>`` — shared by
+    :func:`build_bloom` and :func:`bloom_append` so built and appended
+    bits can never drift apart (the stored format must keep probing
+    identically forever)."""
     word = vals.select(
         F.explode(bloom_positions(F.col("__v"), m, n_hashes)).alias("p")
     ).select(
@@ -137,7 +135,7 @@ def build_bloom(
         )
         .select(
             F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                F.sequence(F.lit(0), F.lit(m // 64 - 1)),
                 lambda i: F.coalesce(
                     F.element_at(F.col("__m"), i), F.lit(0).cast("long")
                 ),
@@ -147,6 +145,24 @@ def build_bloom(
             F.lit(max(n_items, 1)).cast("long").alias("n_items"),
         )
     )
+
+
+def build_bloom(
+    df: DataFrame,
+    value_col: str | Column,
+    fpp: float = 1e-6,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Fold the distinct values of ``value_col`` into ONE filter row:
+    ``(__bloom array<long>, m long, n_hashes int, n_items long)``.
+
+    ``expected_items`` skips the sizing count when the caller already
+    knows the cardinality (e.g. from a stored manifest). An empty input
+    yields an all-zero filter that cleanly reports nothing present."""
+    vals = _distinct_vals(df, value_col)
+    n_items = int(expected_items or vals.count())
+    p = bloom_params(n_items, fpp)
+    return _fold_filter(vals, p["m"], p["n_hashes"], n_items)
 
 
 def bloom_contains(value, bloom_col, m: int, n_hashes: int) -> Column:
@@ -165,17 +181,25 @@ def bloom_contains(value, bloom_col, m: int, n_hashes: int) -> Column:
 
 def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     """Union two filters of IDENTICAL geometry (elementwise bit OR): the
-    merged filter contains every value either side contains. Geometry is
-    checked plan-side — mismatched word counts fail the zip rather than
-    silently probing wrong bits."""
-    ga = a.select("m", "n_hashes").first()
-    gb = b.select("m", "n_hashes").first()
-    if (ga.m, ga.n_hashes) != (gb.m, gb.n_hashes):
-        raise DVConfigurationError(
-            f"bloom geometry mismatch: {(ga.m, ga.n_hashes)} vs "
-            f"{(gb.m, gb.n_hashes)} — rebuild at a common size"
-        )
+    merged filter contains every value either side contains.
+
+    Geometry AND the sides' shared metadata columns (e.g. the
+    ``shingle_size`` that :func:`build_benchmark_bloom` stamps) must
+    agree — two filters built over differently-shingled values can land
+    on the same bit geometry, and OR-ing them would produce a filter
+    that silently never matches one side's members."""
     extra = [c for c in a.columns if c not in ("__bloom", "n_items")]
+    shared = [c for c in extra if c in b.columns]
+    ga = a.select(*shared).first()
+    gb = b.select(*shared).first()
+    mismatched = {
+        c: (ga[c], gb[c]) for c in shared if ga[c] != gb[c]
+    }
+    if mismatched:
+        raise DVConfigurationError(
+            f"bloom filters incompatible on {mismatched} — rebuild both "
+            f"with a common geometry and metadata"
+        )
     return (
         a.select(
             F.col("__bloom").alias("__a"),
@@ -226,40 +250,18 @@ def bloom_append(
     of appending past ~the original sizing."""
     stored = spark.read.parquet(path)
     geo = stored.select("m", "n_hashes").first()
-    vals = new_values.select(
-        F.col(value_col).alias("__v") if isinstance(value_col, str)
-        else value_col.alias("__v")
-    ).distinct()
+    vals = _distinct_vals(new_values, value_col)
     n_new = vals.count()
-    word = vals.select(
-        F.explode(
-            bloom_positions(F.col("__v"), int(geo.m), int(geo.n_hashes))
-        ).alias("p")
-    ).select(
-        (F.col("p") / 64).cast("int").alias("w"),
-        _bit_mask(F.col("p")).alias("b"),
+    # fold at the STORED geometry (no merge_blooms round-trip: its
+    # compatibility probe would re-execute the whole batch fold), and
+    # collect the tiny batch row once so nothing evaluates twice
+    batch_row = _fold_filter(
+        vals, int(geo.m), int(geo.n_hashes), max(n_new, 1)
+    ).collect()
+    merged = merge_blooms(
+        stored, spark.createDataFrame(batch_row, stored.select(
+            "__bloom", "m", "n_hashes", "n_items").schema)
     )
-    batch = (
-        word.groupBy("w")
-        .agg(F.expr("bit_or(b)").alias("bits"))
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
-                "__m"
-            )
-        )
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(int(geo.m) // 64 - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("__m"), i), F.lit(0).cast("long")
-                ),
-            ).alias("__bloom"),
-            F.lit(int(geo.m)).cast("long").alias("m"),
-            F.lit(int(geo.n_hashes)).cast("int").alias("n_hashes"),
-            F.lit(n_new).cast("long").alias("n_items"),
-        )
-    )
-    merged = merge_blooms(stored, batch)
     rows = merged.collect()  # one tiny row — detach from the input files
     out = spark.createDataFrame(rows, merged.schema)
     out.coalesce(1).write.mode("overwrite").parquet(path)

@@ -102,11 +102,14 @@ def decontaminate_bloom(
     a few MB no matter how many eval sets are folded in.
 
     The filter is built from Catalyst expressions only (no UDFs, no
-    engine-private sketch format): Kirsch–Mitzenmacher double hashing
-    ``pos_i = (h1 + i·h2) mod m`` over two independent xxhash64 views of
-    each shingle, OR-folded into an ``array<long>`` of bit words — so
-    build and probe stay in whole-stage codegen and the stored bits are
-    reproducible anywhere xxhash64 exists.
+    engine-private sketch format): enhanced double hashing
+    ``pos_i = (h1 + i·h2 + i²·h3) mod m`` over three independent
+    xxhash64 views of each shingle (see
+    :func:`functions.bloom.bloom_positions` for why the quadratic term
+    and the power-of-two ``m`` with odd ``h2`` are load-bearing),
+    OR-folded into an ``array<long>`` of bit words — so build and probe
+    stay in whole-stage codegen and the stored bits are reproducible
+    anywhere xxhash64 exists.
 
     Trade-offs vs exact: false positives (no false negatives), and no
     ``n_bench_docs`` (a Bloom filter can't attribute hits). ``fpp`` is

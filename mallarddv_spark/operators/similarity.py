@@ -666,7 +666,6 @@ def cosine_topk_quantized(
 
 def pq_train(
     corpus: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 8,
     n_codes: int = 16,
@@ -737,12 +736,11 @@ def pq_train(
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes_col: str = "pq_codes",
 ) -> DataFrame:
-    """Assign each vector its ``m`` nearest-centroid code ids —
-    ``(id_col, codes_col array<int>)`` plus the original columns.
+    """Add ``codes_col array<int>`` — each vector's ``m`` nearest-
+    centroid code ids — alongside the input's existing columns.
 
     Pure expression path: the codebook row cross-joins in as a broadcast
     and the argmin over codes is an array lambda — no explode, no
@@ -955,10 +953,9 @@ def build_ivfpq_index(
         F.expr("zip_with(cv, centroid, (x, y) -> x - y)").alias("rv"),
     )
     books = pq_train(
-        resid, id_col="neighbor_id", vec_col="rv",
-        m=m, n_codes=n_codes, seed=seed,
+        resid, vec_col="rv", m=m, n_codes=n_codes, seed=seed,
     )
-    enc = pq_encode(resid, books, id_col="neighbor_id", vec_col="rv")
+    enc = pq_encode(resid, books, vec_col="rv")
     enc.select("neighbor_id", "centroid_id", "pq_codes").write.mode(
         "overwrite"
     ).partitionBy("centroid_id").parquet(f"{path}/cells")
@@ -993,8 +990,7 @@ def ivfpq_probe_topk(
     spark = queries.sparkSession
     cent = spark.read.parquet(f"{path}/centroids")
     books = spark.read.parquet(f"{path}/codebooks")
-    geo = books.select("m", "dsub").first()
-    mm, dsub = int(geo.m), int(geo.dsub)
+    dsub = int(books.select("dsub").first().dsub)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1112,7 +1108,7 @@ def ivfpq_append(
             F.expr("zip_with(cv, centroid, (x, y) -> x - y)").alias("rv"),
         )
     )
-    enc = pq_encode(resid, books, id_col="neighbor_id", vec_col="rv")
+    enc = pq_encode(resid, books, vec_col="rv")
     enc.select("neighbor_id", "centroid_id", "pq_codes").write.mode(
         "append"
     ).partitionBy("centroid_id").parquet(f"{path}/cells")

@@ -26,7 +26,9 @@ from pyspark.sql.types import StructType
 from mallarddv_spark.exceptions import DVConfigurationError
 
 
-def _refresh_after_batch_write(batch_session: SparkSession, table: str) -> None:
+def _refresh_after_batch_write(
+    batch_session: SparkSession, table: str, extra_sessions: tuple = ()
+) -> None:
     """Invalidate cached relation metadata for ``table`` after a
     ``foreachBatch`` write.
 
@@ -40,8 +42,9 @@ def _refresh_after_batch_write(batch_session: SparkSession, table: str) -> None:
     active session restores read-your-writes for the normal single-user
     pattern; independent third sessions still follow standard Spark
     semantics (``REFRESH TABLE`` before reading externally-written
-    tables)."""
-    for s in {batch_session, SparkSession.getActiveSession()}:
+    tables). ``extra_sessions`` covers readers known to the caller that
+    may be neither (e.g. the vault facade's session)."""
+    for s in {batch_session, SparkSession.getActiveSession(), *extra_sessions}:
         if s is not None:
             try:
                 s.catalog.refreshTable(table)
@@ -161,12 +164,9 @@ def vault_stream_processor(
         # the overwrite ran on foreachBatch's CLONED session; the vault
         # facade reads staging through ITS session — refresh there or
         # execute_flow can resolve the previous batch's (deleted) files
-        try:
-            vault.spark.catalog.refreshTable(f"{vault.stg_db}.{source_table}")
-        except Exception:
-            pass
         _refresh_after_batch_write(
-            batch_df.sparkSession, f"{vault.stg_db}.{source_table}"
+            batch_df.sparkSession, f"{vault.stg_db}.{source_table}",
+            extra_sessions=(vault.spark,),
         )
         errs = vault.execute_flow(
             source_table,
@@ -259,13 +259,18 @@ def neardup_stream_processor(
 
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        # open the index through its params FIRST — that heals any
+        # compaction interrupted mid-swap, so the sigs read below always
+        # resolves a complete directory (reading sigs before healing
+        # would wedge the stream after a crashed compact: every restart
+        # fails on the missing path before reaching the heal)
+        p = dedup._minhash_index_params(spark, index_path)
         # replay fence: ids the index already holds were fully processed
         seen = spark.read.parquet(f"{index_path}/sigs").select(
             F.col("doc_id").alias(id_col)
         )
         batch = batch.join(seen, id_col, "left_anti")
         # within-batch near-dups (same params as the stored index)
-        p = dedup._minhash_index_params(spark, index_path)
         self_pairs = dedup.minhash_lsh_pairs(
             batch, id_col, text_col,
             num_perm=p["num_perm"], bands=p["bands"],

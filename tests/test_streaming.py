@@ -189,6 +189,43 @@ def test_vault_stream_processor_with_quarantine(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS default.stream_dead")
 
 
+def test_neardup_stream_heals_torn_index(spark, tmp_path):
+    """A compaction crash between rename-out and rename-in leaves the
+    index's sigs dir absent with only the __pre_compact backup. The
+    stream processor must heal-on-open BEFORE its replay-fence read of
+    sigs, or every restart dies on the missing path."""
+    import os as _os
+
+    from mallarddv_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(
+        docs.filter("doc_id < 100"), index_path,
+        num_perm=32, bands=8, shingle_size=3,
+    )
+    # simulate the torn mid-swap state
+    _os.rename(f"{index_path}/sigs", f"{index_path}/sigs__pre_compact")
+    spark.sql("DROP TABLE IF EXISTS default.heal_sink")
+
+    src = str(tmp_path / "crawl")
+    batch = docs.filter("doc_id >= 400 AND doc_id < 410")
+    batch.coalesce(1).write.parquet(f"{src}/f1")
+    process = ingest.neardup_stream_processor(
+        index_path, "default.heal_sink", threshold=0.9
+    )
+    q = ingest.stream_files_to_staging(
+        spark, f"{src}/*", batch.schema, str(tmp_path / "ck"),
+        process, file_format="parquet",
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    assert spark.table("default.heal_sink").count() > 0
+    # the backup was restored and the batch appended on top of it
+    assert spark.read.parquet(f"{index_path}/sigs").count() > 100
+    spark.sql("DROP TABLE IF EXISTS default.heal_sink")
+
+
 def test_neardup_stream_contamination_gate(spark, tmp_path):
     """The crawl processor's optional decontamination screen: documents
     sharing 5-grams with the stored benchmark filter are dropped at
