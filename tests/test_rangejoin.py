@@ -1,0 +1,136 @@
+"""Bin-bucketed range joins vs a brute-force theta-join ground truth,
+plus the dedup-free and fail-fast properties."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from mallarddv_spark.exceptions import DVConfigurationError
+from mallarddv_spark.operators import rangejoin as R
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    from mallarddv_spark.suite import read_events
+
+    return (
+        read_events(spark, SF)
+        .filter("user_id < 40")
+        .select(
+            "event_id", "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)"
+            ).alias("t"),
+        )
+    )
+
+
+def _sessions(ev):
+    # synthetic intervals: one per user spanning their 2nd..4th event
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("t")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter("rn in (2, 4)")
+        .groupBy(F.col("user_id").alias("iv_user"))
+        .agg(F.min("t").alias("iv_start"), F.max("t").alias("iv_end"))
+        .withColumn("iv_id", F.col("iv_user"))
+    )
+
+
+def test_point_in_interval_matches_bruteforce(spark, ev):
+    iv = _sessions(ev)
+    for width in (3_600 * 10**6, 86_400 * 10**6, 10**13):  # 1h, 1d, oversized
+        got = R.point_in_interval_join(
+            ev, iv, "t", "iv_start", "iv_end", bin_width=width
+        )
+        brute = ev.crossJoin(iv).filter(
+            "iv_start <= t AND t <= iv_end"
+        )
+        g = sorted((r.event_id, r.iv_id) for r in got.collect())
+        b = sorted((r.event_id, r.iv_id) for r in brute.collect())
+        assert g == b and len(g) > 0, width
+    # no duplicates by construction
+    assert len(g) == len(set(g))
+
+
+def test_point_in_interval_extra_key(spark, ev):
+    iv = _sessions(ev).withColumnRenamed("iv_user", "user_id")
+    got = R.point_in_interval_join(
+        ev, iv, "t", "iv_start", "iv_end",
+        bin_width=3_600 * 10**6, extra_key="user_id",
+    )
+    brute = (
+        ev.join(iv, "user_id")
+        .filter("iv_start <= t AND t <= iv_end")
+    )
+    assert sorted((r.event_id, r.iv_id) for r in got.collect()) == sorted(
+        (r.event_id, r.iv_id) for r in brute.collect()
+    )
+    assert got.count() > 0
+
+
+def test_interval_overlap_matches_bruteforce(spark, ev):
+    iv = _sessions(ev)
+    left = iv.select(
+        F.col("iv_id").alias("l_id"),
+        F.col("iv_start").alias("l_start"),
+        F.col("iv_end").alias("l_end"),
+    )
+    right = iv.select(
+        F.col("iv_id").alias("r_id"),
+        (F.col("iv_start") + 1).alias("r_start"),
+        (F.col("iv_end") + 10**8).alias("r_end"),
+    )
+    for width in (3_600 * 10**6, 86_400 * 10**6):
+        got = R.interval_overlap_join(
+            left, right, "l_start", "l_end", "r_start", "r_end",
+            bin_width=width,
+        )
+        brute = left.crossJoin(right).filter(
+            "l_start <= r_end AND r_start <= l_end"
+        )
+        g = sorted((r.l_id, r.r_id) for r in got.collect())
+        b = sorted((r.l_id, r.r_id) for r in brute.collect())
+        assert g == b and len(g) > 0, width
+        assert len(g) == len(set(g))  # first-common-bin dedup works
+
+
+def test_rangejoin_guards(spark, ev):
+    iv = _sessions(ev)
+    with pytest.raises(DVConfigurationError):
+        R.point_in_interval_join(ev, iv, "t", "iv_start", "iv_end", 0)
+    # column collision refused
+    with pytest.raises(DVConfigurationError):
+        R.point_in_interval_join(
+            ev, iv.withColumn("t", F.lit(1)), "t", "iv_start", "iv_end", 10**6
+        )
+    # oversized interval fails fast instead of exploding
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        R.point_in_interval_join(
+            ev, iv, "t", "iv_start", "iv_end",
+            bin_width=1000, max_bins=10,
+        ).count()
+    assert "raise bin_width" in str(ei.value)
+    # malformed (end < start) intervals match nothing rather than raising
+    bad = spark.createDataFrame([Row(iv_id=1, iv_start=100, iv_end=50)])
+    assert R.point_in_interval_join(
+        ev, bad, "t", "iv_start", "iv_end", 10**6
+    ).count() == 0
+
+
+def test_rangejoin_plan_is_equi_join(spark, ev):
+    """The whole point: the plan must be a hash/sort-merge equi-join on
+    the bin id, never BroadcastNestedLoopJoin."""
+    iv = _sessions(ev)
+    got = R.point_in_interval_join(
+        ev, iv, "t", "iv_start", "iv_end", bin_width=3_600 * 10**6
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
