@@ -1668,11 +1668,27 @@ REGISTRY["dv_flow_e2e"] = (q_dv_flow_e2e, O_DV_FLOW)
 # ---------------------------------------------------------------------------
 
 
+# micros since epoch for 2024-01-01 00:00:00 and a 3-day window — shared
+# constants between the Spark range-join part and its DuckDB oracle
+_RJ_BASE_US = 1_704_067_200_000_000
+_RJ_WIN_US = 259_200_000_000
+
+
 def q_asof_purchase_click(spark, sf):
-    """Backward as-of join (union-tag-window implementation, one shuffle on
-    the key): each purchase matched to the user's latest prior click.
-    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    """Temporal-join suite, tagged union of two parts:
+
+    * ``asof`` — backward as-of join (union-tag-window implementation,
+      one shuffle on the key): each purchase matched to the user's
+      latest prior click. Oracle: DuckDB's native ASOF LEFT JOIN.
+    * ``range`` — KEYLESS point-in-interval join
+      (`operators/rangejoin.point_in_interval_join`, bin-bucketed —
+      plan-pinned to an equi-join on bin ids, never
+      BroadcastNestedLoop): purchases against 20 fixed 3-day calendar
+      windows from 2024-01-01 (closed endpoints). Oracle: the plain
+      theta join over the same arithmetic windows.
+    """
     from mallarddv_spark.operators.asof import asof_join
+    from mallarddv_spark.operators.rangejoin import point_in_interval_join
 
     e = _t(spark, sf, "events")
     purchases = e.filter("event_type = 'purchase'").select(
@@ -1685,20 +1701,43 @@ def q_asof_purchase_click(spark, sf):
         .groupBy("user_id", F.col("ts").alias("click_ts"))
         .agg(F.max("event_id").alias("click_event_id"))
     )
-    out = asof_join(
+    a = asof_join(
         purchases,
         clicks,
         on="user_id",
         left_ts="purchase_ts",
         right_ts="click_ts",
         right_payload=["click_event_id"],
-    )
-    return out.select(
-        "purchase_id", "user_id", "purchase_ts", "click_event_id", "click_ts"
+    ).select(
+        F.lit("asof").alias("part"),
+        "purchase_id", "user_id", "purchase_ts",
+        F.col("click_event_id").alias("ref_id"),
+        F.col("click_ts").alias("ref_ts"),
     )
 
+    points = purchases.withColumn(
+        "t",
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', purchase_ts)"
+        ),
+    )
+    iv = spark.range(20).select(
+        F.col("id").alias("iv_id"),
+        (F.lit(_RJ_BASE_US) + F.col("id") * _RJ_WIN_US).alias("iv_start"),
+        (F.lit(_RJ_BASE_US) + (F.col("id") + 1) * _RJ_WIN_US).alias("iv_end"),
+    )
+    r = point_in_interval_join(
+        points, iv, "t", "iv_start", "iv_end", bin_width=_RJ_WIN_US
+    ).select(
+        F.lit("range").alias("part"),
+        "purchase_id", "user_id", "purchase_ts",
+        F.col("iv_id").alias("ref_id"),
+        F.expr("cast(NULL as timestamp_ntz)").alias("ref_ts"),
+    )
+    return a.unionByName(r)
 
-O_ASOF = """
+
+O_ASOF = f"""
 WITH p AS (
     SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
     FROM events WHERE event_type = 'purchase'
@@ -1706,9 +1745,21 @@ WITH p AS (
 c AS (
     SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
     FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+iv AS (
+    SELECT j AS iv_id,
+           {_RJ_BASE_US} + j * {_RJ_WIN_US} AS iv_start,
+           {_RJ_BASE_US} + (j + 1) * {_RJ_WIN_US} AS iv_end
+    FROM (SELECT unnest(range(0, 20)) AS j)
 )
-SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_event_id, c.click_ts
+SELECT 'asof' AS part, p.purchase_id, p.user_id, p.purchase_ts,
+       c.click_event_id AS ref_id, c.click_ts AS ref_ts
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+UNION ALL
+SELECT 'range' AS part, p.purchase_id, p.user_id, p.purchase_ts,
+       iv.iv_id AS ref_id, CAST(NULL AS TIMESTAMP) AS ref_ts
+FROM p, iv
+WHERE iv.iv_start <= epoch_us(p.purchase_ts) AND epoch_us(p.purchase_ts) <= iv.iv_end
 """
 
 
