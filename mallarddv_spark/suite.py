@@ -3774,6 +3774,175 @@ WHERE rank <= 5
 """
 
 
+def q_similarity_ivfpq_adc(spark, sf):
+    """IVF-PQ residual path, deterministic variant: coarse centroids are
+    the corpus vectors with ids 10..17 (fixed, present at every SF);
+    each corpus vector assigns to its nearest centroid
+    (``round(|a|²+|b|²−2ab, 6)``, id tiebreak — the `ivf_topk_deterministic`
+    arithmetic), its RESIDUAL encodes against the deterministic PQ grid
+    codebooks, and queries probe their 2 nearest cells with residual ADC
+    tables — the full IVFADC arrangement of
+    `operators/similarity.build_ivfpq_index`, every step replayed in
+    closed-form DuckDB SQL. Corpus capped at vec_id < 10010 (complete at
+    the driver-gate SFs; verification-cost bound at larger ones, like
+    the exact-percentile harness)."""
+    from mallarddv_spark.operators.similarity import (
+        pq_codebooks_deterministic,
+        pq_encode,
+    )
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    cent = e.filter("vec_id BETWEEN 10 AND 17").select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    corp = e.filter("vec_id >= 18 AND vec_id < 10010").repartition(32, "vec_id")
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    d6 = (
+        f"round({dot.format(a='v', b='v')} + {dot.format(a='cv', b='cv')}"
+        f" - 2 * {dot.format(a='v', b='cv')}, 6)"
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.asc("d6"), F.asc("cid"))
+    assigned = (
+        corp.crossJoin(F.broadcast(cent))
+        .withColumn("d6", F.expr(d6))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter("rn = 1")
+        .select(
+            "vec_id", "cid",
+            F.expr("zip_with(v, cv, (x, y) -> x - y)").alias("rv"),
+        )
+    )
+    books = pq_codebooks_deterministic(spark, m=8, dsub=8, n_codes=16)
+    enc = pq_encode(assigned, books, vec_col="rv").select(
+        F.col("vec_id").alias("neighbor_id"), "cid", "pq_codes"
+    )
+
+    q = e.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dq6 = (
+        f"round({dot.format(a='qv', b='qv')} + {dot.format(a='cv', b='cv')}"
+        f" - 2 * {dot.format(a='qv', b='cv')}, 6)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dq6"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dq6", F.expr(dq6))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter("pr <= 2")
+        .select(
+            "query_id", "cid",
+            F.expr("zip_with(qv, cv, (x, y) -> x - y)").alias("qrv"),
+        )
+    )
+    table = (
+        "transform(__cb, (sub_cb, s) -> transform(sub_cb, c_arr -> "
+        "aggregate(zip_with(slice(qrv, s * 8 + 1, 8), c_arr, "
+        "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (a, x) -> a + x)))"
+    )
+    probes_t = probes.crossJoin(
+        F.broadcast(books.select(F.col("cb").alias("__cb")))
+    ).select("query_id", "cid", F.expr(table).alias("__t"))
+    adc = (
+        "round(aggregate(transform(pq_codes, (cd, s) -> "
+        "element_at(element_at(__t, s + 1), cd + 1)), "
+        "cast(0.0 as double), (a, x) -> a + x), 6)"
+    )
+    cand = enc.join(F.broadcast(probes_t), "cid").withColumn(
+        "adc_dist", F.expr(adc)
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .filter("rank <= 5")
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"), "adc_dist",
+        )
+    )
+
+
+O_SIM_IVFPQADC = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 10 AND 17
+),
+corp AS (
+    SELECT vec_id, v FROM e WHERE vec_id >= 18 AND vec_id < 10010
+),
+cb AS (
+    SELECT s.s, j.j,
+           list_transform(range(0, 8), d ->
+               ((((j.j * 31 + d * 7 + s.s * 3) % 17) - 8) / 8.0)) AS c
+    FROM (SELECT unnest(range(0, 8)) AS s) s,
+         (SELECT unnest(range(0, 16)) AS j) j
+),
+assigned AS (
+    SELECT vec_id, cid,
+           list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv
+    FROM (
+        SELECT c.vec_id, c.v, ct.cid, ct.cv, row_number() OVER (
+            PARTITION BY c.vec_id ORDER BY
+            round(list_dot_product(c.v, c.v) + list_dot_product(ct.cv, ct.cv)
+                  - 2 * list_dot_product(c.v, ct.cv), 6) ASC, ct.cid ASC) AS rn
+        FROM corp c, cent ct) x
+    WHERE rn = 1
+),
+csub AS (
+    SELECT a.vec_id, a.cid, cb.s, cb.j,
+           list_sum(list_transform(range(0, 8), d ->
+               (a.rv[cb.s * 8 + d + 1] - cb.c[d + 1])
+               * (a.rv[cb.s * 8 + d + 1] - cb.c[d + 1]))) AS dist
+    FROM assigned a, cb
+),
+codes AS (
+    SELECT vec_id AS neighbor_id, cid, s, j AS code
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY dist ASC, j ASC) AS rn
+          FROM csub) x
+    WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, cid,
+           list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qrv
+    FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, ct.cid, ct.cv,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   round(list_dot_product(q.v, q.v)
+                         + list_dot_product(ct.cv, ct.cv)
+                         - 2 * list_dot_product(q.v, ct.cv), 6) ASC,
+                   ct.cid ASC) AS pr
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < 10) q, cent ct) x
+    WHERE pr <= 2
+),
+qsub AS (
+    SELECT p.query_id, p.cid, cb.s, cb.j,
+           list_sum(list_transform(range(0, 8), d ->
+               (p.qrv[cb.s * 8 + d + 1] - cb.c[d + 1])
+               * (p.qrv[cb.s * 8 + d + 1] - cb.c[d + 1]))) AS dist
+    FROM probes p, cb
+),
+adc AS (
+    SELECT q.query_id, c.neighbor_id, round(sum(q.dist), 6) AS adc_dist
+    FROM codes c JOIN qsub q
+      ON q.cid = c.cid AND q.s = c.s AND q.j = c.code
+    GROUP BY q.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, adc_dist
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+      FROM adc) x
+WHERE rank <= 5
+"""
+
+
 def q_similarity_suite(spark, sf):
     """Embedding-similarity suite: brute-force cosine top-k (queries ×
     candidates), the above-threshold all-pairs variant, the
@@ -3810,7 +3979,17 @@ def q_similarity_suite(spark, sf):
         F.col("rank"),
         F.col("adc_dist").alias("cosine"),
     )
-    return tk.unionByName(pr).unionByName(qt).unionByName(pq)
+    ivfpq = q_similarity_ivfpq_adc(spark, sf).select(
+        F.lit("ivfpqadc").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("rank"),
+        F.col("adc_dist").alias("cosine"),
+    )
+    return (
+        tk.unionByName(pr).unionByName(qt).unionByName(pq)
+        .unionByName(ivfpq)
+    )
 
 
 O_SIMILARITY_SUITE = (
@@ -3822,7 +4001,9 @@ O_SIMILARITY_SUITE = (
     + O_SIM_QTOPK
     + ") qt\nUNION ALL\nSELECT 'pqadc', query_id, neighbor_id, rank, adc_dist\nFROM ("
     + O_SIM_PQADC
-    + ") pq"
+    + ") pq\nUNION ALL\nSELECT 'ivfpqadc', query_id, neighbor_id, rank, adc_dist\nFROM ("
+    + O_SIM_IVFPQADC
+    + ") ipq"
 )
 
 
