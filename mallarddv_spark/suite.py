@@ -1686,9 +1686,18 @@ def q_asof_purchase_click(spark, sf):
       BroadcastNestedLoop): purchases against 20 fixed 3-day calendar
       windows from 2024-01-01 (closed endpoints). Oracle: the plain
       theta join over the same arithmetic windows.
+    * ``overlap`` — keyless interval-overlap join
+      (`operators/rangejoin.interval_overlap_join`, first-common-bin
+      arithmetic dedup): per-user activity spans (min..max event time)
+      against the same calendar windows. Oracle: the overlap theta
+      join; any duplicate emission from the banding would break the
+      row-count match.
     """
     from mallarddv_spark.operators.asof import asof_join
-    from mallarddv_spark.operators.rangejoin import point_in_interval_join
+    from mallarddv_spark.operators.rangejoin import (
+        interval_overlap_join,
+        point_in_interval_join,
+    )
 
     e = _t(spark, sf, "events")
     purchases = e.filter("event_type = 'purchase'").select(
@@ -1734,7 +1743,27 @@ def q_asof_purchase_click(spark, sf):
         F.col("iv_id").alias("ref_id"),
         F.expr("cast(NULL as timestamp_ntz)").alias("ref_ts"),
     )
-    return a.unionByName(r)
+
+    spans = e.groupBy(F.col("user_id").alias("span_user")).agg(
+        F.expr(
+            "min(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts))"
+        ).alias("span_start"),
+        F.expr(
+            "max(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts))"
+        ).alias("span_end"),
+    )
+    o = interval_overlap_join(
+        spans, iv, "span_start", "span_end", "iv_start", "iv_end",
+        bin_width=_RJ_WIN_US,
+    ).select(
+        F.lit("overlap").alias("part"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("span_user").alias("user_id"),
+        F.expr("cast(NULL as timestamp_ntz)").alias("purchase_ts"),
+        F.col("iv_id").alias("ref_id"),
+        F.expr("cast(NULL as timestamp_ntz)").alias("ref_ts"),
+    )
+    return a.unionByName(r).unionByName(o)
 
 
 O_ASOF = f"""
@@ -1760,6 +1789,14 @@ SELECT 'range' AS part, p.purchase_id, p.user_id, p.purchase_ts,
        iv.iv_id AS ref_id, CAST(NULL AS TIMESTAMP) AS ref_ts
 FROM p, iv
 WHERE iv.iv_start <= epoch_us(p.purchase_ts) AND epoch_us(p.purchase_ts) <= iv.iv_end
+UNION ALL
+SELECT 'overlap' AS part, CAST(NULL AS BIGINT) AS purchase_id,
+       s.user_id, CAST(NULL AS TIMESTAMP) AS purchase_ts,
+       iv.iv_id AS ref_id, CAST(NULL AS TIMESTAMP) AS ref_ts
+FROM (SELECT user_id, min(epoch_us(ts)) AS span_start,
+             max(epoch_us(ts)) AS span_end
+      FROM events GROUP BY user_id) s, iv
+WHERE s.span_start <= iv.iv_end AND iv.iv_start <= s.span_end
 """
 
 
