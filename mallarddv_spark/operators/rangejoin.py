@@ -42,14 +42,24 @@ def _checked_bins(start_col: str, end_col: str, width, max_bins: int) -> Column:
     """Bin ids an interval covers; malformed (end < start) intervals
     yield an empty list (no matches) and oversized ones fail fast inside
     the evaluated expression, where the optimizer cannot prune the
-    guard away."""
-    bins = F.when(
-        F.col(end_col) >= F.col(start_col),
-        F.sequence(_bin(start_col, width), _bin(end_col, width)),
-    ).otherwise(F.expr("cast(array() as array<bigint>)"))
-    return F.when(F.size(bins) <= max_bins, bins).otherwise(
-        F.raise_error(
-            F.lit(f"interval spans more than {max_bins} bins — raise bin_width")
+    guard away. The size check is ARITHMETIC (last bin − first bin) and
+    runs before ``sequence`` is built — measuring ``size(sequence(...))``
+    would materialize the very array the guard exists to prevent."""
+    span = _bin(end_col, width) - _bin(start_col, width)
+    return F.when(
+        F.col(end_col) < F.col(start_col),
+        F.expr("cast(array() as array<bigint>)"),
+    ).otherwise(
+        F.when(
+            span < max_bins,
+            F.sequence(_bin(start_col, width), _bin(end_col, width)),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"interval spans more than {max_bins} bins — raise "
+                    f"bin_width"
+                )
+            )
         )
     )
 
@@ -67,6 +77,12 @@ def _check_disjoint(a: DataFrame, b: DataFrame, extra_key: str | None) -> None:
         raise DVConfigurationError(
             f"both sides carry columns {sorted(clash)} — rename one side; "
             f"ambiguous names would silently mis-resolve the range predicate"
+        )
+    reserved = {"__bin", "__bins"} & (set(a.columns) | set(b.columns))
+    if reserved:
+        raise DVConfigurationError(
+            f"columns {sorted(reserved)} collide with this operator's "
+            f"internal names — rename them"
         )
 
 

@@ -664,6 +664,31 @@ def cosine_topk_quantized(
 # ---------------------------------------------------------------------------
 
 
+def adc_table_expr(vec_expr: str, dsub: int) -> str:
+    """SQL expression for a query's ADC distance table over the broadcast
+    codebook column ``__cb``: ``table[s][j]`` = squared distance of the
+    vector's s-th subvector to codebook entry j. ``vec_expr`` is the SQL
+    for the (residual) query vector. Shared by :func:`pq_topk_adc`,
+    :func:`ivfpq_probe_topk`, and the suite's oracle-checked gate parts,
+    so the gate always validates the production arithmetic."""
+    return (
+        f"transform(__cb, (sub_cb, s) -> transform(sub_cb, c_arr -> "
+        f"aggregate(zip_with(slice({vec_expr}, s * {dsub} + 1, {dsub}), c_arr, "
+        f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (a, x) -> a + x)))"
+    )
+
+
+def adc_dist_expr(codes_expr: str) -> str:
+    """SQL expression for a candidate's ADC distance: its m code ids
+    looked up in the in-scope table column ``__t`` and summed, rounded
+    to 6 decimals (the cross-engine comparison precision)."""
+    return (
+        f"round(aggregate(transform({codes_expr}, (cd, s) -> "
+        f"element_at(element_at(__t, s + 1), cd + 1)), "
+        f"cast(0.0 as double), (a, x) -> a + x), 6)"
+    )
+
+
 def pq_train(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -789,11 +814,7 @@ def pq_topk_adc(
     geo = codebooks.select("m", "dsub").first()
     m, dsub = int(geo.m), int(geo.dsub)
     qv = f"transform({vec_col}, x -> cast(x as double))"
-    table = (
-        f"transform(__cb, (sub_cb, s) -> transform(sub_cb, c_arr -> "
-        f"aggregate(zip_with(slice({qv}, s * {dsub} + 1, {dsub}), c_arr, "
-        f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (a, x) -> a + x)))"
-    )
+    table = adc_table_expr(qv, dsub)
     q = (
         queries.crossJoin(F.broadcast(codebooks.select(F.col("cb").alias("__cb"))))
         .select(F.col(id_col).alias("query_id"), F.expr(table).alias("__t"))
@@ -801,11 +822,7 @@ def pq_topk_adc(
     c = codes.select(
         F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("__codes")
     )
-    dist = (
-        "round(aggregate(transform(__codes, (cd, s) -> "
-        "element_at(element_at(__t, s + 1), cd + 1)), "
-        "cast(0.0 as double), (a, x) -> a + x), 6)"
-    )
+    dist = adc_dist_expr("__codes")
     pairs = c.crossJoin(F.broadcast(q)).withColumn("adc_dist", F.expr(dist))
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
@@ -1009,12 +1026,7 @@ def ivfpq_probe_topk(
         .select("query_id", "qv", "centroid_id", "centroid")
     )
     # per-(query, cell) residual distance table over the shared codebook
-    table = (
-        f"transform(__cb, (sub_cb, s) -> transform(sub_cb, c_arr -> "
-        f"aggregate(zip_with(slice(zip_with(qv, centroid, (x, y) -> x - y), "
-        f"s * {dsub} + 1, {dsub}), c_arr, "
-        f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (a, x) -> a + x)))"
-    )
+    table = adc_table_expr("zip_with(qv, centroid, (x, y) -> x - y)", dsub)
     probes_t = probes.crossJoin(
         F.broadcast(books.select(F.col("cb").alias("__cb")))
     ).select("query_id", "qv", "centroid_id", F.expr(table).alias("__t"))
@@ -1025,11 +1037,7 @@ def ivfpq_probe_topk(
     cells = spark.read.parquet(f"{path}/cells").filter(
         F.col("centroid_id").isin(probed_ids)
     )
-    adc = (
-        "round(aggregate(transform(pq_codes, (cd, s) -> "
-        "element_at(element_at(__t, s + 1), cd + 1)), "
-        "cast(0.0 as double), (a, x) -> a + x), 6)"
-    )
+    adc = adc_dist_expr("pq_codes")
     cand = cells.join(F.broadcast(probes_t), "centroid_id").withColumn(
         "adc_dist", F.expr(adc)
     )

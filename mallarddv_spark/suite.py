@@ -3875,19 +3875,16 @@ def q_similarity_ivfpq_adc(spark, sf):
             F.expr("zip_with(qv, cv, (x, y) -> x - y)").alias("qrv"),
         )
     )
-    table = (
-        "transform(__cb, (sub_cb, s) -> transform(sub_cb, c_arr -> "
-        "aggregate(zip_with(slice(qrv, s * 8 + 1, 8), c_arr, "
-        "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (a, x) -> a + x)))"
+    from mallarddv_spark.operators.similarity import (
+        adc_dist_expr,
+        adc_table_expr,
     )
+
+    table = adc_table_expr("qrv", 8)
     probes_t = probes.crossJoin(
         F.broadcast(books.select(F.col("cb").alias("__cb")))
     ).select("query_id", "cid", F.expr(table).alias("__t"))
-    adc = (
-        "round(aggregate(transform(pq_codes, (cd, s) -> "
-        "element_at(element_at(__t, s + 1), cd + 1)), "
-        "cast(0.0 as double), (a, x) -> a + x), 6)"
-    )
+    adc = adc_dist_expr("pq_codes")
     cand = enc.join(F.broadcast(probes_t), "cid").withColumn(
         "adc_dist", F.expr(adc)
     )

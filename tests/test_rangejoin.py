@@ -52,8 +52,7 @@ def test_point_in_interval_matches_bruteforce(spark, ev):
         g = sorted((r.event_id, r.iv_id) for r in got.collect())
         b = sorted((r.event_id, r.iv_id) for r in brute.collect())
         assert g == b and len(g) > 0, width
-    # no duplicates by construction
-    assert len(g) == len(set(g))
+        assert len(g) == len(set(g))  # no duplicates at any width
 
 
 def test_point_in_interval_extra_key(spark, ev):
@@ -108,8 +107,6 @@ def test_rangejoin_guards(spark, ev):
             ev, iv.withColumn("t", F.lit(1)), "t", "iv_start", "iv_end", 10**6
         )
     # oversized interval fails fast instead of exploding
-    from py4j.protocol import Py4JJavaError
-
     with pytest.raises(Exception) as ei:
         R.point_in_interval_join(
             ev, iv, "t", "iv_start", "iv_end",
