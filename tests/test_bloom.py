@@ -134,3 +134,40 @@ def test_stored_bloom_decontamination_matches_inline(spark, tmp_path):
     s = {r.doc_id: r.n_hit_shingles for r in stored.collect()}
     i = {r.doc_id: r.n_hit_shingles for r in inline.collect()}
     assert s == i and any(v > 0 for v in s.values())
+
+
+from hypothesis import given, settings, strategies as st
+
+_val = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    min_size=0, max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    members=st.lists(_val, min_size=1, max_size=60, unique=True),
+    others=st.lists(_val, min_size=0, max_size=30, unique=True),
+    fpp=st.sampled_from([1e-3, 1e-6]),
+)
+def test_bloom_never_false_negative_property(spark, members, others, fpp):
+    """Fuzzed guarantee: EVERY inserted value probes true, for arbitrary
+    unicode values and either fpp — a false negative at any geometry
+    would silently pass contaminated documents through the gate."""
+    mdf = spark.createDataFrame([(v,) for v in members], "v string")
+    bloom = B.build_bloom(mdf, "v", fpp=fpp)
+    geo = bloom.first()
+    probes = spark.createDataFrame(
+        [(v,) for v in members + [o for o in others if o not in members]],
+        "v string",
+    )
+    got = {
+        r.v: r.hit
+        for r in probes.crossJoin(F.broadcast(bloom.select("__bloom")))
+        .select("v", B.bloom_contains(
+            F.col("v"), F.col("__bloom"), int(geo.m), int(geo.n_hashes)
+        ).alias("hit"))
+        .collect()
+    }
+    missed = [v for v in members if not got[v]]
+    assert not missed, missed

@@ -131,3 +131,78 @@ def test_rangejoin_plan_is_equi_join(spark, ev):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
             or "ShuffledHashJoin" in plan), plan
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    points=st.lists(st.integers(-1000, 1000), min_size=1, max_size=40),
+    ivs=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 300)),
+        min_size=1, max_size=15,
+    ),
+    width=st.sampled_from([1, 7, 50, 1000]),
+)
+def test_point_in_interval_property(spark, points, ivs, width):
+    """Fuzzed equivalence with the brute-force theta join for arbitrary
+    (negative-domain included) points, intervals, and bin widths."""
+    p = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(points)], "pid int, t long"
+    )
+    iv = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(ivs)],
+        "iv_id int, s long, e long",
+    )
+    got = sorted(
+        (r.pid, r.iv_id)
+        for r in R.point_in_interval_join(
+            p, iv, "t", "s", "e", bin_width=width
+        ).collect()
+    )
+    brute = sorted(
+        (i, j)
+        for i, v in enumerate(points)
+        for j, (s, ln) in enumerate(ivs)
+        if s <= v <= s + ln
+    )
+    assert got == brute
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lhs=st.lists(
+        st.tuples(st.integers(-500, 500), st.integers(0, 200)),
+        min_size=1, max_size=12,
+    ),
+    rhs=st.lists(
+        st.tuples(st.integers(-500, 500), st.integers(0, 200)),
+        min_size=1, max_size=12,
+    ),
+    width=st.sampled_from([3, 64, 500]),
+)
+def test_interval_overlap_property(spark, lhs, rhs, width):
+    """Fuzzed: overlap pairs match brute force exactly AND are emitted
+    once (the first-common-bin dedup under arbitrary geometry)."""
+    l = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(lhs)],
+        "l_id int, ls long, le long",
+    )
+    r = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(rhs)],
+        "r_id int, rs long, re long",
+    )
+    got = sorted(
+        (x.l_id, x.r_id)
+        for x in R.interval_overlap_join(
+            l, r, "ls", "le", "rs", "re", bin_width=width
+        ).collect()
+    )
+    brute = sorted(
+        (i, j)
+        for i, (s1, n1) in enumerate(lhs)
+        for j, (s2, n2) in enumerate(rhs)
+        if s1 <= s2 + n2 and s2 <= s1 + n1
+    )
+    assert got == brute and len(got) == len(set(got))
