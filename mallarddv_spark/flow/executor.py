@@ -440,9 +440,14 @@ class FlowExecutor:
         existing = spark.table(quarantine_table)
         if "quarantined_file" not in existing.columns:
             return
-        mine = (F.col("quarantined_source") == source_table) & (
-            F.col("quarantined_file") == file_path
-        )
+        # null-SAFE identity match: legacy rows (pre-widening) and rows
+        # from non-file flows carry NULL quarantined_source/_file — a
+        # plain `==` evaluates NULL for them, and `~NULL` is NULL, so
+        # `.filter(~mine)` would silently drop them from the rewrite.
+        # eqNullSafe makes NULL-identity rows definitively "not mine".
+        mine = F.col("quarantined_source").eqNullSafe(
+            F.lit(source_table)
+        ) & F.col("quarantined_file").eqNullSafe(F.lit(file_path))
         n_prior = existing.filter(mine).count()
         if not n_prior:
             return

@@ -393,3 +393,66 @@ def test_quarantine_nonfile_then_file_and_legacy_upgrade(spark):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     for t in ("default.qr2_dl", "default.qr2_legacy"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_purge_keeps_null_identity_rows(spark):
+    """A file-replay purge must not touch dead-letter rows whose identity
+    columns are NULL (legacy pre-widening rows, non-file flows): a plain
+    `==` predicate evaluates NULL for them and `.filter(~mine)` would
+    silently drop them — audit-history loss. The purge matches
+    null-safely, so they survive."""
+    from mallarddv_spark import MallardSparkVault
+
+    dbs = dict(stg_db="qr3_stg", dv_db="qr3_dv", bv_db="qr3_bv",
+               metadata_db="qr3_meta")
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql("DROP TABLE IF EXISTS default.qr3_dl")
+    v = MallardSparkVault(spark, **dbs)
+    assert v.init_vault("tests/fixtures/tables.csv",
+                        "tests/fixtures/transitions.csv") == []
+
+    import csv
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as fh:
+        w = csv.writer(fh)
+        w.writerow(["id", "first_name", "last_name", "email",
+                    "created_date", "referenced_by", "reference_code"])
+        w.writerow([1, "ok", "row", "a@x.io", "2025-01-01 00:00:00", "", ""])
+        w.writerow(["", "bad", "nokey", "b@x.io",
+                    "2025-01-01 00:00:00", "", ""])
+        path = fh.name
+
+    # non-file flow quarantines first → its dead-letter row carries
+    # quarantined_file = NULL
+    spark.sql(
+        "INSERT OVERWRITE qr3_stg.customer VALUES "
+        "(3,'ok','row','c@x.io',timestamp'2025-01-01',NULL,NULL),"
+        "(NULL,'bad','nokey','d@x.io',timestamp'2025-01-01',NULL,NULL)"
+    )
+    assert v.execute_flow(
+        "customer", "qr3",
+        load_date_overwrite="2025-01-01 00:00:00",
+        expectations=[E.expect_not_null("id")],
+        quarantine_table="default.qr3_dl",
+    ) == []
+    # then a file flow, run twice (the retry purges the file's rows)
+    for _ in range(2):
+        assert v.execute_flow(
+            "customer", "qr3", file_path=path, force_load=True,
+            load_date_overwrite="2025-01-02 00:00:00",
+            expectations=[E.expect_not_null("id")],
+            quarantine_table="default.qr3_dl",
+        ) == []
+    dead = spark.table("default.qr3_dl").collect()
+    # one NULL-file row (survived both purges) + ONE file row (replaced)
+    assert len(dead) == 2
+    by_file = {r.quarantined_file for r in dead}
+    assert by_file == {None, path}
+    null_row = [r for r in dead if r.quarantined_file is None][0]
+    assert null_row.quarantined_run_id == 1
+
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql("DROP TABLE IF EXISTS default.qr3_dl")
