@@ -192,6 +192,13 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     shared = [c for c in extra if c in b.columns]
     ga = a.select(*shared).first()
     gb = b.select(*shared).first()
+    if ga is None or gb is None:
+        empty = [s for s, g in (("first", ga), ("second", gb)) if g is None]
+        raise DVConfigurationError(
+            f"cannot merge bloom filters: the {' and '.join(empty)} "
+            f"side(s) hold zero rows — a filter is exactly one row of "
+            f"bits + geometry; rebuild the empty side"
+        )
     mismatched = {
         c: (ga[c], gb[c]) for c in shared if ga[c] != gb[c]
     }
@@ -238,9 +245,13 @@ def bloom_append(
     """Fold a batch of new values into a STORED filter in place: build a
     batch filter at the stored geometry (no resize — membership of old
     values must survive), OR it in, rewrite. Returns the stored geometry
-    with the updated item-count upper bound. The rewrite goes through a
-    fresh subdirectory-free overwrite of one tiny row — crash mid-write
-    re-runs cleanly because the source filter is read fully first.
+    with the updated item-count upper bound. The rewrite is CRASH-SAFE:
+    the merged row is written to ``{path}__compact`` and made live via
+    the staged-rename swap protocol shared with the MinHash/IVF indexes
+    (``layout.swap_dir_live``) — a kill at any point leaves a complete
+    copy that :func:`heal_bloom` (run automatically here and by
+    :func:`load_bloom` on open) restores, so a stored filter gating a
+    live stream (``streaming/ingest.py``) never goes dark.
 
     Watch ``n_items``: once it outgrows the count the filter was sized
     for, the per-value false-positive rate degrades quickly (doubling
@@ -248,6 +259,7 @@ def bloom_append(
     when ANY of its values hits (e.g. per-document shingle probes)
     amplify that by the values-per-row. Rebuild at the new size instead
     of appending past ~the original sizing."""
+    heal_bloom(spark, path)
     stored = spark.read.parquet(path)
     geo = stored.select("m", "n_hashes").first()
     vals = _distinct_vals(new_values, value_col)
@@ -264,10 +276,32 @@ def bloom_append(
     )
     rows = merged.collect()  # one tiny row — detach from the input files
     out = spark.createDataFrame(rows, merged.schema)
-    out.coalesce(1).write.mode("overwrite").parquet(path)
+    from mallarddv_spark.sources import layout
+
+    out.coalesce(1).write.mode("overwrite").parquet(path + "__compact")
+    layout.swap_dir_live(spark, path)
     g = rows[0]
     return {"m": int(g.m), "n_hashes": int(g.n_hashes),
             "n_items": int(g.n_items)}
+
+
+def heal_bloom(spark: SparkSession, path: str) -> str | None:
+    """Resolve a :func:`bloom_append` interrupted mid-swap: restore the
+    backup if the live directory vanished, drop leftovers otherwise.
+    ``heal_dir_swap`` resolves one torn state per call (restoring a
+    backup leaves the staged dir for a follow-up pass); a filter is a
+    single directory, so drain to fully clean here. Idempotent; returns
+    the action(s) taken ('+'-joined) or None when clean. Run
+    automatically by :func:`load_bloom` and :func:`bloom_append`."""
+    from mallarddv_spark.sources import layout
+
+    actions = []
+    while True:
+        a = layout.heal_dir_swap(spark, path)
+        if a is None:
+            break
+        actions.append(a)
+    return "+".join(actions) if actions else None
 
 
 def save_bloom(bloom: DataFrame, path: str) -> None:
@@ -278,7 +312,15 @@ def save_bloom(bloom: DataFrame, path: str) -> None:
 def load_bloom(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     """Load a stored filter: the one-row DataFrame to broadcast, plus its
     geometry (one tiny driver read — probes need ``m``/``n_hashes`` at
-    plan-build time, so a mismatch is impossible by construction)."""
+    plan-build time, so a mismatch is impossible by construction).
+    Heals a torn :func:`bloom_append` swap on open."""
+    action = heal_bloom(spark, path)
+    if action:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "healed torn bloom filter at %s: %s", path, action
+        )
     df = spark.read.parquet(path)
     row = df.select("m", "n_hashes", "n_items").first()
     params = {

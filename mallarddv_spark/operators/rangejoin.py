@@ -56,7 +56,7 @@ def _checked_bins(start_col: str, end_col: str, width, max_bins: int) -> Column:
         ).otherwise(
             F.raise_error(
                 F.lit(
-                    f"interval spans more than {max_bins} bins — raise "
+                    f"interval spans {max_bins} or more bins — raise "
                     f"bin_width"
                 )
             )

@@ -290,10 +290,14 @@ def neardup_stream_processor(
             eager=True
         )
         if contamination_bloom_path is not None:
+            from mallarddv_spark.functions.bloom import heal_bloom
             from mallarddv_spark.operators.curation import (
                 decontaminate_with_bloom,
             )
 
+            # a bloom_append killed mid-swap must not dark the screen:
+            # resolve any torn staged-rename before reading the filter
+            heal_bloom(spark, contamination_bloom_path)
             verdicts = decontaminate_with_bloom(
                 fresh, spark.read.parquet(contamination_bloom_path),
                 id_col, text_col,

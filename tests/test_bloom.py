@@ -171,3 +171,116 @@ def test_bloom_never_false_negative_property(spark, members, others, fpp):
     }
     missed = [v for v in members if not got[v]]
     assert not missed, missed
+
+
+def test_merge_blooms_empty_side_rejected(spark):
+    """An empty 'filter' frame is a construction bug — name the side in a
+    DVConfigurationError instead of raising TypeError on None."""
+    vals = spark.range(0, 50).select(
+        F.concat(F.lit("k_"), F.col("id")).alias("v")
+    )
+    a = B.build_bloom(vals, "v", fpp=1e-4)
+    empty = a.limit(0)
+    with pytest.raises(DVConfigurationError, match="second side"):
+        B.merge_blooms(a, empty)
+    with pytest.raises(DVConfigurationError, match="first side"):
+        B.merge_blooms(empty, a)
+    with pytest.raises(DVConfigurationError, match="first and second"):
+        B.merge_blooms(empty, empty)
+
+
+BLOOM_CRASH_SCRIPT = """
+import os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from mallarddv_spark import get_spark
+from mallarddv_spark.functions import bloom as B
+
+spark = get_spark(master="local[4]", shuffle_partitions=4,
+                  warehouse_dir={wh!r})
+olds = spark.range(0, 300).select(
+    F.concat(F.lit("old_"), F.col("id")).alias("v"))
+B.save_bloom(B.build_bloom(olds, "v", fpp=1e-5, expected_items=600),
+             {path!r})
+
+# die right after the FIRST rename of the swap (live -> __pre_compact):
+# worst torn state — no live filter at all. Fault injected at
+# layout.dir_fs, the single FS seam swap_dir_live goes through.
+from mallarddv_spark.sources import layout
+_real = layout.dir_fs
+class _KillAfterRename:
+    def __init__(self, fs):
+        self._fs = fs
+    def exists(self, p):
+        return self._fs.exists(p)
+    def delete(self, p, rec):
+        return self._fs.delete(p, rec)
+    def rename(self, a, b):
+        ok = self._fs.rename(a, b)
+        os._exit(137)
+def _patched(path_str):
+    fs, p = _real(spark, path_str)
+    return _KillAfterRename(fs), p
+layout.dir_fs = lambda sp, d: _patched(d)
+news = spark.range(0, 300).select(
+    F.concat(F.lit("new_"), F.col("id")).alias("v"))
+B.bloom_append(spark, {path!r}, news, "v")
+"""
+
+
+def test_bloom_append_crash_midswap_heals(spark, tmp_path):
+    """Kill the driver between rename-out and rename-in of bloom_append's
+    staged swap (real process death): the stored filter must NOT be lost —
+    load_bloom (and the streaming screen, which calls the same heal_bloom
+    before reading) restores the pre-append filter, and re-running the
+    append completes it."""
+    import os
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = str(tmp_path / "bf")
+    script = BLOOM_CRASH_SCRIPT.format(
+        repo=REPO, wh=str(tmp_path / "wh"), path=path
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 137, proc.stderr[-2000:]
+    assert not os.path.exists(path), "rename-out must have fired"
+    assert os.path.exists(path + "__pre_compact")
+    assert os.path.exists(path + "__compact")
+
+    # the screen path's heal-on-open (load_bloom → heal_bloom) restores
+    # the pre-append filter: every OLD member still hits
+    loaded, params = B.load_bloom(spark, path)
+    assert params["n_items"] == 600  # pre-append sizing bound
+    olds = spark.range(0, 300).select(
+        F.concat(F.lit("old_"), F.col("id")).alias("v")
+    )
+    hit = olds.crossJoin(F.broadcast(loaded)).select(
+        B.bloom_contains(
+            F.col("v"), F.col("__bloom"), params["m"], params["n_hashes"]
+        ).alias("hit")
+    )
+    assert hit.filter("NOT hit").count() == 0
+    # heal dropped the leftover staged dir; state is clean and idempotent
+    assert not os.path.exists(path + "__compact")
+    assert not os.path.exists(path + "__pre_compact")
+    assert B.heal_bloom(spark, path) is None
+
+    # retrying the interrupted append completes: old AND new members hit
+    news = spark.range(0, 300).select(
+        F.concat(F.lit("new_"), F.col("id")).alias("v")
+    )
+    geo = B.bloom_append(spark, path, news, "v")
+    assert geo["n_items"] == 900
+    loaded2, params2 = B.load_bloom(spark, path)
+    both = olds.unionByName(news)
+    hit2 = both.crossJoin(F.broadcast(loaded2)).select(
+        B.bloom_contains(
+            F.col("v"), F.col("__bloom"), params2["m"], params2["n_hashes"]
+        ).alias("hit")
+    )
+    assert hit2.filter("NOT hit").count() == 0
