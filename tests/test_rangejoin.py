@@ -206,3 +206,105 @@ def test_interval_overlap_property(spark, lhs, rhs, width):
         if s1 <= s2 + n2 and s2 <= s1 + n1
     )
     assert got == brute and len(got) == len(set(got))
+
+
+def _hot_points(spark, n=4000):
+    """90% of points in ONE bin (bin_width=100 → values 0..99), the rest
+    spread over 100 other bins."""
+    return spark.range(n).select(
+        F.col("id").alias("pid"),
+        F.when(F.col("id") % 10 < 9, F.pmod(F.xxhash64("id"), F.lit(100)))
+        .otherwise(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)) + 100
+        )
+        .cast("double")
+        .alias("p"),
+    )
+
+
+def _hot_intervals(spark):
+    """A few wide 'global calibration window' intervals covering the hot
+    bin plus some narrow ones elsewhere."""
+    rows = [Row(iid=0, s=0.0, e=10_099.0), Row(iid=1, s=0.0, e=99.0),
+            Row(iid=2, s=50.0, e=150.0), Row(iid=3, s=5_000.0, e=5_100.0)]
+    return spark.createDataFrame(rows)
+
+
+def test_point_in_interval_salted_matches_unsalted(spark):
+    """Hot-bin skew guard: with 90% of points in one bin, salt>1 must
+    return exactly the brute-force pairs (exactly-once survives the salt
+    replication) while spreading the hot bin's rows over `salt` distinct
+    shuffle keys — the pairs no longer all hash to one task."""
+    pts = _hot_points(spark)
+    iv = _hot_intervals(spark)
+    brute = sorted(
+        (r.pid, r.iid)
+        for r in pts.crossJoin(iv).filter("s <= p AND p <= e").collect()
+    )
+    for salt in (1, 8):
+        got = R.point_in_interval_join(
+            pts, iv, "p", "s", "e", bin_width=100, salt=salt
+        )
+        g = sorted((r.pid, r.iid) for r in got.collect())
+        assert g == brute and len(g) > 0, salt
+        assert len(g) == len(set(g))
+    # the guard itself: the salted point side spreads the hot bin over
+    # >1 shuffle key — measure rows per hash-partition of the join keys
+    salted = R._one_salt_per_row(
+        pts.withColumn("__bin", R._bin("p", 100.0)), 8
+    )
+    per_part = (
+        salted.repartition(8, "__bin", "__salt")
+        .withColumn("part", F.spark_partition_id())
+        .groupBy("part").count().collect()
+    )
+    top = max(r["count"] for r in per_part)
+    # unsalted: the hot bin (~3600 rows of 4000) lands on ONE partition;
+    # salted: no partition should hold more than ~half the rows
+    assert top < 2400, per_part
+    unsalted_parts = (
+        pts.withColumn("__bin", R._bin("p", 100.0))
+        .repartition(8, "__bin")
+        .withColumn("part", F.spark_partition_id())
+        .groupBy("part").count().collect()
+    )
+    assert max(r["count"] for r in unsalted_parts) >= 3000  # the skew is real
+
+
+def test_interval_overlap_salted_matches_unsalted(spark):
+    """Same guard for interval-overlap: many left intervals inside the
+    hot region, one global window on the right."""
+    lefts = spark.range(2000).select(
+        F.col("id").alias("lid"),
+        F.pmod(F.xxhash64("id"), F.lit(90)).cast("double").alias("ls"),
+    ).withColumn("le", F.col("ls") + 5.0)
+    rights = _hot_intervals(spark).selectExpr(
+        "iid AS rid", "s AS rs", "e AS re"
+    )
+    brute = sorted(
+        (r.lid, r.rid)
+        for r in lefts.crossJoin(rights)
+        .filter("ls <= re AND rs <= le").collect()
+    )
+    for salt in (1, 8):
+        got = R.interval_overlap_join(
+            lefts, rights, "ls", "le", "rs", "re", bin_width=100, salt=salt
+        )
+        g = sorted((r.lid, r.rid) for r in got.collect())
+        assert g == brute and len(g) > 0, salt
+        assert len(g) == len(set(g))
+
+
+def test_salt_validation(spark):
+    pts = _hot_points(spark, 10)
+    iv = _hot_intervals(spark)
+    with pytest.raises(DVConfigurationError, match="salt"):
+        R.point_in_interval_join(
+            pts, iv, "p", "s", "e", bin_width=100, salt=0
+        )
+    # reserved-name guard covers __salt too
+    with pytest.raises(DVConfigurationError, match="__salt"):
+        R.point_in_interval_join(
+            pts.withColumn("__salt", F.lit(1)), iv, "p", "s", "e",
+            bin_width=100,
+        )
