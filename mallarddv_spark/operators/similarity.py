@@ -910,6 +910,32 @@ def pq_codebooks_deterministic(
     )
 
 
+def _assign_residuals(rows: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign each (neighbor_id, cv) row to its nearest stored centroid
+    (squared euclidean, centroid_id tiebreak) and emit the residual:
+    (neighbor_id, centroid_id, rv). The single assignment rule shared by
+    :func:`build_ivfpq_index` (pre-trained-centroid path) and
+    :func:`ivfpq_append`, so appended rows land exactly where a fresh
+    build would put them."""
+    dist = F.expr(
+        "aggregate(zip_with(cv, centroid, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(
+        F.asc("dist"), F.asc("centroid_id")
+    )
+    return (
+        rows.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "neighbor_id", "centroid_id",
+            F.expr("zip_with(cv, centroid, (x, y) -> x - y)").alias("rv"),
+        )
+    )
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -919,6 +945,8 @@ def build_ivfpq_index(
     m: int = 8,
     n_codes: int = 16,
     seed: int = 42,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ) -> dict:
     """IVF-PQ: the billion-scale ANN layout — coarse KMeans cells for
     partition pruning, and inside each cell only the PQ codes of the
@@ -936,41 +964,64 @@ def build_ivfpq_index(
 
     The float source-of-truth stays wherever the caller keeps it;
     :func:`ivfpq_probe_topk` accepts it for the exact-rerank tail.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    ``centroids`` / ``codebooks``: optionally bring PRE-TRAINED coarse
+    centroids ((centroid_id, centroid) rows) and/or PQ codebooks (the
+    one-row frame :func:`pq_train` / :func:`pq_codebooks_deterministic`
+    produce) instead of training here — the standard large-corpus
+    arrangement (train once offline on a sample, reuse across builds),
+    and what lets the driver gate replay a stored build in closed-form
+    SQL. With ``centroids`` given, assignment uses the same stored-
+    centroid argmin as :func:`ivfpq_append`."""
     spark = corpus.sparkSession
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cv"),
     )
-    km = KMeans(
-        k=n_centroids, seed=seed, maxIter=3, initMode="random",
-        featuresCol="feat", predictionCol="centroid_id",
-    )
-    feat = c.withColumn("feat", array_to_vector("cv"))
-    target = n_centroids * 512
     n_corpus = corpus.count()
-    train = (
-        feat.sample(fraction=min(1.0, target / n_corpus), seed=seed)
-        if n_corpus > target
-        else feat
-    )
-    model = km.fit(train)
-    assigned = model.transform(feat).select("neighbor_id", "cv", "centroid_id")
+    if centroids is not None:
+        cent_df = centroids.select(
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.expr(
+                "transform(centroid, x -> cast(x as double))"
+            ).alias("centroid"),
+        )
+        n_centroids = cent_df.count()
+        resid = _assign_residuals(c, cent_df)
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    centroids = [
-        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
-    ]
-    cent_df = spark.createDataFrame(centroids, ["centroid_id", "centroid"])
+        km = KMeans(
+            k=n_centroids, seed=seed, maxIter=3, initMode="random",
+            featuresCol="feat", predictionCol="centroid_id",
+        )
+        feat = c.withColumn("feat", array_to_vector("cv"))
+        target = n_centroids * 512
+        train = (
+            feat.sample(fraction=min(1.0, target / n_corpus), seed=seed)
+            if n_corpus > target
+            else feat
+        )
+        model = km.fit(train)
+        assigned = model.transform(feat).select(
+            "neighbor_id", "cv", "centroid_id"
+        )
 
-    resid = assigned.join(F.broadcast(cent_df), "centroid_id").select(
-        "neighbor_id", "centroid_id",
-        F.expr("zip_with(cv, centroid, (x, y) -> x - y)").alias("rv"),
-    )
-    books = pq_train(
-        resid, vec_col="rv", m=m, n_codes=n_codes, seed=seed,
+        trained = [
+            (i, [float(x) for x in ctr])
+            for i, ctr in enumerate(model.clusterCenters())
+        ]
+        cent_df = spark.createDataFrame(trained, ["centroid_id", "centroid"])
+
+        resid = assigned.join(F.broadcast(cent_df), "centroid_id").select(
+            "neighbor_id", "centroid_id",
+            F.expr("zip_with(cv, centroid, (x, y) -> x - y)").alias("rv"),
+        )
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_train(resid, vec_col="rv", m=m, n_codes=n_codes, seed=seed)
     )
     enc = pq_encode(resid, books, vec_col="rv")
     enc.select("neighbor_id", "centroid_id", "pq_codes").write.mode(
@@ -1099,23 +1150,7 @@ def ivfpq_append(
         F.col(id_col).alias("neighbor_id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cv"),
     )
-    dist = F.expr(
-        "aggregate(zip_with(cv, centroid, (x, y) -> (x - y) * (x - y)), "
-        "cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-    w = Window.partitionBy("neighbor_id").orderBy(
-        F.asc("dist"), F.asc("centroid_id")
-    )
-    resid = (
-        rows.crossJoin(F.broadcast(cent))
-        .withColumn("dist", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "neighbor_id", "centroid_id",
-            F.expr("zip_with(cv, centroid, (x, y) -> x - y)").alias("rv"),
-        )
-    )
+    resid = _assign_residuals(rows, cent)
     enc = pq_encode(resid, books, vec_col="rv")
     enc.select("neighbor_id", "centroid_id", "pq_codes").write.mode(
         "append"

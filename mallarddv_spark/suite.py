@@ -1391,6 +1391,42 @@ def q_adv_similarity_ivf_topk(spark, sf):
     )
 
 
+def q_adv_similarity_ivfpq_store(spark, sf):
+    """The STORED IVF-PQ index round-trip, deterministic variant: build a
+    real on-disk index (`operators/similarity.build_ivfpq_index` with
+    pre-trained centroids = corpus vectors 10..17 and the deterministic
+    grid codebooks) over the FIRST HALF of the corpus, `ivfpq_append` the
+    second half against the stored centroids/codebooks, then
+    `ivfpq_probe_topk` (nprobe=2, partition-pruned cells, residual ADC) —
+    proving the persisted layout, not just the inline arithmetic, against
+    the same closed-form oracle as the inline `ivfpqadc` part: a correct
+    build→append split is indistinguishable from a one-shot build."""
+    import tempfile
+
+    from mallarddv_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_append,
+        ivfpq_probe_topk,
+        pq_codebooks_deterministic,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    cent = e.filter("vec_id BETWEEN 10 AND 17").select(
+        F.col("vec_id").alias("centroid_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "centroid"
+        ),
+    )
+    books = pq_codebooks_deterministic(spark, m=8, dsub=8, n_codes=16)
+    path = tempfile.mkdtemp(prefix="ivfpq_gate_") + "/idx"
+    build_ivfpq_index(
+        e.filter("vec_id >= 18 AND vec_id < 5010"), path,
+        m=8, n_codes=16, centroids=cent, codebooks=books,
+    )
+    ivfpq_append(e.filter("vec_id >= 5010 AND vec_id < 10010"), path)
+    return ivfpq_probe_topk(e.filter("vec_id < 10"), path, k=5, nprobe=2)
+
+
 def q_adv_embedding_neardup_lsh(spark, sf):
     """LSH-bucketed embedding near-dup (the scale path in front of the
     exact O(n²) similarity_pairs): hyperplane-signature band buckets →
@@ -3901,24 +3937,29 @@ def q_similarity_ivfpq_adc(spark, sf):
     )
 
 
-O_SIM_IVFPQADC = """
-WITH e AS (
+def _o_ivfpqadc(p: str = "") -> tuple[str, str]:
+    """The deterministic IVF-PQ replay as (cte_defs, final_select) with
+    every CTE name prefixed by ``p`` — so the same closed-form SQL can
+    run standalone (O_SIM_IVFPQADC) or merge into another oracle's WITH
+    clause (O_ADV_ANN's `ivfpqstore` part) without DuckDB's nested-CTE
+    shadowing pitfalls."""
+    cte_defs = """{p}e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
-cent AS (
-    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 10 AND 17
+{p}cent AS (
+    SELECT vec_id AS cid, v AS cv FROM {p}e WHERE vec_id BETWEEN 10 AND 17
 ),
-corp AS (
-    SELECT vec_id, v FROM e WHERE vec_id >= 18 AND vec_id < 10010
+{p}corp AS (
+    SELECT vec_id, v FROM {p}e WHERE vec_id >= 18 AND vec_id < 10010
 ),
-cb AS (
+{p}cb AS (
     SELECT s.s, j.j,
            list_transform(range(0, 8), d ->
                ((((j.j * 31 + d * 7 + s.s * 3) % 17) - 8) / 8.0)) AS c
     FROM (SELECT unnest(range(0, 8)) AS s) s,
          (SELECT unnest(range(0, 16)) AS j) j
 ),
-assigned AS (
+{p}assigned AS (
     SELECT vec_id, cid,
            list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv
     FROM (
@@ -3926,24 +3967,24 @@ assigned AS (
             PARTITION BY c.vec_id ORDER BY
             round(list_dot_product(c.v, c.v) + list_dot_product(ct.cv, ct.cv)
                   - 2 * list_dot_product(c.v, ct.cv), 6) ASC, ct.cid ASC) AS rn
-        FROM corp c, cent ct) x
+        FROM {p}corp c, {p}cent ct) x
     WHERE rn = 1
 ),
-csub AS (
-    SELECT a.vec_id, a.cid, cb.s, cb.j,
+{p}csub AS (
+    SELECT a.vec_id, a.cid, {p}cb.s, {p}cb.j,
            list_sum(list_transform(range(0, 8), d ->
-               (a.rv[cb.s * 8 + d + 1] - cb.c[d + 1])
-               * (a.rv[cb.s * 8 + d + 1] - cb.c[d + 1]))) AS dist
-    FROM assigned a, cb
+               (a.rv[{p}cb.s * 8 + d + 1] - {p}cb.c[d + 1])
+               * (a.rv[{p}cb.s * 8 + d + 1] - {p}cb.c[d + 1]))) AS dist
+    FROM {p}assigned a, {p}cb
 ),
-codes AS (
+{p}codes AS (
     SELECT vec_id AS neighbor_id, cid, s, j AS code
     FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
                                        ORDER BY dist ASC, j ASC) AS rn
-          FROM csub) x
+          FROM {p}csub) x
     WHERE rn = 1
 ),
-probes AS (
+{p}probes AS (
     SELECT query_id, cid,
            list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qrv
     FROM (
@@ -3953,28 +3994,33 @@ probes AS (
                          + list_dot_product(ct.cv, ct.cv)
                          - 2 * list_dot_product(q.v, ct.cv), 6) ASC,
                    ct.cid ASC) AS pr
-        FROM (SELECT vec_id, v FROM e WHERE vec_id < 10) q, cent ct) x
+        FROM (SELECT vec_id, v FROM {p}e WHERE vec_id < 10) q, {p}cent ct) x
     WHERE pr <= 2
 ),
-qsub AS (
-    SELECT p.query_id, p.cid, cb.s, cb.j,
+{p}qsub AS (
+    SELECT p.query_id, p.cid, {p}cb.s, {p}cb.j,
            list_sum(list_transform(range(0, 8), d ->
-               (p.qrv[cb.s * 8 + d + 1] - cb.c[d + 1])
-               * (p.qrv[cb.s * 8 + d + 1] - cb.c[d + 1]))) AS dist
-    FROM probes p, cb
+               (p.qrv[{p}cb.s * 8 + d + 1] - {p}cb.c[d + 1])
+               * (p.qrv[{p}cb.s * 8 + d + 1] - {p}cb.c[d + 1]))) AS dist
+    FROM {p}probes p, {p}cb
 ),
-adc AS (
+{p}adc AS (
     SELECT q.query_id, c.neighbor_id, round(sum(q.dist), 6) AS adc_dist
-    FROM codes c JOIN qsub q
+    FROM {p}codes c JOIN {p}qsub q
       ON q.cid = c.cid AND q.s = c.s AND q.j = c.code
     GROUP BY q.query_id, c.neighbor_id
-)
-SELECT query_id, neighbor_id, rank, adc_dist
+)"""
+    final = """SELECT query_id, neighbor_id, rank, adc_dist
 FROM (SELECT *, row_number() OVER (
           PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
-      FROM adc) x
-WHERE rank <= 5
-"""
+      FROM {p}adc) x
+WHERE rank <= 5"""
+    return cte_defs.replace("{p}", p), final.replace("{p}", p)
+
+
+_adc_ctes, _adc_final = _o_ivfpqadc()
+O_SIM_IVFPQADC = "WITH " + _adc_ctes + "\n" + _adc_final + "\n"
+
 
 
 def q_similarity_suite(spark, sf):
@@ -4042,10 +4088,12 @@ O_SIMILARITY_SUITE = (
 
 
 def q_adv_ann_suite(spark, sf):
-    """Approximate-nearest-neighbor scale paths: hyperplane-LSH banded top-k
-    and IVF (KMeans cells, nprobe probing) top-k as one tagged union.
-    Approximate by construction → rows-only.
-    Parts: adv_similarity_lsh_topk, adv_similarity_ivf_topk."""
+    """Approximate-nearest-neighbor scale paths: hyperplane-LSH banded top-k,
+    IVF (deterministic cells, nprobe probing) top-k, and the STORED IVF-PQ
+    index round-trip (build → append → partition-pruned residual-ADC probe;
+    its `cosine` slot carries the ADC squared distance) as one tagged
+    union. Parts: adv_similarity_lsh_topk, adv_similarity_ivf_topk,
+    adv_similarity_ivfpq_store."""
     lsh = q_adv_similarity_lsh_topk(spark, sf).select(
         F.lit("lsh").alias("part"),
         "query_id",
@@ -4060,7 +4108,14 @@ def q_adv_ann_suite(spark, sf):
         F.col("rank").cast("bigint").alias("rank"),
         "cosine",
     )
-    return lsh.unionByName(ivf)
+    store = q_adv_similarity_ivfpq_store(spark, sf).select(
+        F.lit("ivfpqstore").alias("part"),
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("dist").alias("cosine"),
+    )
+    return lsh.unionByName(ivf).unionByName(store)
 
 
 def q_adv_neardup_suite(spark, sf):
@@ -4269,6 +4324,7 @@ O_ADV_NEARDUP = _o_adv_neardup()
 def _o_adv_ann() -> str:
     from mallarddv_spark.operators.similarity import hyperplane_matrix
 
+    pqs_ctes, pqs_final = _o_ivfpqadc("pqs_")
     sig32 = _duck_hyperplane_sig(hyperplane_matrix(32, 64, 42))
     # 8 bands of 4 bits over the 32-bit signature
     qb = "\n    UNION ALL\n".join(
@@ -4356,10 +4412,18 @@ ivf_final AS (
                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
           FROM ivf_scored) x
     WHERE rank <= 5
-)
+),
+{pqs_ctes}
 SELECT 'lsh' AS part, query_id, neighbor_id, rank, cosine FROM lsh_final
 UNION ALL
 SELECT 'ivf', query_id, neighbor_id, rank, cosine FROM ivf_final
+UNION ALL
+-- the stored-index round-trip (build half + append half at fixed
+-- centroids/codebooks) must equal the one-shot inline computation,
+-- so its oracle IS the inline ivfpqadc replay (CTEs merged under a
+-- pqs_ prefix)
+SELECT 'ivfpqstore', query_id, neighbor_id, rank, adc_dist AS cosine
+FROM ({pqs_final}) ivfpq_store
 """
 
 
