@@ -108,12 +108,14 @@ class FlowExecutor:
         file_type: str | None = None,
         expectations: list | None = None,
         quarantine_table: str | None = None,
+        plan_guard: dict | None = None,
     ) -> list[tuple[str, str]]:
         # same-vault flows serialize (see _flow_lock rationale in __init__)
         with self._flow_lock:
             return self._execute_flow(
                 source_table, record_source, file_path, load_date_overwrite,
                 force_load, verbose, file_type, expectations, quarantine_table,
+                plan_guard,
             )
 
     def _execute_flow(
@@ -127,6 +129,7 @@ class FlowExecutor:
         file_type: str | None = None,
         expectations: list | None = None,
         quarantine_table: str | None = None,
+        plan_guard: dict | None = None,
     ) -> list[tuple[str, str]]:
         spark = self.spark
         errors: list[tuple[str, str]] = []
@@ -323,6 +326,36 @@ class FlowExecutor:
             errors.append(("compute_hash_view", str(ex)))
             self._end(source_table, run_id, file_path, errors)
             return errors
+
+        # 4b. optional plan guard: audit the hash view's physical plan —
+        # the one frame every hub/link/sat load reads through — BEFORE any
+        # vault write. A user staging view or metadata transformation that
+        # plants a nested-loop join, a Python row stage, or an unexpected
+        # shuffle fails the flow here (ledger 'failure', no partial vault
+        # state) instead of melting down on a 100 TB run. ``plan_guard``
+        # takes :func:`mallarddv_spark.plans.audit.assert_plan` kwargs,
+        # e.g. {"no_python_stages": True, "no_nested_loop_joins": True}.
+        if plan_guard:
+            from mallarddv_spark.exceptions import DVConfigurationError
+            from mallarddv_spark.functions.hashing import quote_ident
+            from mallarddv_spark.plans.audit import assert_plan
+
+            try:
+                assert_plan(
+                    spark.table(
+                        f"{self.stg_db}."
+                        f"{quote_ident(source_table + '_hash_vw')}"
+                    ),
+                    **plan_guard,
+                )
+            except TypeError as ex:
+                errors.append(("plan_guard", f"bad plan_guard option: {ex}"))
+                self._end(source_table, run_id, file_path, errors)
+                return errors
+            except DVConfigurationError as ex:
+                errors.append(("plan_guard", str(ex)))
+                self._end(source_table, run_id, file_path, errors)
+                return errors
 
         # 5. hubs → links → sats, short-circuiting. The hash view is NOT
         # cached: each load stage reads it through parquet column pruning,
