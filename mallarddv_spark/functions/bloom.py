@@ -125,21 +125,24 @@ def _fold_filter(
         (F.col("p") / 64).cast("int").alias("w"),
         _bit_mask(F.col("p")).alias("b"),
     )
+    # densify via a zero row per word + sorted collect: every word index
+    # is present exactly once after the group-by, so extracting ``bits``
+    # from the w-sorted structs IS the dense array. (The previous
+    # map_from_entries + per-index element_at densify was quadratic in
+    # m/64 — Spark maps are unsorted arrays, so each of the m/64 lookups
+    # scanned them linearly; ~4 s of one-task CPU at m = 2^19.)
+    zero = vals.sparkSession.range(m // 64).select(
+        F.col("id").cast("int").alias("w"), F.lit(0).cast("long").alias("b")
+    )
     return (
-        word.groupBy("w")
+        word.unionByName(zero)
+        .groupBy("w")
         .agg(F.expr("bit_or(b)").alias("bits"))
         .agg(
-            F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
-                "__m"
-            )
+            F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("__e")
         )
         .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m // 64 - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("__m"), i), F.lit(0).cast("long")
-                ),
-            ).alias("__bloom"),
+            F.transform(F.col("__e"), lambda x: x["bits"]).alias("__bloom"),
             F.lit(m).cast("long").alias("m"),
             F.lit(n_hashes).cast("int").alias("n_hashes"),
             F.lit(max(n_items, 1)).cast("long").alias("n_items"),
