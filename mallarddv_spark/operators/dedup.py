@@ -313,8 +313,17 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        # SHUFFLE_HASH pins a shuffled hash join for the size re-attach:
+        # Catalyst's static size estimate for `inter` (explode → groupBy)
+        # is bogus-small, and at 10x the bench SF it statically chose to
+        # BROADCAST the corpus-quadratic pair side — driver OOM (caught
+        # by the sf1 stress pass). Broadcasting `sizes` instead would be
+        # right locally but is one-row-per-document — not broadcastable
+        # on a billion-doc corpus; the shuffled hash join is the shape
+        # that holds at every scale (inter re-shuffles by doc key, sizes
+        # is the per-partition build side).
+        inter.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .withColumn(
             "jaccard",
             F.expr("round(cast(inter as double) / (sz_a + sz_b - inter), 6)"),
