@@ -308,8 +308,20 @@ def heal_bloom(spark: SparkSession, path: str) -> str | None:
 
 
 def save_bloom(bloom: DataFrame, path: str) -> None:
-    """Persist the one-row filter (bits + geometry) as parquet."""
-    bloom.coalesce(1).write.mode("overwrite").parquet(path)
+    """Persist the one-row filter (bits + geometry) as parquet. First
+    write goes straight to ``path``; re-saving over an EXISTING filter
+    goes through the same staged-rename swap as :func:`bloom_append`, so
+    a crash mid-rewrite never leaves a stream gating on a torn file."""
+    from mallarddv_spark.sources import layout
+
+    spark = bloom.sparkSession
+    heal_bloom(spark, path)
+    fs, live = layout.dir_fs(spark, path)
+    if not fs.exists(live):
+        bloom.coalesce(1).write.mode("overwrite").parquet(path)
+        return
+    bloom.coalesce(1).write.mode("overwrite").parquet(path + "__compact")
+    layout.swap_dir_live(spark, path)
 
 
 def load_bloom(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from mallarddv_spark.exceptions import DVConfigurationError
+
 WS = r"\s+"
 
 #: tiny built-in stopword lists (extend per deployment)
@@ -385,3 +387,178 @@ def write_training_shards(
     finally:
         stream.close()
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher §A1.1, Rae et al. 2021) — single projection
+# ---------------------------------------------------------------------------
+
+def _run_fold_expr(sorted_arr_sql: str, total_chars_sql: str) -> tuple[str, str]:
+    """SQL for (top_frac, dup_frac) over a SORTED string array: one
+    ``aggregate`` fold tracking run lengths — ``top`` = chars covered by
+    the most frequent element (count x length; lexicographically first
+    on a count tie, which the sorted order makes deterministic), ``dup``
+    = chars covered by every element occurring more than once (count x
+    length, summed). Shared by the n-gram and line signals so both stay
+    inside one whole-stage-codegen projection."""
+    # `top` is chars of the MOST FREQUENT element (Gopher's definition),
+    # not max(count x length) over all elements — `bestn` tracks the
+    # winning count so a longer-but-rarer element cannot displace it; on
+    # a count tie the sorted order keeps the lexicographically first
+    acc0 = (
+        "named_struct('prev', cast(NULL as string), 'run', 0L, "
+        "'bestn', 0L, 'top', 0L, 'dup', 0L)"
+    )
+    step = (
+        "(acc, x) -> IF(x <=> acc.prev, "
+        "named_struct('prev', x, 'run', acc.run + 1L, "
+        "  'bestn', IF(acc.run + 1L > acc.bestn, acc.run + 1L, acc.bestn), "
+        "  'top', IF(acc.run + 1L > acc.bestn, "
+        "            (acc.run + 1L) * length(x), acc.top), "
+        "  'dup', acc.dup), "
+        "named_struct('prev', x, 'run', 1L, "
+        "  'bestn', IF(acc.bestn < 1L, 1L, acc.bestn), "
+        "  'top', IF(acc.bestn < 1L, length(x), acc.top), "
+        "  'dup', acc.dup + IF(acc.run >= 2, acc.run * length(acc.prev), 0L)))"
+    )
+    fin = (
+        "acc -> named_struct("
+        "'top', acc.top, "
+        "'dup', acc.dup + IF(acc.run >= 2, acc.run * length(acc.prev), 0L))"
+    )
+    fold = f"aggregate({sorted_arr_sql}, {acc0}, {step}, {fin})"
+    # count x length double-counts characters where occurrences OVERLAP
+    # ("spam spam spam": the top 2-gram overlaps itself), so cap at 1 —
+    # the signals stay fractions and the published thresholds apply
+    top = (
+        f"round(least(({fold}).top / greatest({total_chars_sql}, 1L),"
+        f" 1.0d), 6)"
+    )
+    dup = (
+        f"round(least(({fold}).dup / greatest({total_chars_sql}, 1L),"
+        f" 1.0d), 6)"
+    )
+    return top, dup
+
+
+def _ngram_arr_sql(n: int) -> str:
+    parts = ", ".join(f"__toks[i+{j}]" for j in range(n))
+    return (
+        f"IF(size(__toks) >= {n}, "
+        f"array_sort(transform(sequence(0, size(__toks)-{n}), "
+        f"i -> concat_ws(' ', {parts}))), array())"
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Per-document repetition signals — the Gopher repetition battery
+    (Rae et al. 2021 §A1.1), each as a fraction of the document's
+    characters, computed in ONE shuffle-free projection (sorted-array
+    run-length folds; no explode, no groupBy):
+
+    * ``rep_dup_line_frac`` — fraction of lines occurring more than once
+      (count over lines).
+    * ``rep_dup_line_char_frac`` — fraction of characters in such lines.
+    * ``rep_top_{n}gram_char_frac`` (n in ``top_ns``) — characters
+      covered by the single most frequent word n-gram (count x length).
+    * ``rep_dup_{n}gram_char_frac`` (n in ``dup_ns``) — characters
+      covered by all word n-grams occurring more than once (count x
+      length, occurrences summed — the datatrove/Dolma convention; exact
+      char-coverage with overlap dedup is not expressible without a
+      per-position pass and differs negligibly on natural text).
+
+    Denominator is ``length(text)``; empty/short docs read 0. Word
+    n-grams use the same whitespace tokenization as the rest of
+    :mod:`textops`; lines split on newline. Thresholds for the standard
+    Gopher cuts live in :data:`GOPHER_REPETITION_RULES` /
+    :func:`repetition_filter`.
+    """
+    t = F.trim(F.col(text_col))
+    chars = "length(__t)"
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("__t"),
+        F.split(t, r"\s+").alias("__toks"),
+        F.split(t, "\n").alias("__lines"),
+    )
+    cols = [F.col("doc_id")]
+    # line-level: fraction of duplicated lines (count) + their chars
+    n_lines = "greatest(size(__lines), 1)"
+    sorted_lines = "array_sort(__lines)"
+    line_top, line_dup_chars = _run_fold_expr(sorted_lines, chars)
+    dup_line_cnt = (
+        "(size(__lines) - size(array_distinct(__lines)))"
+    )
+    cols.append(
+        F.expr(f"round({dup_line_cnt} / {n_lines}, 6)").alias(
+            "rep_dup_line_frac"
+        )
+    )
+    cols.append(F.expr(line_dup_chars).alias("rep_dup_line_char_frac"))
+    for n in top_ns:
+        top, _ = _run_fold_expr(_ngram_arr_sql(n), chars)
+        cols.append(F.expr(top).alias(f"rep_top_{n}gram_char_frac"))
+    for n in dup_ns:
+        _, dup = _run_fold_expr(_ngram_arr_sql(n), chars)
+        cols.append(F.expr(dup).alias(f"rep_dup_{n}gram_char_frac"))
+    return base.select(*cols)
+
+
+#: the published Gopher repetition thresholds (Rae et al. 2021, table A1)
+GOPHER_REPETITION_RULES: dict = {
+    "rep_dup_line_frac": 0.30,
+    "rep_dup_line_char_frac": 0.20,
+    "rep_top_2gram_char_frac": 0.20,
+    "rep_top_3gram_char_frac": 0.18,
+    "rep_top_4gram_char_frac": 0.16,
+    "rep_dup_5gram_char_frac": 0.15,
+    "rep_dup_6gram_char_frac": 0.14,
+    "rep_dup_7gram_char_frac": 0.13,
+    "rep_dup_8gram_char_frac": 0.12,
+    "rep_dup_9gram_char_frac": 0.11,
+    "rep_dup_10gram_char_frac": 0.10,
+}
+
+
+def repetition_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: dict | None = None,
+) -> DataFrame:
+    """Keep/drop verdict from the repetition battery: joins nothing —
+    :func:`repetition_profile` columns are computed inline and compared
+    against ``rules`` (default: the published Gopher thresholds; pass a
+    partial dict to override some, None-valued entries disable a cut).
+    Adds ``rep_keep`` + ``rep_reasons`` alongside the signal columns."""
+    r = {**GOPHER_REPETITION_RULES, **(rules or {})}
+    unknown = set(r) - set(GOPHER_REPETITION_RULES)
+    if unknown:
+        raise DVConfigurationError(
+            f"unknown repetition rule(s) {sorted(unknown)} — valid: "
+            f"{sorted(GOPHER_REPETITION_RULES)}"
+        )
+    prof = repetition_profile(df, id_col, text_col)
+    checks = [
+        (name, F.col(name) <= thr)
+        for name, thr in r.items()
+        if thr is not None
+    ]
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(~ok, F.lit(name)).otherwise(F.lit(None))
+                for name, ok in checks
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return prof.withColumn("rep_reasons", reasons).withColumn(
+        "rep_keep", F.size("rep_reasons") == 0
+    )

@@ -3270,8 +3270,19 @@ def q_text_contamination_suite(spark, sf):
     zero-shuffle Bloom pre-pass inner-joined to the exact verdicts on
     (doc_id, n_hit_shingles, contaminated): its oracle is the SAME exact
     n-gram SQL, so any Bloom false positive (or worse, a false negative)
-    drops rows and fails the gate's row/hash compare."""
-    from mallarddv_spark.operators.curation import decontaminate_bloom
+    drops rows and fails the gate's row/hash compare. Since round 8 the
+    bloomdecon filter takes the STORED round-trip — half the benchmark
+    built + `save_bloom`, the other half folded in via `bloom_append`
+    (staged-rename swap), probe from the re-read file — so the gate also
+    proves the persistence path the streaming ingest screen relies on."""
+    import tempfile
+
+    from mallarddv_spark.functions import bloom as B
+    from mallarddv_spark.operators.curation import (
+        build_benchmark_bloom,
+        decontaminate_with_bloom,
+    )
+    from mallarddv_spark.operators.dedup import _shingles
 
     d = q_text_decontaminate(spark, sf).select(
         F.lit("decontaminate").alias("part"),
@@ -3294,10 +3305,30 @@ def q_text_contamination_suite(spark, sf):
     # get re-evaluated around the verification join; pre-shuffling the
     # train side spreads it across cores (a lake corpus arrives in many
     # files and needs no such help) — same fix as the linededup gate
-    bloom = decontaminate_bloom(
+    bench = docs.filter(F.pmod("doc_id", F.lit(50)) == 0)
+    # the full benchmark's distinct-shingle count sizes BOTH half-builds
+    # (the manifest pattern: geometry fixed up front, halves fold at it —
+    # append never resizes, so sizing for the union keeps fpp honest)
+    n_full = (
+        _shingles(bench, "doc_id", "text", 5).select("shingle").distinct().count()
+    )
+    half_a = bench.filter(F.pmod("doc_id", F.lit(100)) == 0)
+    half_b = bench.filter(F.pmod("doc_id", F.lit(100)) == 50)
+    path = tempfile.mkdtemp(prefix="bloomdecon_gate_") + "/bf"
+    B.save_bloom(
+        build_benchmark_bloom(
+            half_a, "doc_id", "text", shingle_size=5, fpp=1e-12,
+            expected_shingles=n_full,
+        ),
+        path,
+    )
+    B.bloom_append(
+        spark, path, _shingles(half_b, "doc_id", "text", 5), "shingle"
+    )
+    bloom = decontaminate_with_bloom(
         docs.filter(F.pmod("doc_id", F.lit(50)) != 0).repartition(32, "doc_id"),
-        docs.filter(F.pmod("doc_id", F.lit(50)) == 0),
-        "doc_id", "text", shingle_size=5, fpp=1e-12,
+        spark.read.parquet(path),
+        "doc_id", "text",
     ).select(
         F.col("doc_id").alias("__bid"),
         F.col("n_hit_shingles").alias("__bn"),
