@@ -117,7 +117,13 @@ def rolling_hashes(text: Column | str, window: int = 8) -> Column:
 
 
 def text_profile(
-    df: DataFrame, id_col: str, text_col: str, lang: str = "en"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang: str = "en",
+    with_repetition: bool = False,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
 ) -> DataFrame:
     """One-pass per-document profile: everything a curation pipeline filters
     on, computed in a single projection (one scan, no shuffle).
@@ -125,6 +131,10 @@ def text_profile(
     The token array is materialized once in a first projection and every
     metric references it — the naive form re-tokenizes the text per metric
     (~15 regex splits per row), which dominates runtime on long documents.
+
+    ``with_repetition`` appends the Gopher repetition battery
+    (:func:`repetition_profile`'s signal columns) to the SAME projection —
+    no self-join, still one scan.
     """
     toks = F.col("__toks")
     n_tokens = F.size(toks)
@@ -157,7 +167,7 @@ def text_profile(
         F.least(sw_ratio * 4.0, F.lit(1.0)) * 0.4 + a_ratio * 0.4 + len_ok * 0.2, 6
     )
 
-    return df.withColumn("__toks", tokens(text_col)).select(
+    cols = [
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
@@ -169,7 +179,15 @@ def text_profile(
         guess.alias("lang_guess"),
         normalized_fingerprint(text_col).alias("norm_fp"),
         F.md5(F.concat_ws(" ", F.sort_array(toks))).alias("sorted_fp"),
-    )
+    ]
+    base = df.withColumn("__toks", tokens(text_col))
+    if with_repetition:
+        trimmed = F.trim(F.col(text_col))
+        base = base.withColumn("__t", trimmed).withColumn(
+            "__lines", F.split(trimmed, "\n")
+        )
+        cols.extend(repetition_columns(top_ns, dup_ns))
+    return base.select(*cols)
 
 
 # ---------------------------------------------------------------------------
@@ -480,21 +498,31 @@ def repetition_profile(
     :func:`repetition_filter`.
     """
     t = F.trim(F.col(text_col))
-    chars = "length(__t)"
     base = df.select(
         F.col(id_col).alias("doc_id"),
         t.alias("__t"),
         F.split(t, r"\s+").alias("__toks"),
         F.split(t, "\n").alias("__lines"),
     )
-    cols = [F.col("doc_id")]
+    return base.select(
+        F.col("doc_id"), *repetition_columns(top_ns, dup_ns)
+    )
+
+
+def repetition_columns(
+    top_ns: tuple = (2, 3, 4), dup_ns: tuple = (5, 6, 7, 8, 9, 10)
+) -> list:
+    """The repetition signal Columns, assuming ``__t`` (trimmed text),
+    ``__toks`` (whitespace tokens) and ``__lines`` (newline split) are in
+    scope — the composition seam that lets :func:`text_profile` append
+    the battery to its one-pass projection without a self-join."""
+    chars = "length(__t)"
+    cols = []
     # line-level: fraction of duplicated lines (count) + their chars
     n_lines = "greatest(size(__lines), 1)"
     sorted_lines = "array_sort(__lines)"
-    line_top, line_dup_chars = _run_fold_expr(sorted_lines, chars)
-    dup_line_cnt = (
-        "(size(__lines) - size(array_distinct(__lines)))"
-    )
+    _, line_dup_chars = _run_fold_expr(sorted_lines, chars)
+    dup_line_cnt = "(size(__lines) - size(array_distinct(__lines)))"
     cols.append(
         F.expr(f"round({dup_line_cnt} / {n_lines}, 6)").alias(
             "rep_dup_line_frac"
@@ -507,7 +535,7 @@ def repetition_profile(
     for n in dup_ns:
         _, dup = _run_fold_expr(_ngram_arr_sql(n), chars)
         cols.append(F.expr(dup).alias(f"rep_dup_{n}gram_char_frac"))
-    return base.select(*cols)
+    return cols
 
 
 #: the published Gopher repetition thresholds (Rae et al. 2021, table A1)

@@ -1458,12 +1458,19 @@ def q_adv_embedding_neardup_lsh(spark, sf):
 
 
 def q_adv_text_profile(spark, sf):
-    """One-pass ten-metric text profile (single projection, no shuffle).
+    """One-pass text profile (single projection, no shuffle), since
+    round 8 including four Gopher repetition signals (duplicate-line
+    count/char fractions, top-2-gram chars, duplicated-5-gram chars —
+    `textops.repetition_columns`; the remaining battery members are the
+    same fold at other n, pytest-differentialed in test_repetition.py).
     Count columns are cast to bigint so the schema matches the DuckDB
     oracle (whose len()/length() return BIGINT)."""
     from mallarddv_spark.operators import textops
 
-    prof = textops.text_profile(_t(spark, sf, "documents"), "doc_id", "text")
+    prof = textops.text_profile(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        with_repetition=True, top_ns=(2,), dup_ns=(5,),
+    )
     return prof.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -1476,6 +1483,10 @@ def q_adv_text_profile(spark, sf):
         "lang_guess",
         "norm_fp",
         "sorted_fp",
+        "rep_dup_line_frac",
+        "rep_dup_line_char_frac",
+        "rep_top_2gram_char_frac",
+        "rep_dup_5gram_char_frac",
     )
 
 
@@ -1502,9 +1513,21 @@ def _o_adv_text_profile() -> str:
         + " ".join(f"WHEN v_{lg} >= {mx} THEN '{lg}'" for lg in langs)
         + " END) ELSE 'unknown' END"
     )
+    # repetition signals (count x length convention, capped at 1 — see
+    # textops.repetition_columns): the per-element counting the Spark
+    # side folds over a sorted array is replayed relationally (unnest →
+    # group → re-join), which is trivially equivalent
+    g2 = "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+    g5 = (
+        "list_transform(range(1, len(toks) - 3), i -> "
+        "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+        "toks[i+3] || ' ' || toks[i+4])"
+    )
     return rf"""
 WITH base AS (
-    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks,
+           string_split(trim(text), chr(10)) AS lns,
+           greatest(length(trim(text)), 1) AS tchars
     FROM documents
 ),
 m AS (
@@ -1516,11 +1539,36 @@ m AS (
        round(length(regexp_replace(text, '\s+', '', 'g'))
              / len(toks), 6) AS mean_token_len
     FROM base
+),
+rep_lines AS (
+    SELECT b.doc_id, sum(c.cnt * length(c.l)) AS dupchars
+    FROM base b
+    JOIN (SELECT doc_id, l, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(lns) AS l FROM base) x
+          GROUP BY doc_id, l
+          HAVING count(*) >= 2) c ON c.doc_id = b.doc_id
+    GROUP BY b.doc_id
+),
+rep_top2 AS (
+    SELECT doc_id, cnt * length(g) AS topchars
+    FROM (SELECT doc_id, g, count(*) AS cnt, row_number() OVER (
+              PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+          FROM (SELECT doc_id, unnest({g2}) AS g FROM base) x
+          GROUP BY doc_id, g) y
+    WHERE rn = 1
+),
+rep_dup5 AS (
+    SELECT doc_id, sum(cnt * length(g)) AS dupchars
+    FROM (SELECT doc_id, g, count(*) AS cnt
+          FROM (SELECT doc_id, unnest({g5}) AS g FROM base) x
+          GROUP BY doc_id, g
+          HAVING count(*) >= 2) y
+    GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT m.doc_id,
        n_tokens,
-       len(list_distinct(toks)) AS n_unique_tokens,
-       length(text) AS n_chars,
+       len(list_distinct(m.toks)) AS n_unique_tokens,
+       length(m.text) AS n_chars,
        round(v_en / n_tokens, 6) AS stopword_ratio,
        alpha_ratio,
        mean_token_len,
@@ -1529,10 +1577,22 @@ SELECT doc_id,
              + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0
                      THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
        {guess} AS lang_guess,
-       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       md5(trim(regexp_replace(regexp_replace(lower(m.text), '[^a-z0-9 ]', ' ', 'g'),
                                ' +', ' ', 'g'))) AS norm_fp,
-       md5(array_to_string(list_sort(toks), ' ')) AS sorted_fp
+       md5(array_to_string(list_sort(m.toks), ' ')) AS sorted_fp,
+       round((len(b.lns) - len(list_distinct(b.lns)))
+             / greatest(len(b.lns), 1), 6) AS rep_dup_line_frac,
+       round(least(coalesce(rl.dupchars, 0) / b.tchars, 1.0), 6)
+           AS rep_dup_line_char_frac,
+       round(least(coalesce(t2.topchars, 0) / b.tchars, 1.0), 6)
+           AS rep_top_2gram_char_frac,
+       round(least(coalesce(d5.dupchars, 0) / b.tchars, 1.0), 6)
+           AS rep_dup_5gram_char_frac
 FROM m
+JOIN base b USING (doc_id)
+LEFT JOIN rep_lines rl USING (doc_id)
+LEFT JOIN rep_top2 t2 USING (doc_id)
+LEFT JOIN rep_dup5 d5 USING (doc_id)
 """
 
 
