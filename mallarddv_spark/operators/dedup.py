@@ -825,3 +825,133 @@ def semantic_dedup(
         .select(F.col("node").alias(id_col))
     )
     return df.join(drops, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (maximal shared token runs)
+# ---------------------------------------------------------------------------
+
+
+def substring_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_run_tokens: int = 20,
+    max_kgram_occurrences: int | None = 1000,
+) -> DataFrame:
+    """Maximal verbatim token runs shared between document pairs — the
+    distributed counterpart of suffix-array exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any ``min_run_tokens``-or-longer token sequence appearing
+    in two documents is found, with its exact span in both.
+
+    Reference scope note: the reference engine has no substring-dedup
+    operator — this is part of the training-data curation tier this repo
+    adds beyond the reference surface (like MinHash-LSH and winnowing).
+
+    Method: every k-gram (k = ``min_run_tokens``) is emitted with its
+    token position; two documents sharing a run of R >= k tokens share
+    R-k+1 k-grams on ONE diagonal (pos_a - pos_b constant), so matches
+    are grouped per (pair, diagonal) and consecutive positions are fused
+    into maximal islands via the pos - row_number() gaps-and-islands
+    rewrite. Returns one row per maximal shared run:
+    ``(doc_a, doc_b, start_a, start_b, run_tokens)`` with doc_a < doc_b;
+    overlapping shorter runs are subsumed, never double-reported.
+
+    Scale shape (100 TB): the k-gram stream is linear in corpus tokens;
+    the self-join is a hash join on the 64-bit k-gram key, so work is
+    sum-of-bucket-squares, not corpus-squared. Boilerplate k-grams
+    (license headers, navigation chrome) are the quadratic hazard —
+    ``max_kgram_occurrences`` drops any k-gram occurring more than that
+    many times corpus-wide (counted with a window on the already-shuffled
+    key partition, no extra shuffle). A run all of whose k-grams are that
+    common is boilerplate by definition; runs with at least one sub-cap
+    k-gram survive (possibly split). Set ``None`` to disable (oracle
+    replay / small corpora). Matching is by xxhash64 of the k-gram
+    (collision odds ~2^-64 per bucket pair — negligible and
+    deterministic); downstream shuffles move only ids + positions.
+    """
+    from pyspark.sql import Window
+
+    if min_run_tokens < 2:
+        raise ValueError(
+            f"min_run_tokens must be >= 2, got {min_run_tokens}"
+        )
+    k = int(min_run_tokens)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    grams = d.select(
+        "__id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {k}), "
+                f"i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, {k}))))"
+            )
+        ).alias("pos", "key"),
+    )
+    if max_kgram_occurrences is not None:
+        grams = grams.withColumn(
+            "__n", F.count("*").over(Window.partitionBy("key"))
+        ).filter(F.col("__n") <= int(max_kgram_occurrences)).drop("__n")
+    a = grams.select(
+        F.col("key"), F.col("__id").alias("doc_a"), F.col("pos").alias("pa")
+    )
+    b = grams.select(
+        F.col("key").alias("kb"), F.col("__id").alias("doc_b"),
+        F.col("pos").alias("pb"),
+    )
+    matches = a.join(b, F.col("key") == F.col("kb")).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", diag).orderBy("pa")
+    return (
+        matches.select("doc_a", "doc_b", "pa", "pb", diag)
+        .withColumn("__grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "__grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.max("pa") - F.min("pa") + k).cast("bigint").alias("run_tokens"),
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.col("start_a").cast("bigint").alias("start_a"),
+            F.col("start_b").cast("bigint").alias("start_b"),
+            "run_tokens",
+        )
+    )
+
+
+def mark_substring_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_run_tokens: int = 20,
+    **span_kwargs,
+) -> DataFrame:
+    """Per-document verdict over :func:`substring_duplicate_spans`: flag
+    every document that shares a >= ``min_run_tokens`` verbatim run with
+    an EARLIER (smaller-id) document — the keep-first filter policy.
+    Returns the input plus ``(substr_dup boolean, n_dup_spans bigint,
+    max_shared_run bigint)``; survivors have ``substr_dup = false``.
+
+    The span table is sized by true overlaps, not the corpus, so the
+    verdict join is a plain hash (or AQE-broadcast) join on id."""
+    spans = substring_duplicate_spans(
+        df, id_col, text_col, min_run_tokens, **span_kwargs
+    )
+    flagged = spans.groupBy(F.col("doc_b").alias(id_col)).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.max("run_tokens").alias("max_shared_run"),
+    )
+    return df.join(flagged, on=id_col, how="left").select(
+        *df.columns,
+        F.col("n_dup_spans").isNotNull().alias("substr_dup"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.coalesce("max_shared_run", F.lit(0)).cast("bigint").alias(
+            "max_shared_run"
+        ),
+    )

@@ -3007,6 +3007,51 @@ GROUP BY l.doc_id
 """
 
 
+def q_text_substring_spans(spark, sf):
+    """Exact-substring dedup (Lee et al. 2022 suffix-array semantics,
+    re-expressed as a k-gram diagonal join —
+    `operators/dedup.substring_duplicate_spans`): every maximal verbatim
+    run of >= 10 tokens shared by two documents, with its exact span in
+    both. The boilerplate cap (`max_kgram_occurrences=1000`) is live and
+    mirrored in the oracle, so the gate proves the production path. The
+    single local parquet file is pre-shuffled for parallelism (same fix
+    as the linededup gate)."""
+    from mallarddv_spark.operators.dedup import substring_duplicate_spans
+
+    d = _t(spark, sf, "documents")
+    return substring_duplicate_spans(
+        d.repartition("doc_id"), "doc_id", "text",
+        min_run_tokens=10, max_kgram_occurrences=1000,
+    )
+
+
+O_TEXT_SUBSTR = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+kg AS (
+    SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+9], ' ') AS kgram
+    FROM toks, unnest(generate_series(1, len(t) - 9)) u(i)
+),
+keep AS (SELECT kgram FROM kg GROUP BY kgram HAVING count(*) <= 1000),
+kgk AS (SELECT kg.* FROM kg JOIN keep USING (kgram)),
+m AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+           a.pos - b.pos AS diag
+    FROM kgk a JOIN kgk b ON a.kgram = b.kgram AND a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT *, pa - row_number() OVER (
+        PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+    FROM m
+)
+SELECT doc_a, doc_b, cast(min(pa) as bigint) AS start_a,
+       cast(min(pb) as bigint) AS start_b,
+       cast(max(pa) - min(pa) + 10 as bigint) AS run_tokens
+FROM isl GROUP BY doc_a, doc_b, diag, grp
+"""
+
+
 def q_text_incremental_dedup(spark, sf):
     """Incremental batch-vs-history dedup (the daily-crawl shape): the
     documents table plays the accumulated corpus; the new batch is built
@@ -3246,9 +3291,10 @@ O_TEXT_CURATION_ASSIGN = (
 
 def q_text_chunking_winnow(spark, sf):
     """Per-document derived-sequence suite: overlapping token-window training
-    chunks, winnowing (MOSS) fingerprint index, and corpus-level line
-    dedup, as one tagged union. Parts: text_chunking,
-    text_winnow_fingerprints, text_line_dedup."""
+    chunks, winnowing (MOSS) fingerprint index, corpus-level line
+    dedup, and exact-substring shared-run spans, as one tagged union.
+    Parts: text_chunking, text_winnow_fingerprints, text_line_dedup,
+    text_substring_spans."""
     c = q_text_chunking(spark, sf).select(
         F.lit("chunk").alias("part"),
         "doc_id",
@@ -3272,7 +3318,15 @@ def q_text_chunking_winnow(spark, sf):
         F.col("lines_kept").alias("n_tokens"),
         F.col("dup_line_frac").alias("d1"),
     )
-    return c.unionByName(w).unionByName(ld)
+    ss = q_text_substring_spans(spark, sf).select(
+        F.lit("substr").alias("part"),
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("idx"),
+        F.concat_ws(":", "start_a", "start_b").alias("payload"),
+        F.col("run_tokens").alias("n_tokens"),
+        *_nulls(("d1", "double")),
+    )
+    return c.unionByName(w).unionByName(ld).unionByName(ss)
 
 
 O_TEXT_CHUNKING_WINNOW = (
@@ -3285,7 +3339,11 @@ O_TEXT_CHUNKING_WINNOW = (
     + ") w\nUNION ALL\nSELECT 'linededup' AS part, doc_id, lines_dropped AS idx,"
     " clean_text AS payload, lines_kept AS n_tokens, dup_line_frac AS d1\nFROM ("
     + O_TEXT_LINE_DEDUP
-    + ") ld"
+    + ") ld\nUNION ALL\nSELECT 'substr' AS part, doc_a AS doc_id, doc_b AS idx,"
+    " concat(start_a, ':', start_b) AS payload, run_tokens AS n_tokens,"
+    " cast(NULL as double) AS d1\nFROM ("
+    + O_TEXT_SUBSTR
+    + ") ss"
 )
 
 

@@ -693,3 +693,116 @@ def test_write_training_shards(spark, tmp_path):
         write_training_shards(
             docs, path, "doc_id", "text", token_budget=256, n_shards=4
         )
+
+
+# --- exact-substring dedup -------------------------------------------------
+
+
+def test_substring_duplicate_spans_maximal_runs(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f z q"),   # shares a..f (6 tokens) with 1
+        (3, "a b c d e f g h i j"),   # exact dup of 1
+        (4, "p q r s t u v w"),       # disjoint
+        (5, "a b c d e X f g h i"),   # two split runs vs 1: 5 and 4 tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.run_tokens)
+        for r in dedup.substring_duplicate_spans(
+            df, "doc_id", "text", min_run_tokens=4,
+            max_kgram_occurrences=None,
+        ).collect()
+    }
+    # maximal runs only — the 6-token overlap reports once, not as three
+    # 4-gram matches; the X mismatch splits 1<->5 into two runs
+    assert (1, 2, 0, 2, 6) in spans
+    assert (1, 3, 0, 0, 10) in spans
+    assert (1, 5, 0, 0, 5) in spans and (1, 5, 5, 6, 4) in spans
+    assert not any(a == 4 or b == 4 for a, b, *_ in spans)
+    # no sub-run double reporting: every (pair, diagonal) appears once
+    # per island, so 1<->2 contributes exactly one row
+    assert sum(1 for a, b, *_ in spans if (a, b) == (1, 2)) == 1
+
+
+def test_substring_spans_match_bruteforce(spark):
+    """Differential vs a pure-Python maximal-run finder on random docs
+    over a tiny vocabulary (dense chance overlaps)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = ["w%d" % i for i in range(6)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(12)
+    ]
+    k = 5
+
+    def runs(sa, sb):
+        ta, tb = sa.split(), sb.split()
+        hits = {
+            (i, j)
+            for i in range(len(ta) - k + 1)
+            for j in range(len(tb) - k + 1)
+            if ta[i:i + k] == tb[j:j + k]
+        }
+        out = []
+        for (i, j) in sorted(hits):
+            if (i - 1, j - 1) in hits:
+                continue  # not the head of an island
+            n = 0
+            while (i + n, j + n) in hits:
+                n += 1
+            out.append((i, j, n - 1 + k))
+        return out
+
+    expected = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(docs, 2):
+        for i, j, n in runs(sa, sb):
+            expected.add((ia, ib, i, j, n))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.run_tokens)
+        for r in dedup.substring_duplicate_spans(
+            df, "doc_id", "text", min_run_tokens=k,
+            max_kgram_occurrences=None,
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_substring_kgram_cap_drops_boilerplate(spark):
+    boiler = "l1 l2 l3 l4 l5"
+    rows = [(i, f"{boiler} body{i} tail{i}") for i in range(10)]
+    rows.append((100, "u1 u2 u3 u4 u5 body5 tail5 x"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.substring_duplicate_spans(
+        df, "doc_id", "text", min_run_tokens=5, max_kgram_occurrences=9
+    )
+    # the license-header 5-gram occurs 10x > cap: all its pairs vanish;
+    # nothing else shares a 5-token run
+    assert capped.count() == 0
+    uncapped = dedup.substring_duplicate_spans(
+        df, "doc_id", "text", min_run_tokens=5, max_kgram_occurrences=None
+    )
+    assert uncapped.count() == 45  # C(10,2) boilerplate pairs
+
+
+def test_mark_substring_duplicates_keep_first(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "z z a b c d e f"),
+        (3, "q r s t u v w y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.substr_dup, r.max_shared_run)
+        for r in dedup.mark_substring_duplicates(
+            df, "doc_id", "text", min_run_tokens=6,
+            max_kgram_occurrences=None,
+        ).collect()
+    }
+    # doc 1 is the earliest holder -> survives; doc 2 flagged (6-run vs 1)
+    assert out[1] == (False, 0)
+    assert out[2] == (True, 6)
+    assert out[3] == (False, 0)
