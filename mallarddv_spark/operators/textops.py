@@ -590,3 +590,180 @@ def repetition_filter(
     return prof.withColumn("rep_reasons", reasons).withColumn(
         "rep_keep", F.size("rep_reasons") == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM fluency scoring (the CCNet/Wenzek et al. 2020 perplexity
+# bucket stage, with a relational LM instead of KenLM)
+# ---------------------------------------------------------------------------
+
+
+def _lm_tokens(text_col, lowercase: bool):
+    t = F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)
+    if lowercase:
+        t = F.lower(t)
+    return F.split(t, r"\s+")
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str, lowercase: bool = True
+) -> dict:
+    """Count-based bigram language model over a reference corpus — the
+    relational stand-in for the KenLM n-gram model CCNet scores crawl
+    text with. Returns ``{"unigrams": DF(w, cnt), "bigrams":
+    DF(w1, w2, cnt), "total_tokens": int, "lowercase": bool}``; both
+    count tables are plain DataFrames, so a trained LM persists as two
+    parquet writes and scores any future corpus.
+
+    Reference scope note: no LM stage exists in the reference engine —
+    this extends the training-data curation tier.
+
+    Scale shape: two groupBy shuffles over the token/bigram streams
+    (map-side partial aggregation makes them near-linear); the model
+    size is the vocabulary, not the corpus."""
+    toks = _lm_tokens(text_col, lowercase)
+    base = df.select(toks.alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = F.when(
+        F.size("__t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__t) - 1), "
+            "i -> struct(element_at(__t, i) as w1, "
+            "element_at(__t, i + 1) as w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    bi = (
+        base.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt")).first()[0] or 0
+    return {
+        "unigrams": uni,
+        "bigrams": bi,
+        "total_tokens": int(total),
+        "lowercase": lowercase,
+    }
+
+
+def score_bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: dict,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under a
+    :func:`train_bigram_lm` model — low scores mark disfluent/garbled
+    text (the CCNet head/middle/tail signal). Stupid-backoff chain
+    (Brants et al. 2007): ``P(w2|w1) = c(w1,w2)/c(w1)``, else
+    ``alpha * c(w2)/N``, else ``alpha * 0.5/N`` for out-of-vocabulary
+    words. Returns ``(id, n_bigrams, n_backoff, avg_logprob)``; docs
+    with < 2 tokens score NULL (no bigrams to judge).
+
+    Determinism note: each bigram's log-prob is snapped to a 1e-10 grid
+    (``round(ln(p) * 1e10)`` as bigint) and summed EXACTLY in integer
+    space, so the per-doc mean is independent of partitioning/merge
+    order — float summation order would otherwise wobble the low bits
+    and break replayed comparisons. The snap error (<= 5e-11 per
+    bigram) is ~5 orders below any filtering threshold's resolution.
+
+    Scale shape: three hash joins on word keys (bigram, c(w1), c(w2))
+    over the bigram stream, then one groupBy on id. Natural-language
+    word frequency is maximally skewed ('the' is ~5% of English
+    tokens) — run with AQE skew-join enabled (the session default) or
+    pre-salt via ``operators.skew`` for a static plan."""
+    toks = _lm_tokens(text_col, bool(lm.get("lowercase", True)))
+    n_total = int(lm["total_tokens"]) or 1
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    pairs = F.when(
+        F.size("__t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__t) - 1), "
+            "i -> struct(element_at(__t, i) as w1, "
+            "element_at(__t, i + 1) as w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    stream = base.select("__id", F.explode(pairs).alias("p")).select(
+        "__id", "p.w1", "p.w2"
+    )
+    bi = lm["bigrams"].select(
+        F.col("w1").alias("__b1"), F.col("w2").alias("__b2"),
+        F.col("cnt").alias("__cb"),
+    )
+    u1 = lm["unigrams"].select(
+        F.col("w").alias("__u1"), F.col("cnt").alias("__c1")
+    )
+    u2 = lm["unigrams"].select(
+        F.col("w").alias("__u2"), F.col("cnt").alias("__c2")
+    )
+    scored = (
+        stream.join(
+            bi,
+            (F.col("w1") == F.col("__b1")) & (F.col("w2") == F.col("__b2")),
+            "left",
+        )
+        .join(u1, F.col("w1") == F.col("__u1"), "left")
+        .join(u2, F.col("w2") == F.col("__u2"), "left")
+        .select(
+            "__id",
+            F.col("__cb").isNull().cast("int").alias("__backoff"),
+            F.when(
+                F.col("__cb").isNotNull(),
+                F.log(
+                    F.col("__cb").cast("double") / F.col("__c1").cast("double")
+                ),
+            )
+            .when(
+                F.col("__c2").isNotNull(),
+                F.log(
+                    F.lit(alpha) * F.col("__c2").cast("double") / F.lit(n_total)
+                ),
+            )
+            .otherwise(F.log(F.lit(alpha) * F.lit(0.5) / F.lit(n_total)))
+            .alias("__lp"),
+        )
+        .select(
+            "__id",
+            "__backoff",
+            F.round(F.col("__lp") * 1e10).cast("bigint").alias("__lp10"),
+        )
+    )
+    return scored.groupBy(F.col("__id").alias("id")).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("__backoff").cast("bigint").alias("n_backoff"),
+        F.round(
+            F.sum("__lp10") / (F.lit(1e10) * F.count("*")), 6
+        ).alias("avg_logprob"),
+    )
+
+
+def fluency_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: dict,
+    min_avg_logprob: float,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Keep/drop verdict from :func:`score_bigram_logprob`: flags
+    documents whose mean bigram log-prob falls below
+    ``min_avg_logprob`` (disfluent under the reference LM). Returns the
+    input plus ``(avg_logprob, fluency_keep)``; short docs (< 2 tokens,
+    NULL score) are KEPT — no evidence is not negative evidence."""
+    scores = score_bigram_logprob(df, id_col, text_col, lm, alpha).select(
+        F.col("id").alias(id_col), "avg_logprob"
+    )
+    return df.join(scores, on=id_col, how="left").select(
+        *df.columns,
+        "avg_logprob",
+        (
+            F.col("avg_logprob").isNull()
+            | (F.col("avg_logprob") >= float(min_avg_logprob))
+        ).alias("fluency_keep"),
+    )

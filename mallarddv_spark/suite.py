@@ -2873,6 +2873,72 @@ SELECT doc_id,
 FROM j GROUP BY 1
 """
 
+
+def q_text_bigram_lm(spark, sf):
+    """CCNet-style fluency scoring (`operators/textops.train_bigram_lm` /
+    `score_bigram_logprob`): a bigram LM is trained on the even-id half
+    of the corpus and scores the odd-id half, so both the seen-bigram
+    estimate and the stupid-backoff branch are live in the gate (the OOV
+    floor branch is pytest-covered — the halves share the vocabulary).
+    Per-bigram log-probs are snapped to a 1e-10 grid and summed in
+    integer space, making the mean independent of partition merge order
+    — the property that lets DuckDB replay it bit-for-bit."""
+    from mallarddv_spark.operators.textops import (
+        score_bigram_logprob,
+        train_bigram_lm,
+    )
+
+    d = _t(spark, sf, "documents")
+    lm = train_bigram_lm(d.filter(F.pmod("doc_id", F.lit(2)) == 0), "text")
+    return score_bigram_logprob(
+        d.filter(F.pmod("doc_id", F.lit(2)) == 1), "doc_id", "text", lm
+    )
+
+
+O_TEXT_BIGRAM_LM = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+),
+uni AS (
+    SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0
+    ) GROUP BY w
+),
+tot AS (SELECT sum(cnt) AS n FROM uni),
+bi AS (
+    SELECT w1, w2, count(*) AS cnt FROM (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+        WHERE doc_id % 2 = 0
+    ) GROUP BY w1, w2
+),
+stream AS (
+    SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+    FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+    WHERE doc_id % 2 = 1
+),
+scored AS (
+    SELECT s.doc_id,
+           CASE WHEN b.cnt IS NULL THEN 1 ELSE 0 END AS backoff,
+           cast(round(
+             CASE WHEN b.cnt IS NOT NULL
+                  THEN ln(cast(b.cnt as double) / cast(c1.cnt as double))
+                  WHEN c2.cnt IS NOT NULL
+                  THEN ln(0.4 * cast(c2.cnt as double) / (SELECT n FROM tot))
+                  ELSE ln(0.4 * 0.5 / (SELECT n FROM tot)) END * 1e10)
+           as bigint) AS lp10
+    FROM stream s
+    LEFT JOIN bi b ON s.w1 = b.w1 AND s.w2 = b.w2
+    LEFT JOIN uni c1 ON s.w1 = c1.w
+    LEFT JOIN uni c2 ON s.w2 = c2.w
+)
+SELECT doc_id AS id, count(*) AS n_bigrams,
+       cast(sum(backoff) as bigint) AS n_backoff,
+       round(sum(lp10) / (1e10 * count(*)), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
 REGISTRY.update(
     {
         "text_decontaminate": (q_text_decontaminate, O_TEXT_DECON),
@@ -3348,9 +3414,10 @@ O_TEXT_CHUNKING_WINNOW = (
 
 
 def q_text_frequency_suite(spark, sf):
-    """Corpus-frequency suite: top-k vocabulary ranking plus per-document
-    rarity scoring, as one tagged union. Parts: text_vocab_topk,
-    text_rarity_score."""
+    """Corpus-frequency suite: top-k vocabulary ranking, per-document
+    rarity scoring, and bigram-LM fluency scoring (train on even ids,
+    score odd ids), as one tagged union. Parts: text_vocab_topk,
+    text_rarity_score, text_bigram_lm."""
     v = q_text_vocab_topk(spark, sf).select(
         F.lit("vocab").alias("part"),
         F.col("rnk").alias("id"),
@@ -3367,7 +3434,15 @@ def q_text_frequency_suite(spark, sf):
         F.col("sum_tf").alias("n2"),
         F.col("mean_tf").alias("d1"),
     )
-    return v.unionByName(r)
+    lm = q_text_bigram_lm(spark, sf).select(
+        F.lit("bigramlm").alias("part"),
+        "id",
+        *_nulls(("term", "string")),
+        F.col("n_bigrams").alias("n1"),
+        F.col("n_backoff").alias("n2"),
+        F.col("avg_logprob").alias("d1"),
+    )
+    return v.unionByName(r).unionByName(lm)
 
 
 O_TEXT_FREQUENCY = (
@@ -3377,7 +3452,10 @@ O_TEXT_FREQUENCY = (
     + ") v\nUNION ALL\nSELECT 'rarity' AS part, doc_id AS id, cast(NULL as varchar) AS term,"
     " n_tokens AS n1, sum_tf AS n2, mean_tf AS d1\nFROM ("
     + O_TEXT_RARITY
-    + ") r"
+    + ") r\nUNION ALL\nSELECT 'bigramlm' AS part, id, cast(NULL as varchar) AS term,"
+    " n_bigrams AS n1, n_backoff AS n2, avg_logprob AS d1\nFROM ("
+    + O_TEXT_BIGRAM_LM
+    + ") lm"
 )
 
 

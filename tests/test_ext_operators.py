@@ -806,3 +806,59 @@ def test_mark_substring_duplicates_keep_first(spark):
     assert out[1] == (False, 0)
     assert out[2] == (True, 6)
     assert out[3] == (False, 0)
+
+
+# --- bigram-LM fluency scoring ---------------------------------------------
+
+
+def test_bigram_lm_scoring_and_backoff(spark):
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the mat")],
+        ["doc_id", "text"],
+    )
+    lm = textops.train_bigram_lm(train, "text")
+    assert lm["total_tokens"] == 12
+    score = spark.createDataFrame(
+        [
+            (10, "the cat sat"),        # all bigrams seen
+            (11, "cat mat"),            # unseen bigram, both words known
+            (12, "qq zz"),              # fully out-of-vocabulary
+            (13, "one"),                # single token -> NULL row absent
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: r
+        for r in textops.score_bigram_logprob(
+            score, "doc_id", "text", lm
+        ).collect()
+    }
+    n = 12
+    # doc 10: ln(c(the,cat)/c(the)) + ln(c(cat,sat)/c(cat)) = ln(1/4)+ln(1/1)
+    assert abs(out[10].avg_logprob - round((math.log(1 / 4) + 0.0) / 2, 6)) < 1e-6
+    assert out[10].n_backoff == 0
+    # doc 11: stupid backoff ln(0.4 * c(mat)/N)
+    assert abs(out[11].avg_logprob - round(math.log(0.4 * 2 / n), 6)) < 1e-6
+    assert out[11].n_backoff == 1
+    # doc 12: OOV floor ln(0.4 * 0.5 / N)
+    assert abs(out[12].avg_logprob - round(math.log(0.4 * 0.5 / n), 6)) < 1e-6
+    assert 13 not in out  # no bigrams, no row
+
+
+def test_fluency_filter_keeps_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "mat on zz qq pp ww"), (3, "hi")],
+        ["doc_id", "text"],
+    )
+    lm = textops.train_bigram_lm(docs.filter("doc_id = 1"), "text")
+    out = {
+        r.doc_id: r.fluency_keep
+        for r in textops.fluency_filter(
+            docs, "doc_id", "text", lm, min_avg_logprob=-2.0
+        ).collect()
+    }
+    assert out[1] is True       # fluent under its own LM
+    assert out[2] is False      # OOV soup scores far below the floor
+    assert out[3] is True       # no-bigram doc kept by policy
