@@ -337,6 +337,7 @@ def write_training_shards(
     text_col: str,
     token_budget: int = 2048,
     n_shards: int | None = None,
+    shard_col: Column | None = None,
 ) -> dict:
     """Materialize a packed training corpus: :func:`pack_sequences`
     assignment joined back to the documents, written as
@@ -353,7 +354,9 @@ def write_training_shards(
     import json
 
     spark = df.sparkSession
-    assign = pack_sequences(df, id_col, text_col, token_budget, n_shards)
+    assign = pack_sequences(
+        df, id_col, text_col, token_budget, n_shards, shard_col=shard_col
+    )
     out = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         .join(assign, "id")

@@ -677,17 +677,58 @@ def q_text_pack_sequences(spark, sf):
     parallelism (per-shard running-sum window — no global serialization).
     4 modulo shards here so DuckDB can predict shard ids (the default
     xxhash64 sharding has no DuckDB twin); production uses hash sharding
-    with one shard per shuffle partition."""
-    from mallarddv_spark.operators.textops import pack_sequences
+    with one shard per shuffle partition.
 
-    d = _t(spark, sf, "documents")
-    return pack_sequences(
-        d, "doc_id", "text", token_budget=2048, n_shards=4,
-        shard_col=F.pmod("doc_id", F.lit(4)),
+    Two parts since round 8: `pack` (the assignment) and `shards` — the
+    `write_training_shards` MATERIALIZED round-trip: the packed corpus is
+    written as shard_id-partitioned parquet + manifest, read back FROM
+    DISK, and per-shard stats must match the oracle's replay of the
+    packing — proving the trainer-facing writer, not just the plan."""
+    import tempfile
+
+    from mallarddv_spark.operators.textops import (
+        pack_sequences,
+        write_training_shards,
     )
 
+    d = _t(spark, sf, "documents")
+    assign = pack_sequences(
+        d, "doc_id", "text", token_budget=2048, n_shards=4,
+        shard_col=F.pmod("doc_id", F.lit(4)),
+    ).select(
+        F.lit("pack").alias("part"),
+        F.col("id"),
+        F.col("n_tokens").alias("n1"),
+        F.col("shard_id").cast("bigint").alias("n2"),
+        F.col("bin_id").alias("n3"),
+        F.col("bin_offset").alias("n4"),
+    )
+    path = tempfile.mkdtemp(prefix="shards_gate_") + "/corpus"
+    write_training_shards(
+        d, path, "doc_id", "text", token_budget=2048, n_shards=4,
+        shard_col=F.pmod("doc_id", F.lit(4)),
+    )
+    stats = (
+        spark.read.parquet(f"{path}/data")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tok"),
+            (F.max("bin_id") + 1).alias("n_bins"),
+        )
+        .select(
+            F.lit("shards").alias("part"),
+            F.col("shard_id").cast("bigint").alias("id"),
+            F.col("n_docs").cast("bigint").alias("n1"),
+            F.col("tok").cast("bigint").alias("n2"),
+            F.col("n_bins").cast("bigint").alias("n3"),
+            *_nulls(("n4", "bigint")),
+        )
+    )
+    return assign.unionByName(stats)
 
-O_TEXT_PACK = r"""
+
+O_TEXT_PACK_ASSIGN = r"""
 WITH base AS (
     SELECT doc_id AS id,
            cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS n_tokens,
@@ -707,6 +748,17 @@ SELECT id, n_tokens, shard_id,
        cast(tokens_before % 2048 as bigint) AS bin_offset
 FROM run
 """
+
+O_TEXT_PACK = (
+    "SELECT 'pack' AS part, id, n_tokens AS n1, cast(shard_id as bigint) AS n2,"
+    " bin_id AS n3, bin_offset AS n4\nFROM ("
+    + O_TEXT_PACK_ASSIGN
+    + ") p\nUNION ALL\nSELECT 'shards' AS part, cast(shard_id as bigint) AS id,"
+    " cast(count(*) as bigint) AS n1, cast(sum(n_tokens) as bigint) AS n2,"
+    " cast(max(bin_id) + 1 as bigint) AS n3, cast(NULL as bigint) AS n4\nFROM ("
+    + O_TEXT_PACK_ASSIGN
+    + ") s GROUP BY shard_id"
+)
 
 
 def q_text_quality_filter(spark, sf):
