@@ -48,7 +48,9 @@ def write_ledger_rows(
     'success'/'failure' rows through this instead of paying a separate
     1-row append (job + file-commit protocol) per event — measured ~1 s
     each on a warm local session, pure orchestration overhead at any scale."""
-    df = spark.createDataFrame(rows, schema=RUNINFO_SCHEMA)
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    df = literal_frame(spark, rows, RUNINFO_SCHEMA)
     df.write.mode("append").insertInto(f"{metadata_db}.runinfo")
 
 

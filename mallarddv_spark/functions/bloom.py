@@ -182,7 +182,7 @@ def bloom_contains(value, bloom_col, m: int, n_hashes: int) -> Column:
     )
 
 
-def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+def merge_blooms(a: DataFrame, b: DataFrame, check: bool = True) -> DataFrame:
     """Union two filters of IDENTICAL geometry (elementwise bit OR): the
     merged filter contains every value either side contains.
 
@@ -190,26 +190,30 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     ``shingle_size`` that :func:`build_benchmark_bloom` stamps) must
     agree — two filters built over differently-shingled values can land
     on the same bit geometry, and OR-ing them would produce a filter
-    that silently never matches one side's members."""
+    that silently never matches one side's members. ``check=False``
+    skips the compatibility probe (which executes both sides once) for
+    callers that constructed ``b`` at ``a``'s geometry by definition —
+    :func:`bloom_append` — keeping the merge a single lazy plan."""
     extra = [c for c in a.columns if c not in ("__bloom", "n_items")]
-    shared = [c for c in extra if c in b.columns]
-    ga = a.select(*shared).first()
-    gb = b.select(*shared).first()
-    if ga is None or gb is None:
-        empty = [s for s, g in (("first", ga), ("second", gb)) if g is None]
-        raise DVConfigurationError(
-            f"cannot merge bloom filters: the {' and '.join(empty)} "
-            f"side(s) hold zero rows — a filter is exactly one row of "
-            f"bits + geometry; rebuild the empty side"
-        )
-    mismatched = {
-        c: (ga[c], gb[c]) for c in shared if ga[c] != gb[c]
-    }
-    if mismatched:
-        raise DVConfigurationError(
-            f"bloom filters incompatible on {mismatched} — rebuild both "
-            f"with a common geometry and metadata"
-        )
+    if check:
+        shared = [c for c in extra if c in b.columns]
+        ga = a.select(*shared).first()
+        gb = b.select(*shared).first()
+        if ga is None or gb is None:
+            empty = [s for s, g in (("first", ga), ("second", gb)) if g is None]
+            raise DVConfigurationError(
+                f"cannot merge bloom filters: the {' and '.join(empty)} "
+                f"side(s) hold zero rows — a filter is exactly one row of "
+                f"bits + geometry; rebuild the empty side"
+            )
+        mismatched = {
+            c: (ga[c], gb[c]) for c in shared if ga[c] != gb[c]
+        }
+        if mismatched:
+            raise DVConfigurationError(
+                f"bloom filters incompatible on {mismatched} — rebuild both "
+                f"with a common geometry and metadata"
+            )
     return (
         a.select(
             F.col("__bloom").alias("__a"),
@@ -264,28 +268,24 @@ def bloom_append(
     of appending past ~the original sizing."""
     heal_bloom(spark, path)
     stored = spark.read.parquet(path)
-    geo = stored.select("m", "n_hashes").first()
+    geo = stored.select("m", "n_hashes", "n_items").first()
     vals = _distinct_vals(new_values, value_col)
     n_new = vals.count()
-    # fold at the STORED geometry (no merge_blooms round-trip: its
-    # compatibility probe would re-execute the whole batch fold), and
-    # collect the tiny batch row once so nothing evaluates twice
-    batch_row = _fold_filter(
-        vals, int(geo.m), int(geo.n_hashes), max(n_new, 1)
-    ).collect()
-    merged = merge_blooms(
-        stored, spark.createDataFrame(batch_row, stored.select(
-            "__bloom", "m", "n_hashes", "n_items").schema)
-    )
-    rows = merged.collect()  # one tiny row — detach from the input files
-    out = spark.createDataFrame(rows, merged.schema)
+    # fold at the STORED geometry and merge WITHOUT the compatibility
+    # probe (the batch is at that geometry by construction): the whole
+    # append is then ONE lazy plan, evaluated exactly once by the
+    # staged write — no collect, no createDataFrame round-trip (the
+    # pickled-local-frame path schedules Python workers per action; see
+    # functions/litframe.py). Writing to __compact never touches the
+    # live directory the plan reads from.
+    batch = _fold_filter(vals, int(geo.m), int(geo.n_hashes), max(n_new, 1))
+    merged = merge_blooms(stored, batch, check=False)
     from mallarddv_spark.sources import layout
 
-    out.coalesce(1).write.mode("overwrite").parquet(path + "__compact")
+    merged.coalesce(1).write.mode("overwrite").parquet(path + "__compact")
     layout.swap_dir_live(spark, path)
-    g = rows[0]
-    return {"m": int(g.m), "n_hashes": int(g.n_hashes),
-            "n_items": int(g.n_items)}
+    return {"m": int(geo.m), "n_hashes": int(geo.n_hashes),
+            "n_items": int(geo.n_items) + max(n_new, 1)}
 
 
 def heal_bloom(spark: SparkSession, path: str) -> str | None:

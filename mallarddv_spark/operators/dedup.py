@@ -390,7 +390,10 @@ def build_minhash_index(
     _band_rows(sigs, num_perm, bands).write.mode("overwrite").parquet(
         f"{path}/bands"
     )
-    spark.createDataFrame(
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    literal_frame(
+        spark,
         [(num_perm, bands, shingle_size, max_shingle_df, hash_mode)],
         "num_perm int, bands int, shingle_size int, "
         "max_shingle_df int, hash_mode string",

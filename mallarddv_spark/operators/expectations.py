@@ -221,7 +221,9 @@ def run_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
             raise DVConfigurationError(f"unknown expectation kind: {r.kind}")
         results.append((r.name, r.kind, r.target, v, total, v == 0))
 
-    return spark.createDataFrame(
-        results, "rule string, kind string, target string, "
-                 "violations long, total long, passed boolean"
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    return literal_frame(
+        spark, results, "rule string, kind string, target string, "
+                        "violations long, total long, passed boolean"
     )

@@ -251,7 +251,11 @@ def ivf_topk(
 
     centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, ["centroid_id", "centroid"])
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    cent_df = literal_frame(
+        spark, centroids, "centroid_id bigint, centroid array<double>"
+    )
 
     # nprobe nearest centroids per query (euclidean), via broadcast
     qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
@@ -336,9 +340,11 @@ def build_ivf_index(
     centroids = [
         (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
     ]
-    spark.createDataFrame(centroids, ["centroid_id", "centroid"]).coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    literal_frame(
+        spark, centroids, "centroid_id bigint, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return {"path": path, "n_centroids": n_centroids, "n_rows": n_corpus}
 
 
@@ -751,8 +757,11 @@ def pq_train(
         model = km.fit(sub)
         books.append([[float(x) for x in ctr] for ctr in model.clusterCenters()])
 
+    from mallarddv_spark.functions.litframe import literal_frame
+
     spark = corpus.sparkSession
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [(books, m, dsub, n_codes)],
         "cb array<array<array<double>>>, m int, dsub int, n_codes int",
     )
@@ -904,7 +913,10 @@ def pq_codebooks_deterministic(
         ]
         for s in range(m)
     ]
-    return spark.createDataFrame(
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    return literal_frame(
+        spark,
         [(books, m, dsub, n_codes)],
         "cb array<array<array<double>>>, m int, dsub int, n_codes int",
     )
@@ -947,6 +959,7 @@ def build_ivfpq_index(
     seed: int = 42,
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    cell_files: int | None = None,
 ) -> dict:
     """IVF-PQ: the billion-scale ANN layout — coarse KMeans cells for
     partition pruning, and inside each cell only the PQ codes of the
@@ -1012,7 +1025,11 @@ def build_ivfpq_index(
             (i, [float(x) for x in ctr])
             for i, ctr in enumerate(model.clusterCenters())
         ]
-        cent_df = spark.createDataFrame(trained, ["centroid_id", "centroid"])
+        from mallarddv_spark.functions.litframe import literal_frame
+
+        cent_df = literal_frame(
+            spark, trained, "centroid_id bigint, centroid array<double>"
+        )
 
         resid = assigned.join(F.broadcast(cent_df), "centroid_id").select(
             "neighbor_id", "centroid_id",
@@ -1024,9 +1041,17 @@ def build_ivfpq_index(
         else pq_train(resid, vec_col="rv", m=m, n_codes=n_codes, seed=seed)
     )
     enc = pq_encode(resid, books, vec_col="rv")
-    enc.select("neighbor_id", "centroid_id", "pq_codes").write.mode(
-        "overwrite"
-    ).partitionBy("centroid_id").parquet(f"{path}/cells")
+    out = enc.select("neighbor_id", "centroid_id", "pq_codes")
+    if cell_files is not None:
+        # one shuffle keyed on the cell → each cell lands in exactly one
+        # task → one file per cell. Right for SMALL builds (a gate, a
+        # pilot index) where the dynamic-partition commit of
+        # tasks × cells tiny files dominates; leave None at scale — a
+        # billion-row cell should NOT be forced through one task.
+        out = out.repartition(int(cell_files), "centroid_id")
+    out.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/cells"
+    )
     cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     books.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     return {
@@ -1133,6 +1158,7 @@ def ivfpq_append(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_files: int | None = None,
 ) -> None:
     """Incrementally add vectors to a :func:`build_ivfpq_index`: assign
     each against the STORED centroids (nearest squared-euclidean,
@@ -1152,6 +1178,10 @@ def ivfpq_append(
     )
     resid = _assign_residuals(rows, cent)
     enc = pq_encode(resid, books, vec_col="rv")
-    enc.select("neighbor_id", "centroid_id", "pq_codes").write.mode(
-        "append"
-    ).partitionBy("centroid_id").parquet(f"{path}/cells")
+    out = enc.select("neighbor_id", "centroid_id", "pq_codes")
+    if cell_files is not None:
+        # see build_ivfpq_index: small-batch file-churn control
+        out = out.repartition(int(cell_files), "centroid_id")
+    out.write.mode("append").partitionBy("centroid_id").parquet(
+        f"{path}/cells"
+    )

@@ -1471,11 +1471,20 @@ def q_adv_similarity_ivfpq_store(spark, sf):
     )
     books = pq_codebooks_deterministic(spark, m=8, dsub=8, n_codes=16)
     path = tempfile.mkdtemp(prefix="ivfpq_gate_") + "/idx"
+    # a 2k-vector slice: this part proves the PERSISTENCE mechanics
+    # (stored layout, build→append equivalence, heal, pruned probe) —
+    # encode volume is already proven by the inline `ivfpqadc` part over
+    # the full corpus, so re-paying it here per bench run buys nothing.
+    # The local parquet is ONE file → pre-split so the interpreted
+    # array-lambda encode parallelizes (same fix as the pqadc part).
     build_ivfpq_index(
-        e.filter("vec_id >= 18 AND vec_id < 5010"), path,
-        m=8, n_codes=16, centroids=cent, codebooks=books,
+        e.filter("vec_id >= 18 AND vec_id < 1018").repartition(32), path,
+        m=8, n_codes=16, centroids=cent, codebooks=books, cell_files=8,
     )
-    ivfpq_append(e.filter("vec_id >= 5010 AND vec_id < 10010"), path)
+    ivfpq_append(
+        e.filter("vec_id >= 1018 AND vec_id < 2018").repartition(32), path,
+        cell_files=8,
+    )
     return ivfpq_probe_topk(e.filter("vec_id < 10"), path, k=5, nprobe=2)
 
 
@@ -4216,7 +4225,7 @@ def q_similarity_ivfpq_adc(spark, sf):
     )
 
 
-def _o_ivfpqadc(p: str = "") -> tuple[str, str]:
+def _o_ivfpqadc(p: str = "", corp_hi: int = 10010) -> tuple[str, str]:
     """The deterministic IVF-PQ replay as (cte_defs, final_select) with
     every CTE name prefixed by ``p`` — so the same closed-form SQL can
     run standalone (O_SIM_IVFPQADC) or merge into another oracle's WITH
@@ -4229,7 +4238,7 @@ def _o_ivfpqadc(p: str = "") -> tuple[str, str]:
     SELECT vec_id AS cid, v AS cv FROM {p}e WHERE vec_id BETWEEN 10 AND 17
 ),
 {p}corp AS (
-    SELECT vec_id, v FROM {p}e WHERE vec_id >= 18 AND vec_id < 10010
+    SELECT vec_id, v FROM {p}e WHERE vec_id >= 18 AND vec_id < {corp_hi}
 ),
 {p}cb AS (
     SELECT s.s, j.j,
@@ -4294,6 +4303,7 @@ FROM (SELECT *, row_number() OVER (
           PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
       FROM {p}adc) x
 WHERE rank <= 5"""
+    cte_defs = cte_defs.replace("{corp_hi}", str(corp_hi))
     return cte_defs.replace("{p}", p), final.replace("{p}", p)
 
 
@@ -4603,7 +4613,7 @@ O_ADV_NEARDUP = _o_adv_neardup()
 def _o_adv_ann() -> str:
     from mallarddv_spark.operators.similarity import hyperplane_matrix
 
-    pqs_ctes, pqs_final = _o_ivfpqadc("pqs_")
+    pqs_ctes, pqs_final = _o_ivfpqadc("pqs_", corp_hi=2018)
     sig32 = _duck_hyperplane_sig(hyperplane_matrix(32, 64, 42))
     # 8 bands of 4 bits over the 32-bit signature
     qb = "\n    UNION ALL\n".join(

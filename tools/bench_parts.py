@@ -19,11 +19,13 @@ from mallarddv_spark.suite import REGISTRY  # noqa: E402
 PARTS = {
     "text_contamination_suite": ["decontaminate", "bloomdecon", "pii"],
     "similarity_suite": ["topk", "pairs", "qtopk", "pqadc", "ivfpqadc"],
-    "text_chunking_winnow": ["chunk", "winnow", "linededup"],
+    "text_chunking_winnow": ["chunk", "winnow", "linededup", "substr"],
     "asof_purchase_click": ["asof", "range", "overlap"],
     "sql_subquery_suite": ["set_ops", "exists", "percentile"],
     "adv_ann_suite": ["lsh", "ivf", "ivfpqstore"],
     "dedup_ngram_jaccard": [],
+    "text_frequency_suite": ["vocab", "rarity", "bigramlm"],
+    "text_pack_sequences": ["pack", "shards"],
 }
 
 
