@@ -490,6 +490,246 @@ def doc_rarity(
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _token_array(text_col, lowercase: bool):
+    t = F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)
+    if lowercase:
+        t = F.lower(t)
+    return F.split(t, r"\s+")
+
+
+def _gram_arrays(tok_col: str, n_max: int):
+    """n-gram arrays (1..n_max) over an already-selected token-array
+    column named ``tok_col``, as Catalyst expressions.
+
+    Spark's ``sequence(1, 0)`` yields a DESCENDING ``[1, 0]`` rather than
+    an empty array, so every n >= 2 branch is guarded by a size check.
+    """
+    if n_max < 1:
+        raise DVConfigurationError(
+            f"n_max must be >= 1, got {n_max}"
+        )
+    arrs = [F.col(tok_col)]
+    for n in range(2, n_max + 1):
+        parts = ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
+        arrs.append(
+            F.when(
+                F.size(F.col(tok_col)) >= n,
+                F.expr(
+                    f"transform(sequence(1, size({tok_col}) - {n - 1}), "
+                    f"i -> concat_ws(' ', {parts}))"
+                ),
+            ).otherwise(F.expr("array()"))
+        )
+    return arrs
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 8192,
+    n_max: int = 2,
+    hash_mode: str = "xxhash64",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Hashed bag-of-n-grams features: one row per (document, feature
+    occurrence) reduced to ``(doc_id, bucket, cnt)`` — the fixed-width
+    representation DSIR (Xie et al., NeurIPS 2023) computes importance
+    weights over. Word 1..``n_max``-grams hash into ``buckets`` cells;
+    collisions are part of the method (the distributions being compared
+    live in the same hashed space).
+
+    ``hash_mode='md5'`` keeps the bucket assignment replayable in other
+    engines (DuckDB oracle parity); ``xxhash64`` is the fast production
+    default.
+
+    Scale shape: explode to the gram stream, then ONE groupBy
+    (doc, bucket) with map-side combine; output is at most
+    min(|grams|, buckets) rows per document. Empty documents produce no
+    rows (no features → no evidence).
+    """
+    from mallarddv_spark.operators.dedup import _hash_int
+
+    if buckets <= 0:
+        raise DVConfigurationError(
+            f"hashed_ngram_features: buckets must be positive, got {buckets}"
+        )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        _token_array(text_col, lowercase).alias("__t"),
+    )
+    arrs = _gram_arrays("__t", n_max)
+    gram_arr = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
+    stream = base.select(
+        "doc_id", F.explode(gram_arr).alias("gram")
+    ).filter(F.col("gram") != "")
+    return (
+        stream.select(
+            "doc_id",
+            F.pmod(_hash_int("gram", hash_mode), F.lit(buckets)).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def ngram_bucket_distribution(features: DataFrame) -> DataFrame:
+    """Corpus-level hashed-n-gram distribution ``(bucket, cnt)`` from a
+    :func:`hashed_ngram_features` frame. At most ``buckets`` rows — persist
+    the TARGET corpus's distribution once (a tiny parquet) and reuse it to
+    weight every future raw batch without touching the target again."""
+    return features.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def dsir_log_ratio(
+    raw_dist: DataFrame,
+    target_dist: DataFrame,
+    buckets: int,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-bucket importance log-ratio table ``(bucket, lam10)``:
+    ``lam = ln p_target(b) - ln p_raw(b)`` with add-``smoothing``
+    estimates, snapped to a 1e-10 grid as bigint so downstream per-doc
+    sums are integer-exact (partition-order independent — the same
+    determinism contract as the bigram LM scorer).
+
+    Buckets the raw corpus never emits are absent (a raw document can
+    only reference buckets present in its own corpus distribution).
+    Output is at most ``buckets`` rows — always broadcastable.
+    """
+    if smoothing <= 0:
+        raise DVConfigurationError(
+            f"dsir_log_ratio: smoothing must be positive, got {smoothing}"
+        )
+    rd = raw_dist.select("bucket", F.col("cnt").alias("__cr"))
+    td = target_dist.select("bucket", F.col("cnt").alias("__ct"))
+    totals = (
+        rd.agg(F.sum("__cr").alias("__R"))
+        .crossJoin(td.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__T")))
+    )
+    a = float(smoothing)
+    ab = a * buckets
+    joined = rd.join(td, "bucket", "left").crossJoin(F.broadcast(totals))
+    lam = F.log(
+        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(a))
+        / (F.col("__T") + F.lit(ab))
+    ) - F.log((F.col("__cr") + F.lit(a)) / (F.col("__R") + F.lit(ab)))
+    return joined.select(
+        "bucket",
+        F.round(lam * F.lit(1e10)).cast("bigint").alias("lam10"),
+    )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 8192,
+    n_max: int = 2,
+    smoothing: float = 1.0,
+    hash_mode: str = "xxhash64",
+    lowercase: bool = True,
+    log_ratio: DataFrame | None = None,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al., NeurIPS 2023): score every ``raw`` document by how much
+    more likely its hashed bag-of-n-grams is under the ``target``
+    distribution than under the raw distribution. Returns
+    ``(doc_id, n_grams, logw)`` where ``logw = Σ_b cnt_b · λ_b`` summed
+    integer-exactly on the 1e-10 grid and rounded to 1e-6.
+
+    Pass a persisted :func:`dsir_log_ratio` frame via ``log_ratio`` to
+    skip recomputing distributions (``target`` is ignored then).
+
+    Reference scope note: no data-selection stage exists in the reference
+    engine — this extends the training-data curation tier.
+
+    Scale shape: the λ table is at most ``buckets`` rows (default 8192)
+    and broadcasts; the 100 TB raw side is scan → explode → broadcast
+    join → ONE groupBy(doc) — the same single-shuffle shape as
+    decontamination. The target corpus (small by definition: it's the
+    high-quality seed set) is read once.
+    """
+    feats = hashed_ngram_features(
+        raw, id_col, text_col, buckets=buckets, n_max=n_max,
+        hash_mode=hash_mode, lowercase=lowercase,
+    )
+    if log_ratio is None:
+        raw_dist = ngram_bucket_distribution(feats)
+        tgt_dist = ngram_bucket_distribution(
+            hashed_ngram_features(
+                target, id_col, text_col, buckets=buckets, n_max=n_max,
+                hash_mode=hash_mode, lowercase=lowercase,
+            )
+        )
+        log_ratio = dsir_log_ratio(raw_dist, tgt_dist, buckets, smoothing)
+    return (
+        feats.join(F.broadcast(log_ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("lam10")) / F.lit(1e10), 6
+            ).alias("logw"),
+        )
+    )
+
+
+def dsir_resample(
+    weighted: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "logw",
+    seed: str = "dsir-v1",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Gumbel top-``k`` resampling over DSIR importance weights: sampling
+    k documents without replacement proportionally to ``exp(logw)`` is
+    exactly taking the top k of ``logw + Gumbel(0,1)`` noise (Vieira
+    2014). The noise is a pure function of (seed, id) — hashed uniform →
+    ``-ln(-ln(u))`` — so the drawn sample is reproducible across runs,
+    engines, and repartitioning.
+
+    Returns the top-k rows plus ``(gkey, rnk)``. ``orderBy().limit(k)``
+    compiles to TakeOrderedAndProject (per-partition top-k, driver merge
+    of k·partitions rows); the rank window runs over only the k
+    survivors, so no global sort exchange exists at any scale.
+    """
+    from pyspark.sql import Window
+
+    from mallarddv_spark.operators.dedup import _MD5_INT
+
+    if k <= 0:
+        raise DVConfigurationError(
+            f"dsir_resample: k must be positive, got {k}"
+        )
+    m = 1 << 20
+    key_sql = f"concat('{seed}|', cast({id_col} as string))"
+    if hash_mode == "md5":
+        h = F.expr(_MD5_INT.format(col=key_sql))
+    elif hash_mode == "xxhash64":
+        h = F.abs(F.xxhash64(F.expr(key_sql)))
+    else:
+        raise DVConfigurationError(
+            f"dsir_resample: unknown hash_mode {hash_mode!r} (md5|xxhash64)"
+        )
+    u = (F.pmod(h, F.lit(m)).cast("double") + F.lit(0.5)) / F.lit(float(m))
+    gkey = F.round(F.col(weight_col) + (-F.log(-F.log(u))), 6)
+    top = (
+        weighted.withColumn("gkey", gkey)
+        .orderBy(F.desc("gkey"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("gkey"), F.asc(id_col))
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
 # winnowing, incremental dedup, BPE-ish tokenization
 # ---------------------------------------------------------------------------
 

@@ -3000,6 +3000,80 @@ SELECT doc_id AS id, count(*) AS n_bigrams,
 FROM scored GROUP BY doc_id
 """
 
+def q_text_dsir(spark, sf):
+    """DSIR importance resampling (`operators/curation.dsir_importance` /
+    `dsir_resample`, Xie et al. 2023): hashed bag-of-1..2-grams bucket
+    counts, add-1-smoothed target/raw log-ratio λ per bucket (target =
+    the src0 slice), per-doc weights summed integer-exactly on the 1e-10
+    grid, then seeded Gumbel top-100 — sampling without replacement
+    ∝ exp(logw), reproducible because the noise is a pure function of
+    (seed, doc_id). md5 hash mode keeps every step DuckDB-replayable."""
+    from mallarddv_spark.operators.curation import (
+        dsir_importance,
+        dsir_resample,
+    )
+
+    # single local parquet file = single input task otherwise; lake
+    # corpora arrive pre-split (same precedent as the pqadc part)
+    d = _t(spark, sf, "documents").repartition(32)
+    w = dsir_importance(
+        d, d.filter(F.col("source") == "src0"), "doc_id", "text",
+        buckets=4096, n_max=2, smoothing=1.0, hash_mode="md5",
+    )
+    return dsir_resample(w, 100, hash_mode="md5", seed="dsir-v1").select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        "gkey",
+    )
+
+
+O_TEXT_DSIR = r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, w AS g FROM (
+    SELECT doc_id, source, unnest(t) AS w FROM toks) WHERE g <> ''
+  UNION ALL
+  SELECT doc_id, source, t[i] || ' ' || t[i+1] AS g
+  FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+),
+feats AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(g),1,15))::bigint) % 4096 AS b
+  FROM grams
+),
+rawd AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+tgtd AS (SELECT b, count(*) AS ct FROM feats WHERE source = 'src0' GROUP BY b),
+tot AS (SELECT (SELECT sum(cr) FROM rawd) AS R,
+               (SELECT coalesce(sum(ct), 0) FROM tgtd) AS T),
+lam AS (
+  SELECT rawd.b,
+         cast(round(1e10 * (ln((coalesce(ct,0) + 1.0) / (T + 1.0*4096))
+                           - ln((cr + 1.0) / (R + 1.0*4096)))) as bigint)
+           AS lam10
+  FROM rawd LEFT JOIN tgtd ON rawd.b = tgtd.b, tot
+),
+docw AS (
+  SELECT f.doc_id, count(*) AS n_grams, sum(lam10) AS w10
+  FROM feats f JOIN lam ON f.b = lam.b GROUP BY f.doc_id
+),
+keyed AS (
+  SELECT doc_id, n_grams, round(w10 / 1e10, 6) AS logw,
+         round(round(w10 / 1e10, 6)
+           + (-ln(-ln(((((('0x' || substr(md5('dsir-v1|'
+                || cast(doc_id AS varchar)),1,15))::bigint) % 1048576)
+                + 0.5)) / 1048576.0))), 6) AS gkey
+  FROM docw
+),
+r AS (SELECT row_number() OVER (ORDER BY gkey DESC, doc_id) AS rnk, *
+      FROM keyed)
+SELECT doc_id, n_grams, rnk, gkey FROM r WHERE rnk <= 100
+"""
+
+
 REGISTRY.update(
     {
         "text_decontaminate": (q_text_decontaminate, O_TEXT_DECON),
@@ -3476,9 +3550,10 @@ O_TEXT_CHUNKING_WINNOW = (
 
 def q_text_frequency_suite(spark, sf):
     """Corpus-frequency suite: top-k vocabulary ranking, per-document
-    rarity scoring, and bigram-LM fluency scoring (train on even ids,
-    score odd ids), as one tagged union. Parts: text_vocab_topk,
-    text_rarity_score, text_bigram_lm."""
+    rarity scoring, bigram-LM fluency scoring (train on even ids,
+    score odd ids), and DSIR importance resampling (hashed-n-gram
+    log-ratio weights + Gumbel top-k), as one tagged union. Parts:
+    text_vocab_topk, text_rarity_score, text_bigram_lm, text_dsir."""
     v = q_text_vocab_topk(spark, sf).select(
         F.lit("vocab").alias("part"),
         F.col("rnk").alias("id"),
@@ -3503,7 +3578,15 @@ def q_text_frequency_suite(spark, sf):
         F.col("n_backoff").alias("n2"),
         F.col("avg_logprob").alias("d1"),
     )
-    return v.unionByName(r).unionByName(lm)
+    ds = q_text_dsir(spark, sf).select(
+        F.lit("dsir").alias("part"),
+        F.col("doc_id").alias("id"),
+        *_nulls(("term", "string")),
+        F.col("n_grams").alias("n1"),
+        F.col("rnk").alias("n2"),
+        F.col("gkey").alias("d1"),
+    )
+    return v.unionByName(r).unionByName(lm).unionByName(ds)
 
 
 O_TEXT_FREQUENCY = (
@@ -3516,7 +3599,10 @@ O_TEXT_FREQUENCY = (
     + ") r\nUNION ALL\nSELECT 'bigramlm' AS part, id, cast(NULL as varchar) AS term,"
     " n_bigrams AS n1, n_backoff AS n2, avg_logprob AS d1\nFROM ("
     + O_TEXT_BIGRAM_LM
-    + ") lm"
+    + ") lm\nUNION ALL\nSELECT 'dsir' AS part, doc_id AS id, cast(NULL as varchar) AS term,"
+    " n_grams AS n1, rnk AS n2, gkey AS d1\nFROM ("
+    + O_TEXT_DSIR
+    + ") ds"
 )
 
 
