@@ -409,6 +409,87 @@ def mix_to_token_budget(
     return sampled, report
 
 
+def cap_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    max_per_stratum: int,
+    salt: str = "cap-v1",
+    nchars: int = 8,
+) -> DataFrame:
+    """Per-stratum document quota (the RefinedWeb/C4 per-domain cap): keep
+    at most ``max_per_stratum`` documents from each stratum, chosen
+    deterministically by hashed order — the same documents survive on
+    every run and on any engine, and the selection is stable under
+    corpus growth: documents keep their relative hash order, so a new
+    document can displace at most the current rank-``max`` holder, never
+    reshuffle the kept set.
+
+    Adds ``cap_bucket`` (hex order key) and ``cap_rank`` (1-based within
+    the stratum) and keeps rows with ``cap_rank <= max_per_stratum``.
+
+    Scale shape: one shuffle on the stratum key for the rank window.
+    An exact per-group rank cannot be salted away — a mega-domain
+    (e.g. one host contributing billions of pages) serializes its own
+    rank in one task. For those, cut the bulk FIRST with the rate-based
+    :func:`stratified_sample` (no shuffle, no rank) down to O(cap) and
+    apply this exact cap to the survivors; the tail of normal-sized
+    strata is what this operator is for.
+    """
+    from pyspark.sql import Window
+
+    if max_per_stratum <= 0:
+        raise DVConfigurationError(
+            "cap_per_stratum: max_per_stratum must be positive, "
+            f"got {max_per_stratum}"
+        )
+    b = hex_bucket(id_col, salt, nchars)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.asc("cap_bucket"), F.asc(id_col)
+    )
+    return (
+        df.withColumn("cap_bucket", b)
+        .withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= max_per_stratum)
+    )
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle-v1",
+    shards: int | None = None,
+    nchars: int = 8,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: adds
+    ``order_bucket``, a hashed hex sort key — ordering by it is a seeded
+    pseudo-random permutation of the corpus that is stable across runs,
+    engines, and repartitioning (sequential/clustered ingest order is a
+    known training-curriculum hazard). With ``shards``, also assigns a
+    balanced ``shard`` id (feed it to
+    ``textops.write_training_shards(shard_col=...)``; sorting within a
+    shard by ``order_bucket`` yields the shuffled read order without any
+    global sort).
+
+    Pure projection — no shuffle at any scale; re-roll with a new salt
+    for each epoch's permutation.
+    """
+    out = df.withColumn("order_bucket", hex_bucket(id_col, salt, nchars))
+    if shards is not None:
+        if shards <= 0:
+            raise DVConfigurationError(
+                f"shuffle_order: shards must be positive, got {shards}"
+            )
+        out = out.withColumn(
+            "shard",
+            F.pmod(
+                F.conv(F.col("order_bucket"), 16, 10).cast("bigint"),
+                F.lit(shards),
+            ).cast("int"),
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # vocabulary & corpus-frequency scoring
 # ---------------------------------------------------------------------------

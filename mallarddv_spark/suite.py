@@ -3464,8 +3464,17 @@ O_TEXT_DOC_STATS = _o_text_doc_stats()
 
 def q_text_curation_assign(spark, sf):
     """Deterministic corpus partitioning suite: salted-hash train/val/test
-    split assignment plus per-domain stratified downsampling, as one tagged
-    union. Parts: text_split_assign, text_stratified_sample."""
+    split assignment, per-domain stratified downsampling, the RefinedWeb
+    per-stratum quota cap (`curation.cap_per_stratum` — top-10 per source
+    by hashed order, rank packed into the bucket payload), and the seeded
+    shuffle-order / shard assignment (`curation.shuffle_order`, 8
+    shards), as one tagged union. Parts: text_split_assign,
+    text_stratified_sample, text_cap_per_stratum, text_shuffle_order."""
+    from mallarddv_spark.operators.curation import (
+        cap_per_stratum,
+        shuffle_order,
+    )
+
     s = q_text_split_assign(spark, sf).select(
         F.lit("split").alias("part"),
         "doc_id",
@@ -3478,7 +3487,20 @@ def q_text_curation_assign(spark, sf):
         F.col("domain").alias("label"),
         F.col("sample_bucket").alias("bucket"),
     )
-    return s.unionByName(t)
+    d = _t(spark, sf, "documents")
+    c = cap_per_stratum(d, "source", "doc_id", 10).select(
+        F.lit("cap").alias("part"),
+        "doc_id",
+        F.col("source").alias("label"),
+        F.concat_ws(":", "cap_bucket", "cap_rank").alias("bucket"),
+    )
+    o = shuffle_order(d, "doc_id", shards=8).select(
+        F.lit("order").alias("part"),
+        "doc_id",
+        F.col("shard").cast("string").alias("label"),
+        F.col("order_bucket").alias("bucket"),
+    )
+    return s.unionByName(t).unionByName(c).unionByName(o)
 
 
 O_TEXT_CURATION_ASSIGN = (
@@ -3486,7 +3508,30 @@ O_TEXT_CURATION_ASSIGN = (
     + O_TEXT_SPLIT
     + ") s\nUNION ALL\nSELECT 'sample' AS part, doc_id, domain AS label, sample_bucket AS bucket\nFROM ("
     + O_TEXT_STRAT
-    + ") t"
+    + ") t\nUNION ALL\n"
+    + """
+SELECT 'cap' AS part, doc_id, source AS label,
+       cap_bucket || ':' || cast(cap_rank AS varchar) AS bucket
+FROM (
+  SELECT doc_id, source, cap_bucket,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cap_bucket, doc_id) AS cap_rank
+  FROM (
+    SELECT doc_id, source,
+           substr(md5('cap-v1' || cast(doc_id AS varchar)), 1, 8) AS cap_bucket
+    FROM documents) hb
+) ranked
+WHERE cap_rank <= 10
+UNION ALL
+SELECT 'order' AS part, doc_id,
+       cast((('0x' || order_bucket)::bigint) % 8 AS varchar) AS label,
+       order_bucket AS bucket
+FROM (
+  SELECT doc_id,
+         substr(md5('shuffle-v1' || cast(doc_id AS varchar)), 1, 8)
+           AS order_bucket
+  FROM documents) ob
+"""
 )
 
 
