@@ -811,6 +811,187 @@ def dsir_resample(
 
 
 # ---------------------------------------------------------------------------
+# hashed-feature Naive Bayes classifier (fastText-style filter stand-in)
+# ---------------------------------------------------------------------------
+
+
+def _snap10(col) -> Column:
+    """ln(...) snapped to the 1e-10 bigint grid — the determinism contract
+    shared with the bigram LM and DSIR: downstream sums stay integer-exact
+    and partition-order independent."""
+    return F.round(col * F.lit(1e10)).cast("bigint")
+
+
+def train_nb_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    buckets: int = 4096,
+    n_max: int = 2,
+    smoothing: float = 1.0,
+    hash_mode: str = "xxhash64",
+    lowercase: bool = True,
+) -> dict:
+    """Multinomial Naive Bayes over hashed bag-of-n-grams features — the
+    relational stand-in for the fastText-style linear classifiers LLM
+    pipelines use for language ID and quality filtering (CCNet,
+    FineWeb-Edu): closed-form count-based training, so both training and
+    inference stay in whole-stage codegen with no SGD and no UDFs.
+
+    Returns ``{"model": DF(label, bucket, lw10), "priors": DF(label,
+    prior10, default10), ...params}``. The model is the COMPLETE
+    labels × training-vocabulary grid (≤ |labels|·buckets rows — tiny,
+    broadcastable, persistable as parquet): ``lw10`` is the add-
+    ``smoothing`` log-likelihood ``ln (cnt_cb + α)/(T_c + αB)`` on the
+    1e-10 bigint grid, ``prior10 = ln(docs_c/docs)``, and ``default10``
+    is the per-class log-likelihood of a bucket the training corpus
+    never emitted. Rows with NULL labels are ignored.
+
+    Reference scope note: no classifier stage exists in the reference
+    engine — this extends the training-data curation tier.
+
+    Scale shape: one explode + one groupBy (label, bucket) with map-side
+    combine over the training corpus; everything after operates on the
+    grid. Training cost is one scan regardless of class count.
+    """
+    from mallarddv_spark.operators.dedup import _hash_int
+
+    if buckets <= 0:
+        raise DVConfigurationError(
+            f"train_nb_classifier: buckets must be positive, got {buckets}"
+        )
+    if smoothing <= 0:
+        raise DVConfigurationError(
+            "train_nb_classifier: smoothing must be positive, "
+            f"got {smoothing}"
+        )
+    a = float(smoothing)
+    ab = a * buckets
+    labeled = df.filter(F.col(label_col).isNotNull())
+    base = labeled.select(
+        F.col(label_col).alias("label"),
+        _token_array(text_col, lowercase).alias("__t"),
+    )
+    arrs = _gram_arrays("__t", n_max)
+    gram_arr = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
+    stream = base.select(
+        "label", F.explode(gram_arr).alias("gram")
+    ).filter(F.col("gram") != "")
+    cls_counts = (
+        stream.select(
+            "label",
+            F.pmod(_hash_int("gram", hash_mode), F.lit(buckets)).alias("bucket"),
+        )
+        .groupBy("label", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    labels = labeled.select(F.col(label_col).alias("label")).distinct()
+    vocab = cls_counts.select("bucket").distinct()
+    totals = cls_counts.groupBy("label").agg(F.sum("cnt").alias("__T"))
+    grid = (
+        labels.crossJoin(vocab)
+        .join(cls_counts, ["label", "bucket"], "left")
+        .join(F.broadcast(totals), "label")
+    )
+    model = grid.select(
+        "label",
+        "bucket",
+        _snap10(
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(a))
+                / (F.col("__T") + F.lit(ab))
+            )
+        ).alias("lw10"),
+    )
+    doc_counts = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("__nc")
+    )
+    all_docs = doc_counts.agg(F.sum("__nc").alias("__ntot"))
+    priors = (
+        doc_counts.crossJoin(F.broadcast(all_docs))
+        .join(F.broadcast(totals), "label")
+        .select(
+            "label",
+            _snap10(F.log(F.col("__nc") / F.col("__ntot"))).alias("prior10"),
+            _snap10(
+                F.log(F.lit(a) / (F.col("__T") + F.lit(ab)))
+            ).alias("default10"),
+        )
+    )
+    return {
+        "model": model,
+        "priors": priors,
+        "buckets": buckets,
+        "n_max": n_max,
+        "hash_mode": hash_mode,
+        "lowercase": lowercase,
+    }
+
+
+def nb_classify(
+    df: DataFrame, id_col: str, text_col: str, nb: dict
+) -> DataFrame:
+    """Classify documents under a :func:`train_nb_classifier` model:
+    ``argmax_c [ prior_c + Σ_b cnt_b·lw_cb ]`` with unseen-vocabulary
+    buckets contributing the class's ``default10``. All score arithmetic
+    is bigint on the 1e-10 grid — exact, engine-portable.
+
+    Returns ``(doc_id, predicted, n_grams, n_seen, score)`` where
+    ``n_seen`` counts the document's gram occurrences that fall in the
+    training vocabulary and ``score`` is the winning joint log-likelihood
+    (rounded 1e-6). Score ties resolve to the lexicographically greatest
+    label. Documents with no features (empty text) produce no row.
+
+    Scale shape: the model grid and priors broadcast; the corpus side is
+    explode → groupBy(doc, bucket) → broadcast join → two more
+    doc-keyed aggregations. No shuffle ever carries more than
+    |labels| rows per document.
+    """
+    feats = hashed_ngram_features(
+        df, id_col, text_col, buckets=nb["buckets"], n_max=nb["n_max"],
+        hash_mode=nb["hash_mode"], lowercase=nb["lowercase"],
+    )
+    n_per_doc = feats.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_grams")
+    )
+    matched = (
+        feats.join(F.broadcast(nb["model"]), "bucket")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lw10")).alias("__s10"),
+            F.sum("cnt").cast("bigint").alias("__m"),
+        )
+    )
+    scored = (
+        n_per_doc.crossJoin(F.broadcast(nb["priors"]))
+        .join(matched, ["doc_id", "label"], "left")
+        .select(
+            "doc_id",
+            "label",
+            "n_grams",
+            F.coalesce(F.col("__m"), F.lit(0)).alias("n_seen"),
+            (
+                F.col("prior10")
+                + F.coalesce(F.col("__s10"), F.lit(0))
+                + (F.col("n_grams") - F.coalesce(F.col("__m"), F.lit(0)))
+                * F.col("default10")
+            ).alias("score10"),
+        )
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.max(F.struct("score10", "label", "n_seen")).alias("__b"),
+        F.max("n_grams").alias("n_grams"),
+    )
+    return best.select(
+        "doc_id",
+        F.col("__b.label").alias("predicted"),
+        "n_grams",
+        F.col("__b.n_seen").alias("n_seen"),
+        F.round(F.col("__b.score10") / F.lit(1e10), 6).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # winnowing, incremental dedup, BPE-ish tokenization
 # ---------------------------------------------------------------------------
 

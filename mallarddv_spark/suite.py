@@ -3074,6 +3074,92 @@ SELECT doc_id, n_grams, rnk, gkey FROM r WHERE rnk <= 100
 """
 
 
+def q_text_nb_classify(spark, sf):
+    """Hashed-feature multinomial Naive Bayes
+    (`operators/curation.train_nb_classifier` / `nb_classify`) — the
+    relational fastText-style classifier stand-in: trained closed-form on
+    the even-id half (labels = lang), classifying the odd-id half. All
+    log-likelihoods snap to the 1e-10 bigint grid, so scores are exact
+    and engine-portable; ties resolve to the greatest label."""
+    from mallarddv_spark.operators.curation import (
+        nb_classify,
+        train_nb_classifier,
+    )
+
+    d = _t(spark, sf, "documents")
+    nb = train_nb_classifier(
+        d.filter(F.pmod("doc_id", F.lit(2)) == 0), "lang", "text",
+        buckets=4096, n_max=2, smoothing=1.0, hash_mode="md5",
+    )
+    return nb_classify(
+        d.filter(F.pmod("doc_id", F.lit(2)) == 1), "doc_id", "text", nb
+    )
+
+
+O_TEXT_NBCLS = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, w AS g FROM (
+    SELECT doc_id, lang, unnest(t) AS w FROM toks) WHERE g <> ''
+  UNION ALL
+  SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS g
+  FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+),
+feats AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5(g),1,15))::bigint) % 4096 AS b
+  FROM grams
+),
+cls AS (SELECT lang AS label, b, count(*) AS cnt FROM feats
+        WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+labels AS (SELECT DISTINCT lang AS label FROM documents WHERE doc_id % 2 = 0),
+vocab AS (SELECT DISTINCT b FROM cls),
+tot AS (SELECT label, sum(cnt) AS T FROM cls GROUP BY 1),
+model AS (
+  SELECT l.label, v.b,
+         cast(round(1e10 * ln((coalesce(c.cnt, 0) + 1.0)
+                              / (t.T + 1.0*4096))) as bigint) AS lw10
+  FROM labels l CROSS JOIN vocab v
+  LEFT JOIN cls c ON c.label = l.label AND c.b = v.b
+  JOIN tot t ON t.label = l.label
+),
+dc AS (SELECT lang AS label, count(*) AS n FROM documents
+       WHERE doc_id % 2 = 0 GROUP BY 1),
+nn AS (SELECT sum(n) AS N FROM dc),
+priors AS (
+  SELECT dc.label,
+         cast(round(1e10 * ln(cast(dc.n as double)
+                              / (SELECT N FROM nn))) as bigint) AS prior10,
+         cast(round(1e10 * ln(1.0 / (t.T + 1.0*4096))) as bigint)
+           AS default10
+  FROM dc JOIN tot t USING (label)
+),
+docf AS (SELECT doc_id, b, count(*) AS cnt FROM feats
+         WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+npd AS (SELECT doc_id, sum(cnt) AS n_grams FROM docf GROUP BY 1),
+mt AS (SELECT f.doc_id, m.label, sum(f.cnt * m.lw10) AS s10,
+              sum(f.cnt) AS m
+       FROM docf f JOIN model m ON f.b = m.b GROUP BY 1, 2),
+sc AS (
+  SELECT npd.doc_id, p.label, npd.n_grams, coalesce(mt.m, 0) AS n_seen,
+         p.prior10 + coalesce(mt.s10, 0)
+           + (npd.n_grams - coalesce(mt.m, 0)) * p.default10 AS score10
+  FROM npd CROSS JOIN priors p
+  LEFT JOIN mt ON mt.doc_id = npd.doc_id AND mt.label = p.label
+),
+rr AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score10 DESC, label DESC) AS rn
+       FROM sc)
+SELECT doc_id, label AS predicted, cast(n_grams as bigint) AS n_grams,
+       cast(n_seen as bigint) AS n_seen,
+       round(cast(score10 as double) / 1e10, 6) AS score
+FROM rr WHERE rn = 1
+"""
+
+
 REGISTRY.update(
     {
         "text_decontaminate": (q_text_decontaminate, O_TEXT_DECON),
@@ -3596,9 +3682,11 @@ O_TEXT_CHUNKING_WINNOW = (
 def q_text_frequency_suite(spark, sf):
     """Corpus-frequency suite: top-k vocabulary ranking, per-document
     rarity scoring, bigram-LM fluency scoring (train on even ids,
-    score odd ids), and DSIR importance resampling (hashed-n-gram
-    log-ratio weights + Gumbel top-k), as one tagged union. Parts:
-    text_vocab_topk, text_rarity_score, text_bigram_lm, text_dsir."""
+    score odd ids), DSIR importance resampling (hashed-n-gram
+    log-ratio weights + Gumbel top-k), and hashed-feature Naive Bayes
+    classification (train even / classify odd), as one tagged union.
+    Parts: text_vocab_topk, text_rarity_score, text_bigram_lm,
+    text_dsir, text_nb_classify."""
     v = q_text_vocab_topk(spark, sf).select(
         F.lit("vocab").alias("part"),
         F.col("rnk").alias("id"),
@@ -3631,7 +3719,17 @@ def q_text_frequency_suite(spark, sf):
         F.col("rnk").alias("n2"),
         F.col("gkey").alias("d1"),
     )
-    return v.unionByName(r).unionByName(lm).unionByName(ds)
+    nc = q_text_nb_classify(spark, sf).select(
+        F.lit("nbcls").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.col("predicted").alias("term"),
+        F.col("n_grams").alias("n1"),
+        F.col("n_seen").alias("n2"),
+        F.col("score").alias("d1"),
+    )
+    return (
+        v.unionByName(r).unionByName(lm).unionByName(ds).unionByName(nc)
+    )
 
 
 O_TEXT_FREQUENCY = (
@@ -3647,7 +3745,10 @@ O_TEXT_FREQUENCY = (
     + ") lm\nUNION ALL\nSELECT 'dsir' AS part, doc_id AS id, cast(NULL as varchar) AS term,"
     " n_grams AS n1, rnk AS n2, gkey AS d1\nFROM ("
     + O_TEXT_DSIR
-    + ") ds"
+    + ") ds\nUNION ALL\nSELECT 'nbcls' AS part, doc_id AS id, predicted AS term,"
+    " n_grams AS n1, n_seen AS n2, score AS d1\nFROM ("
+    + O_TEXT_NBCLS
+    + ") nc"
 )
 
 
