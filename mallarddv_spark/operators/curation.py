@@ -991,6 +991,37 @@ def nb_classify(
     )
 
 
+def save_nb_classifier(nb: dict, path: str) -> None:
+    """Persist a :func:`train_nb_classifier` model: ``{path}/model`` and
+    ``{path}/priors`` parquet plus a one-row ``{path}/params`` parquet
+    (written LAST — its presence marks the model complete, the same
+    completeness-marker convention as the training-shard manifest)."""
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    nb["model"].write.mode("overwrite").parquet(f"{path}/model")
+    nb["priors"].write.mode("overwrite").parquet(f"{path}/priors")
+    spark = nb["model"].sparkSession
+    literal_frame(
+        spark,
+        [(nb["buckets"], nb["n_max"], nb["hash_mode"],
+          bool(nb["lowercase"]))],
+        "buckets int, n_max int, hash_mode string, lowercase boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_nb_classifier(spark, path: str) -> dict:
+    """Load a model persisted by :func:`save_nb_classifier`."""
+    p = spark.read.parquet(f"{path}/params").first()
+    return {
+        "model": spark.read.parquet(f"{path}/model"),
+        "priors": spark.read.parquet(f"{path}/priors"),
+        "buckets": int(p.buckets),
+        "n_max": int(p.n_max),
+        "hash_mode": p.hash_mode,
+        "lowercase": bool(p.lowercase),
+    }
+
+
 # ---------------------------------------------------------------------------
 # winnowing, incremental dedup, BPE-ish tokenization
 # ---------------------------------------------------------------------------

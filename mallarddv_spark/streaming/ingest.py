@@ -216,6 +216,9 @@ def neardup_stream_processor(
     threshold: float = 0.7,
     contamination_bloom_path: str | None = None,
     contamination_table: str | None = None,
+    quality_model_path: str | None = None,
+    quality_keep_labels: list[str] | None = None,
+    quality_table: str | None = None,
 ):
     """Ready-made ``process_batch`` for :func:`stream_files_to_staging`:
     the continuous-crawl near-dup gate. Each micro-batch is
@@ -239,7 +242,17 @@ def neardup_stream_processor(
        ``contamination_table`` with the hit count; the filter row is a
        broadcast and the probe a projection, so this step adds no
        shuffle,
-    5. final survivors append to ``sink_table`` first, then to the index
+    5. with ``quality_model_path`` set (a model persisted by
+       ``curation.save_nb_classifier``), survivors are classified by the
+       stored hashed-feature Naive Bayes model and only documents whose
+       predicted label is in ``quality_keep_labels`` pass — the
+       fastText-style quality gate at ingest. Rejects are optionally
+       recorded to ``quality_table`` with their predicted label and
+       score. Documents with no features (empty text) have no prediction
+       and PASS — no evidence is not negative evidence. The model grid
+       rides a broadcast; no added corpus shuffle beyond the doc-keyed
+       score aggregations,
+    6. final survivors append to ``sink_table`` first, then to the index
        — so later batches dedup against them without recomputing a single
        history signature.
 
@@ -248,10 +261,19 @@ def neardup_stream_processor(
     may hold duplicates (dedup downstream on ``id_col``; the already-
     ingested-id check only consults the INDEX) and the index then catches
     up. A crash before the sink append loses nothing: only documents
-    already visible in the index are dropped. ``contamination_table``
-    records are likewise at-least-once (a replayed batch re-screens and
-    re-records; dedup downstream on ``(doc_id, batch_id)``).
+    already visible in the index are dropped. ``contamination_table`` and
+    ``quality_table`` records are likewise at-least-once (a replayed
+    batch re-screens and re-records; dedup downstream on
+    ``(doc_id, batch_id)``).
     """
+
+    if quality_model_path is not None and not quality_keep_labels:
+        from mallarddv_spark.exceptions import DVConfigurationError
+
+        raise DVConfigurationError(
+            "neardup_stream_processor: quality_model_path requires "
+            "non-empty quality_keep_labels"
+        )
 
     def process(batch_df, batch_id: int) -> None:
         from mallarddv_spark.operators import dedup
@@ -310,6 +332,26 @@ def neardup_stream_processor(
                 _refresh_after_batch_write(spark, contamination_table)
             fresh = fresh.join(
                 dirty.select(F.col("doc_id").alias(id_col)),
+                id_col, "left_anti",
+            ).localCheckpoint(eager=True)
+        if quality_model_path is not None:
+            from mallarddv_spark.operators.curation import (
+                load_nb_classifier,
+                nb_classify,
+            )
+
+            nb = load_nb_classifier(spark, quality_model_path)
+            preds = nb_classify(fresh, id_col, text_col, nb)
+            rejects = preds.filter(
+                ~F.col("predicted").isin(list(quality_keep_labels))
+            )
+            if quality_table is not None:
+                rejects.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).saveAsTable(quality_table)
+                _refresh_after_batch_write(spark, quality_table)
+            fresh = fresh.join(
+                rejects.select(F.col("doc_id").alias(id_col)),
                 id_col, "left_anti",
             ).localCheckpoint(eager=True)
         if fresh.isEmpty():

@@ -58,13 +58,18 @@ def test_unseen_vocabulary_falls_back_to_prior(spark, model_and_test):
 
 
 def test_persisted_model_parity(spark, model_and_test, tmp_path):
+    from mallarddv_spark.operators.curation import (
+        load_nb_classifier,
+        save_nb_classifier,
+    )
+
     nb, test = model_and_test
-    mp, pp = str(tmp_path / "model"), str(tmp_path / "priors")
-    nb["model"].write.parquet(mp)
-    nb["priors"].write.parquet(pp)
-    stored = dict(nb)
-    stored["model"] = spark.read.parquet(mp)
-    stored["priors"] = spark.read.parquet(pp)
+    p = str(tmp_path / "nb")
+    save_nb_classifier(nb, p)
+    stored = load_nb_classifier(spark, p)
+    assert (stored["buckets"], stored["n_max"], stored["hash_mode"],
+            stored["lowercase"]) == (nb["buckets"], nb["n_max"],
+                                     nb["hash_mode"], nb["lowercase"])
     a = sorted(map(tuple, nb_classify(test, "doc_id", "text", nb).collect()))
     b = sorted(map(tuple, nb_classify(test, "doc_id", "text", stored).collect()))
     assert a == b

@@ -408,3 +408,83 @@ def test_neardup_stream_processor(spark, tmp_path):
     assert sink.count() == n1 + 1
 
     spark.sql("DROP TABLE IF EXISTS default.crawl_sink")
+
+
+def test_neardup_stream_quality_gate(spark, tmp_path):
+    """The crawl processor's optional quality screen: a stored NB model
+    (trained on separable vocabularies) classifies each batch; documents
+    predicted outside quality_keep_labels are dropped at ingest and
+    recorded; empty docs pass (no evidence is not negative evidence)."""
+    from pyspark.sql import Row
+    from mallarddv_spark.operators import dedup
+    from mallarddv_spark.operators.curation import (
+        save_nb_classifier,
+        train_nb_classifier,
+    )
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, label="good",
+             text="insightful thorough analysis prose reasoning " * 3)
+         for i in range(10)]
+        + [Row(doc_id=100 + i, label="spam",
+               text="buy cheap pills casino winner click " * 3)
+           for i in range(10)]
+    )
+    nb = train_nb_classifier(train, "label", "text", buckets=512)
+    model_path = str(tmp_path / "nb_model")
+    save_nb_classifier(nb, model_path)
+
+    seed = spark.createDataFrame(
+        [Row(doc_id=1, text="completely unrelated seed document content")]
+    )
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(seed, index_path, num_perm=32, bands=8,
+                              shingle_size=3)
+    spark.sql("DROP TABLE IF EXISTS default.q_sink")
+    spark.sql("DROP TABLE IF EXISTS default.q_rejects")
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=500, text="thorough insightful reasoning and analysis"),
+         Row(doc_id=501, text="casino winner buy cheap pills now"),
+         Row(doc_id=502, text="")]
+    )
+    src = str(tmp_path / "crawl")
+    batch.coalesce(1).write.parquet(f"{src}/f1")
+    process = ingest.neardup_stream_processor(
+        index_path, "default.q_sink", threshold=0.9,
+        quality_model_path=model_path,
+        quality_keep_labels=["good"],
+        quality_table="default.q_rejects",
+    )
+    q = ingest.stream_files_to_staging(
+        spark, f"{src}/*", batch.schema, str(tmp_path / "ck"),
+        process, file_format="parquet",
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+
+    sink_ids = {r.doc_id for r in spark.table("default.q_sink").collect()}
+    rejects = {r.doc_id: r for r in spark.table("default.q_rejects").collect()}
+    assert 500 in sink_ids           # classified good
+    assert 501 not in sink_ids and 501 in rejects
+    assert rejects[501].predicted == "spam"
+    assert 502 in sink_ids           # empty doc: no prediction, passes
+    # rejected docs never reach the index either
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{index_path}/sigs")
+        .select("doc_id").collect()
+    }
+    assert 501 not in idx_ids
+    spark.sql("DROP TABLE IF EXISTS default.q_sink")
+    spark.sql("DROP TABLE IF EXISTS default.q_rejects")
+
+
+def test_quality_gate_requires_keep_labels(spark, tmp_path):
+    from mallarddv_spark.exceptions import DVConfigurationError
+
+    with pytest.raises(DVConfigurationError, match="quality_keep_labels"):
+        ingest.neardup_stream_processor(
+            str(tmp_path / "idx"), "default.x",
+            quality_model_path=str(tmp_path / "m"),
+        )
