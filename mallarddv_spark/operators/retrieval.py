@@ -1,0 +1,354 @@
+"""Lexical retrieval: BM25 scoring and a persisted, bucket-partitioned
+inverted index.
+
+Reference scope note: the reference engine (see
+``/root/reference/mallarddv/mallarddv.py:31-404`` for its full facade)
+has no retrieval tier — this extends the training-data curation family.
+A 100 TB corpus needs *targeted inspection* (find the documents that
+look like a benchmark, a contamination cluster, a quality probe) and
+lexical BM25 is the standard complement to the embedding-ANN operators
+in :mod:`mallarddv_spark.operators.similarity`: no model, exact terms,
+explainable scores.
+
+Scale shape, by stage:
+
+* **postings build** — one explode + groupBy over the corpus (map-side
+  partial aggregation; the same cost class as the vocabulary build).
+  Document length rides ON the posting row, so scoring never joins the
+  corpus a second time.
+* **probe** — query terms are a broadcast (a query set is KBs); matched
+  postings are the only rows that move. With the persisted index the
+  term-hash bucket layout turns the scan into partition-pruned I/O:
+  a probe touches ``#distinct-query-term-buckets`` partitions, not the
+  corpus.
+* **scoring** — per-posting BM25 contributions are snapped to a 1e-10
+  integer grid and summed exactly (the bigram-LM discipline,
+  ``operators/textops.score_bigram_logprob``), so scores and ranks are
+  independent of partitioning/merge order and replay bit-for-bit in
+  DuckDB.
+
+IDF is the Lucene/Robertson variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+— non-negative for every df, so a term in most documents contributes
+~nothing instead of a negative surprise. Query term frequency is
+ignored (each distinct query term counts once — the standard k3→0
+simplification for short queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mallarddv_spark.exceptions import DVConfigurationError
+
+__all__ = [
+    "build_postings",
+    "bm25_topk",
+    "build_bm25_index",
+    "bm25_index_append",
+    "bm25_index_probe",
+    "bm25_index_compact",
+    "heal_bm25_index",
+]
+
+
+def _tokens(text_col, lowercase: bool):
+    t = F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)
+    if lowercase:
+        t = F.lower(t)
+    # split(trim('')) yields [''] — drop empties so empty docs have no rows
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Inverted-index posting rows ``(term, {id_col}, tf, dl)`` — term
+    frequency per (term, document) plus the document's total token count
+    denormalized onto every posting (one groupBy instead of a second
+    corpus-sized join at score time; dl repeats ~unique-terms times per
+    doc, a few bytes against never re-shuffling the corpus)."""
+    base = df.select(F.col(id_col), _tokens(text_col, lowercase).alias("__t"))
+    return (
+        base.select(id_col, F.size("__t").alias("dl"), F.explode("__t").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .select("term", id_col, "tf", F.col("dl").cast("bigint").alias("dl"))
+    )
+
+
+def _corpus_totals(df: DataFrame, id_col: str, text_col: str, lowercase: bool):
+    r = df.select(_tokens(text_col, lowercase).alias("__t")).agg(
+        F.count("*").alias("n"), F.sum(F.size("__t")).alias("s")
+    ).first()
+    return int(r.n or 0), int(r.s or 0)
+
+
+def _query_terms(
+    queries: DataFrame, qid_col: str, qtext_col: str, lowercase: bool
+) -> DataFrame:
+    return (
+        queries.select(
+            F.col(qid_col), F.explode(_tokens(qtext_col, lowercase)).alias("term")
+        )
+        .distinct()
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+    postings: DataFrame | None = None,
+    n_docs: int | None = None,
+    total_len: int | None = None,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25.
+
+    Inline mode (``corpus`` given) builds postings and corpus totals on
+    the fly; index mode (``postings`` + ``n_docs`` + ``total_len`` given,
+    as :func:`bm25_index_probe` does) scores stored postings without
+    touching the corpus. Returns
+    ``({qid_col}, {id_col}, n_terms, score, rnk)`` with ``rnk`` dense
+    from 1 per query; ties break on ascending document id, so the
+    ranking is fully deterministic.
+
+    df(term) is computed over the *matched* postings only — each posting
+    row is one distinct (term, doc), so a per-term window count equals
+    the document frequency without a separate corpus pass.
+    """
+    if postings is None:
+        if corpus is None:
+            raise DVConfigurationError("bm25_topk: need corpus or postings")
+        postings = build_postings(corpus, id_col, text_col, lowercase)
+        n_docs, total_len = _corpus_totals(corpus, id_col, text_col, lowercase)
+    if not n_docs or not total_len:
+        raise DVConfigurationError(
+            "bm25_topk: empty corpus (n_docs/total_len are zero)"
+        )
+    qt = _query_terms(queries, qid_col, qtext_col, lowercase)
+    # df(term) is counted on (term, doc) rows BEFORE the per-query
+    # expansion — a term shared by two queries must not double-count
+    matched = postings.join(F.broadcast(qt.select("term").distinct()), "term")
+    dfreq = F.count("*").over(Window.partitionBy("term"))
+    # avgdl enters as dl * n_docs / total_len — exact integers until the
+    # one double division, same expression on the DuckDB side
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - b)
+        + F.lit(float(b))
+        * F.col("dl").cast("double")
+        * F.lit(float(n_docs))
+        / F.lit(float(total_len))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+    )
+    contrib = idf * F.col("tf").cast("double") * F.lit(1.0 + k1) / denom
+    scored = matched.withColumn(
+        "__c10", F.round(contrib * 1e10).cast("bigint")
+    ).join(F.broadcast(qt), "term").select(qid_col, id_col, "__c10")
+    agg = scored.groupBy(qid_col, id_col).agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("__c10").alias("__s10"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("__s10").desc(), F.col(id_col).asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select(
+            qid_col,
+            id_col,
+            "n_terms",
+            F.round(F.col("__s10") / 1e10, 6).alias("score"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index
+# ---------------------------------------------------------------------------
+#
+# Layout under ``path``::
+#
+#     postings/tbucket=<n>/*.parquet   (term, doc_id, tf, dl)
+#     params/*.parquet                 (n_docs, total_len, lowercase,
+#                                       term_buckets, id_col) — one row
+#
+# ``tbucket = pmod(xxhash64(term), term_buckets)`` is a pure storage
+# key: probes prune to the buckets their query terms hash into
+# (partition pruning — I/O ∝ query terms, not corpus), and results
+# never depend on it. ``params`` is written LAST on build (its presence
+# marks the index complete) and rewritten via the staged-rename swap on
+# append, so a crash at any point leaves a readable index:
+# :func:`heal_bm25_index` resolves a torn swap on every open. A crash
+# *between* the postings append and the params swap leaves extra
+# postings under the old totals — readable, scores slightly stale, and
+# :func:`bm25_index_compact` (dedup + recompute params from postings)
+# repairs a replayed batch.
+
+
+def _tbucket(term_buckets: int):
+    return F.pmod(F.xxhash64("term"), F.lit(int(term_buckets))).cast("int")
+
+
+def _write_params(
+    spark: SparkSession,
+    path: str,
+    n_docs: int,
+    total_len: int,
+    lowercase: bool,
+    term_buckets: int,
+    id_col: str,
+    staged: bool,
+) -> None:
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    target = f"{path}/params__compact" if staged else f"{path}/params"
+    literal_frame(
+        spark,
+        [(int(n_docs), int(total_len), bool(lowercase), int(term_buckets), id_col)],
+        "n_docs bigint, total_len bigint, lowercase boolean, "
+        "term_buckets int, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(target)
+
+
+def build_bm25_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    term_buckets: int = 64,
+) -> dict:
+    """Materialize a BM25 inverted index on disk so every future probe
+    scores stored postings instead of re-tokenizing the corpus."""
+    spark = df.sparkSession
+    build_postings(df, id_col, text_col, lowercase).withColumn(
+        "tbucket", _tbucket(term_buckets)
+    ).write.partitionBy("tbucket").mode("overwrite").parquet(f"{path}/postings")
+    n_docs, total_len = _corpus_totals(df, id_col, text_col, lowercase)
+    _write_params(
+        spark, path, n_docs, total_len, lowercase, term_buckets, id_col,
+        staged=False,
+    )
+    return {"path": path, "n_docs": n_docs, "total_len": total_len}
+
+
+def heal_bm25_index(spark: SparkSession, path: str) -> dict[str, str]:
+    """Resolve an append/compact interrupted mid-swap (same state machine
+    as the MinHash/IVF indexes). Returns {subdir: action}; empty when
+    clean. Runs automatically on every open."""
+    from mallarddv_spark.sources import layout
+
+    healed: dict[str, str] = {}
+    for sub in ("params", "postings"):
+        action = layout.heal_dir_swap(spark, f"{path}/{sub}")
+        if action:
+            healed[sub] = action
+    return healed
+
+
+def _index_params(spark: SparkSession, path: str) -> dict:
+    heal_bm25_index(spark, path)
+    return spark.read.parquet(f"{path}/params").first().asDict()
+
+
+def bm25_index_append(df: DataFrame, path: str, text_col: str = "text") -> None:
+    """Add a new batch to the stored index without touching existing
+    postings: append the batch's posting rows, then swap in updated
+    corpus totals (staged-rename — the totals flip atomically). Caller
+    dedups ids; tokenizer settings come from the index itself."""
+    spark = df.sparkSession
+    p = _index_params(spark, path)
+    build_postings(df, p["id_col"], text_col, p["lowercase"]).withColumn(
+        "tbucket", _tbucket(p["term_buckets"])
+    ).write.partitionBy("tbucket").mode("append").parquet(f"{path}/postings")
+    n_docs, total_len = _corpus_totals(df, p["id_col"], text_col, p["lowercase"])
+    from mallarddv_spark.sources import layout
+
+    _write_params(
+        spark, path, p["n_docs"] + n_docs, p["total_len"] + total_len,
+        p["lowercase"], p["term_buckets"], p["id_col"], staged=True,
+    )
+    layout.swap_dir_live(spark, f"{path}/params")
+
+
+def bm25_index_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    qid_col: str = "query_id",
+    qtext_col: str = "query",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` per query against the stored index. Query terms are
+    hashed to their buckets driver-side (a query set is tiny) and the
+    postings scan carries an ``IN`` partition filter — the probe reads
+    only the matching ``tbucket=`` directories."""
+    p = _index_params(spark, path)
+    qt = _query_terms(queries, qid_col, qtext_col, p["lowercase"])
+    buckets = sorted(
+        {r.tb for r in qt.select(_tbucket(p["term_buckets"]).alias("tb")).collect()}
+    )
+    postings = spark.read.parquet(f"{path}/postings")
+    if buckets:
+        postings = postings.filter(F.col("tbucket").isin(buckets))
+    return bm25_topk(
+        None, queries, id_col=p["id_col"], qid_col=qid_col, qtext_col=qtext_col,
+        k=k, k1=k1, b=b, lowercase=p["lowercase"],
+        postings=postings.drop("tbucket"),
+        n_docs=p["n_docs"], total_len=p["total_len"],
+    )
+
+
+def bm25_index_compact(spark: SparkSession, path: str) -> dict:
+    """Maintenance + repair: drop duplicate posting rows (a replayed
+    append stores identical rows — see the append crash contract),
+    coalesce append-accumulated small files, and recompute the stored
+    totals from the postings themselves (the ground truth). Crash-safe
+    via the same staged-rename swap as the MinHash index."""
+    import math
+
+    from mallarddv_spark.sources import layout
+
+    out: dict = {"healed": heal_bm25_index(spark, path)}
+    p = spark.read.parquet(f"{path}/params").first().asDict()
+    d = f"{path}/postings"
+    df = spark.read.parquet(d)
+    before = df.count()
+    deduped = df.dropDuplicates(["term", p["id_col"]])
+    n_parts = max(1, math.ceil(before / 4_000_000))
+    # hash-partition on tbucket so each bucket directory lands in one
+    # task → one file per bucket instead of n_parts small files each
+    deduped.repartition(n_parts, "tbucket").write.partitionBy("tbucket").mode(
+        "overwrite"
+    ).parquet(f"{d}__compact")
+    staged = spark.read.parquet(f"{d}__compact")
+    after = staged.count()
+    totals = staged.select(p["id_col"], "dl").dropDuplicates([p["id_col"]]).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s")
+    ).first()
+    layout.swap_dir_live(spark, d)
+    _write_params(
+        spark, path, int(totals.n or 0), int(totals.s or 0), p["lowercase"],
+        p["term_buckets"], p["id_col"], staged=True,
+    )
+    layout.swap_dir_live(spark, f"{path}/params")
+    out["postings"] = {"rows_before": before, "rows_after": after}
+    return out

@@ -8,7 +8,7 @@ whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from mallarddv_spark.exceptions import DVConfigurationError
 
@@ -770,3 +770,44 @@ def fluency_filter(
             | (F.col("avg_logprob") >= float(min_avg_logprob))
         ).alias("fluency_keep"),
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    score_col: str = "avg_logprob",
+    id_col: str = "id",
+    n_buckets: int = 3,
+    by: str | None = None,
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank documents
+    by LM score and cut the ranking into ``n_buckets`` equal-count tiles —
+    bucket 1 ("head") is the most fluent tier, the usual high-quality
+    pretraining slice. ``by`` partitions the ranking (CCNet buckets per
+    language, so every language keeps its own head regardless of absolute
+    perplexity). Input is any scored frame (e.g.
+    :func:`score_bigram_logprob` output); adds ``ppl_bucket`` (1-based)
+    and ``ppl_label``.
+
+    Determinism: ties and tile boundaries break on ascending id; NULL
+    scores (docs too short to judge) sort last, i.e. into the tail — the
+    conservative placement for an unjudgeable doc in a quality split.
+
+    Scale shape: ntile is one shuffle on ``by`` (or a single ordering
+    when global). A global ntile over 100 TB serializes into one task —
+    ALWAYS pass ``by`` (language, domain, shard) at scale; CCNet's
+    per-language split is exactly that."""
+    if labels and len(labels) != int(n_buckets):
+        raise DVConfigurationError(
+            f"perplexity_buckets: {len(labels)} labels for {n_buckets} buckets"
+        )
+    w = Window.partitionBy(*([by] if by else [])).orderBy(
+        F.desc_nulls_last(score_col), F.asc(id_col)
+    )
+    out = scored.withColumn("ppl_bucket", F.ntile(int(n_buckets)).over(w))
+    if labels:
+        out = out.withColumn(
+            "ppl_label",
+            F.element_at(F.array(*[F.lit(x) for x in labels]), F.col("ppl_bucket")),
+        )
+    return out

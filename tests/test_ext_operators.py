@@ -4,6 +4,7 @@ text analysis, multimodal plumbing."""
 import pytest
 from pyspark.sql import functions as F
 
+from mallarddv_spark.exceptions import DVConfigurationError
 from mallarddv_spark.operators import dedup, multimodal, similarity, textops
 
 SF = "/root/testdata/sf0.001"
@@ -862,3 +863,42 @@ def test_fluency_filter_keeps_short_docs(spark):
     assert out[1] is True       # fluent under its own LM
     assert out[2] is False      # OOV soup scores far below the floor
     assert out[3] is True       # no-bigram doc kept by policy
+
+
+def test_perplexity_buckets_ccnet_split(spark):
+    """CCNet head/middle/tail: equal-count tiles per partition, head =
+    highest avg_logprob, NULL scores land in the tail, ties and tile
+    boundaries break on ascending id."""
+    scored = spark.createDataFrame(
+        [(i, "en", float(-i)) for i in range(1, 7)]       # -1 best
+        + [(10, "en", None), (20, "de", -5.0), (21, "de", -1.0), (22, "de", None)],
+        "id bigint, lang string, avg_logprob double",
+    )
+    out = {
+        (r.lang, r.id): (r.ppl_bucket, r.ppl_label)
+        for r in textops.perplexity_buckets(scored, by="lang").collect()
+    }
+    # en: 7 rows -> tiles of 3/2/2 (ntile puts the remainder up front)
+    assert out[("en", 1)] == (1, "head")
+    assert out[("en", 2)] == (1, "head")
+    assert out[("en", 3)] == (1, "head")
+    assert out[("en", 4)] == (2, "middle")
+    assert out[("en", 5)] == (2, "middle")
+    assert out[("en", 6)] == (3, "tail")
+    assert out[("en", 10)] == (3, "tail")          # NULL -> tail
+    # de ranks independently of en's absolute scores
+    assert out[("de", 21)] == (1, "head")
+    assert out[("de", 20)] == (2, "middle")
+    assert out[("de", 22)] == (3, "tail")
+
+
+def test_perplexity_buckets_guard_and_global(spark):
+    scored = spark.createDataFrame(
+        [(1, -1.0), (2, -2.0)], "id bigint, avg_logprob double"
+    )
+    with pytest.raises(DVConfigurationError, match="labels"):
+        textops.perplexity_buckets(scored, n_buckets=2)
+    out = {r.id: r.ppl_bucket
+           for r in textops.perplexity_buckets(
+               scored, n_buckets=2, labels=("head", "tail")).collect()}
+    assert out == {1: 1, 2: 2}

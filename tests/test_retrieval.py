@@ -1,0 +1,253 @@
+"""BM25 lexical retrieval (operators/retrieval): DuckDB differential on
+the real corpus, semantic ranking sanity, persisted-index round-trip /
+append / compact / crash-heal, partition-pruned probes, and guards.
+
+Reference scope note: no retrieval tier exists in the reference engine —
+this extends the training-data curation family alongside the embedding
+ANN operators.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import Row, functions as F
+
+from mallarddv_spark.exceptions import DVConfigurationError
+from mallarddv_spark.operators.retrieval import (
+    bm25_index_append,
+    bm25_index_compact,
+    bm25_index_probe,
+    bm25_topk,
+    build_bm25_index,
+    build_postings,
+    heal_bm25_index,
+)
+from mallarddv_spark.plans.audit import plan_report
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = [
+    ("q_hash", "hash join table"),
+    ("q_sort", "window sort order"),
+    ("q_dup", "stream batch data dup"),
+]
+
+DUCK_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+post AS (
+  SELECT term, doc_id, dl, count(*) AS tf FROM (
+    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+  ) GROUP BY term, doc_id, dl
+),
+tot AS (SELECT count(*) AS n_docs, sum(len(t)) AS total_len FROM toks),
+queries(query_id, query) AS (VALUES {queries}),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(trim(lower(query)), '\s+'),
+                            x -> x <> '')) AS term
+  FROM queries
+),
+m AS (
+  SELECT p.*, count(*) OVER (PARTITION BY p.term) AS dfreq
+  FROM post p JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+),
+c AS (
+  SELECT term, doc_id,
+         cast(round(1e10 * (
+           ln(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+           * tf * (1 + 1.2)
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl * n_docs / total_len))
+         )) AS bigint) AS c10
+  FROM m, tot
+),
+s AS (
+  SELECT qt.query_id, c.doc_id, count(*) AS n_terms, sum(c10) AS s10
+  FROM c JOIN qt USING (term) GROUP BY qt.query_id, c.doc_id
+),
+r AS (
+  SELECT query_id, doc_id, n_terms, round(s10 / 1e10, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s10 DESC, doc_id) AS rnk
+  FROM s
+)
+SELECT query_id, doc_id, n_terms, score, rnk FROM r WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return spark.createDataFrame(
+        [Row(query_id=q, query=t) for q, t in QUERIES]
+    )
+
+
+def _duck(k: int):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in QUERIES)
+    return [
+        tuple(x)
+        for x in con.execute(
+            DUCK_BM25.format(queries=vals, k=k)
+        ).fetchall()
+    ]
+
+
+def _rows(df):
+    return [
+        (r.query_id, r.doc_id, r.n_terms, r.score, r.rnk)
+        for r in df.orderBy("query_id", "rnk").collect()
+    ]
+
+
+def test_duckdb_differential(spark, docs, queries):
+    """Inline BM25 matches a closed-form DuckDB replay bit-for-bit —
+    scores, tie-broken ranks, matched-term counts."""
+    got = _rows(bm25_topk(docs, queries, k=20))
+    assert got == _duck(20)
+    assert len(got) == 3 * 20
+
+
+def test_ranking_semantics(spark):
+    """A doc saturated with the query terms outranks partial matches;
+    rare terms outweigh ubiquitous ones (idf)."""
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="quantum flux quantum flux quantum"),
+         Row(doc_id=2, text="quantum noise and other words here"),
+         Row(doc_id=3, text="nothing relevant whatsoever in here"),
+         # 'common' appears everywhere, 'rare' once
+         Row(doc_id=4, text="common rare"),
+         Row(doc_id=5, text="common words common words common")]
+        + [Row(doc_id=10 + i, text="common filler text") for i in range(5)]
+    )
+    q = spark.createDataFrame([Row(query_id="a", query="quantum flux"),
+                               Row(query_id="b", query="common rare")])
+    got = {
+        (r.query_id, r.rnk): r.doc_id
+        for r in bm25_topk(corpus, q, k=3).collect()
+    }
+    assert got[("a", 1)] == 1 and got[("a", 2)] == 2
+    assert got[("b", 1)] == 4  # the rare term dominates the common one
+
+
+def test_shared_term_df_not_double_counted(spark):
+    """Two queries sharing a term must see the same df for it — the
+    per-query expansion happens after df is counted."""
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta") for i in range(4)]
+    )
+    q1 = spark.createDataFrame([Row(query_id="x", query="alpha")])
+    q2 = spark.createDataFrame([Row(query_id="x", query="alpha"),
+                                Row(query_id="y", query="alpha beta")])
+    s1 = {r.doc_id: r.score
+          for r in bm25_topk(corpus, q1, k=10).filter("query_id='x'").collect()}
+    s2 = {r.doc_id: r.score
+          for r in bm25_topk(corpus, q2, k=10).filter("query_id='x'").collect()}
+    assert s1 == s2
+
+
+def test_empty_and_guards(spark, queries):
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    with pytest.raises(DVConfigurationError, match="empty corpus"):
+        bm25_topk(empty, queries, k=5)
+    with pytest.raises(DVConfigurationError, match="corpus or postings"):
+        bm25_topk(None, queries, k=5)
+    # docs with empty text produce no postings and never match
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta"), Row(doc_id=2, text="  ")]
+    )
+    q = spark.createDataFrame([Row(query_id="x", query="alpha")])
+    assert [r.doc_id for r in bm25_topk(corpus, q, k=5).collect()] == [1]
+
+
+def test_postings_shape(spark):
+    corpus = spark.createDataFrame([Row(doc_id=1, text="a b a"),
+                                    Row(doc_id=2, text="b")])
+    rows = {(r.term, r.doc_id): (r.tf, r.dl)
+            for r in build_postings(corpus).collect()}
+    assert rows == {("a", 1): (2, 3), ("b", 1): (1, 3), ("b", 2): (1, 1)}
+
+
+def test_index_roundtrip_probe_matches_inline(spark, docs, queries, tmp_path):
+    path = str(tmp_path / "bm25")
+    build_bm25_index(docs, path)
+    got = _rows(bm25_index_probe(spark, path, queries, k=20))
+    assert got == _rows(bm25_topk(docs, queries, k=20))
+
+
+def test_index_probe_prunes_partitions(spark, docs, queries, tmp_path):
+    """The probe's postings scan must carry the tbucket IN filter — the
+    partition-pruning contract that makes probe I/O ∝ query terms."""
+    path = str(tmp_path / "bm25p")
+    build_bm25_index(docs, path, term_buckets=32)
+    probe = bm25_index_probe(spark, path, queries, k=5)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [tbucket" in plan or "tbucket#" in plan
+    # and it still returns the right answer
+    assert _rows(probe) == _rows(bm25_topk(docs, queries, k=5))
+
+
+def test_index_append_matches_full_rebuild(spark, docs, queries, tmp_path):
+    path = str(tmp_path / "bm25a")
+    build_bm25_index(docs.filter("doc_id % 2 = 0"), path)
+    bm25_index_append(docs.filter("doc_id % 2 = 1"), path)
+    got = _rows(bm25_index_probe(spark, path, queries, k=20))
+    assert got == _rows(bm25_topk(docs, queries, k=20))
+
+
+def test_index_compact_repairs_replayed_append(spark, docs, queries, tmp_path):
+    """A replayed (duplicate) append doubles tf and inflates the totals;
+    compact dedups the postings and recomputes totals from ground truth,
+    restoring exact parity with the inline path."""
+    path = str(tmp_path / "bm25c")
+    build_bm25_index(docs.filter("doc_id % 2 = 0"), path)
+    batch = docs.filter("doc_id % 2 = 1")
+    bm25_index_append(batch, path)
+    bm25_index_append(batch, path)  # the replay
+    out = bm25_index_compact(spark, path)
+    assert out["postings"]["rows_after"] < out["postings"]["rows_before"]
+    got = _rows(bm25_index_probe(spark, path, queries, k=20))
+    assert got == _rows(bm25_topk(docs, queries, k=20))
+
+
+def test_index_heals_torn_param_swap(spark, docs, queries, tmp_path):
+    """Simulate every crash point of the params staged-rename swap; the
+    next open must resolve a complete, correct params copy."""
+    path = str(tmp_path / "bm25h")
+    build_bm25_index(docs, path)
+    want = _rows(bm25_index_probe(spark, path, queries, k=10))
+
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    live = Path(f"{path}/params")
+    staged = Path(f"{path}/params__compact")
+    backup = Path(f"{path}/params__pre_compact")
+
+    # crash after staged write, before swap: staged + live
+    fs.mkdirs(staged)
+    assert heal_bm25_index(spark, path) == {"params": "dropped_staged"}
+    assert _rows(bm25_index_probe(spark, path, queries, k=10)) == want
+
+    # crash between rename-out and rename-in: backup only
+    fs.rename(live, backup)
+    assert heal_bm25_index(spark, path) == {"params": "restored_backup"}
+    assert _rows(bm25_index_probe(spark, path, queries, k=10)) == want
+
+
+def test_index_rejects_unknown_and_no_plan_python(spark, docs, queries):
+    """Inline BM25 stays entirely JVM-side — no Python row stages."""
+    rep = plan_report(bm25_topk(docs, queries, k=10))
+    assert rep["python_stages"] == 0
