@@ -3160,6 +3160,129 @@ FROM rr WHERE rn = 1
 """
 
 
+_BM25_QUERIES = [
+    ("q_hash", "hash join table"),
+    ("q_sort", "window sort order"),
+    ("q_dup", "stream batch data dup"),
+]
+
+
+def q_text_bm25(spark, sf):
+    """BM25 lexical retrieval (`operators/retrieval.bm25_topk`): top-20
+    documents per query for three fixed queries over the corpus
+    vocabulary ('dup' is the rare term, so the idf contrast is live).
+    Query terms ride a broadcast; df(term) is a window count over
+    matched postings only; per-posting contributions snap to the 1e-10
+    integer grid, so scores and tie-broken ranks replay bit-for-bit in
+    DuckDB. The persisted-index probe path is pytest-covered
+    (tests/test_retrieval.py) and returns these exact rows."""
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.retrieval import bm25_topk
+
+    queries = literal_frame(
+        spark, _BM25_QUERIES, "query_id string, query string"
+    )
+    return bm25_topk(_t(spark, sf, "documents"), queries, k=20).select(
+        "query_id",
+        "doc_id",
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        "score",
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+O_TEXT_BM25 = r"""
+WITH btoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+bpost AS (
+  SELECT term, doc_id, dl, count(*) AS tf FROM (
+    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM btoks
+  ) GROUP BY term, doc_id, dl
+),
+btot AS (SELECT count(*) AS n_docs, sum(len(t)) AS total_len FROM btoks),
+bqueries(query_id, query) AS (
+  VALUES ('q_hash', 'hash join table'), ('q_sort', 'window sort order'),
+         ('q_dup', 'stream batch data dup')
+),
+bqt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(trim(lower(query)), '\s+'),
+                            x -> x <> '')) AS term
+  FROM bqueries
+),
+bm AS (
+  SELECT p.*, count(*) OVER (PARTITION BY p.term) AS dfreq
+  FROM bpost p JOIN (SELECT DISTINCT term FROM bqt) q USING (term)
+),
+bc AS (
+  SELECT term, doc_id,
+         cast(round(1e10 * (
+           ln(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+           * tf * (1 + 1.2)
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl * n_docs / total_len))
+         )) AS bigint) AS c10
+  FROM bm, btot
+),
+bs AS (
+  SELECT bqt.query_id, bc.doc_id, count(*) AS n_terms, sum(c10) AS s10
+  FROM bc JOIN bqt USING (term) GROUP BY bqt.query_id, bc.doc_id
+),
+br AS (
+  SELECT query_id, doc_id, cast(n_terms as bigint) AS n_terms,
+         round(s10 / 1e10, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s10 DESC, doc_id) AS rnk
+  FROM bs
+)
+SELECT query_id, doc_id, n_terms, score, cast(rnk as bigint) AS rnk
+FROM br WHERE rnk <= 20
+"""
+
+
+def q_text_pplbucket(spark, sf):
+    """CCNet head/middle/tail split (`operators/textops.
+    perplexity_buckets`, Wenzek et al. 2020) over the bigram-LM scores
+    of the odd-id half (same train/score split as the `bigramlm` part),
+    bucketed PER LANGUAGE — every language keeps its own head regardless
+    of absolute perplexity. Ties and tile boundaries break on ascending
+    doc id, so the ntile replays exactly."""
+    from mallarddv_spark.operators.textops import perplexity_buckets
+
+    scored = q_text_bigram_lm(spark, sf)
+    langs = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), "lang"
+    )
+    return perplexity_buckets(scored.join(langs, "id"), by="lang").select(
+        "id",
+        F.concat_ws("/", "lang", "ppl_label").alias("lang_bucket"),
+        F.col("ppl_bucket").cast("bigint").alias("ppl_bucket"),
+        "n_bigrams",
+        "avg_logprob",
+    )
+
+
+O_TEXT_PPLBUCKET = (
+    "WITH plm AS (" + O_TEXT_BIGRAM_LM + "),\n"
+    + r"""
+pb AS (
+  SELECT plm.*, d.lang,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY avg_logprob DESC, id) AS ppl_bucket
+  FROM plm JOIN documents d ON plm.id = d.doc_id
+)
+SELECT id,
+       lang || '/' || (CASE ppl_bucket WHEN 1 THEN 'head'
+                       WHEN 2 THEN 'middle' ELSE 'tail' END) AS lang_bucket,
+       cast(ppl_bucket as bigint) AS ppl_bucket, n_bigrams, avg_logprob
+FROM pb
+"""
+)
+
+
 REGISTRY.update(
     {
         "text_decontaminate": (q_text_decontaminate, O_TEXT_DECON),
@@ -3683,10 +3806,12 @@ def q_text_frequency_suite(spark, sf):
     """Corpus-frequency suite: top-k vocabulary ranking, per-document
     rarity scoring, bigram-LM fluency scoring (train on even ids,
     score odd ids), DSIR importance resampling (hashed-n-gram
-    log-ratio weights + Gumbel top-k), and hashed-feature Naive Bayes
-    classification (train even / classify odd), as one tagged union.
+    log-ratio weights + Gumbel top-k), hashed-feature Naive Bayes
+    classification (train even / classify odd), BM25 lexical retrieval
+    (top-20 per fixed query), and the CCNet per-language
+    head/middle/tail perplexity split, as one tagged union.
     Parts: text_vocab_topk, text_rarity_score, text_bigram_lm,
-    text_dsir, text_nb_classify."""
+    text_dsir, text_nb_classify, bm25, pplbucket."""
     v = q_text_vocab_topk(spark, sf).select(
         F.lit("vocab").alias("part"),
         F.col("rnk").alias("id"),
@@ -3727,8 +3852,25 @@ def q_text_frequency_suite(spark, sf):
         F.col("n_seen").alias("n2"),
         F.col("score").alias("d1"),
     )
+    bm = q_text_bm25(spark, sf).select(
+        F.lit("bm25").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.col("query_id").alias("term"),
+        F.col("rnk").alias("n1"),
+        F.col("n_terms").alias("n2"),
+        F.col("score").alias("d1"),
+    )
+    pb = q_text_pplbucket(spark, sf).select(
+        F.lit("pplbucket").alias("part"),
+        "id",
+        F.col("lang_bucket").alias("term"),
+        F.col("ppl_bucket").alias("n1"),
+        F.col("n_bigrams").alias("n2"),
+        F.col("avg_logprob").alias("d1"),
+    )
     return (
         v.unionByName(r).unionByName(lm).unionByName(ds).unionByName(nc)
+        .unionByName(bm).unionByName(pb)
     )
 
 
@@ -3748,7 +3890,13 @@ O_TEXT_FREQUENCY = (
     + ") ds\nUNION ALL\nSELECT 'nbcls' AS part, doc_id AS id, predicted AS term,"
     " n_grams AS n1, n_seen AS n2, score AS d1\nFROM ("
     + O_TEXT_NBCLS
-    + ") nc"
+    + ") nc\nUNION ALL\nSELECT 'bm25' AS part, doc_id AS id, query_id AS term,"
+    " rnk AS n1, n_terms AS n2, score AS d1\nFROM ("
+    + O_TEXT_BM25
+    + ") bm\nUNION ALL\nSELECT 'pplbucket' AS part, id, lang_bucket AS term,"
+    " ppl_bucket AS n1, n_bigrams AS n2, avg_logprob AS d1\nFROM ("
+    + O_TEXT_PPLBUCKET
+    + ") pb"
 )
 
 
