@@ -238,6 +238,7 @@ class MallardSparkVault:
         minhash_index_paths: list[str] | None = None,
         ivf_index_paths: list[str] | None = None,
         bloom_paths: list[str] | None = None,
+        bm25_index_paths: list[str] | None = None,
     ) -> dict[str, int]:
         """Roll back every torn (killed-mid-flow) run: DV rows whose run_id
         never reached the ledger are removed and affected ``_current``
@@ -249,15 +250,17 @@ class MallardSparkVault:
         compaction that was interrupted mid-swap and healed first (healing
         runs before rollback so a restored table participates in it).
 
-        ``minhash_index_paths`` / ``ivf_index_paths`` / ``bloom_paths``:
-        on-disk indexes and stored Bloom filters to sweep for torn
-        staged-rename swaps (they live at caller-chosen paths, not in
-        the catalog, so recovery can't discover them). Optional —
-        all of them also self-heal on next open.
+        ``minhash_index_paths`` / ``ivf_index_paths`` / ``bloom_paths`` /
+        ``bm25_index_paths``: on-disk indexes and stored Bloom filters
+        to sweep for torn staged-rename swaps (they live at
+        caller-chosen paths, not in the catalog, so recovery can't
+        discover them). Optional — all of them also self-heal on next
+        open.
         """
         from mallarddv_spark.flow.recovery import recover_vault
         from mallarddv_spark.functions.bloom import heal_bloom
         from mallarddv_spark.operators.dedup import heal_minhash_index
+        from mallarddv_spark.operators.retrieval import heal_bm25_index
         from mallarddv_spark.operators.similarity import heal_ivf_index
         from mallarddv_spark.sources.layout import heal_all_compactions
 
@@ -267,6 +270,7 @@ class MallardSparkVault:
         for paths, heal in (
             (minhash_index_paths, heal_minhash_index),
             (ivf_index_paths, heal_ivf_index),
+            (bm25_index_paths, heal_bm25_index),
         ):
             for p in paths or []:
                 for sub, action in heal(self.spark, p).items():

@@ -219,6 +219,7 @@ def neardup_stream_processor(
     quality_model_path: str | None = None,
     quality_keep_labels: list[str] | None = None,
     quality_table: str | None = None,
+    bm25_index_path: str | None = None,
 ):
     """Ready-made ``process_batch`` for :func:`stream_files_to_staging`:
     the continuous-crawl near-dup gate. Each micro-batch is
@@ -254,7 +255,10 @@ def neardup_stream_processor(
        score aggregations,
     6. final survivors append to ``sink_table`` first, then to the index
        — so later batches dedup against them without recomputing a single
-       history signature.
+       history signature. With ``bm25_index_path`` set (an index built by
+       ``operators.retrieval.build_bm25_index``), survivors ALSO append
+       to the stored BM25 inverted index, keeping the ingested corpus
+       searchable as it grows.
 
     Crash semantics (documented at-least-once): a crash between the sink
     append and the index append re-admits the batch on replay — the sink
@@ -264,7 +268,10 @@ def neardup_stream_processor(
     already visible in the index are dropped. ``contamination_table`` and
     ``quality_table`` records are likewise at-least-once (a replayed
     batch re-screens and re-records; dedup downstream on
-    ``(doc_id, batch_id)``).
+    ``(doc_id, batch_id)``). A replayed batch that already reached the
+    BM25 index would double its postings — but only if the minhash index
+    append ALSO tore (it runs first and gates re-admission), and
+    ``retrieval.bm25_index_compact`` repairs exactly that state.
     """
 
     if quality_model_path is not None and not quality_keep_labels:
@@ -359,5 +366,9 @@ def neardup_stream_processor(
         fresh.write.mode("append").saveAsTable(sink_table)
         _refresh_after_batch_write(spark, sink_table)
         dedup.minhash_index_append(fresh, index_path, id_col, text_col)
+        if bm25_index_path is not None:
+            from mallarddv_spark.operators.retrieval import bm25_index_append
+
+            bm25_index_append(fresh, bm25_index_path, text_col)
 
     return process

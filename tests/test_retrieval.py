@@ -251,3 +251,28 @@ def test_index_rejects_unknown_and_no_plan_python(spark, docs, queries):
     """Inline BM25 stays entirely JVM-side — no Python row stages."""
     rep = plan_report(bm25_topk(docs, queries, k=10))
     assert rep["python_stages"] == 0
+
+
+def test_facade_recover_sweeps_bm25_index(spark, docs, tmp_path):
+    """vault.recover(bm25_index_paths=...) resolves a torn params swap —
+    the same sweep contract as the MinHash/IVF indexes."""
+    import os
+
+    from mallarddv_spark.api import MallardSparkVault
+
+    path = str(tmp_path / "bm25r")
+    build_bm25_index(docs, path)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.rename(Path(f"{path}/params"), Path(f"{path}/params__pre_compact"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    vault = MallardSparkVault(spark)
+    assert vault.init_vault(
+        os.path.join(repo, "tests/fixtures/tables.csv"),
+        os.path.join(repo, "tests/fixtures/transitions.csv"),
+    ) == []
+    healed = vault.recover(bm25_index_paths=[path])
+    assert healed.get(f"{path}/params (index compaction)") == "restored_backup"
+    q = spark.createDataFrame([("q", "hash join")], ["query_id", "query"])
+    assert bm25_index_probe(spark, path, q, k=3).count() == 3

@@ -488,3 +488,54 @@ def test_quality_gate_requires_keep_labels(spark, tmp_path):
             str(tmp_path / "idx"), "default.x",
             quality_model_path=str(tmp_path / "m"),
         )
+
+
+def test_neardup_stream_maintains_bm25_index(spark, tmp_path):
+    """With bm25_index_path set, batch survivors also append to the
+    stored BM25 inverted index — the ingested corpus stays searchable."""
+    from pyspark.sql import Row
+    from mallarddv_spark.operators import dedup
+    from mallarddv_spark.operators.retrieval import (
+        bm25_index_probe,
+        build_bm25_index,
+    )
+
+    seed = spark.createDataFrame(
+        [Row(doc_id=1, text="completely unrelated seed document content")]
+    )
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(seed, index_path, num_perm=32, bands=8,
+                              shingle_size=3)
+    bm25_path = str(tmp_path / "bm25_idx")
+    build_bm25_index(seed, bm25_path)
+    spark.sql("DROP TABLE IF EXISTS default.b_sink")
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=500, text="zebra quagga zebra unique tokens"),
+         Row(doc_id=500, text="zebra quagga zebra unique tokens"),  # in-batch dup
+         Row(doc_id=501, text="plain other words entirely")]
+    )
+    src = str(tmp_path / "crawl")
+    batch.coalesce(1).write.parquet(f"{src}/f1")
+    process = ingest.neardup_stream_processor(
+        index_path, "default.b_sink", threshold=0.9,
+        bm25_index_path=bm25_path,
+    )
+    q = ingest.stream_files_to_staging(
+        spark, f"{src}/*", batch.schema, str(tmp_path / "ck"),
+        process, file_format="parquet",
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+
+    queries = spark.createDataFrame([Row(query_id="z", query="zebra quagga")])
+    hits = bm25_index_probe(spark, bm25_path, queries, k=3).collect()
+    assert [r.doc_id for r in hits] == [500]
+    # dup row collapsed before the append: tf must reflect ONE copy
+    post = spark.read.parquet(f"{bm25_path}/postings")
+    tf = {r.term: r.tf for r in post.filter("doc_id = 500").collect()}
+    assert tf["zebra"] == 2 and tf["quagga"] == 1
+    # totals swapped in: 1 seed doc + 2 survivors
+    params = spark.read.parquet(f"{bm25_path}/params").first()
+    assert params.n_docs == 3
+    spark.sql("DROP TABLE IF EXISTS default.b_sink")

@@ -24,7 +24,7 @@ PARTS = {
     "sql_subquery_suite": ["set_ops", "exists", "percentile"],
     "adv_ann_suite": ["lsh", "ivf", "ivfpqstore"],
     "dedup_ngram_jaccard": [],
-    "text_frequency_suite": ["vocab", "rarity", "bigramlm"],
+    "text_frequency_suite": ["vocab", "rarity", "bigramlm", "dsir", "nbcls", "bm25", "pplbucket"],
     "text_pack_sequences": ["pack", "shards"],
 }
 
