@@ -1,0 +1,143 @@
+"""BPE tokenizer training/encoding (operators/bpe): exact differential
+against a pure-Python reference implementation of Sennrich et al. 2016,
+lossless-decode property, determinism, scale-shape plan pins.
+
+Reference scope note: no tokenizer stage exists in the reference engine
+— this extends the training-data pipeline tier.
+"""
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import Row
+
+from mallarddv_spark.exceptions import DVConfigurationError
+from mallarddv_spark.operators.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_encode_words,
+    train_bpe,
+    word_frequencies,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- pure-Python reference (the Sennrich pseudo-code, verbatim logic) ---
+
+def _py_symbols(word):
+    return [c if i < len(word) - 1 else c + EOW for i, c in enumerate(word)]
+
+
+def _py_merge(syms, a, b):
+    out = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def _py_train(texts, num_merges, min_pair_count=2):
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip().lower()):
+            if w:
+                words[w] += 1
+    vocab = {w: _py_symbols(w) for w in words}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += words[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_pair_count:
+            break
+        merges.append(best)
+        vocab = {w: _py_merge(s, *best) for w, s in vocab.items()}
+    return merges, vocab
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_train_matches_python_reference(spark, docs):
+    """30 merges learned from the real corpus equal the reference
+    implementation's, in order — counts, tie-breaks, greedy rewrites."""
+    texts = [r.text for r in docs.select("text").collect()]
+    want_merges, want_vocab = _py_train(texts, 30)
+    bpe = train_bpe(docs, "text", num_merges=30)
+    assert bpe["merges"] == want_merges
+    # and the encoding of every distinct word matches the reference
+    enc = {
+        r.word: list(r.tokens)
+        for r in bpe_encode_words(
+            word_frequencies(docs).select("word"), bpe
+        ).collect()
+    }
+    assert enc == want_vocab
+
+
+def test_encode_lossless_and_counts(spark, docs):
+    """Concatenating a doc's tokens (minus the EOW markers) restores the
+    whitespace-normalized text; n_tokens <= characters, >= n_words."""
+    bpe = train_bpe(docs, "text", num_merges=20)
+    sample = docs.filter("doc_id < 20")
+    out = {r.doc_id: r for r in bpe_encode(sample, "doc_id", "text", bpe).collect()}
+    for r in sample.collect():
+        norm = re.sub(r"\s+", " ", r.text.strip().lower())
+        got = out[r.doc_id]
+        rebuilt = "".join(got.tokens).replace(EOW, " ").rstrip()
+        assert rebuilt == norm
+        assert got.n_words == len(norm.split(" "))
+        assert got.n_words <= got.n_tokens <= len(norm.replace(" ", "")) + got.n_words
+
+
+def test_merges_compress(spark, docs):
+    """More merges, fewer tokens — monotone on the same corpus."""
+    few = train_bpe(docs, "text", num_merges=5)
+    many = train_bpe(docs, "text", num_merges=40)
+    n = lambda b: (
+        bpe_encode(docs, "doc_id", "text", b)
+        .agg({"n_tokens": "sum"}).first()[0]
+    )
+    n_few, n_many = n(few), n(many)
+    assert n_many < n_few
+
+
+def test_early_stop_and_guard(spark):
+    corpus = spark.createDataFrame([Row(doc_id=1, text="ab ab xy")])
+    # after merging a+b▁ and x+y▁ every pair is gone -> early stop
+    bpe = train_bpe(corpus, "text", num_merges=50, min_pair_count=1)
+    assert 0 < len(bpe["merges"]) < 50
+    with pytest.raises(DVConfigurationError, match="num_merges"):
+        train_bpe(corpus, "text", num_merges=0)
+
+
+def test_min_pair_count_stops_singleton_memorization(spark):
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="aa aa aa zq")]  # 'zq' pairs occur once
+    )
+    bpe = train_bpe(corpus, "text", num_merges=50, min_pair_count=2)
+    flat = {s for m in bpe["merges"] for s in m} | {
+        a + b for a, b in bpe["merges"]
+    }
+    assert not any("z" in s or "q" in s for s in flat)
+
+
+def test_encode_plan_no_python_and_vocab_sized(spark, docs):
+    """The encode plan carries no Python stages, and the merge replay
+    subtree hangs off the DISTINCT-words aggregate, not the corpus."""
+    from mallarddv_spark.plans.audit import plan_report
+
+    bpe = train_bpe(docs, "text", num_merges=10)
+    rep = plan_report(bpe_encode(docs, "doc_id", "text", bpe))
+    assert rep["python_stages"] == 0
+    assert rep["nested_loop_joins"] == 0
