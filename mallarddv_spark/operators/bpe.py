@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from mallarddv_spark.exceptions import DVConfigurationError
 
-__all__ = ["word_frequencies", "train_bpe", "bpe_encode_words", "bpe_encode"]
+__all__ = [
+    "word_frequencies", "train_bpe", "bpe_encode_words", "bpe_encode",
+    "save_bpe", "load_bpe",
+]
 
 # end-of-word marker: distinguishes "low</w>" (word-final) from "low" as
 # a prefix of "lower" — the standard Sennrich formulation
@@ -154,6 +157,34 @@ def bpe_encode_words(words: DataFrame, bpe: dict, word_col: str = "word",
         if (i + 1) % checkpoint_every == 0:
             out = out.localCheckpoint(eager=True)
     return out
+
+
+def save_bpe(spark, bpe: dict, path: str) -> None:
+    """Persist a trained model: ``{path}/merges`` parquet (rank-ordered)
+    plus a one-row ``{path}/params`` written LAST — its presence marks
+    the model complete (the same completeness-marker convention as the
+    NB classifier and the training-shard manifest)."""
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(bpe["merges"])]
+    literal_frame(
+        spark, rows or [(None, None, None)], "rank int, a string, b string"
+    ).filter(F.col("rank").isNotNull()).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/merges")
+    literal_frame(
+        spark, [(bool(bpe.get("lowercase", True)),)], "lowercase boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_bpe(spark, path: str) -> dict:
+    """Load a model persisted by :func:`save_bpe`."""
+    p = spark.read.parquet(f"{path}/params").first()
+    merges = [
+        (r.a, r.b)
+        for r in spark.read.parquet(f"{path}/merges").orderBy("rank").collect()
+    ]
+    return {"merges": merges, "lowercase": bool(p.lowercase)}
 
 
 def bpe_encode(

@@ -141,3 +141,16 @@ def test_encode_plan_no_python_and_vocab_sized(spark, docs):
     rep = plan_report(bpe_encode(docs, "doc_id", "text", bpe))
     assert rep["python_stages"] == 0
     assert rep["nested_loop_joins"] == 0
+
+
+def test_persisted_model_parity(spark, docs, tmp_path):
+    from mallarddv_spark.operators.bpe import load_bpe, save_bpe
+
+    bpe = train_bpe(docs, "text", num_merges=12)
+    p = str(tmp_path / "bpe")
+    save_bpe(spark, bpe, p)
+    stored = load_bpe(spark, p)
+    assert stored == bpe
+    a = bpe_encode(docs.filter("doc_id < 10"), "doc_id", "text", bpe)
+    b = bpe_encode(docs.filter("doc_id < 10"), "doc_id", "text", stored)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
