@@ -13,8 +13,13 @@ same code runs over a 100 TB corpus):
 4. dedup      — exact + MinHash-LSH near-dup, connected-components
                 cluster verdicts (keep one doc per near-dup cluster)
 5. decontam   — n-gram overlap against a benchmark set
-6. split/mix  — deterministic train/val split + token-budget mixing
-7. pack       — fixed-length training sequences
+6. fluency    — bigram-LM scoring + CCNet head/middle/tail buckets
+7. tokenize   — BPE tokenizer TRAINED on the surviving corpus; its
+                real token counts drive everything downstream
+8. split/mix  — deterministic train/val split + token-budget mixing
+9. pack       — fixed-length training sequences
+10. search    — BM25 inverted index over the final corpus (the
+                targeted-inspection path for a 100 TB lake)
 """
 
 import os
@@ -101,10 +106,32 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         contam.filter("contaminated").select("doc_id"), "doc_id", "left_anti"
     )
 
-    # 6. deterministic split + token-budget mixing by language stratum
-    with_tokens = survivors.withColumn(
-        "n_tokens", textops.token_count("text")
-    ).withColumn("lang", F.coalesce("lang", F.lit("und")))
+    # 6. bigram-LM fluency + CCNet head/middle/tail buckets (per lang)
+    lm = textops.train_bigram_lm(survivors, "text")
+    scored = textops.score_bigram_logprob(
+        survivors, "doc_id", "text", lm
+    ).join(survivors.select(F.col("doc_id").alias("id"), "lang"), "id")
+    buckets = textops.perplexity_buckets(scored, by="lang")
+    print("-- CCNet buckets (per lang) --")
+    buckets.groupBy("lang", "ppl_label").count().orderBy(
+        "lang", "ppl_label"
+    ).show(9)
+
+    # 7. BPE tokenizer trained ON the surviving corpus; its token counts
+    # (not the whitespace approximation) drive the budget/mix/pack below
+    from mallarddv_spark.operators import bpe as bpe_ops
+
+    bpe = bpe_ops.train_bpe(survivors, "text", num_merges=30)
+    encoded = bpe_ops.bpe_encode(survivors, "doc_id", "text", bpe).select(
+        "doc_id", "n_tokens"
+    )
+    print(f"-- tokenize: {len(bpe['merges'])} BPE merges, "
+          f"first 5 = {bpe['merges'][:5]} --")
+
+    # 8. deterministic split + token-budget mixing by language stratum
+    with_tokens = survivors.join(encoded, "doc_id").withColumn(
+        "lang", F.coalesce("lang", F.lit("und"))
+    )
     split = curation.split_assign(
         with_tokens, "doc_id", {"train": 0.9, "val": 0.1}
     )
@@ -122,12 +149,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     for stratum, r in sorted(report.items()):
         print(f"   {stratum}: actual={r['actual_tokens']} rate={r['rate']}")
 
-    # 7. pack into fixed-length training sequences
+    # 9. pack into fixed-length training sequences
     packed = textops.pack_sequences(mixed, "doc_id", "text", token_budget=512)
     print("-- packed sequences (first bins) --")
     packed.groupBy("shard_id", "bin_id").agg(
         F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
     ).orderBy("shard_id", "bin_id").show(5)
+
+    # 10. BM25 search over the final corpus — targeted inspection
+    from mallarddv_spark.operators import retrieval
+
+    idx = os.path.join(tempfile.mkdtemp(prefix="cur_demo_"), "bm25")
+    retrieval.build_bm25_index(survivors, idx)
+    queries = spark.createDataFrame(
+        [("q1", "hash join table")], ["query_id", "query"]
+    )
+    print("-- BM25 top-3 (partition-pruned probe of the stored index) --")
+    retrieval.bm25_index_probe(spark, idx, queries, k=3).show(truncate=False)
     spark.stop()
 
 
