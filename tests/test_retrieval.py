@@ -276,3 +276,66 @@ def test_facade_recover_sweeps_bm25_index(spark, docs, tmp_path):
     assert healed.get(f"{path}/params (index compaction)") == "restored_backup"
     q = spark.createDataFrame([("q", "hash join")], ["query_id", "query"])
     assert bm25_index_probe(spark, path, q, k=3).count() == 3
+
+
+# --- property test: Spark BM25 == pure-Python BM25 on arbitrary corpora ---
+
+def _py_bm25(corpus, query_terms, k1=1.2, b=0.75):
+    """Pure-Python reference with the SAME 1e-10 grid discipline."""
+    import math
+
+    toks = {i: [w for w in t.strip().lower().split() if w]
+            for i, t in corpus}
+    n_docs = len(toks)
+    total_len = sum(len(v) for v in toks.values())
+    if not n_docs or not total_len:
+        return {}
+    terms = sorted(set(query_terms))
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    scores = {}
+    for i, v in toks.items():
+        s10 = 0
+        matched = 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf or not dfreq[t]:
+                continue
+            matched += 1
+            idf = math.log(1 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            c = idf * tf * (1 + k1) / (
+                tf + k1 * (1 - b + b * len(v) * n_docs / total_len)
+            )
+            s10 += int(round(c * 1e10))
+        if matched:
+            scores[i] = (matched, s10)
+    return scores
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_text = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=12),
+       st.lists(_word, min_size=1, max_size=3))
+def test_bm25_property_matches_python(spark, texts, qwords):
+    corpus = [(i, t) for i, t in enumerate(texts)]
+    want = _py_bm25(corpus, qwords)
+    cdf = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    qdf = spark.createDataFrame([("q", " ".join(qwords))],
+                                ["query_id", "query"])
+    if not any(t.strip() for t in texts):
+        with pytest.raises(DVConfigurationError, match="empty corpus"):
+            bm25_topk(cdf, qdf, k=100)
+        return
+    got = {
+        r.doc_id: (r.n_terms, r.score)
+        for r in bm25_topk(cdf, qdf, k=100).collect()
+    }
+    assert set(got) == set(want)
+    for i, (m, s10) in want.items():
+        assert got[i][0] == m
+        # Spark rounds HALF_UP, Python HALF_EVEN — compare on the grid
+        assert abs(got[i][1] - s10 / 1e10) < 1e-6
