@@ -233,11 +233,34 @@ def build_bm25_index(
     text_col: str = "text",
     lowercase: bool = True,
     term_buckets: int = 64,
+    max_df_frac: float | None = None,
 ) -> dict:
     """Materialize a BM25 inverted index on disk so every future probe
-    scores stored postings instead of re-tokenizing the corpus."""
+    scores stored postings instead of re-tokenizing the corpus.
+
+    ``max_df_frac`` is the classic stopword-pruning knob: terms whose
+    document frequency exceeds ``max_df_frac * n_docs`` are not stored.
+    At corpus scale the postings of ubiquitous terms dominate index
+    bytes while BM25's non-negative idf gives them ~zero weight — e.g.
+    at df = 0.8·N, idf = ln(1 + 0.2/0.8) ≈ 0.22 vs ~ln(N) for a rare
+    term. The trade is explicit: probes score dropped terms as absent
+    (their contribution is forfeited, same as a search engine's stop
+    list), and appends do NOT re-evaluate the cutoff (df only grows, so
+    a term dropped at build stays dropped; rebuild to change the knob).
+    """
     spark = df.sparkSession
-    build_postings(df, id_col, text_col, lowercase).withColumn(
+    postings = build_postings(df, id_col, text_col, lowercase)
+    if max_df_frac is not None:
+        if not 0.0 < max_df_frac <= 1.0:
+            raise DVConfigurationError(
+                "build_bm25_index: max_df_frac must be in (0, 1]"
+            )
+        cutoff = float(max_df_frac) * df.count()
+        dfreq = Window.partitionBy("term")
+        postings = postings.withColumn(
+            "__df", F.count("*").over(dfreq)
+        ).filter(F.col("__df") <= cutoff).drop("__df")
+    postings.withColumn(
         "tbucket", _tbucket(term_buckets)
     ).write.partitionBy("tbucket").mode("overwrite").parquet(f"{path}/postings")
     n_docs, total_len = _corpus_totals(df, id_col, text_col, lowercase)

@@ -339,3 +339,22 @@ def test_bm25_property_matches_python(spark, texts, qwords):
         assert got[i][0] == m
         # Spark rounds HALF_UP, Python HALF_EVEN — compare on the grid
         assert abs(got[i][1] - s10 / 1e10) < 1e-6
+
+
+def test_index_max_df_frac_prunes_stopwords(spark, tmp_path):
+    """Terms above the df cutoff are not stored; probes score them as
+    absent while rare terms keep full fidelity."""
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text="common filler rare" if i == 0 else "common filler")
+         for i in range(10)]
+    )
+    path = str(tmp_path / "bm25s")
+    build_bm25_index(corpus, path, max_df_frac=0.5)
+    stored = {r.term for r in
+              spark.read.parquet(f"{path}/postings").select("term").distinct().collect()}
+    assert stored == {"rare"}  # 'common'/'filler' have df=10 > 5
+    q = spark.createDataFrame([Row(query_id="x", query="common rare")])
+    hits = bm25_index_probe(spark, path, q, k=5).collect()
+    assert [(r.doc_id, r.n_terms) for r in hits] == [(0, 1)]
+    with pytest.raises(DVConfigurationError, match="max_df_frac"):
+        build_bm25_index(corpus, str(tmp_path / "bad"), max_df_frac=1.5)
