@@ -239,14 +239,16 @@ def build_bm25_index(
     scores stored postings instead of re-tokenizing the corpus.
 
     ``max_df_frac`` is the classic stopword-pruning knob: terms whose
-    document frequency exceeds ``max_df_frac * n_docs`` are not stored.
-    At corpus scale the postings of ubiquitous terms dominate index
-    bytes while BM25's non-negative idf gives them ~zero weight — e.g.
-    at df = 0.8·N, idf = ln(1 + 0.2/0.8) ≈ 0.22 vs ~ln(N) for a rare
-    term. The trade is explicit: probes score dropped terms as absent
-    (their contribution is forfeited, same as a search engine's stop
-    list), and appends do NOT re-evaluate the cutoff (df only grows, so
-    a term dropped at build stays dropped; rebuild to change the knob).
+    document frequency exceeds ``max_df_frac * n_docs`` at build time
+    are materialized into a static stop list (``{path}/stoplist``) and
+    their postings are not stored — appends anti-join against the same
+    list, so a dropped term stays dropped. At corpus scale the postings
+    of ubiquitous terms dominate index bytes while BM25's non-negative
+    idf gives them ~zero weight — e.g. at df = 0.8·N,
+    idf = ln(1 + 0.2/0.8) ≈ 0.22 vs ~ln(N) for a rare term. The trade
+    is explicit: probes score stop-listed terms as absent (their
+    contribution is forfeited, a search engine's stop list); the list
+    is frozen at build — rebuild to re-evaluate the cutoff.
     """
     spark = df.sparkSession
     postings = build_postings(df, id_col, text_col, lowercase)
@@ -259,7 +261,13 @@ def build_bm25_index(
         dfreq = Window.partitionBy("term")
         postings = postings.withColumn(
             "__df", F.count("*").over(dfreq)
-        ).filter(F.col("__df") <= cutoff).drop("__df")
+        )
+        postings.filter(F.col("__df") > cutoff).select(
+            "term"
+        ).distinct().coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/stoplist"
+        )
+        postings = postings.filter(F.col("__df") <= cutoff).drop("__df")
     postings.withColumn(
         "tbucket", _tbucket(term_buckets)
     ).write.partitionBy("tbucket").mode("overwrite").parquet(f"{path}/postings")
@@ -292,12 +300,20 @@ def _index_params(spark: SparkSession, path: str) -> dict:
 
 def bm25_index_append(df: DataFrame, path: str, text_col: str = "text") -> None:
     """Add a new batch to the stored index without touching existing
-    postings: append the batch's posting rows, then swap in updated
-    corpus totals (staged-rename — the totals flip atomically). Caller
-    dedups ids; tokenizer settings come from the index itself."""
+    postings: append the batch's posting rows (anti-joined against the
+    build-time stop list, if one exists — a term dropped at build stays
+    dropped), then swap in updated corpus totals (staged-rename — the
+    totals flip atomically). Caller dedups ids; tokenizer settings come
+    from the index itself."""
     spark = df.sparkSession
     p = _index_params(spark, path)
-    build_postings(df, p["id_col"], text_col, p["lowercase"]).withColumn(
+    postings = build_postings(df, p["id_col"], text_col, p["lowercase"])
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    sl = Path(f"{path}/stoplist")
+    if sl.getFileSystem(spark._jsc.hadoopConfiguration()).exists(sl):
+        stoplist = spark.read.parquet(f"{path}/stoplist")
+        postings = postings.join(F.broadcast(stoplist), "term", "left_anti")
+    postings.withColumn(
         "tbucket", _tbucket(p["term_buckets"])
     ).write.partitionBy("tbucket").mode("append").parquet(f"{path}/postings")
     n_docs, total_len = _corpus_totals(df, p["id_col"], text_col, p["lowercase"])

@@ -358,3 +358,21 @@ def test_index_max_df_frac_prunes_stopwords(spark, tmp_path):
     assert [(r.doc_id, r.n_terms) for r in hits] == [(0, 1)]
     with pytest.raises(DVConfigurationError, match="max_df_frac"):
         build_bm25_index(corpus, str(tmp_path / "bad"), max_df_frac=1.5)
+
+
+def test_append_honors_stoplist(spark, tmp_path):
+    """A term stop-listed at build stays absent after appends — the
+    frozen-stoplist contract."""
+    base = spark.createDataFrame(
+        [Row(doc_id=i, text="common rare" if i == 0 else "common")
+         for i in range(10)]
+    )
+    path = str(tmp_path / "bm25sl")
+    build_bm25_index(base, path, max_df_frac=0.5)
+    bm25_index_append(
+        spark.createDataFrame([Row(doc_id=100, text="common fresh")]), path
+    )
+    stored = {r.term for r in
+              spark.read.parquet(f"{path}/postings")
+              .select("term").distinct().collect()}
+    assert stored == {"rare", "fresh"}  # 'common' never re-enters
