@@ -44,6 +44,7 @@ from mallarddv_spark.exceptions import DVConfigurationError
 __all__ = [
     "build_postings",
     "bm25_topk",
+    "hybrid_rerank_topk",
     "build_bm25_index",
     "bm25_index_append",
     "bm25_index_probe",
@@ -174,6 +175,72 @@ def bm25_topk(
             "n_terms",
             F.round(F.col("__s10") / 1e10, 6).alias("score"),
             F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def hybrid_rerank_topk(
+    bm25_hits: DataFrame,
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Two-tier retrieval: rerank a BM25 shortlist by embedding cosine —
+    the standard lexical-recall → semantic-precision search shape.
+
+    ``bm25_hits`` is any :func:`bm25_topk` / :func:`bm25_index_probe`
+    result (its ``rnk`` is the shortlist cut); ``doc_vecs`` maps
+    ``id_col`` → ``vec_col``; ``query_vecs`` maps ``qid_col`` →
+    ``qvec_col``. Shortlist rows without a document vector are kept and
+    ranked below all vectored rows by their BM25 order (a missing
+    embedding must not silently drop a lexical hit). Returns
+    ``(qid, id, score, cosine, rnk)`` re-ranked by cosine (desc, NULLs
+    last, id tie-break).
+
+    Scale shape: every join here is shortlist-sized (queries × k rows);
+    the corpus and the full embedding table are never scanned beyond
+    the hash-join probe on the shortlist ids. Query vectors ride a
+    broadcast.
+    """
+    dv = doc_vecs.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> cast(x as double))"
+        ).alias("__dv"),
+    )
+    qv = query_vecs.select(
+        F.col(qid_col),
+        F.expr(
+            f"transform({qvec_col}, x -> cast(x as double))"
+        ).alias("__qv"),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(__dv, __qv, (x, y) -> x * y), cast(0.0 as double),"
+        " (a, x) -> a + x) / (sqrt(aggregate(__dv, cast(0.0 as double),"
+        " (a, x) -> a + x * x)) * sqrt(aggregate(__qv, cast(0.0 as double),"
+        " (a, x) -> a + x * x)))"
+    )
+    scored = (
+        bm25_hits.join(dv, id_col, "left")
+        .join(F.broadcast(qv), qid_col)
+        .withColumn(
+            "cosine",
+            F.when(F.col("__dv").isNotNull(), F.round(cos, 6)),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc_nulls_last("cosine"), F.asc("rnk"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("new_rnk", F.row_number().over(w))
+        .filter(F.col("new_rnk") <= int(k))
+        .select(
+            qid_col, id_col, "score", "cosine",
+            F.col("new_rnk").cast("bigint").alias("rnk"),
         )
     )
 

@@ -376,3 +376,38 @@ def test_append_honors_stoplist(spark, tmp_path):
               spark.read.parquet(f"{path}/postings")
               .select("term").distinct().collect()}
     assert stored == {"rare", "fresh"}  # 'common' never re-enters
+
+
+def test_hybrid_rerank(spark):
+    """BM25 shortlist re-ranked by embedding cosine: the semantically
+    closer doc wins even when its BM25 rank was lower; hits without a
+    vector keep their lexical order below all vectored hits."""
+    from mallarddv_spark.operators.retrieval import hybrid_rerank_topk
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="quantum flux quantum flux quantum flux"),
+         Row(doc_id=2, text="quantum flux other words"),
+         Row(doc_id=3, text="quantum flux unvectored"),
+         Row(doc_id=4, text="irrelevant filler entirely")]
+    )
+    q = spark.createDataFrame([Row(query_id="a", query="quantum flux")])
+    hits = bm25_topk(corpus, q, k=10)
+    # doc 3 beats doc 2 lexically (shorter dl) — rerank must flip that
+    assert [r.doc_id for r in hits.orderBy("rnk").collect()] == [1, 3, 2]
+
+    doc_vecs = spark.createDataFrame(
+        [Row(doc_id=1, embedding=[1.0, 0.0]),
+         Row(doc_id=2, embedding=[0.9, 0.9]),   # closest to the query
+         Row(doc_id=4, embedding=[0.0, 1.0])]   # doc 3 has no vector
+    )
+    q_vecs = spark.createDataFrame([Row(query_id="a", embedding=[1.0, 1.0])])
+    out = hybrid_rerank_topk(hits, doc_vecs, q_vecs, k=10).orderBy("rnk")
+    rows = out.collect()
+    assert [r.doc_id for r in rows] == [2, 1, 3]
+    assert rows[0].cosine > rows[1].cosine
+    assert rows[2].cosine is None            # kept, ranked last
+    # shortlist-sized work: query vectors broadcast, no nested loops
+    from mallarddv_spark.plans.audit import plan_report
+
+    rep = plan_report(hybrid_rerank_topk(hits, doc_vecs, q_vecs, k=10))
+    assert rep["python_stages"] == 0 and rep["nested_loop_joins"] == 0
