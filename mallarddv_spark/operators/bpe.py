@@ -100,6 +100,11 @@ def train_bpe(
 
     Determinism: the argmax pair breaks count ties on (a, b)
     lexicographically — a pure function of the corpus content.
+
+    The end-of-word marker ``▁`` (U+2581, the sentencepiece convention)
+    is RESERVED: a corpus containing it in raw text would make word
+    boundaries ambiguous at decode time — strip or remap it upstream
+    (the same contract every marker-based tokenizer carries).
     """
     if num_merges < 1:
         raise DVConfigurationError("train_bpe: num_merges must be >= 1")

@@ -154,3 +154,30 @@ def test_persisted_model_parity(spark, docs, tmp_path):
     a = bpe_encode(docs.filter("doc_id < 10"), "doc_id", "text", bpe)
     b = bpe_encode(docs.filter("doc_id < 10"), "doc_id", "text", stored)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- property test: arbitrary corpora vs the pure-Python reference ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_word = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+_doc = st.lists(_word, min_size=0, max_size=6).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_bpe_property_matches_python(spark, texts):
+    want_merges, want_vocab = _py_train(texts, 12, min_pair_count=2)
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    bpe = train_bpe(corpus, "text", num_merges=12, min_pair_count=2)
+    assert bpe["merges"] == want_merges
+    if want_vocab:
+        enc = {
+            r.word: list(r.tokens)
+            for r in bpe_encode_words(
+                word_frequencies(corpus).select("word"), bpe
+            ).collect()
+        }
+        assert enc == want_vocab
