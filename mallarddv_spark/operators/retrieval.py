@@ -127,6 +127,13 @@ def bm25_topk(
     df(term) is computed over the *matched* postings only — each posting
     row is one distinct (term, doc), so a per-term window count equals
     the document frequency without a separate corpus pass.
+
+    The per-query top-k window is scale-safe: Catalyst rewrites the
+    ``row_number() <= k`` filter into Partial + Final ``WindowGroupLimit``
+    nodes, so every map task keeps only its local top-k per query BEFORE
+    the shuffle — a stopword-heavy query matching a billion documents
+    moves k rows per task, not a billion into one sort
+    (plan-pinned in ``tests/test_retrieval.py``).
     """
     if postings is None:
         if corpus is None:

@@ -411,3 +411,16 @@ def test_hybrid_rerank(spark):
 
     rep = plan_report(hybrid_rerank_topk(hits, doc_vecs, q_vecs, k=10))
     assert rep["python_stages"] == 0 and rep["nested_loop_joins"] == 0
+
+
+def test_topk_window_uses_group_limit(spark, docs, queries):
+    """The rank filter must plan as Partial+Final WindowGroupLimit —
+    every map task keeps only its local top-k per query before the
+    shuffle. Without it, a billion matched postings for one query would
+    serialize into a single window sort task."""
+    plan = (
+        bm25_topk(docs, queries, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
