@@ -265,8 +265,12 @@ def hybrid_rerank_topk(
 # ``tbucket = pmod(xxhash64(term), term_buckets)`` is a pure storage
 # key: probes prune to the buckets their query terms hash into
 # (partition pruning — I/O ∝ query terms, not corpus), and results
-# never depend on it. ``params`` is written LAST on build (its presence
-# marks the index complete) and rewritten via the staged-rename swap on
+# never depend on it. Writes assume a SINGLE writer (the same contract
+# as the MinHash/IVF indexes — serialize appends/compactions through
+# one maintenance job); concurrent probes are safe throughout, because
+# renames never delete data a reader already listed. ``params`` is
+# written LAST on build (its presence marks the index complete) and
+# rewritten via the staged-rename swap on
 # append, so a crash at any point leaves a readable index:
 # :func:`heal_bm25_index` resolves a torn swap on every open. A crash
 # *between* the postings append and the params swap leaves extra

@@ -47,8 +47,15 @@ def main() -> None:
     spark.range(10).write.format("noop").mode("overwrite").save()
     for name in names:
         fn = REGISTRY[name][0]
+        # store-type gate parts do EAGER work (index builds, stored-filter
+        # round-trips) at fn() call time — bench.py times it, so report it
+        # separately here or per-part deltas stop adding up (see NOTES.md
+        # round-8 methodology correction)
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        call_sec = round(time.monotonic() - t0, 3)
         out = {"suite": name, "sf_dir": sf_dir,
-               "total_sec": t(fn(spark, sf_dir))}
+               "call_sec": call_sec, "total_sec": t(df)}
         for p in PARTS.get(name, []):
             out[p] = t(fn(spark, sf_dir).filter(f"part = '{p}'"))
         print(json.dumps(out), flush=True)
