@@ -338,6 +338,7 @@ def write_training_shards(
     token_budget: int = 2048,
     n_shards: int | None = None,
     shard_col: Column | None = None,
+    file_format: str = "parquet",
 ) -> dict:
     """Materialize a packed training corpus: :func:`pack_sequences`
     assignment joined back to the documents, written as
@@ -350,9 +351,19 @@ def write_training_shards(
     The shard write is one hash-partitioned shuffle + ordered write; the
     manifest aggregate is a second pass over the (small) assignment
     output, collected to the driver — control metadata, not data.
+
+    ``file_format="jsonl"`` writes gzipped JSON-lines instead of parquet
+    — the interchange format most training stacks ingest directly. Same
+    layout, ordering, and manifest; the certify-by-read-back pass
+    supplies the writer's schema, so it costs a scan but no inference.
     """
     import json
 
+    if file_format not in ("parquet", "jsonl"):
+        raise DVConfigurationError(
+            f"write_training_shards: unknown file_format {file_format!r} "
+            "(parquet | jsonl)"
+        )
     spark = df.sparkSession
     assign = pack_sequences(
         df, id_col, text_col, token_budget, n_shards, shard_col=shard_col
@@ -363,15 +374,24 @@ def write_training_shards(
         .repartition("shard_id")
         .sortWithinPartitions("shard_id", "bin_id", "bin_offset")
     )
-    out.write.mode("errorifexists").partitionBy("shard_id").parquet(
-        f"{path}/data"
-    )
+    if file_format == "jsonl":
+        out.write.mode("errorifexists").option(
+            "compression", "gzip"
+        ).partitionBy("shard_id").json(f"{path}/data")
+        written = spark.read.schema(out.drop("shard_id").schema).json(
+            f"{path}/data"
+        )
+    else:
+        out.write.mode("errorifexists").partitionBy("shard_id").parquet(
+            f"{path}/data"
+        )
+        written = spark.read.parquet(f"{path}/data")
     # the manifest certifies the bytes actually written: stats come from
     # reading the data back, never from re-executing the assignment plan
     # (a second evaluation could pack different rows on non-deterministic
     # inputs, and would pay the full tokenization + window again)
     stats = (
-        spark.read.parquet(f"{path}/data")
+        written
         .groupBy("shard_id")
         .agg(
             F.count("*").alias("n_docs"),
@@ -383,6 +403,7 @@ def write_training_shards(
     )
     manifest = {
         "token_budget": token_budget,
+        "file_format": file_format,
         "n_shards": len(stats),
         "total_docs": int(sum(r.n_docs for r in stats)),
         "total_tokens": int(sum(r.n_tokens for r in stats)),

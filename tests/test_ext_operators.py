@@ -902,3 +902,39 @@ def test_perplexity_buckets_guard_and_global(spark):
            for r in textops.perplexity_buckets(
                scored, n_buckets=2, labels=("head", "tail")).collect()}
     assert out == {1: 1, 2: 2}
+
+
+def test_write_training_shards_jsonl(spark, tmp_path):
+    """JSONL export: same layout/ordering/manifest as parquet, gzipped
+    .json files, identical per-shard stats, unknown format rejected."""
+    import glob
+    import json
+    import os
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * (5 + i % 7)) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    pq = str(tmp_path / "pq")
+    jl = str(tmp_path / "jl")
+    m1 = textops.write_training_shards(docs, pq, "doc_id", "text",
+                                       token_budget=64, n_shards=3)
+    m2 = textops.write_training_shards(docs, jl, "doc_id", "text",
+                                       token_budget=64, n_shards=3,
+                                       file_format="jsonl")
+    assert m2["file_format"] == "jsonl"
+    assert m2["shards"] == m1["shards"]
+    assert m2["total_tokens"] == m1["total_tokens"]
+    gz = glob.glob(os.path.join(jl, "data", "shard_id=*", "*.json.gz"))
+    assert gz, "expected gzipped json files"
+    with open(os.path.join(jl, "manifest.json")) as f:
+        assert json.load(f)["file_format"] == "jsonl"
+    # the jsonl shards read back identical rows to the parquet shards
+    a = spark.read.parquet(f"{pq}/data").select("id", "text", "bin_id")
+    b = spark.read.schema(a.schema).json(f"{jl}/data").select(
+        "id", "text", "bin_id"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with pytest.raises(DVConfigurationError, match="file_format"):
+        textops.write_training_shards(docs, str(tmp_path / "x"), "doc_id",
+                                      "text", file_format="csvish")
