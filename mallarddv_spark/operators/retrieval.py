@@ -82,9 +82,15 @@ def build_postings(
 
 
 def _corpus_totals(df: DataFrame, id_col: str, text_col: str, lowercase: bool):
-    r = df.select(_tokens(text_col, lowercase).alias("__t")).agg(
-        F.count("*").alias("n"), F.sum(F.size("__t")).alias("s")
-    ).first()
+    # N counts documents with >= 1 token: empty docs have no postings, so
+    # including them would make the stored totals drift from what
+    # bm25_index_compact can recompute from the postings themselves
+    r = (
+        df.select(_tokens(text_col, lowercase).alias("__t"))
+        .filter(F.size("__t") > 0)
+        .agg(F.count("*").alias("n"), F.sum(F.size("__t")).alias("s"))
+        .first()
+    )
     return int(r.n or 0), int(r.s or 0)
 
 
@@ -438,8 +444,11 @@ def bm25_index_compact(spark: SparkSession, path: str) -> dict:
     """Maintenance + repair: drop duplicate posting rows (a replayed
     append stores identical rows — see the append crash contract),
     coalesce append-accumulated small files, and recompute the stored
-    totals from the postings themselves (the ground truth). Crash-safe
-    via the same staged-rename swap as the MinHash index."""
+    totals from the postings themselves (the ground truth; N is docs
+    with stored postings — consistent with build/append, which never
+    count token-less docs, though a doc whose every term is
+    stop-listed does drop out of N here). Crash-safe via the same
+    staged-rename swap as the MinHash index."""
     import math
 
     from mallarddv_spark.sources import layout

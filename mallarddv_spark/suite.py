@@ -3203,7 +3203,8 @@ bpost AS (
     SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM btoks
   ) GROUP BY term, doc_id, dl
 ),
-btot AS (SELECT count(*) AS n_docs, sum(len(t)) AS total_len FROM btoks),
+btot AS (SELECT count(*) AS n_docs, sum(len(t)) AS total_len
+         FROM btoks WHERE len(t) > 0),
 bqueries(query_id, query) AS (
   VALUES ('q_hash', 'hash join table'), ('q_sort', 'window sort order'),
          ('q_dup', 'stream batch data dup')

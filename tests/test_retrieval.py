@@ -43,7 +43,8 @@ post AS (
     SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
   ) GROUP BY term, doc_id, dl
 ),
-tot AS (SELECT count(*) AS n_docs, sum(len(t)) AS total_len FROM toks),
+tot AS (SELECT count(*) AS n_docs, sum(len(t)) AS total_len
+        FROM toks WHERE len(t) > 0),
 queries(query_id, query) AS (VALUES {queries}),
 qt AS (
   SELECT DISTINCT query_id,
@@ -286,6 +287,7 @@ def _py_bm25(corpus, query_terms, k1=1.2, b=0.75):
 
     toks = {i: [w for w in t.strip().lower().split() if w]
             for i, t in corpus}
+    toks = {i: v for i, v in toks.items() if v}  # N excludes empty docs
     n_docs = len(toks)
     total_len = sum(len(v) for v in toks.values())
     if not n_docs or not total_len:
@@ -424,3 +426,21 @@ def test_topk_window_uses_group_limit(spark, docs, queries):
     )
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_totals_consistent_with_compact_on_empty_docs(spark, tmp_path):
+    """N excludes token-less docs EVERYWHERE — otherwise a compact
+    (which recomputes totals from postings) would silently shift stored
+    scores relative to the build on any corpus with empty documents."""
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta"), Row(doc_id=2, text="alpha"),
+         Row(doc_id=3, text="   ")]
+    )
+    path = str(tmp_path / "bm25e")
+    build_bm25_index(corpus, path)
+    q = spark.createDataFrame([Row(query_id="x", query="alpha beta")])
+    before = _rows(bm25_index_probe(spark, path, q, k=5))
+    assert before == _rows(bm25_topk(corpus, q, k=5))
+    bm25_index_compact(spark, path)
+    assert _rows(bm25_index_probe(spark, path, q, k=5)) == before
+    assert spark.read.parquet(f"{path}/params").first().n_docs == 2
