@@ -206,6 +206,10 @@ def bpe_encode(
     corpus itself pays one explode (with position, to restore order) and
     one join against that word→tokens map — at 100 TB the map is the
     small side (natural-language vocabulary), so AQE broadcasts it.
+
+    Documents with no tokens (empty/whitespace text) have no row in the
+    output — the same no-evidence convention as
+    ``textops.score_bigram_logprob``.
     """
     t = F.trim(F.col(text_col))
     if bpe.get("lowercase", True):
