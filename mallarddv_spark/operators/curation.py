@@ -218,6 +218,14 @@ PII_PATTERNS: dict[str, str] = {
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "phone": r"\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    # 4-4-4-4 card groups can't partially match ssn/phone (those anchor
+    # \b + exactly-3-digit runs), so order vs them is free
+    "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    # url runs LAST in redaction: embedded emails/ips are already
+    # replaced, and '[' is not in the class, so "http://10.0.0.1/x"
+    # becomes "http://[IPV4]/x" (the bare scheme survives) —
+    # deterministic in both engines
+    "url": r"https?://[A-Za-z0-9./_%#?&=+-]+",
 }
 
 

@@ -2769,7 +2769,8 @@ def q_text_pii_redact(spark, sf):
             F.col("doc_id").cast("string"),
             F.lit("@example.com ip 10.0."),
             F.pmod("doc_id", F.lit(256)).cast("string"),
-            F.lit(".17 ssn 123-45-6789 tel 555-867-5309."),
+            F.lit(".17 ssn 123-45-6789 tel 555-867-5309"
+                  " card 4111-1111-1111-1111 see https://ex.com/p?q=1&r=2."),
         ).alias("text"),
     )
     out = pii_redact(pii_scan(injected, "text"), "text")
@@ -2779,6 +2780,8 @@ def q_text_pii_redact(spark, sf):
         F.col("pii_n_ipv4").cast("bigint").alias("pii_n_ipv4"),
         F.col("pii_n_ssn").cast("bigint").alias("pii_n_ssn"),
         F.col("pii_n_phone").cast("bigint").alias("pii_n_phone"),
+        F.col("pii_n_credit_card").cast("bigint").alias("pii_n_credit_card"),
+        F.col("pii_n_url").cast("bigint").alias("pii_n_url"),
         F.col("pii_total").cast("bigint").alias("pii_total"),
         F.md5("text_redacted").alias("redacted_fp"),
         F.length("text_redacted").cast("bigint").alias("redacted_len"),
@@ -2790,7 +2793,8 @@ WITH inj AS (
     SELECT doc_id,
            text || ' Contact: user' || cast(doc_id AS varchar)
                 || '@example.com ip 10.0.' || cast(doc_id % 256 AS varchar)
-                || '.17 ssn 123-45-6789 tel 555-867-5309.' AS text
+                || '.17 ssn 123-45-6789 tel 555-867-5309'
+                || ' card 4111-1111-1111-1111 see https://ex.com/p?q=1&r=2.' AS text
     FROM documents
 ),
 red AS (
@@ -2798,11 +2802,15 @@ red AS (
            regexp_replace(
              regexp_replace(
                regexp_replace(
-                 regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
-               '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
-             '\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS redacted
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+                   '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                 '\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+               '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '[CREDIT_CARD]', 'g'),
+             'https?://[A-Za-z0-9./_%#?&=+-]+', '[URL]', 'g') AS redacted
     FROM inj
 )
 SELECT doc_id,
@@ -2810,10 +2818,14 @@ SELECT doc_id,
        len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_n_ipv4,
        len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS pii_n_ssn,
        len(regexp_extract_all(text, '\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS pii_n_phone,
+       len(regexp_extract_all(text, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS pii_n_credit_card,
+       len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%#?&=+-]+')) AS pii_n_url,
        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
          + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
          + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
-         + len(regexp_extract_all(text, '\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS pii_total,
+         + len(regexp_extract_all(text, '\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+         + len(regexp_extract_all(text, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))
+         + len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%#?&=+-]+')) AS pii_total,
        md5(redacted) AS redacted_fp,
        length(redacted) AS redacted_len
 FROM red

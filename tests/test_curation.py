@@ -101,6 +101,26 @@ def test_pii_scan_and_redact(spark):
     assert out[2]["text_redacted"] == out[2]["text"]
 
 
+def test_pii_card_and_url(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="pay 4111-1111-1111-1111 at https://shop.io/x?a=1"),
+            # an ipv4 inside a url: ipv4 redacts first, url takes the rest
+            Row(id=2, text="ping http://10.0.0.1/health now"),
+            # 4-4-4-4 groups must NOT trip the 3-3-4 phone pattern
+            Row(id=3, text="card 1234 5678 9012 3456 only"),
+        ]
+    )
+    out = pii_redact(pii_scan(df, "text"), "text").orderBy("id").collect()
+    assert (out[0]["pii_n_credit_card"], out[0]["pii_n_url"]) == (1, 1)
+    assert "[CREDIT_CARD]" in out[0]["text_redacted"]
+    assert "[URL]" in out[0]["text_redacted"]
+    assert "4111" not in out[0]["text_redacted"]
+    # ipv4 redacts first; '[' stops the url match, the bare scheme stays
+    assert out[1]["text_redacted"] == "ping http://[IPV4]/health now"
+    assert (out[2]["pii_n_credit_card"], out[2]["pii_n_phone"]) == (1, 0)
+
+
 def test_decontaminate_flags_overlap_only(spark):
     bench = spark.createDataFrame(
         [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
