@@ -166,6 +166,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print("-- BM25 top-3 (partition-pruned probe of the stored index) --")
     retrieval.bm25_index_probe(spark, idx, queries, k=3).show(truncate=False)
+
+    # hybrid: rerank the lexical shortlist by embedding cosine (doc
+    # vectors from the embeddings table where ids overlap; the query
+    # borrows vector 0 — a real pipeline embeds the query text)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    doc_vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    q_vec = emb.filter("vec_id = 0").select(
+        F.lit("q1").alias("query_id"), "embedding"
+    )
+    shortlist = retrieval.bm25_index_probe(spark, idx, queries, k=10)
+    print("-- hybrid: cosine-reranked top-3 (vectorless hits sink) --")
+    retrieval.hybrid_rerank_topk(shortlist, doc_vecs, q_vec, k=3).show(
+        truncate=False
+    )
     spark.stop()
 
 
