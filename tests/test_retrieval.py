@@ -9,7 +9,7 @@ ANN operators.
 
 import duckdb
 import pytest
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row
 
 from mallarddv_spark.exceptions import DVConfigurationError
 from mallarddv_spark.operators.retrieval import (
