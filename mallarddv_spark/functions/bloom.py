@@ -271,6 +271,12 @@ def bloom_append(
     geo = stored.select("m", "n_hashes", "n_items").first()
     vals = _distinct_vals(new_values, value_col)
     n_new = vals.count()
+    if n_new == 0:
+        # nothing to fold: skip the rewrite + staged swap entirely and
+        # report the stored geometry unchanged (inflating n_items for a
+        # no-op would erode the sizing headroom callers watch)
+        return {"m": int(geo.m), "n_hashes": int(geo.n_hashes),
+                "n_items": int(geo.n_items)}
     # fold at the STORED geometry and merge WITHOUT the compatibility
     # probe (the batch is at that geometry by construction): the whole
     # append is then ONE lazy plan, evaluated exactly once by the
@@ -278,14 +284,14 @@ def bloom_append(
     # pickled-local-frame path schedules Python workers per action; see
     # functions/litframe.py). Writing to __compact never touches the
     # live directory the plan reads from.
-    batch = _fold_filter(vals, int(geo.m), int(geo.n_hashes), max(n_new, 1))
+    batch = _fold_filter(vals, int(geo.m), int(geo.n_hashes), n_new)
     merged = merge_blooms(stored, batch, check=False)
     from mallarddv_spark.sources import layout
 
     merged.coalesce(1).write.mode("overwrite").parquet(path + "__compact")
     layout.swap_dir_live(spark, path)
     return {"m": int(geo.m), "n_hashes": int(geo.n_hashes),
-            "n_items": int(geo.n_items) + max(n_new, 1)}
+            "n_items": int(geo.n_items) + n_new}
 
 
 def heal_bloom(spark: SparkSession, path: str) -> str | None:

@@ -866,8 +866,13 @@ def substring_duplicate_spans(
     sum-of-bucket-squares, not corpus-squared. Boilerplate k-grams
     (license headers, navigation chrome) are the quadratic hazard —
     ``max_kgram_occurrences`` drops any k-gram occurring more than that
-    many times corpus-wide (counted with a window on the already-shuffled
-    key partition, no extra shuffle). A run all of whose k-grams are that
+    many times corpus-wide. The count is a ``groupBy(key)`` aggregate
+    joined back as a semi-join — deliberately NOT a count-over-window:
+    a window partitioned by key must colocate every occurrence of a
+    boilerplate gram (a license header shared by 10^7 docs) in ONE task
+    before the cap can drop it, while the groupBy's map-side partial
+    counts keep every task bounded and the join shuffles on the same
+    key the self-join shuffles on anyway. A run all of whose k-grams are that
     common is boilerplate by definition; runs with at least one sub-cap
     k-gram survive (possibly split). Set ``None`` to disable (oracle
     replay / small corpora). Matching is by xxhash64 of the k-gram
@@ -895,9 +900,13 @@ def substring_duplicate_spans(
         ).alias("pos", "key"),
     )
     if max_kgram_occurrences is not None:
-        grams = grams.withColumn(
-            "__n", F.count("*").over(Window.partitionBy("key"))
-        ).filter(F.col("__n") <= int(max_kgram_occurrences)).drop("__n")
+        below_cap = (
+            grams.groupBy("key")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= int(max_kgram_occurrences))
+            .select("key")
+        )
+        grams = grams.join(below_cap, "key", "left_semi")
     a = grams.select(
         F.col("key"), F.col("__id").alias("doc_a"), F.col("pos").alias("pa")
     )

@@ -131,8 +131,14 @@ def bm25_topk(
     ranking is fully deterministic.
 
     df(term) is computed over the *matched* postings only — each posting
-    row is one distinct (term, doc), so a per-term window count equals
-    the document frequency without a separate corpus pass.
+    row is one distinct (term, doc), so a per-term ``groupBy`` count
+    equals the document frequency without a separate corpus pass. It is
+    deliberately NOT a count-over-window: a window partitioned by term
+    must colocate every posting of that term in one task, so a stopword
+    with 10^9 postings would serialize 10^9 rows into a single partition.
+    The ``groupBy`` keeps every task bounded via map-side partial
+    aggregation, and the resulting (term, df) table is at most one row
+    per distinct query term — broadcast back onto the postings.
 
     The per-query top-k window is scale-safe: Catalyst rewrites the
     ``row_number() <= k`` filter into Partial + Final ``WindowGroupLimit``
@@ -154,7 +160,13 @@ def bm25_topk(
     # df(term) is counted on (term, doc) rows BEFORE the per-query
     # expansion — a term shared by two queries must not double-count
     matched = postings.join(F.broadcast(qt.select("term").distinct()), "term")
-    dfreq = F.count("*").over(Window.partitionBy("term"))
+    # (term, df) via groupBy — map-side combine bounds every task even
+    # for a stopword term; the result is <= #query-terms rows → broadcast
+    dftab = matched.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("__df")
+    )
+    matched = matched.join(F.broadcast(dftab), "term")
+    dfreq = F.col("__df")
     # avgdl enters as dl * n_docs / total_len — exact integers until the
     # one double division, same expression on the DuckDB side
     denom = F.col("tf") + F.lit(float(k1)) * (
@@ -210,14 +222,19 @@ def hybrid_rerank_topk(
     ``id_col`` → ``vec_col``; ``query_vecs`` maps ``qid_col`` →
     ``qvec_col``. Shortlist rows without a document vector are kept and
     ranked below all vectored rows by their BM25 order (a missing
-    embedding must not silently drop a lexical hit). Returns
-    ``(qid, id, score, cosine, rnk)`` re-ranked by cosine (desc, NULLs
-    last, id tie-break).
+    embedding must not silently drop a lexical hit) — and symmetrically,
+    a query with no vector keeps its whole shortlist in BM25 order
+    (cosine NULL for every hit). Returns ``(qid, id, score, cosine,
+    rnk)`` re-ranked by cosine (desc, NULLs last, id tie-break).
 
-    Scale shape: every join here is shortlist-sized (queries × k rows);
-    the corpus and the full embedding table are never scanned beyond
-    the hash-join probe on the shortlist ids. Query vectors ride a
-    broadcast.
+    Scale shape: ``doc_vecs`` is first pruned by a broadcast semi-join
+    on the distinct shortlist ids — an inner broadcast-hash join, so the
+    full embedding table is probed in place and never shuffled (Spark
+    cannot broadcast the preserved side of a left-outer join, so joining
+    the corpus-sized table directly as the left join's build side would
+    plan a sort-merge join that shuffles every embedding). The pruned
+    result is shortlist-sized and broadcasts back onto the hits to keep
+    the vectorless-hit semantics. Query vectors ride a broadcast.
     """
     dv = doc_vecs.select(
         F.col(id_col),
@@ -237,12 +254,21 @@ def hybrid_rerank_topk(
         " (a, x) -> a + x * x)) * sqrt(aggregate(__qv, cast(0.0 as double),"
         " (a, x) -> a + x * x)))"
     )
+    # prune the corpus-sized vector table to the shortlist FIRST (inner
+    # broadcast join — dv never shuffles), then left-join the pruned,
+    # now-shortlist-sized result back so vectorless hits survive
+    dv_pruned = dv.join(
+        F.broadcast(bm25_hits.select(id_col).distinct()), id_col
+    )
     scored = (
-        bm25_hits.join(dv, id_col, "left")
-        .join(F.broadcast(qv), qid_col)
+        bm25_hits.join(F.broadcast(dv_pruned), id_col, "left")
+        .join(F.broadcast(qv), qid_col, "left")
         .withColumn(
             "cosine",
-            F.when(F.col("__dv").isNotNull(), F.round(cos, 6)),
+            F.when(
+                F.col("__dv").isNotNull() & F.col("__qv").isNotNull(),
+                F.round(cos, 6),
+            ),
         )
     )
     w = Window.partitionBy(qid_col).orderBy(
@@ -336,26 +362,33 @@ def build_bm25_index(
     """
     spark = df.sparkSession
     postings = build_postings(df, id_col, text_col, lowercase)
+    n_docs, total_len = _corpus_totals(df, id_col, text_col, lowercase)
     if max_df_frac is not None:
         if not 0.0 < max_df_frac <= 1.0:
             raise DVConfigurationError(
                 "build_bm25_index: max_df_frac must be in (0, 1]"
             )
-        cutoff = float(max_df_frac) * df.count()
-        dfreq = Window.partitionBy("term")
-        postings = postings.withColumn(
-            "__df", F.count("*").over(dfreq)
-        )
-        postings.filter(F.col("__df") > cutoff).select(
-            "term"
-        ).distinct().coalesce(1).write.mode("overwrite").parquet(
+        # cutoff against the SAME N the stored totals use (docs with
+        # >= 1 token) — evaluating the stopword threshold against a
+        # count that included empty docs would shift it vs score-time idf.
+        # df(term) via groupBy, NOT count-over-window: the build is
+        # exactly where ubiquitous terms still exist, and a window
+        # partitioned by term would serialize a stopword's entire
+        # posting list into one task before the cutoff can drop it;
+        # groupBy keeps tasks bounded through map-side partial counts.
+        cutoff = float(max_df_frac) * n_docs
+        postings.groupBy("term").agg(F.count("*").alias("__df")).filter(
+            F.col("__df") > cutoff
+        ).select("term").coalesce(1).write.mode("overwrite").parquet(
             f"{path}/stoplist"
         )
-        postings = postings.filter(F.col("__df") <= cutoff).drop("__df")
+        # stop lists are small by construction (sum(df) over stopped
+        # terms <= total_len / cutoff terms) — broadcast anti-join
+        stoplist = spark.read.parquet(f"{path}/stoplist")
+        postings = postings.join(F.broadcast(stoplist), "term", "left_anti")
     postings.withColumn(
         "tbucket", _tbucket(term_buckets)
     ).write.partitionBy("tbucket").mode("overwrite").parquet(f"{path}/postings")
-    n_docs, total_len = _corpus_totals(df, id_col, text_col, lowercase)
     _write_params(
         spark, path, n_docs, total_len, lowercase, term_buckets, id_col,
         staged=False,

@@ -800,6 +800,8 @@ def perplexity_buckets(
     n_buckets: int = 3,
     by: str | None = None,
     labels: tuple = ("head", "middle", "tail"),
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020): rank documents
     by LM score and cut the ranking into ``n_buckets`` equal-count tiles —
@@ -810,22 +812,64 @@ def perplexity_buckets(
     :func:`score_bigram_logprob` output); adds ``ppl_bucket`` (1-based)
     and ``ppl_label``.
 
-    Determinism: ties and tile boundaries break on ascending id; NULL
-    scores (docs too short to judge) sort last, i.e. into the tail — the
-    conservative placement for an unjudgeable doc in a quality split.
+    Determinism (exact mode): ties and tile boundaries break on ascending
+    id; NULL scores (docs too short to judge) sort last, i.e. into the
+    tail — the conservative placement for an unjudgeable doc in a quality
+    split.
 
-    Scale shape: ntile is one shuffle on ``by`` (or a single ordering
-    when global). A global ntile over 100 TB serializes into one task —
-    ALWAYS pass ``by`` (language, domain, shard) at scale; CCNet's
-    per-language split is exactly that."""
+    Scale shape — this is the one operator in the family with an exact /
+    approximate fork, and the fork matters:
+
+    * ``exact=True`` (default; the oracle-replayable mode) is an ntile
+      window. A window partition must fit ONE task, and ``by=lang`` only
+      divides the corpus by a small Zipf-skewed constant — the English
+      partition of a 100 TB corpus is one task sorting ~40% of the
+      corpus. Exact mode is for small/medium corpora and gate replay,
+      NOT the 100 TB path.
+    * ``exact=False`` is the corpus-scale mode and matches what CCNet
+      itself does (quantile *thresholds*, not a global rank): per-group
+      ``percentile_approx`` boundaries — a tiny (#groups × n_buckets-1)
+      table computed with map-side sketch merging, broadcast back — and
+      bucket assignment becomes a pure projection. No task ever holds
+      more than a partition's worth of rows. Boundary-adjacent documents
+      may land one bucket off versus exact (sketch ``accuracy`` bounds
+      the rank error) and value-ties share a bucket instead of splitting
+      at the tile edge; NULL scores still go to the tail.
+    """
     if labels and len(labels) != int(n_buckets):
         raise DVConfigurationError(
             f"perplexity_buckets: {len(labels)} labels for {n_buckets} buckets"
         )
-    w = Window.partitionBy(*([by] if by else [])).orderBy(
-        F.desc_nulls_last(score_col), F.asc(id_col)
-    )
-    out = scored.withColumn("ppl_bucket", F.ntile(int(n_buckets)).over(w))
+    nb = int(n_buckets)
+    if exact:
+        w = Window.partitionBy(*([by] if by else [])).orderBy(
+            F.desc_nulls_last(score_col), F.asc(id_col)
+        )
+        out = scored.withColumn("ppl_bucket", F.ntile(nb).over(w))
+    else:
+        # descending thresholds at the (n-1)/n .. 1/n quantiles; bucket =
+        # 1 + how many thresholds the score falls below (NULL → tail)
+        probs = F.array(*[F.lit((nb - i) / nb) for i in range(1, nb)])
+        groups = [by] if by else []
+        bounds = scored.groupBy(*groups).agg(
+            F.percentile_approx(score_col, probs, F.lit(int(accuracy))).alias(
+                "__bounds"
+            )
+        )
+        joined = (
+            scored.join(F.broadcast(bounds), groups, "left")
+            if groups
+            else scored.crossJoin(F.broadcast(bounds))
+        )
+        below = F.size(
+            F.filter("__bounds", lambda t: F.col(score_col) < t)
+        )
+        out = joined.withColumn(
+            "ppl_bucket",
+            F.when(F.col(score_col).isNull(), F.lit(nb)).otherwise(
+                F.lit(1) + F.greatest(below, F.lit(0))
+            ),
+        ).drop("__bounds")
     if labels:
         out = out.withColumn(
             "ppl_label",

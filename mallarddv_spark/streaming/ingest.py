@@ -220,6 +220,7 @@ def neardup_stream_processor(
     quality_keep_labels: list[str] | None = None,
     quality_table: str | None = None,
     bm25_index_path: str | None = None,
+    compact_every_n_batches: int | None = None,
 ):
     """Ready-made ``process_batch`` for :func:`stream_files_to_staging`:
     the continuous-crawl near-dup gate. Each micro-batch is
@@ -253,25 +254,41 @@ def neardup_stream_processor(
        and PASS — no evidence is not negative evidence. The model grid
        rides a broadcast; no added corpus shuffle beyond the doc-keyed
        score aggregations,
-    6. final survivors append to ``sink_table`` first, then to the index
-       — so later batches dedup against them without recomputing a single
-       history signature. With ``bm25_index_path`` set (an index built by
-       ``operators.retrieval.build_bm25_index``), survivors ALSO append
-       to the stored BM25 inverted index, keeping the ingested corpus
-       searchable as it grows.
+    6. final survivors append to ``sink_table`` first, then to the
+       indexes — so later batches dedup against them without recomputing
+       a single history signature. With ``bm25_index_path`` set (an
+       index built by ``operators.retrieval.build_bm25_index``),
+       survivors ALSO append to the stored BM25 inverted index, keeping
+       the ingested corpus searchable as it grows.
 
     Crash semantics (documented at-least-once): a crash between the sink
-    append and the index append re-admits the batch on replay — the sink
+    append and the index appends re-admits the batch on replay — the sink
     may hold duplicates (dedup downstream on ``id_col``; the already-
-    ingested-id check only consults the INDEX) and the index then catches
-    up. A crash before the sink append loses nothing: only documents
-    already visible in the index are dropped. ``contamination_table`` and
-    ``quality_table`` records are likewise at-least-once (a replayed
-    batch re-screens and re-records; dedup downstream on
-    ``(doc_id, batch_id)``). A replayed batch that already reached the
-    BM25 index would double its postings — but only if the minhash index
-    append ALSO tore (it runs first and gates re-admission), and
-    ``retrieval.bm25_index_compact`` repairs exactly that state.
+    ingested-id check only consults the MINHASH index) and the indexes
+    then catch up. A crash before the sink append loses nothing: only
+    documents already visible in the index are dropped.
+    ``contamination_table`` and ``quality_table`` records are likewise
+    at-least-once (a replayed batch re-screens and re-records; dedup
+    downstream on ``(doc_id, batch_id)``). Index-append ORDER is
+    load-bearing: the BM25 append runs BEFORE the minhash append,
+    because the minhash index is the replay fence — once a batch's ids
+    are in it, a replay filters the batch out and can never retroactively
+    post missing terms. With BM25 first, the worst crash state is
+    duplicated postings (BM25 appended, minhash tore, batch replays) —
+    the documented state ``retrieval.bm25_index_compact`` repairs — not
+    a silent permanent omission, which nothing could repair.
+
+    ``compact_every_n_batches`` is the small-file policy: every
+    micro-batch append writes one file set per touched bucket, so a
+    long-running crawl gate accumulates tiny parquet files without
+    bound. With this set, every N-th batch (by the checkpointed,
+    restart-stable ``batch_id``) runs the crash-safe compactions —
+    ``dedup.minhash_index_compact`` and (when a BM25 index is attached)
+    ``retrieval.bm25_index_compact`` — inside the single-writer stream,
+    which also dedups any replay-doubled postings as a side effect.
+    Compaction cost is a full index rewrite: size N so it amortizes
+    (e.g. hourly for a minutely trigger), or leave ``None`` and schedule
+    compaction externally during quiet windows.
     """
 
     if quality_model_path is not None and not quality_keep_labels:
@@ -361,14 +378,29 @@ def neardup_stream_processor(
                 rejects.select(F.col("doc_id").alias(id_col)),
                 id_col, "left_anti",
             ).localCheckpoint(eager=True)
-        if fresh.isEmpty():
-            return
-        fresh.write.mode("append").saveAsTable(sink_table)
-        _refresh_after_batch_write(spark, sink_table)
-        dedup.minhash_index_append(fresh, index_path, id_col, text_col)
-        if bm25_index_path is not None:
-            from mallarddv_spark.operators.retrieval import bm25_index_append
+        if not fresh.isEmpty():
+            fresh.write.mode("append").saveAsTable(sink_table)
+            _refresh_after_batch_write(spark, sink_table)
+            # BM25 BEFORE minhash: the minhash append is the replay
+            # fence, so anything that must happen at least once per
+            # batch has to precede it (see the docstring's crash table)
+            if bm25_index_path is not None:
+                from mallarddv_spark.operators.retrieval import (
+                    bm25_index_append,
+                )
 
-            bm25_index_append(fresh, bm25_index_path, text_col)
+                bm25_index_append(fresh, bm25_index_path, text_col)
+            dedup.minhash_index_append(fresh, index_path, id_col, text_col)
+        if (
+            compact_every_n_batches is not None
+            and (batch_id + 1) % int(compact_every_n_batches) == 0
+        ):
+            dedup.minhash_index_compact(spark, index_path)
+            if bm25_index_path is not None:
+                from mallarddv_spark.operators.retrieval import (
+                    bm25_index_compact,
+                )
+
+                bm25_index_compact(spark, bm25_index_path)
 
     return process

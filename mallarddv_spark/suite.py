@@ -29,6 +29,26 @@ from mallarddv_spark.functions.hashing import hash_col
 # helpers
 # ---------------------------------------------------------------------------
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Scratch directory for gate queries that materialize on-disk
+    artifacts (stored indexes, bloom filters, training shards, stream
+    sources). All calls share ONE run-scoped root registered for
+    removal at interpreter exit, so repeated gate/bench invocations —
+    bench_parts re-calls each suite fn per part — cannot accumulate
+    orphaned temp data across runs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="mallarddv_gate_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
@@ -684,7 +704,6 @@ def q_text_pack_sequences(spark, sf):
     written as shard_id-partitioned parquet + manifest, read back FROM
     DISK, and per-shard stats must match the oracle's replay of the
     packing — proving the trainer-facing writer, not just the plan."""
-    import tempfile
 
     from mallarddv_spark.operators.textops import (
         pack_sequences,
@@ -703,7 +722,7 @@ def q_text_pack_sequences(spark, sf):
         F.col("bin_id").alias("n3"),
         F.col("bin_offset").alias("n4"),
     )
-    path = tempfile.mkdtemp(prefix="shards_gate_") + "/corpus"
+    path = _scratch_dir("shards_gate_") + "/corpus"
     write_training_shards(
         d, path, "doc_id", "text", token_budget=2048, n_shards=4,
         shard_col=F.pmod("doc_id", F.lit(4)),
@@ -1453,7 +1472,6 @@ def q_adv_similarity_ivfpq_store(spark, sf):
     proving the persisted layout, not just the inline arithmetic, against
     the same closed-form oracle as the inline `ivfpqadc` part: a correct
     build→append split is indistinguishable from a one-shot build."""
-    import tempfile
 
     from mallarddv_spark.operators.similarity import (
         build_ivfpq_index,
@@ -1470,7 +1488,7 @@ def q_adv_similarity_ivfpq_store(spark, sf):
         ),
     )
     books = pq_codebooks_deterministic(spark, m=8, dsub=8, n_codes=16)
-    path = tempfile.mkdtemp(prefix="ivfpq_gate_") + "/idx"
+    path = _scratch_dir("ivfpq_gate_") + "/idx"
     # a 2k-vector slice: this part proves the PERSISTENCE mechanics
     # (stored layout, build→append equivalence, heal, pruned probe) —
     # encode volume is already proven by the inline `ivfpqadc` part over
@@ -1760,7 +1778,6 @@ def q_dv_flow_e2e(spark, sf):
     parquet ingestion, hash view (with trim transformation), anti-join hub
     load, satellite change detection, current-view window, run ledger."""
     import os
-    import tempfile
 
     from mallarddv_spark.api import MallardSparkVault
 
@@ -1771,7 +1788,7 @@ def q_dv_flow_e2e(spark, sf):
         "dm_db": "dvf_dm",
         "metadata_db": "dvf_meta",
     }
-    base = tempfile.mkdtemp(prefix="dvflow_")
+    base = _scratch_dir("dvflow_")
     for db in dbs.values():
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/{db}'")
@@ -2505,7 +2522,6 @@ def q_dv_flow_lineitem(spark, sf):
     satellite load with change detection — then return the satellite
     current view. The oracle predicts the result in closed form."""
     import os
-    import tempfile
 
     from mallarddv_spark.api import MallardSparkVault
 
@@ -2516,7 +2532,7 @@ def q_dv_flow_lineitem(spark, sf):
         "dm_db": "dvl_dm",
         "metadata_db": "dvl_meta",
     }
-    base = tempfile.mkdtemp(prefix="dvlflow_")
+    base = _scratch_dir("dvlflow_")
     for db in dbs.values():
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         spark.sql(f"CREATE DATABASE {db} LOCATION '{base}/{db}'")
@@ -3925,7 +3941,6 @@ def q_text_contamination_suite(spark, sf):
     built + `save_bloom`, the other half folded in via `bloom_append`
     (staged-rename swap), probe from the re-read file — so the gate also
     proves the persistence path the streaming ingest screen relies on."""
-    import tempfile
 
     from mallarddv_spark.functions import bloom as B
     from mallarddv_spark.operators.curation import (
@@ -3964,7 +3979,7 @@ def q_text_contamination_suite(spark, sf):
     )
     half_a = bench.filter(F.pmod("doc_id", F.lit(100)) == 0)
     half_b = bench.filter(F.pmod("doc_id", F.lit(100)) == 50)
-    path = tempfile.mkdtemp(prefix="bloomdecon_gate_") + "/bf"
+    path = _scratch_dir("bloomdecon_gate_") + "/bf"
     B.save_bloom(
         build_benchmark_bloom(
             half_a, "doc_id", "text", shingle_size=5, fpp=1e-12,
@@ -5218,7 +5233,6 @@ def q_streaming_sessionization(spark, sf):
     boundaries; the oracle is the closed-form batch truth minus each
     user's final (still-open) session, which NoTimeout state never
     flushes."""
-    import tempfile
 
     from mallarddv_spark.streaming.stateful import sessionize_stream
 
@@ -5242,7 +5256,7 @@ def q_streaming_sessionization(spark, sf):
                 ).alias("b")
             ).first()["b"]
         )
-        base = tempfile.mkdtemp(prefix="stream_gate_")
+        base = _scratch_dir("stream_gate_")
         # FileStreamSource processes files in modification-time order, and
         # coarse-mtime filesystems (or fast sequential writes) can tie or
         # reorder the three thirds — pin explicit strictly-increasing

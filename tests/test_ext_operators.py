@@ -789,6 +789,25 @@ def test_substring_kgram_cap_drops_boilerplate(spark):
     assert uncapped.count() == 45  # C(10,2) boilerplate pairs
 
 
+def test_substring_cap_is_groupby_not_window(spark):
+    """The k-gram cap must be a groupBy count joined back (semi-join),
+    never a count-over-window — a window partitioned by key colocates
+    every occurrence of a boilerplate gram in one task BEFORE the cap
+    can drop it. The only window left is the gaps-and-islands fuse over
+    (doc_a, doc_b, diag)."""
+    import re
+
+    rows = [(i, f"l1 l2 l3 l4 l5 body{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plan = (
+        dedup.substring_duplicate_spans(
+            df, "doc_id", "text", min_run_tokens=5, max_kgram_occurrences=9
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"doc_a"}, specs
+
+
 def test_mark_substring_duplicates_keep_first(spark):
     rows = [
         (1, "a b c d e f g h"),
@@ -902,6 +921,47 @@ def test_perplexity_buckets_guard_and_global(spark):
            for r in textops.perplexity_buckets(
                scored, n_buckets=2, labels=("head", "tail")).collect()}
     assert out == {1: 1, 2: 2}
+
+
+def test_perplexity_buckets_approx_mode(spark):
+    """exact=False: per-group percentile_approx thresholds + projection
+    assignment — the 100 TB path. On a Zipf-skewed fixture it must agree
+    with the exact ntile on >= 95% of rows, send NULL scores to the
+    tail, and plan with NO ntile window (thresholds broadcast)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    i = 0
+    # skewed: 'en' has 400 rows, 'de' 40, 'fr' 8 — plus NULLs
+    for lang, n in (("en", 400), ("de", 40), ("fr", 8)):
+        for _ in range(n):
+            i += 1
+            rows.append((i, lang, -rng.expovariate(0.5)))
+    rows += [(9001, "en", None), (9002, "fr", None)]
+    scored = spark.createDataFrame(
+        rows, "id bigint, lang string, avg_logprob double"
+    )
+    exact = {r.id: r.ppl_bucket for r in
+             textops.perplexity_buckets(scored, by="lang").collect()}
+    approx = {r.id: r.ppl_bucket for r in
+              textops.perplexity_buckets(
+                  scored, by="lang", exact=False).collect()}
+    assert approx[9001] == 3 and approx[9002] == 3    # NULL -> tail
+    agree = sum(exact[k] == approx[k] for k in exact) / len(exact)
+    assert agree >= 0.95, agree
+    # plan shape: no window at all in approx mode
+    plan = (
+        textops.perplexity_buckets(scored, by="lang", exact=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition" not in plan
+    # global (by=None) approx path works too
+    g = {r.id: r.ppl_bucket for r in
+         textops.perplexity_buckets(scored, exact=False).collect()}
+    ge = {r.id: r.ppl_bucket for r in
+          textops.perplexity_buckets(scored).collect()}
+    assert sum(g[k] == ge[k] for k in ge) / len(ge) >= 0.95
 
 
 def test_write_training_shards_jsonl(spark, tmp_path):

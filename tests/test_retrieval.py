@@ -428,6 +428,98 @@ def test_topk_window_uses_group_limit(spark, docs, queries):
     assert "Partial" in plan and "Final" in plan
 
 
+def test_df_is_groupby_not_window(spark, docs, queries):
+    """df(term) must be a groupBy aggregate joined back, never a
+    count-over-window — a window partitioned by term colocates every
+    posting of a stopword term in ONE task before anything can cap it.
+    The only window spec in the whole plan is the per-query top-k
+    (which IS WindowGroupLimit-protected)."""
+    import re
+
+    plan = (
+        bm25_topk(docs, queries, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"query_id"}, specs
+
+
+def test_rerank_never_shuffles_doc_vecs(spark):
+    """hybrid_rerank_topk prunes doc_vecs via an inner broadcast join on
+    the shortlist ids BEFORE the left join — the embedding table is
+    probed in place, so no sort-merge join (= no corpus shuffle) may
+    appear anywhere in the rerank plan."""
+    from pyspark.sql import functions as F
+
+    from mallarddv_spark.operators.retrieval import hybrid_rerank_topk
+
+    hits = spark.range(20).select(
+        F.concat(F.lit("q"), (F.col("id") % 2).cast("string")).alias(
+            "query_id"
+        ),
+        F.col("id").alias("doc_id"),
+        F.lit(1.0).alias("score"),
+        (F.col("id") + 1).alias("rnk"),
+    )
+    dv = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    qv = spark.createDataFrame(
+        [Row(query_id="q0", embedding=[1.0, 1.0]),
+         Row(query_id="q1", embedding=[0.0, 1.0])]
+    )
+    rep = plan_report(hybrid_rerank_topk(hits, dv, qv, k=10))
+    assert rep["sort_merge_joins"] == 0
+    assert rep["nested_loop_joins"] == 0
+
+
+def test_rerank_keeps_query_without_vector(spark):
+    """A query with no vector must NOT lose its shortlist — its hits
+    keep BM25 order with NULL cosine (symmetric with the vectorless-doc
+    contract)."""
+    from mallarddv_spark.operators.retrieval import hybrid_rerank_topk
+
+    hits = spark.createDataFrame(
+        [Row(query_id="a", doc_id=1, score=2.0, rnk=1),
+         Row(query_id="a", doc_id=2, score=1.0, rnk=2),
+         Row(query_id="b", doc_id=3, score=3.0, rnk=1),
+         Row(query_id="b", doc_id=4, score=2.5, rnk=2)]
+    )
+    doc_vecs = spark.createDataFrame(
+        [Row(doc_id=1, embedding=[1.0, 0.0]),
+         Row(doc_id=2, embedding=[0.0, 1.0]),
+         Row(doc_id=3, embedding=[1.0, 0.0]),
+         Row(doc_id=4, embedding=[0.0, 1.0])]
+    )
+    q_vecs = spark.createDataFrame([Row(query_id="a", embedding=[0.0, 1.0])])
+    rows = hybrid_rerank_topk(hits, doc_vecs, q_vecs, k=10).collect()
+    a = [(r.doc_id, r.cosine) for r in sorted(
+        (r for r in rows if r.query_id == "a"), key=lambda r: r.rnk)]
+    b = [(r.doc_id, r.cosine) for r in sorted(
+        (r for r in rows if r.query_id == "b"), key=lambda r: r.rnk)]
+    assert a == [(2, 1.0), (1, 0.0)]       # reranked by cosine
+    assert b == [(3, None), (4, None)]     # kept, BM25 order, NULL cosine
+
+
+def test_stoplist_cutoff_uses_tokenized_doc_count(spark, tmp_path):
+    """The max_df_frac cutoff must be evaluated against the same N the
+    stored totals use (docs with >= 1 token) — empty docs must not
+    inflate the threshold and smuggle stopwords into the index."""
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"common u{i}") for i in range(4)]
+        + [Row(doc_id=4, text="x y"), Row(doc_id=5, text="x z")]
+        + [Row(doc_id=6 + i, text="   ") for i in range(4)]
+    )
+    path = str(tmp_path / "bm25n")
+    build_bm25_index(corpus, path, max_df_frac=0.5)
+    # tokenized N = 6 → cutoff 3; 'common' (df=4) must be stop-listed.
+    # Against raw count(*) = 10 the cutoff would be 5 and keep it.
+    stopped = {r.term for r in
+               spark.read.parquet(f"{path}/stoplist").collect()}
+    assert "common" in stopped
+
+
 def test_totals_consistent_with_compact_on_empty_docs(spark, tmp_path):
     """N excludes token-less docs EVERYWHERE — otherwise a compact
     (which recomputes totals from postings) would silently shift stored

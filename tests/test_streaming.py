@@ -539,3 +539,74 @@ def test_neardup_stream_maintains_bm25_index(spark, tmp_path):
     params = spark.read.parquet(f"{bm25_path}/params").first()
     assert params.n_docs == 3
     spark.sql("DROP TABLE IF EXISTS default.b_sink")
+
+
+def test_neardup_stream_auto_compact_policy(spark, tmp_path):
+    """compact_every_n_batches: every N-th batch runs the crash-safe
+    minhash + BM25 compactions inside the single-writer stream, bounding
+    the small-file accumulation of per-batch appends. After the policy
+    fires, each tbucket directory holds ONE file and probes still equal
+    an inline rebuild over everything ingested."""
+    import glob
+
+    from pyspark.sql import Row
+    from mallarddv_spark.operators import dedup
+    from mallarddv_spark.operators.retrieval import (
+        bm25_index_probe,
+        bm25_topk,
+        build_bm25_index,
+    )
+
+    seed = spark.createDataFrame(
+        [Row(doc_id=1, text="completely unrelated seed document content")]
+    )
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(seed, index_path, num_perm=32, bands=8,
+                              shingle_size=3)
+    bm25_path = str(tmp_path / "bm25_idx")
+    build_bm25_index(seed, bm25_path, term_buckets=8)
+    spark.sql("DROP TABLE IF EXISTS default.ac_sink")
+
+    process = ingest.neardup_stream_processor(
+        index_path, "default.ac_sink", threshold=0.9,
+        bm25_index_path=bm25_path, compact_every_n_batches=2,
+    )
+    batches = [
+        spark.createDataFrame(
+            [Row(doc_id=500 + 2 * i, text=f"alpha{i} beta{i} gamma shared"),
+             Row(doc_id=501 + 2 * i, text=f"delta{i} epsilon{i} words")]
+        )
+        for i in range(4)
+    ]
+    for i, b in enumerate(batches):
+        process(b, i)  # batch_ids 0..3 → compactions after 1 and 3
+
+    # the final batch triggered a compact: one file per tbucket dir
+    for bucket_dir in glob.glob(f"{bm25_path}/postings/tbucket=*"):
+        files = glob.glob(f"{bucket_dir}/*.parquet")
+        assert len(files) == 1, (bucket_dir, files)
+
+    # probes still match an inline rebuild over seed + every survivor
+    everything = seed.unionByName(batches[0])
+    for b in batches[1:]:
+        everything = everything.unionByName(b)
+    queries = spark.createDataFrame(
+        [Row(query_id="g", query="gamma shared"),
+         Row(query_id="w", query="words")]
+    )
+    got = [
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_index_probe(spark, bm25_path, queries, k=10)
+        .orderBy("query_id", "rnk").collect()
+    ]
+    want = [
+        (r.query_id, r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(everything, queries, k=10)
+        .orderBy("query_id", "rnk").collect()
+    ]
+    assert got == want and len(got) > 0
+    # minhash index was compacted too and still holds every survivor
+    sig_ids = {r.doc_id for r in
+               spark.read.parquet(f"{index_path}/sigs").collect()}
+    assert sig_ids == {1} | {500 + i for i in range(8)}
+    spark.sql("DROP TABLE IF EXISTS default.ac_sink")
