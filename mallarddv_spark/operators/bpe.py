@@ -85,6 +85,68 @@ def _merge_expr(sym_col: str, a_col, b_col):
     )
 
 
+def _greedy_merge_batch(top, want: int, min_pair_count: int):
+    """Approximate batch selection (``exact_rank=False``): accept every
+    non-interacting pair in the window, SKIPPING interacting ones
+    instead of stopping at the first — no count-gap guard. Merge ranks
+    may deviate from the sequential reference near count ties (a skipped
+    pair's count can grow past a later accepted one before its turn),
+    which is the standard parallel-BPE approximation: the learned
+    vocabulary is equivalent in practice and encoding stays lossless,
+    but bit-identity with ``merge_batch=1`` is NOT guaranteed."""
+    accepted: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for i, r in enumerate(top):
+        if r.n < min_pair_count or len(accepted) >= want:
+            break
+        if {r.a, r.b, r.a + r.b} & used:
+            continue
+        accepted.append((r.a, r.b))
+        used |= {r.a, r.b, r.a + r.b}
+    return accepted
+
+
+def _safe_merge_batch(top, want: int, min_pair_count: int):
+    """Greedily pick a prefix of the (count desc, a, b) sorted pair list
+    that provably yields the SAME merges as applying them one at a time
+    (the Sennrich sequential reference):
+
+    * accepted pairs must be pairwise non-interacting — no shared symbol
+      AND no pair's product ``a+b`` colliding with another's symbol (a
+      product collision would let one batch merge create/destroy
+      occurrences another counts on);
+    * the batch stops at the first interacting pair, and every accepted
+      pair must have count STRICTLY above that pair's count (``cap``).
+      Merging an accepted pair only decreases existing counts and can
+      only create new pairs bounded by some old pair that shared a
+      symbol — and every such pair sits at or below ``cap``, so no
+      created/updated pair can ever overtake a later accepted one, even
+      through the lexicographic tie-break.
+
+    ``top`` must hold one sentinel row beyond ``want``: when no overlap
+    occurs inside the window, the sentinel's count is the cap (pairs
+    beyond the horizon may interact at up to that count).
+    """
+    accepted: list[tuple[str, str]] = []
+    used: set[str] = set()
+    cap = None
+    for i, r in enumerate(top):
+        if r.n < min_pair_count:
+            break
+        if i >= want or {r.a, r.b, r.a + r.b} & used:
+            cap = r.n
+            break
+        accepted.append((r.a, r.b, r.n))
+        used |= {r.a, r.b, r.a + r.b}
+    if cap is not None:
+        accepted = [t for t in accepted if t[2] > cap]
+    if not accepted and top and top[0].n >= min_pair_count:
+        # everything tied at the cap: fall back to the plain argmax —
+        # a single merge is always sequentially exact
+        accepted = [(top[0].a, top[0].b, top[0].n)]
+    return [(a, b) for a, b, _ in accepted]
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -92,6 +154,8 @@ def train_bpe(
     lowercase: bool = True,
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
+    merge_batch: int = 64,
+    exact_rank: bool = True,
 ) -> dict:
     """Learn ``num_merges`` BPE merges from a corpus. Returns
     ``{"merges": [(a, b), ...] in rank order, "lowercase": bool}``;
@@ -99,7 +163,35 @@ def train_bpe(
     ``min_pair_count`` (merging singletons memorizes the corpus).
 
     Determinism: the argmax pair breaks count ties on (a, b)
-    lexicographically — a pure function of the corpus content.
+    lexicographically — a pure function of the corpus content (in both
+    modes; the approximate mode is deterministic too, it just may order
+    merges differently than the sequential reference).
+
+    ``merge_batch`` bounds how many merges one counting round may emit.
+    Sequential training costs one Spark job per merge — fine at 50
+    merges, hours of pure job overhead at a realistic 32k-vocab train.
+    Two batching modes:
+
+    * ``exact_rank=True`` (default): each round accepts a PROVABLY
+      sequential-equivalent prefix of the top pairs
+      (:func:`_safe_merge_batch`: disjoint symbols and products, strict
+      count gap to the first interacting pair). Bit-identical to
+      ``merge_batch=1`` (property-tested against a pure-Python Sennrich
+      reference in ``tests/test_bpe.py``) — but MEASURED batches are
+      small, because BPE's top pairs share hot symbols: mean batch 1.2
+      on a Zipf-tied 20k-word corpus (~1.2× fewer jobs), ~8× only when
+      the pair distribution is flat. Exactness is the constraint; see
+      NOTES.md for the measured table.
+    * ``exact_rank=False``: accept every non-interacting pair in the
+      window (:func:`_greedy_merge_batch`) — the standard parallel-BPE
+      approximation and the realistic 32k-vocab path: measured 51
+      counting rounds for 1 000 merges (mean batch 19.6) vs 801 exact /
+      1 000 sequential, 4.3× wall-clock on the same corpus. Merge RANKS
+      may deviate from sequential near count ties (it goes wide where
+      sequential goes deep); encoding stays lossless and compression is
+      equivalent at equal merge budget (pytest-pinned within 10%).
+
+    Set ``merge_batch=1`` to force the classic one-merge-per-round loop.
 
     The end-of-word marker ``▁`` (U+2581, the sentencepiece convention)
     is RESERVED: a corpus containing it in raw text would make word
@@ -108,13 +200,16 @@ def train_bpe(
     """
     if num_merges < 1:
         raise DVConfigurationError("train_bpe: num_merges must be >= 1")
+    if merge_batch < 1:
+        raise DVConfigurationError("train_bpe: merge_batch must be >= 1")
     words = (
         word_frequencies(df, text_col, lowercase)
         .select("cnt", _initial_symbols().alias("syms"))
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str]] = []
-    for i in range(num_merges):
+    since_ckpt = 0
+    while len(merges) < num_merges:
         pairs = (
             words.filter(F.size("syms") >= 2)
             .select(
@@ -130,20 +225,26 @@ def train_bpe(
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("n"))
         )
-        best = pairs.orderBy(
+        want = min(int(merge_batch), num_merges - len(merges))
+        top = pairs.orderBy(
             F.col("n").desc(), F.col("a").asc(), F.col("b").asc()
-        ).first()
-        if best is None or best.n < min_pair_count:
+        ).take(want + 1)
+        if not top or top[0].n < min_pair_count:
             break
-        merges.append((best.a, best.b))
-        words = words.select(
-            "cnt",
-            F.lit(best.a).alias("__ma"),
-            F.lit(best.b).alias("__mb"),
-            "syms",
-        ).select("cnt", _merge_expr("syms", "__ma", "__mb").alias("syms"))
-        if (i + 1) % checkpoint_every == 0:
+        picker = _safe_merge_batch if exact_rank else _greedy_merge_batch
+        batch = picker(top, want, min_pair_count)
+        merges.extend(batch)
+        for a, b in batch:
+            words = words.select(
+                "cnt",
+                F.lit(a).alias("__ma"),
+                F.lit(b).alias("__mb"),
+                "syms",
+            ).select("cnt", _merge_expr("syms", "__ma", "__mb").alias("syms"))
+        since_ckpt += len(batch)
+        if since_ckpt >= checkpoint_every:
             words = words.localCheckpoint(eager=True)
+            since_ckpt = 0
     return {"merges": merges, "lowercase": lowercase}
 
 

@@ -234,32 +234,18 @@ def _exact_jaccard(
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_size: int = 3,
-    threshold: float = 0.3,
-    max_shingle_df: int | None = 1000,
+    shingle_size: int,
+    max_shingle_df: int | None,
 ) -> DataFrame:
-    """All near-dup pairs with exact n-gram Jaccard ≥ ``threshold``.
-
-    Candidate pairs come from grouping by shingle and exploding intra-group
-    combinations JVM-side — the shingle subtree is aggregated once per use
-    (no exploded self-join, whose shuffle dominated the join-based shape),
-    and per-shingle fan-out is C(df, 2), bounded by ``max_shingle_df``.
-
-    ``max_shingle_df`` is the document-frequency cut: shingles appearing in
-    more than N documents are dropped from the universe (both from pair
-    generation and from the sizes the Jaccard is computed over). Hot
-    shingles — "the of and" at web scale — contribute nothing to
-    discrimination but make pair fan-out quadratic in their document count;
-    the cut is what keeps this runnable on a 100 TB corpus. Pairs similar
-    *only* through dropped shingles are missed (by design); scores are
-    Jaccard over the capped universe.
-
-    Returns (doc_a, doc_b, inter, sz_a, sz_b, jaccard), doc_a < doc_b.
-    """
+    """Shared candidate machinery for the exact set-overlap family
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): per-pair
+    shingle-intersection counts with both set sizes attached —
+    ``(doc_a, doc_b, inter, sz_a, sz_b)``, doc_a < doc_b, over the
+    ``max_shingle_df``-capped shingle universe."""
     # Shingles are hashed to int64 IN the n-gram transform (xxhash64 over
     # the token triple — no concat string ever built): the groupBy key is
     # 8 bytes instead of a ~30-byte string and the scan stays one pass.
@@ -282,11 +268,23 @@ def ngram_jaccard_pairs(
             ).alias("shingle"),
         )
     )
+    if max_shingle_df:
+        # drop over-cap shingles BEFORE collect_list, via a groupBy count
+        # + semi-join (map-side partial counts, bounded tasks): filtering
+        # on size(docs) after the fact would first accumulate a hot
+        # boilerplate shingle's entire doc list — 10^9 entries for a
+        # "the of and" shingle at web scale — into ONE aggregation
+        # buffer, the same single-task hazard class as a per-key window
+        below_cap = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= int(max_shingle_df))
+            .select("shingle")
+        )
+        sh = sh.join(below_cap, "shingle", "left_semi")
     by_sh = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("docs")
     )
-    if max_shingle_df:
-        by_sh = by_sh.filter(F.size("docs") <= max_shingle_df)
     # set sizes re-derived from the capped aggregation itself (one shingle
     # scan total; the exchange below it is reused by the pair branch)
     sizes = (
@@ -324,12 +322,98 @@ def ngram_jaccard_pairs(
         # is the per-partition build side).
         inter.join(sa.hint("shuffle_hash"), "doc_a")
         .join(sb.hint("shuffle_hash"), "doc_b")
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.3,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """All near-dup pairs with exact n-gram Jaccard ≥ ``threshold``.
+
+    Candidate pairs come from grouping by shingle and exploding intra-group
+    combinations JVM-side — the shingle subtree is aggregated once per use
+    (no exploded self-join, whose shuffle dominated the join-based shape),
+    and per-shingle fan-out is C(df, 2), bounded by ``max_shingle_df``.
+
+    ``max_shingle_df`` is the document-frequency cut: shingles appearing in
+    more than N documents are dropped from the universe (both from pair
+    generation and from the sizes the Jaccard is computed over). Hot
+    shingles — "the of and" at web scale — contribute nothing to
+    discrimination but make pair fan-out quadratic in their document count;
+    the cut is what keeps this runnable on a 100 TB corpus. Pairs similar
+    *only* through dropped shingles are missed (by design); scores are
+    Jaccard over the capped universe.
+
+    Returns (doc_a, doc_b, inter, sz_a, sz_b, jaccard), doc_a < doc_b.
+    """
+    return (
+        _shingle_pair_counts(df, id_col, text_col, shingle_size, max_shingle_df)
         .withColumn(
             "jaccard",
             F.expr("round(cast(inter as double) / (sz_a + sz_b - inter), 6)"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Document-pair INCLUSION detection: asymmetric shingle containment
+    ``C(A in B) = |S(A) ∩ S(B)| / |S(A)|`` (Broder 1997's *containment*,
+    as distinct from the *resemblance* his MinHash estimates).
+
+    This is the dedup axis Jaccard structurally misses: a 100-token
+    article quoted verbatim inside a 10 000-token page has Jaccard
+    ≈ 0.01 — invisible to :func:`ngram_jaccard_pairs` and to banded
+    MinHash-LSH at any usable threshold — but containment 1.0. Training
+    corpora are full of exactly this shape (aggregator pages, quote
+    farms, partial crawls of the same article), and keeping both the
+    fragment and its superset double-counts the shared text.
+
+    Returns ``(doc_a, doc_b, inter, sz_a, sz_b, containment_a,
+    containment_b)`` with ``doc_a < doc_b``, ``containment_a`` =
+    fraction of A's shingles found in B (and vice versa), keeping pairs
+    where EITHER direction reaches ``threshold``. Scores are over the
+    ``max_shingle_df``-capped universe (same corpus-scale contract as
+    the Jaccard variant: hot boilerplate shingles are cut before the
+    quadratic fan-out, and the cap count is a groupBy, never a per-key
+    window). Pair generation is exact within the capped universe, so
+    the operator replays bit-for-bit in ANSI SQL (the driver oracle);
+    downstream policy typically drops the CONTAINED side
+    (``sz_a <= sz_b ? doc_a : doc_b``) to keep the superset document.
+    """
+    base = _shingle_pair_counts(
+        df, id_col, text_col, shingle_size, max_shingle_df
+    )
+    return (
+        base.withColumn(
+            "containment_a",
+            F.expr("round(cast(inter as double) / sz_a, 6)"),
+        )
+        .withColumn(
+            "containment_b",
+            F.expr("round(cast(inter as double) / sz_b, 6)"),
+        )
+        .filter(
+            F.greatest("containment_a", "containment_b") >= float(threshold)
+        )
+        .select(
+            "doc_a", "doc_b", "inter", "sz_a", "sz_b",
+            "containment_a", "containment_b",
+        )
     )
 
 

@@ -870,22 +870,45 @@ FROM documents
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    """Near-dup detection via word-3-gram Jaccard: candidates from grouping
-    by shingle + JVM-side pair explosion (no exploded self-join, no O(n²)
-    cross join), with a document-frequency cut (shingles in >1000 docs are
-    dropped — the bound that keeps per-shingle fan-out finite at corpus
-    scale; no shingle exceeds df=25 in this dataset, so the oracle's
-    matching HAVING clause prunes nothing and values stay exact)."""
-    from mallarddv_spark.operators.dedup import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(
-        _t(spark, sf, "documents"),
-        "doc_id",
-        "text",
-        shingle_size=3,
-        threshold=0.30,
-        max_shingle_df=1000,
+    """Exact set-overlap pair suite over word-3-gram shingles, two parts
+    since round 9: `jaccard` — near-dup pairs at Jaccard ≥ 0.30
+    (candidates from grouping by shingle + JVM-side pair explosion, no
+    exploded self-join, no O(n²) cross join) — and `contain` — Broder
+    containment pairs at max(|∩|/|S(a)|, |∩|/|S(b)|) ≥ 0.20, the
+    asymmetric INCLUSION axis (a fragment quoted inside a superset
+    document) that symmetric Jaccard structurally under-scores: at
+    sf0.01 four of the containment pairs sit below the 0.30 Jaccard
+    bar. Both share the document-frequency cut (shingles in >1000 docs
+    are dropped via a groupBy count + semi-join BEFORE collect_list —
+    the bound that keeps per-shingle fan-out finite and aggregation
+    buffers task-sized at corpus scale; no shingle exceeds df=25 in
+    this dataset, so the oracle's matching HAVING clause prunes nothing
+    and values stay exact)."""
+    from mallarddv_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
     )
+
+    d = _t(spark, sf, "documents")
+    j = ngram_jaccard_pairs(
+        d, "doc_id", "text",
+        shingle_size=3, threshold=0.30, max_shingle_df=1000,
+    ).select(
+        F.lit("jaccard").alias("part"),
+        "doc_a", "doc_b", "inter", "sz_a", "sz_b",
+        F.col("jaccard").alias("s1"),
+        *_nulls(("s2", "double")),
+    )
+    c = containment_pairs(
+        d, "doc_id", "text",
+        shingle_size=3, threshold=0.20, max_shingle_df=1000,
+    ).select(
+        F.lit("contain").alias("part"),
+        "doc_a", "doc_b", "inter", "sz_a", "sz_b",
+        F.col("containment_a").alias("s1"),
+        F.col("containment_b").alias("s2"),
+    )
+    return j.unionByName(c)
 
 
 O_DEDUP_NGRAM = r"""
@@ -907,13 +930,23 @@ inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
+),
+sc AS (
+    SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(cast(inter as double) / (sa.sz + sb.sz - inter), 6) AS j,
+           round(cast(inter as double) / sa.sz, 6) AS c_a,
+           round(cast(inter as double) / sb.sz, 6) AS c_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
 )
-SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
-       round(cast(inter as double) / (sa.sz + sb.sz - inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(cast(inter as double) / (sa.sz + sb.sz - inter), 6) >= 0.30
+SELECT 'jaccard' AS part, doc_a, doc_b, inter, sz_a, sz_b,
+       j AS s1, cast(NULL as double) AS s2
+FROM sc WHERE j >= 0.30
+UNION ALL
+SELECT 'contain' AS part, doc_a, doc_b, inter, sz_a, sz_b,
+       c_a AS s1, c_b AS s2
+FROM sc WHERE greatest(c_a, c_b) >= 0.20
 """
 
 # --- MinHash signatures: K=16 permutations over md5-derived token ints -----
@@ -3199,11 +3232,12 @@ def q_text_bm25(spark, sf):
     """BM25 lexical retrieval (`operators/retrieval.bm25_topk`): top-20
     documents per query for three fixed queries over the corpus
     vocabulary ('dup' is the rare term, so the idf contrast is live).
-    Query terms ride a broadcast; df(term) is a window count over
-    matched postings only; per-posting contributions snap to the 1e-10
-    integer grid, so scores and tie-broken ranks replay bit-for-bit in
-    DuckDB. The persisted-index probe path is pytest-covered
-    (tests/test_retrieval.py) and returns these exact rows."""
+    Query terms ride a broadcast; df(term) is a groupBy count over
+    matched postings only, broadcast back (never a per-term window —
+    see retrieval.bm25_topk); per-posting contributions snap to the
+    1e-10 integer grid, so scores and tie-broken ranks replay
+    bit-for-bit in DuckDB. The persisted-index path is gate-proven by
+    the `bm25store` part (build→append→probe round-trip)."""
     from mallarddv_spark.functions.litframe import literal_frame
     from mallarddv_spark.operators.retrieval import bm25_topk
 
@@ -3211,6 +3245,39 @@ def q_text_bm25(spark, sf):
         spark, _BM25_QUERIES, "query_id string, query string"
     )
     return bm25_topk(_t(spark, sf, "documents"), queries, k=20).select(
+        "query_id",
+        "doc_id",
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        "score",
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+def q_text_bm25_store(spark, sf):
+    """The STORED-index round-trip (`operators/retrieval.build_bm25_index`
+    → `bm25_index_append` → `bm25_index_probe`): the index is built on
+    disk from the even-id half of the corpus, the odd-id half is appended
+    (staged-rename totals swap), and the partition-pruned probe over the
+    re-read postings must reproduce the inline computation over the FULL
+    corpus bit-for-bit — so its oracle IS the inline DuckDB replay. This
+    proves the persisted postings + params + pruned-probe path (the one
+    the streaming crawl gate maintains) under the driver's gate, not just
+    pytest."""
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_probe,
+        build_bm25_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    path = _scratch_dir("bm25_gate_") + "/idx"
+    build_bm25_index(docs.filter("doc_id % 2 = 0"), path, term_buckets=16)
+    bm25_index_append(docs.filter("doc_id % 2 = 1"), path)
+    queries = literal_frame(
+        spark, _BM25_QUERIES, "query_id string, query string"
+    )
+    return bm25_index_probe(spark, path, queries, k=20).select(
         "query_id",
         "doc_id",
         F.col("n_terms").cast("bigint").alias("n_terms"),
@@ -3840,7 +3907,9 @@ def q_text_frequency_suite(spark, sf):
     (top-20 per fixed query), and the CCNet per-language
     head/middle/tail perplexity split, as one tagged union.
     Parts: text_vocab_topk, text_rarity_score, text_bigram_lm,
-    text_dsir, text_nb_classify, bm25, pplbucket."""
+    text_dsir, text_nb_classify, bm25, bm25store (the stored-index
+    build→append→probe round-trip, oracled by the same inline replay),
+    pplbucket."""
     v = q_text_vocab_topk(spark, sf).select(
         F.lit("vocab").alias("part"),
         F.col("rnk").alias("id"),
@@ -3889,6 +3958,14 @@ def q_text_frequency_suite(spark, sf):
         F.col("n_terms").alias("n2"),
         F.col("score").alias("d1"),
     )
+    bs = q_text_bm25_store(spark, sf).select(
+        F.lit("bm25store").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.col("query_id").alias("term"),
+        F.col("rnk").alias("n1"),
+        F.col("n_terms").alias("n2"),
+        F.col("score").alias("d1"),
+    )
     pb = q_text_pplbucket(spark, sf).select(
         F.lit("pplbucket").alias("part"),
         "id",
@@ -3899,7 +3976,7 @@ def q_text_frequency_suite(spark, sf):
     )
     return (
         v.unionByName(r).unionByName(lm).unionByName(ds).unionByName(nc)
-        .unionByName(bm).unionByName(pb)
+        .unionByName(bm).unionByName(bs).unionByName(pb)
     )
 
 
@@ -3922,7 +3999,13 @@ O_TEXT_FREQUENCY = (
     + ") nc\nUNION ALL\nSELECT 'bm25' AS part, doc_id AS id, query_id AS term,"
     " rnk AS n1, n_terms AS n2, score AS d1\nFROM ("
     + O_TEXT_BM25
-    + ") bm\nUNION ALL\nSELECT 'pplbucket' AS part, id, lang_bucket AS term,"
+    # the stored round-trip (build even half + append odd half, probe the
+    # re-read index) must equal the inline computation over the full
+    # corpus — its oracle IS the same inline replay
+    + ") bm\nUNION ALL\nSELECT 'bm25store' AS part, doc_id AS id, query_id AS term,"
+    " rnk AS n1, n_terms AS n2, score AS d1\nFROM ("
+    + O_TEXT_BM25
+    + ") bs\nUNION ALL\nSELECT 'pplbucket' AS part, id, lang_bucket AS term,"
     " ppl_bucket AS n1, n_bigrams AS n2, avg_logprob AS d1\nFROM ("
     + O_TEXT_PPLBUCKET
     + ") pb"

@@ -66,6 +66,62 @@ def test_minhash_lsh_pairs(dup_docs):
     assert not any(4 in p for p in got)  # unrelated doc not paired
 
 
+def test_containment_pairs_detect_inclusion(spark):
+    """A small fragment verbatim inside a much larger document: Jaccard
+    sits far below any near-dup bar, but containment of the fragment is
+    1.0 — the inclusion axis the operator exists for."""
+    big_tokens = " ".join(f"w{i}" for i in range(100))
+    fragment = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, big_tokens), (2, fragment), (3, "totally unrelated text here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", shingle_size=3, threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r.containment_b == 1.0          # fragment fully inside big doc
+    assert r.containment_a < 0.1           # big doc barely inside fragment
+    assert r.sz_a == 98 and r.sz_b == 8 and r.inter == 8
+    # symmetric Jaccard misses the same pair at its usual bar
+    j = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_size=3, threshold=0.3
+    )
+    assert j.count() == 0
+
+
+def test_containment_threshold_and_cap(spark):
+    """max_shingle_df cuts boilerplate shingles from the universe via a
+    pre-collect groupBy+semi-join; the cap plan must contain no per-key
+    window and no post-aggregation size filter on a hot key's list."""
+    import re
+
+    boiler = " ".join(f"b{i}" for i in range(5))
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(6)] + [(10, "x y z q r s")],
+        ["doc_id", "text"],
+    )
+    # cap below the boilerplate df → those shingles leave the universe,
+    # so the six identical docs produce NO pairs
+    out = dedup.containment_pairs(
+        df, "doc_id", "text", shingle_size=3, threshold=0.1,
+        max_shingle_df=5,
+    )
+    assert out.count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan
+    # uncapped, every identical pair scores 1.0 both ways
+    up = dedup.containment_pairs(
+        df, "doc_id", "text", shingle_size=3, threshold=0.99,
+        max_shingle_df=None,
+    )
+    assert up.count() == 15  # C(6,2)
+
+
 def test_minhash_signatures_deterministic(dup_docs):
     s1 = dedup.minhash_signatures(dup_docs, "doc_id", "text", num_perm=8).collect()
     s2 = dedup.minhash_signatures(dup_docs, "doc_id", "text", num_perm=8).collect()
