@@ -767,6 +767,113 @@ def score_bigram_logprob(
     )
 
 
+def score_kn_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: dict,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under interpolated
+    Kneser-Ney smoothing (Kneser & Ney 1995; Chen & Goodman 1998) — the
+    smoothing family KenLM implements and CCNet actually scores with,
+    upgrading :func:`score_bigram_logprob`'s stupid backoff. Uses the
+    SAME trained model (:func:`train_bigram_lm`'s count tables); the
+    continuation statistics derive from the bigram TYPE table:
+
+    ``P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                 + (D · N1+(w1,·)/c(w1)) · P_cont(w2)``,
+    ``P_cont(w2) = N1+(·,w2) / |bigram types|`` — "how many contexts
+    does w2 complete", the fix for the Francisco problem: a word
+    frequent only after one context ('francisco') gets a LOW
+    continuation probability no matter its unigram count.
+
+    Out-of-model fallbacks, both floored so log stays finite: an unseen
+    CONTEXT (c(w1) = 0) scores ``P_cont(w2)`` directly; an unseen
+    continuation uses the 0.5-type floor ``0.5/|types|``. Returns
+    ``(id, n_bigrams, n_oov_ctx, avg_logprob)``; docs with < 2 tokens
+    score NULL (no row). Same 1e-10 integer-grid discipline as the
+    stupid-backoff scorer, so DuckDB replays the mean bit-for-bit.
+
+    Scale shape: the two continuation tables are groupBy aggregates of
+    the vocabulary-sized bigram TYPE table (map-side combine, bounded
+    tasks — never a per-key window), then the scoring stream pays four
+    hash joins on word keys + one groupBy on id, the same class as
+    :func:`score_bigram_logprob`."""
+    if not 0.0 < float(discount) < 1.0:
+        raise DVConfigurationError(
+            "score_kn_logprob: discount must be in (0, 1)"
+        )
+    d_lit = repr(float(discount))
+    toks = _lm_tokens(text_col, bool(lm.get("lowercase", True)))
+    bi_types = lm["bigrams"]
+    t_types = int(bi_types.count()) or 1
+    nf = (
+        bi_types.groupBy("w1").agg(F.count("*").alias("__nf"))
+        .select(F.col("w1").alias("__f1"), "__nf")
+    )
+    nb = (
+        bi_types.groupBy("w2").agg(F.count("*").alias("__nb"))
+        .select(F.col("w2").alias("__p2"), "__nb")
+    )
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    pairs = F.when(
+        F.size("__t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__t) - 1), "
+            "i -> struct(element_at(__t, i) as w1, "
+            "element_at(__t, i + 1) as w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    stream = base.select("__id", F.explode(pairs).alias("p")).select(
+        "__id", "p.w1", "p.w2"
+    )
+    bi = lm["bigrams"].select(
+        F.col("w1").alias("__b1"), F.col("w2").alias("__b2"),
+        F.col("cnt").alias("__cb"),
+    )
+    u1 = lm["unigrams"].select(
+        F.col("w").alias("__u1"), F.col("cnt").alias("__c1")
+    )
+    # the expression tree (parenthesization, casts, literal spellings)
+    # is mirrored verbatim in the DuckDB oracle — identical IEEE-double
+    # operation order is what makes the grid snap replay exactly
+    pc = (
+        f"(coalesce(cast(__nb as double), 0.5) "
+        f"/ cast({t_types} as double))"
+    )
+    lp = (
+        f"CASE WHEN __c1 IS NOT NULL THEN "
+        f"ln(greatest(cast(coalesce(__cb, 0) as double) - {d_lit}, "
+        f"cast(0 as double)) / cast(__c1 as double) "
+        f"+ ({d_lit} * cast(greatest(coalesce(__nf, 0), 1) as double) "
+        f"/ cast(__c1 as double)) * {pc}) "
+        f"ELSE ln({pc}) END"
+    )
+    scored = (
+        stream.join(
+            bi,
+            (F.col("w1") == F.col("__b1")) & (F.col("w2") == F.col("__b2")),
+            "left",
+        )
+        .join(u1, F.col("w1") == F.col("__u1"), "left")
+        .join(nf, F.col("w1") == F.col("__f1"), "left")
+        .join(nb, F.col("w2") == F.col("__p2"), "left")
+        .select(
+            "__id",
+            F.col("__c1").isNull().cast("int").alias("__oov"),
+            F.round(F.expr(lp) * 1e10).cast("bigint").alias("__lp10"),
+        )
+    )
+    return scored.groupBy(F.col("__id").alias("id")).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("__oov").cast("bigint").alias("n_oov_ctx"),
+        F.round(
+            F.sum("__lp10") / (F.lit(1e10) * F.count("*")), 6
+        ).alias("avg_logprob"),
+    )
+
+
 def fluency_filter(
     df: DataFrame,
     id_col: str,

@@ -3061,6 +3061,79 @@ SELECT doc_id AS id, count(*) AS n_bigrams,
 FROM scored GROUP BY doc_id
 """
 
+def q_text_knlm(spark, sf):
+    """Interpolated Kneser-Ney bigram scoring
+    (`operators/textops.score_kn_logprob`) under the SAME even-half
+    model as the `bigramlm` part — the KenLM-family smoothing CCNet
+    actually uses, with continuation counts from the bigram type table
+    (the 'Francisco problem' fix). The expression tree is mirrored
+    verbatim in the oracle so the 1e-10 grid snap replays bit-for-bit;
+    unseen contexts and continuations hit the documented floors live in
+    the gate (the halves share most but not all of the vocabulary)."""
+    from mallarddv_spark.operators.textops import (
+        score_kn_logprob,
+        train_bigram_lm,
+    )
+
+    d = _t(spark, sf, "documents")
+    lm = train_bigram_lm(d.filter(F.pmod("doc_id", F.lit(2)) == 0), "text")
+    return score_kn_logprob(
+        d.filter(F.pmod("doc_id", F.lit(2)) == 1), "doc_id", "text", lm
+    )
+
+
+O_TEXT_KNLM = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+),
+uni AS (
+    SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0
+    ) GROUP BY w
+),
+bi AS (
+    SELECT w1, w2, count(*) AS cnt FROM (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+        WHERE doc_id % 2 = 0
+    ) GROUP BY w1, w2
+),
+nf AS (SELECT w1, count(*) AS nf FROM bi GROUP BY w1),
+nb AS (SELECT w2, count(*) AS nb FROM bi GROUP BY w2),
+tt AS (SELECT count(*) AS t FROM bi),
+stream AS (
+    SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+    FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+    WHERE doc_id % 2 = 1
+),
+scored AS (
+    SELECT s.doc_id,
+           CASE WHEN c1.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+           cast(round(
+             CASE WHEN c1.cnt IS NOT NULL
+                  THEN ln(greatest(cast(coalesce(b.cnt, 0) as double) - 0.75,
+                                   cast(0 as double)) / cast(c1.cnt as double)
+                       + (0.75 * cast(greatest(coalesce(nf.nf, 0), 1) as double)
+                          / cast(c1.cnt as double))
+                         * (coalesce(cast(nb.nb as double), 0.5)
+                            / cast((SELECT t FROM tt) as double)))
+                  ELSE ln(coalesce(cast(nb.nb as double), 0.5)
+                          / cast((SELECT t FROM tt) as double)) END * 1e10)
+           as bigint) AS lp10
+    FROM stream s
+    LEFT JOIN bi b ON s.w1 = b.w1 AND s.w2 = b.w2
+    LEFT JOIN uni c1 ON s.w1 = c1.w
+    LEFT JOIN nf ON s.w1 = nf.w1
+    LEFT JOIN nb ON s.w2 = nb.w2
+)
+SELECT doc_id AS id, count(*) AS n_bigrams,
+       cast(sum(oov) as bigint) AS n_oov_ctx,
+       round(sum(lp10) / (1e10 * count(*)), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_text_dsir(spark, sf):
     """DSIR importance resampling (`operators/curation.dsir_importance` /
     `dsir_resample`, Xie et al. 2023): hashed bag-of-1..2-grams bucket
@@ -3906,10 +3979,11 @@ def q_text_frequency_suite(spark, sf):
     classification (train even / classify odd), BM25 lexical retrieval
     (top-20 per fixed query), and the CCNet per-language
     head/middle/tail perplexity split, as one tagged union.
-    Parts: text_vocab_topk, text_rarity_score, text_bigram_lm,
-    text_dsir, text_nb_classify, bm25, bm25store (the stored-index
-    build→append→probe round-trip, oracled by the same inline replay),
-    pplbucket."""
+    Parts: text_vocab_topk, text_rarity_score, text_bigram_lm, knlm
+    (interpolated Kneser-Ney under the same trained model — the
+    KenLM-family smoothing), text_dsir, text_nb_classify, bm25,
+    bm25store (the stored-index build→append→probe round-trip, oracled
+    by the same inline replay), pplbucket."""
     v = q_text_vocab_topk(spark, sf).select(
         F.lit("vocab").alias("part"),
         F.col("rnk").alias("id"),
@@ -3932,6 +4006,14 @@ def q_text_frequency_suite(spark, sf):
         *_nulls(("term", "string")),
         F.col("n_bigrams").alias("n1"),
         F.col("n_backoff").alias("n2"),
+        F.col("avg_logprob").alias("d1"),
+    )
+    kn = q_text_knlm(spark, sf).select(
+        F.lit("knlm").alias("part"),
+        "id",
+        *_nulls(("term", "string")),
+        F.col("n_bigrams").alias("n1"),
+        F.col("n_oov_ctx").alias("n2"),
         F.col("avg_logprob").alias("d1"),
     )
     ds = q_text_dsir(spark, sf).select(
@@ -3975,8 +4057,8 @@ def q_text_frequency_suite(spark, sf):
         F.col("avg_logprob").alias("d1"),
     )
     return (
-        v.unionByName(r).unionByName(lm).unionByName(ds).unionByName(nc)
-        .unionByName(bm).unionByName(bs).unionByName(pb)
+        v.unionByName(r).unionByName(lm).unionByName(kn).unionByName(ds)
+        .unionByName(nc).unionByName(bm).unionByName(bs).unionByName(pb)
     )
 
 
@@ -3990,7 +4072,10 @@ O_TEXT_FREQUENCY = (
     + ") r\nUNION ALL\nSELECT 'bigramlm' AS part, id, cast(NULL as varchar) AS term,"
     " n_bigrams AS n1, n_backoff AS n2, avg_logprob AS d1\nFROM ("
     + O_TEXT_BIGRAM_LM
-    + ") lm\nUNION ALL\nSELECT 'dsir' AS part, doc_id AS id, cast(NULL as varchar) AS term,"
+    + ") lm\nUNION ALL\nSELECT 'knlm' AS part, id, cast(NULL as varchar) AS term,"
+    " n_bigrams AS n1, n_oov_ctx AS n2, avg_logprob AS d1\nFROM ("
+    + O_TEXT_KNLM
+    + ") kn\nUNION ALL\nSELECT 'dsir' AS part, doc_id AS id, cast(NULL as varchar) AS term,"
     " n_grams AS n1, rnk AS n2, gkey AS d1\nFROM ("
     + O_TEXT_DSIR
     + ") ds\nUNION ALL\nSELECT 'nbcls' AS part, doc_id AS id, predicted AS term,"

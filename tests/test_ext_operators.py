@@ -1054,3 +1054,95 @@ def test_write_training_shards_jsonl(spark, tmp_path):
     with pytest.raises(DVConfigurationError, match="file_format"):
         textops.write_training_shards(docs, str(tmp_path / "x"), "doc_id",
                                       "text", file_format="csvish")
+
+
+# --- interpolated Kneser-Ney scoring ---------------------------------------
+
+def test_score_kn_logprob_matches_reference(spark):
+    """Spark KN scorer vs a pure-Python Kneser-Ney reference with the
+    same grid discipline — seen bigrams, discounted mass, unseen
+    contexts, and unseen continuations all live."""
+    import math
+    from collections import Counter
+
+    train_rows = [(1, "the cat sat on the mat"),
+                  (2, "the dog sat on the rug"),
+                  (3, "a cat and a dog")]
+    test_rows = [(10, "the cat sat"), (11, "rug mat dog"), (12, "zz qq")]
+    lm = textops.train_bigram_lm(
+        spark.createDataFrame(train_rows, ["doc_id", "text"]), "text"
+    )
+    got = {
+        r.id: (r.n_bigrams, r.n_oov_ctx, r.avg_logprob)
+        for r in textops.score_kn_logprob(
+            spark.createDataFrame(test_rows, ["doc_id", "text"]),
+            "doc_id", "text", lm,
+        ).collect()
+    }
+
+    uni, bi = Counter(), Counter()
+    for _, t in train_rows:
+        ws = t.lower().split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    T, D = len(bi), 0.75
+    nf = Counter(w1 for w1, _ in bi)
+    nb = Counter(w2 for _, w2 in bi)
+
+    def lp(w1, w2):
+        pc = (float(nb[w2]) if w2 in nb else 0.5) / float(T)
+        if w1 in uni:
+            return math.log(
+                max(float(bi.get((w1, w2), 0)) - D, 0.0) / float(uni[w1])
+                + (D * float(max(nf.get(w1, 0), 1)) / float(uni[w1])) * pc
+            )
+        return math.log(pc)
+
+    for did, t in test_rows:
+        ws = t.lower().split()
+        grams = list(zip(ws, ws[1:]))
+        lp10 = [round(lp(a, b) * 1e10) for a, b in grams]
+        want = (
+            len(grams),
+            sum(1 for a, _ in grams if a not in uni),
+            round(sum(lp10) / (1e10 * len(grams)), 6),
+        )
+        assert got[did] == want, (did, got[did], want)
+
+
+def test_kn_continuation_fixes_francisco(spark):
+    """The Kneser-Ney point: a word frequent only in ONE context
+    ('francisco' after 'san') must get a LOWER continuation score than
+    a rarer word that completes many contexts — the exact case unigram
+    backoff gets backwards."""
+    train = [(i, "san francisco") for i in range(10)] + [
+        (100, "dusty road"), (101, "long road"), (102, "open road"),
+        (103, "winding road"), (104, "gravel road"),
+    ]
+    lm = textops.train_bigram_lm(
+        spark.createDataFrame(train, ["doc_id", "text"]), "text"
+    )
+    # unigram counts would prefer francisco (10 > 5)...
+    u = {r.w: r.cnt for r in lm["unigrams"].collect()}
+    assert u["francisco"] > u["road"]
+    # ...but after an UNSEEN context, KN prefers the many-context word
+    test = spark.createDataFrame(
+        [(1, "zz francisco"), (2, "zz road")], ["doc_id", "text"]
+    )
+    s = {r.id: r.avg_logprob
+         for r in textops.score_kn_logprob(test, "doc_id", "text", lm).collect()}
+    assert s[2] > s[1]
+    # stupid backoff scores the same pair the other way around
+    sb = {r.id: r.avg_logprob
+          for r in textops.score_bigram_logprob(
+              test, "doc_id", "text", lm).collect()}
+    assert sb[1] > sb[2]
+
+
+def test_kn_discount_guard(spark):
+    lm = textops.train_bigram_lm(
+        spark.createDataFrame([(1, "a b")], ["doc_id", "text"]), "text"
+    )
+    d = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(DVConfigurationError, match="discount"):
+        textops.score_kn_logprob(d, "doc_id", "text", lm, discount=1.5)
