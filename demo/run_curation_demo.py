@@ -11,9 +11,13 @@ same code runs over a 100 TB corpus):
 2. clean      — corpus-level boilerplate line removal (CCNet-style)
 3. quality    — Gopher/C4-style threshold filter
 4. dedup      — exact + MinHash-LSH near-dup, connected-components
-                cluster verdicts (keep one doc per near-dup cluster)
+                cluster verdicts (keep one doc per near-dup cluster),
+                then a containment pass dropping fragments included in
+                a larger surviving document
 5. decontam   — n-gram overlap against a benchmark set
-6. fluency    — bigram-LM scoring + CCNet head/middle/tail buckets
+6. fluency    — Kneser-Ney LM scoring + CCNet head/middle/tail buckets
+                (approximate percentile thresholds — the corpus-scale
+                mode)
 7. tokenize   — BPE tokenizer TRAINED on the surviving corpus; its
                 real token counts drive everything downstream
 8. split/mix  — deterministic train/val split + token-budget mixing
@@ -96,6 +100,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     nd = survivors.count()
     print(f"-- dedup: {nq} -> {nd} docs ({nq - nd} near-dups removed) --")
 
+    # 4b. containment pass: fragments substantially INCLUDED in a larger
+    # surviving document (quotes, partial copies) — the axis symmetric
+    # Jaccard under-scores; drop the contained (smaller) side
+    cont = dedup.containment_pairs(
+        survivors, "doc_id", "text", shingle_size=3, threshold=0.8
+    )
+    contained = cont.selectExpr(
+        "CASE WHEN sz_a <= sz_b THEN doc_a ELSE doc_b END AS doc_id"
+    ).distinct()
+    ncont = contained.count()
+    survivors = survivors.join(contained, "doc_id", "left_anti")
+    print(f"-- containment: {ncont} contained fragments removed --")
+
     # 5. decontamination against a small "benchmark" (here: a sample of
     # the corpus itself, guaranteeing hits to show the mechanism)
     bench = docs.orderBy("doc_id").limit(5)
@@ -106,13 +123,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         contam.filter("contaminated").select("doc_id"), "doc_id", "left_anti"
     )
 
-    # 6. bigram-LM fluency + CCNet head/middle/tail buckets (per lang)
+    # 6. LM fluency (interpolated Kneser-Ney — the KenLM-family smoothing
+    # CCNet uses) + CCNet head/middle/tail buckets per lang, in the
+    # APPROXIMATE mode (percentile thresholds broadcast — the 100 TB
+    # path; exact ntile stays available for small corpora)
     lm = textops.train_bigram_lm(survivors, "text")
-    scored = textops.score_bigram_logprob(
+    scored = textops.score_kn_logprob(
         survivors, "doc_id", "text", lm
     ).join(survivors.select(F.col("doc_id").alias("id"), "lang"), "id")
-    buckets = textops.perplexity_buckets(scored, by="lang")
-    print("-- CCNet buckets (per lang) --")
+    buckets = textops.perplexity_buckets(scored, by="lang", exact=False)
+    print("-- CCNet buckets (per lang, KN-scored, approx thresholds) --")
     buckets.groupBy("lang", "ppl_label").count().orderBy(
         "lang", "ppl_label"
     ).show(9)
@@ -121,7 +141,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # (not the whitespace approximation) drive the budget/mix/pack below
     from mallarddv_spark.operators import bpe as bpe_ops
 
-    bpe = bpe_ops.train_bpe(survivors, "text", num_merges=30)
+    # exact_rank=False is the realistic 32k-vocab trainer (batched
+    # non-interacting merges — see operators/bpe.py and NOTES.md)
+    bpe = bpe_ops.train_bpe(survivors, "text", num_merges=30,
+                            exact_rank=False)
     encoded = bpe_ops.bpe_encode(survivors, "doc_id", "text", bpe).select(
         "doc_id", "n_tokens"
     )
