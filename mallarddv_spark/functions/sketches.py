@@ -1,0 +1,238 @@
+"""Mergeable HyperLogLog sketches, relationally (Flajolet et al. 2007).
+
+Reference scope note: the reference engine has no sketch tier — this
+extends the corpus-statistics family. Spark's built-in
+``approx_count_distinct`` is a black-box aggregate: its sketch state
+cannot be persisted, merged across runs, or replayed by another engine.
+At 100 TB the questions that matter — "how many distinct tokens/urls/
+doc-ids so far?" — are INCREMENTAL: a streaming crawl gate must fold
+each micro-batch into a stored sketch instead of rescanning the corpus.
+This module keeps the register table as a plain DataFrame, so sketches
+persist as parquet, merge with a groupBy-max, and the estimate is a
+closed-form expression that replays bit-for-bit in the DuckDB oracle
+(md5 hash mode).
+
+Design:
+
+* a value hashes to 60 bits (``md5`` mode: the engine-portable
+  ``conv(substr(md5(v),1,15),16,10)`` convention shared with the
+  MinHash/DSIR operators; ``xxhash64`` mode: JVM-fast, Spark-only);
+* ``bucket`` = the top ``p`` bits, ``rho`` = position of the leftmost
+  1-bit in the remaining ``q = 60 - p`` bits (``q + 1`` when they are
+  all zero) — ``length(bin(w))`` gives ``floor(log2 w) + 1`` in BOTH
+  engines, so no float log enters the register path;
+* the register table is ``(…by, bucket, rho_max)`` — max-merged, so
+  duplicate values, replayed batches, and unions are all absorbed;
+* the estimate's harmonic sum is computed EXACTLY in integer space
+  (each ``2^-rho`` term scaled by ``2^(q+1)`` is an integer; the total
+  is ≤ 2^61 < bigint range), so engines cannot disagree through float
+  summation order; the single final division and the linear-counting
+  branch (``m·ln(m/zeros)`` when the raw estimate ≤ 2.5m and empty
+  buckets exist) are one-shot double ops — deterministic.
+
+Scale shape: register building is one groupBy with map-side combine
+(bounded tasks at any skew — a register table is ≤ m rows per group);
+merging unions register tables and re-maxes; nothing ever rescans data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mallarddv_spark.exceptions import DVConfigurationError
+
+__all__ = [
+    "hll_registers", "hll_merge", "hll_estimate",
+    "save_hll", "load_hll", "hll_append", "heal_hll",
+]
+
+_HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def _hash60(value_col: str, hash_mode: str):
+    # both modes hash the STRING rendering, so an int column and its
+    # string form sketch identically (the md5 convention shared with
+    # the MinHash/DSIR operators — and the one DuckDB can replay)
+    if hash_mode == "md5":
+        return F.expr(
+            f"cast(conv(substr(md5(cast({value_col} as string)),1,15),16,10)"
+            " as bigint)"
+        )
+    if hash_mode == "xxhash64":
+        # shift the sign bit (and 3 more) away → uniform 60-bit non-negative
+        return F.shiftrightunsigned(
+            F.xxhash64(F.col(value_col).cast("string")), 4
+        )
+    raise DVConfigurationError(
+        f"hll: unknown hash_mode {hash_mode!r} (md5 | xxhash64)"
+    )
+
+
+def _check_p(p: int) -> None:
+    if not 4 <= int(p) <= 18:
+        raise DVConfigurationError("hll: p must be in [4, 18]")
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    p: int = 12,
+    by: list[str] | None = None,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Build the register table ``(…by, bucket, rho)`` for the distinct
+    values of ``value_col`` (NULLs ignored), optionally per group. One
+    groupBy; register count per group is ≤ 2^p regardless of input
+    size."""
+    _check_p(p)
+    q = _HASH_BITS - int(p)
+    groups = list(by or [])
+    x = _hash60(value_col, hash_mode)
+    # bucket via integer shift, NOT float division — a 60-bit hash
+    # exceeds the 53-bit double mantissa, so x / 2^q could round a
+    # boundary value into the next bucket (the oracle side uses integer
+    # division `//`, which matches the shift exactly for x >= 0)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *groups,
+        F.shiftrightunsigned(x, q).cast("bigint").alias("__bucket"),
+        (x % F.lit(2 ** q)).alias("__w"),
+    )
+    rho = (
+        F.when(
+            F.col("__w") > 0,
+            F.lit(q) - F.length(F.bin(F.col("__w"))) + F.lit(1),
+        )
+        .otherwise(F.lit(q + 1))
+        .cast("int")
+    )
+    return (
+        base.select(*groups, F.col("__bucket").cast("int").alias("bucket"),
+                    rho.alias("__rho"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+
+def hll_merge(*registers: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Merge register tables built at the SAME (p, hash_mode): union and
+    re-max. Lossless — merging equals having built one sketch over the
+    concatenated inputs, the property that makes batches/shards/streams
+    composable."""
+    if not registers:
+        raise DVConfigurationError("hll_merge: need at least one register table")
+    groups = list(by or [])
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(*groups, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 12,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Closed-form HLL estimate per group:
+    ``(…by, n_registers, est_distinct)``. The harmonic sum is exact in
+    integer space; only the final division (or the linear-counting
+    ``m·ln(m/zeros)`` branch) touches floats, so the rounded estimate
+    replays identically in any engine."""
+    _check_p(p)
+    q = _HASH_BITS - int(p)
+    m = 2 ** int(p)
+    alpha = _alpha(m)
+    groups = list(by or [])
+    agg = registers.groupBy(*groups).agg(
+        F.count("*").cast("bigint").alias("n_registers"),
+        F.sum(F.expr(f"cast(pow(cast(2 as double), {q + 1} - rho) as bigint)"))
+        .alias("__s"),
+    )
+    zeros = F.lit(m) - F.col("n_registers")
+    sum_scaled = (
+        F.col("__s") + zeros * F.lit(2 ** (q + 1))
+    )
+    raw = (
+        F.lit(float(alpha)) * F.lit(float(m)) * F.lit(float(m))
+        * F.lit(float(2 ** (q + 1))) / sum_scaled.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *groups,
+        "n_registers",
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+# --- persistence (staged-rename, same contract as the bloom family) --------
+
+
+def heal_hll(spark: SparkSession, path: str) -> str | None:
+    """Resolve a torn :func:`hll_append` swap; drains like
+    ``bloom.heal_bloom``. Idempotent."""
+    from mallarddv_spark.sources import layout
+
+    actions = []
+    while True:
+        a = layout.heal_dir_swap(spark, path)
+        if a is None:
+            break
+        actions.append(a)
+    return "+".join(actions) if actions else None
+
+
+def save_hll(
+    registers: DataFrame, path: str, p: int, hash_mode: str,
+    by: list[str] | None = None,
+) -> None:
+    """Persist a register table plus its parameters (p, hash_mode, group
+    columns ride as data — an append must reuse them)."""
+    spark = registers.sparkSession
+    heal_hll(spark, path)
+    from mallarddv_spark.sources import layout
+
+    out = registers.withColumn("__p", F.lit(int(p))).withColumn(
+        "__hash_mode", F.lit(hash_mode)
+    )
+    fs, live = layout.dir_fs(spark, path)
+    if not fs.exists(live):
+        out.coalesce(1).write.mode("overwrite").parquet(path)
+        return
+    out.coalesce(1).write.mode("overwrite").parquet(path + "__compact")
+    layout.swap_dir_live(spark, path)
+
+
+def load_hll(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Load a stored sketch: the register DataFrame (parameter columns
+    dropped) and its params. Heals a torn append on open."""
+    heal_hll(spark, path)
+    df = spark.read.parquet(path)
+    row = df.select("__p", "__hash_mode").first()
+    params = {"p": int(row["__p"]), "hash_mode": row["__hash_mode"]}
+    return df.drop("__p", "__hash_mode"), params
+
+
+def hll_append(
+    new_values: DataFrame, path: str, value_col: str,
+    by: list[str] | None = None,
+) -> None:
+    """Fold a batch into a STORED sketch: build batch registers at the
+    stored parameters, max-merge, staged-rename rewrite. Replayed
+    batches are absorbed by the max — appends are idempotent, the
+    property the streaming maintenance loop relies on."""
+    spark = new_values.sparkSession
+    stored, params = load_hll(spark, path)
+    batch = hll_registers(
+        new_values, value_col, p=params["p"], by=by,
+        hash_mode=params["hash_mode"],
+    )
+    merged = hll_merge(stored, batch, by=by)
+    save_hll(merged, path, params["p"], params["hash_mode"], by=by)

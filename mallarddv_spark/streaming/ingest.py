@@ -221,6 +221,7 @@ def neardup_stream_processor(
     quality_table: str | None = None,
     bm25_index_path: str | None = None,
     compact_every_n_batches: int | None = None,
+    vocab_hll_path: str | None = None,
 ):
     """Ready-made ``process_batch`` for :func:`stream_files_to_staging`:
     the continuous-crawl near-dup gate. Each micro-batch is
@@ -277,6 +278,14 @@ def neardup_stream_processor(
     duplicated postings (BM25 appended, minhash tore, batch replays) —
     the documented state ``retrieval.bm25_index_compact`` repairs — not
     a silent permanent omission, which nothing could repair.
+
+    ``vocab_hll_path`` (a sketch created by ``sketches.save_hll``)
+    maintains a mergeable HyperLogLog of the DISTINCT TOKENS ingested so
+    far — the "how big is the vocabulary now" statistic that would
+    otherwise need a full corpus rescan. Appends are max-merges, so a
+    replayed batch is absorbed exactly (idempotent regardless of crash
+    point); the stored register table is ≤ 2^p rows, so the maintenance
+    cost per batch is one tokenize + groupBy over the batch.
 
     ``compact_every_n_batches`` is the small-file policy: every
     micro-batch append writes one file set per touched bucket, so a
@@ -390,6 +399,15 @@ def neardup_stream_processor(
                 )
 
                 bm25_index_append(fresh, bm25_index_path, text_col)
+            if vocab_hll_path is not None:
+                from mallarddv_spark.functions.sketches import hll_append
+
+                toks = fresh.select(
+                    F.explode(
+                        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                    ).alias("tok")
+                ).filter(F.col("tok") != "")
+                hll_append(toks, vocab_hll_path, "tok")
             dedup.minhash_index_append(fresh, index_path, id_col, text_col)
         if (
             compact_every_n_batches is not None

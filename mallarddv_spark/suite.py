@@ -2415,8 +2415,26 @@ def q_sql_approx_aggregates(spark, sf):
             ).alias("p95_exact"),
         )
     )
-    agg = sketches.join(F.broadcast(exact_cd), "l_returnflag").join(
-        F.broadcast(exact_pct), "l_returnflag"
+    # the engine-OWNED mergeable HLL (functions/sketches.py) in md5 mode:
+    # unlike approx_count_distinct's black-box sketch, its registers are
+    # a plain DataFrame and the estimate is closed-form, so the oracle
+    # replays the VALUE bit-for-bit — not just a tolerance verdict
+    from mallarddv_spark.functions import sketches as sk
+
+    own = sk.hll_estimate(
+        sk.hll_registers(
+            li, "l_orderkey", p=12, by=["l_returnflag"], hash_mode="md5"
+        ),
+        p=12, by=["l_returnflag"],
+    ).select(
+        "l_returnflag",
+        F.col("n_registers").alias("own_hll_registers"),
+        F.col("est_distinct").alias("own_hll_est"),
+    )
+    agg = (
+        sketches.join(F.broadcast(exact_cd), "l_returnflag")
+        .join(F.broadcast(exact_pct), "l_returnflag")
+        .join(F.broadcast(own), "l_returnflag")
     )
     return agg.select(
         "l_returnflag",
@@ -2424,10 +2442,16 @@ def q_sql_approx_aggregates(spark, sf):
         "exact_orders",
         "p50_exact",
         "p95_exact",
+        "own_hll_registers",
+        "own_hll_est",
         (
             F.abs(F.col("__hll") - F.col("exact_orders"))
             <= F.col("exact_orders") * F.lit(0.15)
         ).alias("hll_within_15pct"),
+        (
+            F.abs(F.col("own_hll_est") - F.col("exact_orders"))
+            <= F.col("exact_orders") * F.lit(0.05)
+        ).alias("own_hll_within_5pct"),
         (
             F.abs(F.col("__p50a") - F.col("p50_exact"))
             <= F.abs(F.col("p50_exact")) * F.lit(0.01)
@@ -2439,18 +2463,67 @@ def q_sql_approx_aggregates(spark, sf):
     )
 
 
-O_SQL_APPROX = """
-SELECT l_returnflag,
-       count(*) AS n,
-       count(DISTINCT l_orderkey) AS exact_orders,
-       cast(round(quantile_cont(l_extendedprice, 0.5), 4) as double) AS p50_exact,
-       cast(round(quantile_cont(l_extendedprice, 0.95), 4) as double) AS p95_exact,
+def _o_sql_approx() -> str:
+    # the own-HLL pipeline mirrored in closed form: same md5→60-bit hash
+    # convention, integer-exact harmonic sum (each 2^-rho term scaled by
+    # 2^49 is an integer), identical operation order in the one final
+    # division — the estimate VALUE replays bit-for-bit
+    m = 4096
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    q2_48, q2_49 = 2 ** 48, 2 ** 49
+    raw = (
+        f"({alpha!r} * cast({m} as double) * cast({m} as double)"
+        f" * cast({q2_49} as double)"
+        f" / cast(s + ({m} - n_registers) * {q2_49} as double))"
+    )
+    return f"""
+WITH hh AS (
+  SELECT l_returnflag,
+         (('0x' || substr(md5(cast(l_orderkey as varchar)),1,15))::bigint) AS x
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+),
+hregs AS (
+  SELECT l_returnflag, x // {q2_48} AS bucket,
+         max(CASE WHEN x % {q2_48} > 0
+                  THEN 48 - length(bin(x % {q2_48})) + 1 ELSE 49 END) AS rho
+  FROM hh GROUP BY 1, 2
+),
+hagg AS (
+  SELECT l_returnflag, count(*) AS n_registers,
+         sum(cast(pow(cast(2 as double), 49 - rho) as bigint)) AS s
+  FROM hregs GROUP BY 1
+),
+hest AS (
+  SELECT l_returnflag, n_registers,
+         round(CASE WHEN {raw} <= {2.5 * m!r} AND ({m} - n_registers) > 0
+               THEN cast({m} as double)
+                    * ln(cast({m} as double)
+                         / cast({m} - n_registers as double))
+               ELSE {raw} END, 4) AS est
+  FROM hagg
+),
+base AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         count(DISTINCT l_orderkey) AS exact_orders,
+         cast(round(quantile_cont(l_extendedprice, 0.5), 4) as double) AS p50_exact,
+         cast(round(quantile_cont(l_extendedprice, 0.95), 4) as double) AS p95_exact
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT b.l_returnflag, b.n, b.exact_orders, b.p50_exact, b.p95_exact,
+       h.n_registers AS own_hll_registers,
+       h.est AS own_hll_est,
        TRUE AS hll_within_15pct,
+       abs(h.est - b.exact_orders) <= b.exact_orders * 0.05
+           AS own_hll_within_5pct,
        TRUE AS p50_within_1pct,
        TRUE AS p95_within_1pct
-FROM lineitem
-GROUP BY l_returnflag
+FROM base b JOIN hest h USING (l_returnflag)
 """
+
+
+O_SQL_APPROX = _o_sql_approx()
 
 
 REGISTRY.update(

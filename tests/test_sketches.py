@@ -1,0 +1,163 @@
+"""Mergeable HyperLogLog (functions/sketches): accuracy bands, lossless
+merge, grouped sketches, linear-counting branch, DuckDB byte-parity of
+the md5 mode, and the persisted append/heal lifecycle."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mallarddv_spark.exceptions import DVConfigurationError
+from mallarddv_spark.functions import sketches as sk
+
+M = 4096  # p=12
+Q2_48, Q2_49 = 2 ** 48, 2 ** 49
+
+
+def _vals(spark, n, prefix="v", start=0):
+    return spark.range(start, start + n).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("v")
+    )
+
+
+def test_estimate_within_error_band(spark):
+    """p=12 → rsd ≈ 1.04/sqrt(4096) ≈ 1.6%; both hash modes must land
+    within a generous 3-sigma band at 100k distincts."""
+    df = _vals(spark, 100_000)
+    for mode in ("xxhash64", "md5"):
+        est = sk.hll_estimate(
+            sk.hll_registers(df, "v", p=12, hash_mode=mode), p=12
+        ).first()
+        assert abs(est.est_distinct - 100_000) / 100_000 < 0.05, (
+            mode, est.est_distinct)
+
+
+def test_merge_is_lossless(spark):
+    """Merging sketches of two OVERLAPPING halves must equal the
+    one-shot sketch over the union — the property that makes per-batch
+    appends and per-shard sketches composable."""
+    df = _vals(spark, 50_000)
+    h1 = sk.hll_registers(df.filter("substr(v, 2) < '3'"), "v", p=12,
+                          hash_mode="md5")
+    h2 = sk.hll_registers(df.filter("substr(v, 2) >= '2'"), "v", p=12,
+                          hash_mode="md5")
+    merged = sorted(map(tuple, sk.hll_merge(h1, h2).collect()))
+    one = sorted(map(tuple, sk.hll_registers(df, "v", p=12,
+                                             hash_mode="md5").collect()))
+    assert merged == one
+
+
+def test_grouped_and_duplicates_and_nulls(spark):
+    """Per-group sketches; duplicate values count once; NULLs ignored."""
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("x"), (F.col("id") % 9000)).alias("v"),
+    ).unionByName(
+        spark.createDataFrame([("0", None)], "g string, v string")
+    )
+    regs = sk.hll_registers(df, "v", p=12, by=["g"], hash_mode="md5")
+    ests = {r.g: r.est_distinct
+            for r in sk.hll_estimate(regs, p=12, by=["g"]).collect()}
+    # each group sees 3000 distinct values (9000 spread over 3 groups)
+    for g in ("0", "1", "2"):
+        assert abs(ests[g] - 3000) / 3000 < 0.06, (g, ests[g])
+
+
+def test_linear_counting_small_range(spark):
+    """Tiny cardinalities take the linear-counting branch and stay
+    near-exact."""
+    est = sk.hll_estimate(
+        sk.hll_registers(_vals(spark, 50, "s"), "v", p=12), p=12
+    ).first()
+    assert abs(est.est_distinct - 50) < 5
+
+
+def test_md5_mode_replays_in_duckdb(spark, tmp_path):
+    """The md5-mode registers AND the rounded estimate must match a
+    closed-form DuckDB replay byte-for-byte — the oracle contract the
+    sql_approx_aggregates gate columns rely on."""
+    pq = str(tmp_path / "vals.parquet")
+    _vals(spark, 20_000).write.parquet(pq)
+    df = spark.read.parquet(pq)
+    got = sk.hll_estimate(
+        sk.hll_registers(df, "v", p=12, hash_mode="md5"), p=12
+    ).first()
+    alpha = 0.7213 / (1.0 + 1.079 / M)
+    raw = (
+        f"({alpha!r} * cast({M} as double) * cast({M} as double)"
+        f" * cast({Q2_49} as double)"
+        f" / cast(s + ({M} - n_registers) * {Q2_49} as double))"
+    )
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH h AS (
+  SELECT (('0x' || substr(md5(v),1,15))::bigint) AS x
+  FROM read_parquet('{pq}/*.parquet') WHERE v IS NOT NULL
+),
+regs AS (
+  SELECT x // {Q2_48} AS bucket,
+         max(CASE WHEN x % {Q2_48} > 0
+                  THEN 48 - length(bin(x % {Q2_48})) + 1 ELSE 49 END) AS rho
+  FROM h GROUP BY 1
+),
+agg AS (
+  SELECT count(*) AS n_registers,
+         sum(cast(pow(cast(2 as double), 49 - rho) as bigint)) AS s
+  FROM regs
+)
+SELECT n_registers,
+       round(CASE WHEN {raw} <= {2.5 * M!r} AND ({M} - n_registers) > 0
+             THEN cast({M} as double)
+                  * ln(cast({M} as double) / cast({M} - n_registers as double))
+             ELSE {raw} END, 4) AS est
+FROM agg
+""").fetchone()
+    assert (got.n_registers, got.est_distinct) == (want[0], want[1])
+
+
+def test_persisted_append_heal_idempotent(spark, tmp_path):
+    """save → append → estimate equals the one-shot sketch; a REPLAYED
+    append changes nothing (max-merge absorbs it); a torn staged swap
+    heals on open."""
+    path = str(tmp_path / "hll")
+    a = _vals(spark, 10_000)
+    b = _vals(spark, 10_000, start=5_000)  # overlaps a
+    sk.save_hll(sk.hll_registers(a, "v", p=12, hash_mode="md5"),
+                path, p=12, hash_mode="md5")
+    sk.hll_append(b, path, "v")
+    sk.hll_append(b, path, "v")  # the replay
+    stored, params = sk.load_hll(spark, path)
+    assert params == {"p": 12, "hash_mode": "md5"}
+    got = sorted(map(tuple, stored.collect()))
+    one = sorted(map(tuple, sk.hll_registers(
+        a.unionByName(b), "v", p=12, hash_mode="md5").collect()))
+    assert got == one
+
+    # torn swap: live renamed out, only the backup remains
+    import os
+
+    os.rename(path, path + "__pre_compact")
+    assert sk.heal_hll(spark, path) is not None
+    stored2, _ = sk.load_hll(spark, path)
+    assert sorted(map(tuple, stored2.collect())) == got
+
+
+def test_guards(spark):
+    df = _vals(spark, 10)
+    with pytest.raises(DVConfigurationError, match="p must be"):
+        sk.hll_registers(df, "v", p=30)
+    with pytest.raises(DVConfigurationError, match="hash_mode"):
+        sk.hll_registers(df, "v", hash_mode="sha9")
+    with pytest.raises(DVConfigurationError, match="at least one"):
+        sk.hll_merge()
+
+
+def test_registers_plan_no_window_no_python(spark):
+    """Register building is one groupBy with map-side combine — no
+    windows, no Python stages, bounded per-task state at any skew."""
+    from mallarddv_spark.plans.audit import plan_report
+
+    regs = sk.hll_registers(_vals(spark, 1000), "v", p=12)
+    rep = plan_report(regs)
+    assert rep["python_stages"] == 0
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan

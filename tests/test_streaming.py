@@ -610,3 +610,59 @@ def test_neardup_stream_auto_compact_policy(spark, tmp_path):
                spark.read.parquet(f"{index_path}/sigs").collect()}
     assert sig_ids == {1} | {500 + i for i in range(8)}
     spark.sql("DROP TABLE IF EXISTS default.ac_sink")
+
+
+def test_neardup_stream_maintains_vocab_hll(spark, tmp_path):
+    """vocab_hll_path: each batch's distinct tokens max-merge into the
+    stored sketch; after N batches the estimate equals a one-shot sketch
+    over everything the sink accepted (replays absorbed)."""
+    from pyspark.sql import Row
+    from mallarddv_spark.functions import sketches as sk
+    from mallarddv_spark.operators import dedup
+
+    seed = spark.createDataFrame(
+        [Row(doc_id=1, text="seed alpha beta")]
+    )
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(seed, index_path, num_perm=32, bands=8,
+                              shingle_size=3)
+    hll_path = str(tmp_path / "vocab_hll")
+    seed_toks = seed.selectExpr(
+        "explode(split(trim(lower(text)), '\\\\s+')) AS tok"
+    )
+    sk.save_hll(sk.hll_registers(seed_toks, "tok", p=12, hash_mode="md5"),
+                hll_path, p=12, hash_mode="md5")
+    spark.sql("DROP TABLE IF EXISTS default.vh_sink")
+
+    process = ingest.neardup_stream_processor(
+        index_path, "default.vh_sink", threshold=0.9,
+        vocab_hll_path=hll_path,
+    )
+    batches = [
+        spark.createDataFrame(
+            [Row(doc_id=500 + i, text=f"tok{i}a tok{i}b shared corpus")]
+        )
+        for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        process(b, i)
+    process(batches[1], 99)  # replay of an already-ingested batch
+
+    everything = seed
+    for b in batches:
+        everything = everything.unionByName(b)
+    one = sk.hll_registers(
+        everything.selectExpr(
+            "explode(split(trim(lower(text)), '\\\\s+')) AS tok"
+        ),
+        "tok", p=12, hash_mode="md5",
+    )
+    stored, params = sk.load_hll(spark, hll_path)
+    assert params["hash_mode"] == "md5"
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, one.collect())
+    )
+    est = sk.hll_estimate(stored, p=12).first().est_distinct
+    # 3 + 2*3 + 2 shared tokens = 11 distinct; tiny range → near-exact
+    assert abs(est - 11) < 2, est
+    spark.sql("DROP TABLE IF EXISTS default.vh_sink")
