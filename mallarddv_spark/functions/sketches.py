@@ -1,16 +1,24 @@
 """Mergeable HyperLogLog sketches, relationally (Flajolet et al. 2007).
 
 Reference scope note: the reference engine has no sketch tier — this
-extends the corpus-statistics family. Spark's built-in
-``approx_count_distinct`` is a black-box aggregate: its sketch state
-cannot be persisted, merged across runs, or replayed by another engine.
+extends the corpus-statistics family. Two sketch modules coexist by
+design:
+
+* :mod:`mallarddv_spark.operators.sketches` wraps Spark's JVM
+  DataSketches aggregates (``hll_sketch_agg`` / theta) — fastest, with
+  theta set algebra, but the state is an OPAQUE binary: only Spark (at
+  a compatible DataSketches version) can read it back, and no oracle
+  can replay the estimate.
+* THIS module keeps the register table as a plain ``(bucket, rho)``
+  DataFrame — engine-portable parquet, groupBy-max merges, and a
+  closed-form estimate that replays bit-for-bit in the DuckDB oracle
+  (md5 hash mode). That replayability is what lets the driver gate
+  hash-compare the estimate VALUE, and the plain-data format is what a
+  heterogeneous lake (Spark writers, DuckDB/Trino readers) can share.
+
 At 100 TB the questions that matter — "how many distinct tokens/urls/
-doc-ids so far?" — are INCREMENTAL: a streaming crawl gate must fold
-each micro-batch into a stored sketch instead of rescanning the corpus.
-This module keeps the register table as a plain DataFrame, so sketches
-persist as parquet, merge with a groupBy-max, and the estimate is a
-closed-form expression that replays bit-for-bit in the DuckDB oracle
-(md5 hash mode).
+doc-ids so far?" — are INCREMENTAL: a streaming crawl gate folds each
+micro-batch into the stored sketch instead of rescanning the corpus.
 
 Design:
 

@@ -13,6 +13,12 @@ rescan.
 All three steps are JVM aggregate expressions — no Python, one shuffle
 per groupBy, sketches merge associatively so partial aggregation
 (map-side combine) applies.
+
+Sibling module: :mod:`mallarddv_spark.functions.sketches` implements a
+register-table HLL whose state is plain parquet and whose estimate
+replays bit-for-bit in the DuckDB oracle — choose it when sketches must
+cross engines or be value-verified; choose THIS module for raw speed
+and theta set algebra inside Spark.
 """
 
 from __future__ import annotations
