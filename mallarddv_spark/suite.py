@@ -4044,6 +4044,77 @@ O_TEXT_CHUNKING_WINNOW = (
 )
 
 
+def q_text_hybrid_rerank(spark, sf):
+    """The two-tier retrieval composition
+    (`operators/retrieval.hybrid_rerank_topk`): the inline BM25 top-20
+    shortlist for the three fixed queries, re-ranked by embedding cosine
+    against the embeddings table (vec_id ≡ doc_id in the synthetic data;
+    query vectors borrow vec_id 0/1/2). Ranks order by (cosine desc
+    NULLS LAST, BM25 rank, doc_id) — fully deterministic — and the
+    cosine expression matches the similarity-suite's proven
+    `list_dot_product` replay, so the whole composition is value-exact
+    in the oracle. At the gate SFs every shortlist doc has a vector; the
+    vectorless-hit/vectorless-query retention semantics are pinned in
+    tests/test_retrieval.py."""
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.retrieval import (
+        bm25_topk,
+        hybrid_rerank_topk,
+    )
+
+    queries = literal_frame(
+        spark, _BM25_QUERIES, "query_id string, query string"
+    )
+    hits = bm25_topk(_t(spark, sf, "documents"), queries, k=20)
+    emb = _t(spark, sf, "embeddings")
+    doc_vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    query_vecs = emb.filter("vec_id < 3").select(
+        F.expr(
+            "CASE vec_id WHEN 0 THEN 'q_hash' WHEN 1 THEN 'q_sort' "
+            "ELSE 'q_dup' END"
+        ).alias("query_id"),
+        "embedding",
+    )
+    return hybrid_rerank_topk(hits, doc_vecs, query_vecs, k=10).select(
+        "query_id",
+        "doc_id",
+        "cosine",
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+O_TEXT_HYBRID = (
+    """
+WITH bm AS ("""
+    + O_TEXT_BM25
+    + """),
+dv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+qvv AS (
+  SELECT CASE vec_id WHEN 0 THEN 'q_hash' WHEN 1 THEN 'q_sort'
+         ELSE 'q_dup' END AS query_id,
+         embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 3
+),
+hsc AS (
+  SELECT bm.query_id, bm.doc_id, bm.rnk AS old_rnk,
+         CASE WHEN dv.v IS NOT NULL THEN
+           round(list_dot_product(dv.v, qvv.v)
+                 / (sqrt(list_dot_product(dv.v, dv.v))
+                    * sqrt(list_dot_product(qvv.v, qvv.v))), 6)
+         END AS cosine
+  FROM bm JOIN qvv USING (query_id) LEFT JOIN dv USING (doc_id)
+)
+SELECT query_id, doc_id, cosine, rnk FROM (
+  SELECT query_id, doc_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC NULLS LAST, old_rnk,
+                                     doc_id) AS rnk
+  FROM hsc
+) x WHERE rnk <= 10
+"""
+)
+
+
 def q_text_frequency_suite(spark, sf):
     """Corpus-frequency suite: top-k vocabulary ranking, per-document
     rarity scoring, bigram-LM fluency scoring (train on even ids,
@@ -4056,7 +4127,8 @@ def q_text_frequency_suite(spark, sf):
     (interpolated Kneser-Ney under the same trained model — the
     KenLM-family smoothing), text_dsir, text_nb_classify, bm25,
     bm25store (the stored-index build→append→probe round-trip, oracled
-    by the same inline replay), pplbucket."""
+    by the same inline replay), hybrid (the BM25→cosine rerank
+    composition, value-exact in the oracle), pplbucket."""
     v = q_text_vocab_topk(spark, sf).select(
         F.lit("vocab").alias("part"),
         F.col("rnk").alias("id"),
@@ -4121,6 +4193,14 @@ def q_text_frequency_suite(spark, sf):
         F.col("n_terms").alias("n2"),
         F.col("score").alias("d1"),
     )
+    hy = q_text_hybrid_rerank(spark, sf).select(
+        F.lit("hybrid").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.col("query_id").alias("term"),
+        F.col("rnk").alias("n1"),
+        *_nulls(("n2", "bigint")),
+        F.col("cosine").alias("d1"),
+    )
     pb = q_text_pplbucket(spark, sf).select(
         F.lit("pplbucket").alias("part"),
         "id",
@@ -4131,7 +4211,8 @@ def q_text_frequency_suite(spark, sf):
     )
     return (
         v.unionByName(r).unionByName(lm).unionByName(kn).unionByName(ds)
-        .unionByName(nc).unionByName(bm).unionByName(bs).unionByName(pb)
+        .unionByName(nc).unionByName(bm).unionByName(bs).unionByName(hy)
+        .unionByName(pb)
     )
 
 
@@ -4163,7 +4244,10 @@ O_TEXT_FREQUENCY = (
     + ") bm\nUNION ALL\nSELECT 'bm25store' AS part, doc_id AS id, query_id AS term,"
     " rnk AS n1, n_terms AS n2, score AS d1\nFROM ("
     + O_TEXT_BM25
-    + ") bs\nUNION ALL\nSELECT 'pplbucket' AS part, id, lang_bucket AS term,"
+    + ") bs\nUNION ALL\nSELECT 'hybrid' AS part, doc_id AS id, query_id AS term,"
+    " rnk AS n1, cast(NULL as bigint) AS n2, cosine AS d1\nFROM ("
+    + O_TEXT_HYBRID
+    + ") hy\nUNION ALL\nSELECT 'pplbucket' AS part, id, lang_bucket AS term,"
     " ppl_bucket AS n1, n_bigrams AS n2, avg_logprob AS d1\nFROM ("
     + O_TEXT_PPLBUCKET
     + ") pb"
