@@ -1146,3 +1146,49 @@ def test_kn_discount_guard(spark):
     d = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(DVConfigurationError, match="discount"):
         textops.score_kn_logprob(d, "doc_id", "text", lm, discount=1.5)
+
+
+# --- containment property test vs pure-Python sets -------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ctok = st.sampled_from(["a", "b", "c", "d", "e"])
+_ctext = st.lists(_ctok, min_size=0, max_size=10).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_ctext, min_size=2, max_size=6))
+def test_containment_property_matches_sets(spark, texts):
+    """containment_pairs == pure-Python set arithmetic over 2-gram
+    shingles on arbitrary corpora (uncapped universe, threshold 0)."""
+    k = 2
+    sets = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if len(toks) >= k:
+            sets[i] = {" ".join(toks[j:j + k])
+                       for j in range(len(toks) - k + 1)}
+    want = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            if inter:
+                want[(a, b)] = (
+                    inter, len(sets[a]), len(sets[b]),
+                    round(inter / len(sets[a]), 6),
+                    round(inter / len(sets[b]), 6),
+                )
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.sz_a, r.sz_b,
+                             r.containment_a, r.containment_b)
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", shingle_size=k, threshold=0.0,
+            max_shingle_df=None,
+        ).collect()
+    }
+    assert got == want
