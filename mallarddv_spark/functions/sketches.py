@@ -52,6 +52,8 @@ from mallarddv_spark.exceptions import DVConfigurationError
 __all__ = [
     "hll_registers", "hll_merge", "hll_estimate",
     "save_hll", "load_hll", "hll_append", "heal_hll",
+    "cm_counts", "cm_merge", "cm_query",
+    "save_cm", "load_cm", "cm_append", "heal_cm",
 ]
 
 _HASH_BITS = 60
@@ -244,3 +246,174 @@ def hll_append(
     )
     merged = hll_merge(stored, batch, by=by)
     save_hll(merged, path, params["p"], params["hash_mode"], by=by)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable FREQUENCY estimation (Cormode & Muthukrishnan
+# 2005), the standard streaming companion to HLL: "how often has this
+# token/url/key appeared so far" in O(d·w) integers, without storing the
+# vocabulary. State is a plain (row, col, cnt) DataFrame of exact integer
+# counts, so merging is a groupBy-SUM and every estimate replays exactly in
+# any engine — there is no float anywhere in the sketch.
+#
+# Error contract: estimates never under-count; over-count ≤ e·N/w with
+# probability 1 - e^-d (N = total weight). Unlike the HLL, appends are NOT
+# idempotent — counts add, so a replayed batch double-counts. A stream that
+# needs exactly-once frequencies must gate appends behind its replay fence
+# (the minhash-index pattern in streaming/ingest.py) or tolerate the
+# documented at-least-once over-count.
+# ---------------------------------------------------------------------------
+
+
+def _cm_cols(value_col: str, d: int, w: int, hash_mode: str):
+    """One (row, col) pair per hash row: row i uses the salted value
+    ``i:v`` through the same 60-bit hash as the HLL, mod ``w``."""
+    pairs = []
+    for i in range(d):
+        if hash_mode == "md5":
+            h = F.expr(
+                f"cast(conv(substr(md5(concat('{i}:', "
+                f"cast({value_col} as string))),1,15),16,10) as bigint)"
+            )
+        elif hash_mode == "xxhash64":
+            h = F.shiftrightunsigned(
+                F.xxhash64(
+                    F.concat(F.lit(f"{i}:"), F.col(value_col).cast("string"))
+                ),
+                4,
+            )
+        else:
+            raise DVConfigurationError(
+                f"cm: unknown hash_mode {hash_mode!r} (md5 | xxhash64)"
+            )
+        pairs.append(F.struct(F.lit(i).alias("row"),
+                              (h % F.lit(int(w))).cast("int").alias("col")))
+    return F.array(*pairs)
+
+
+def _check_cm(d: int, w: int) -> None:
+    if not 1 <= int(d) <= 16:
+        raise DVConfigurationError("cm: d must be in [1, 16]")
+    if not 16 <= int(w) <= 1 << 24:
+        raise DVConfigurationError("cm: w must be in [16, 2^24]")
+
+
+def cm_counts(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 2048,
+    weight_col: str | None = None,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Build the count table ``(row, col, cnt)`` over ``value_col``
+    occurrences (NULLs ignored; ``weight_col`` for pre-aggregated
+    inputs). One explode (×d) + one groupBy with map-side combine —
+    the table is ≤ d·w rows regardless of input size."""
+    _check_cm(d, w)
+    wcol = (
+        F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.explode(_cm_cols(value_col, int(d), int(w), hash_mode)).alias(
+                "__rc"
+            ),
+            wcol.alias("__w"),
+        )
+        .groupBy(F.col("__rc.row").alias("row"), F.col("__rc.col").alias("col"))
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cm_merge(*counts: DataFrame) -> DataFrame:
+    """Merge count tables built at the SAME (d, w, hash_mode): union and
+    re-sum. Exact — merging equals one sketch over the concatenation."""
+    if not counts:
+        raise DVConfigurationError("cm_merge: need at least one count table")
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_query(
+    counts: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 2048,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Point-query frequencies: for each value, min over its ``d``
+    counters (0 when a counter row is absent — the value was never
+    seen on that row). Returns the input columns plus ``est_count``.
+    The probe side explodes ×d and hash-joins the ≤ d·w count table —
+    at scale the count table is the broadcast side."""
+    _check_cm(d, w)
+    probes = values.select(
+        "*",
+        F.explode(_cm_cols(value_col, int(d), int(w), hash_mode)).alias("__rc"),
+    ).select("*", F.col("__rc.row").alias("row"), F.col("__rc.col").alias("col"))
+    joined = probes.join(F.broadcast(counts), ["row", "col"], "left")
+    return (
+        joined.groupBy(*values.columns)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_count")
+        )
+    )
+
+
+def heal_cm(spark: SparkSession, path: str) -> str | None:
+    """Resolve a torn :func:`cm_append` swap (same drain as the HLL)."""
+    return heal_hll(spark, path)
+
+
+def save_cm(
+    counts: DataFrame, path: str, d: int, w: int, hash_mode: str
+) -> None:
+    """Persist a count table plus its parameters."""
+    spark = counts.sparkSession
+    heal_cm(spark, path)
+    from mallarddv_spark.sources import layout
+
+    out = (
+        counts.withColumn("__d", F.lit(int(d)))
+        .withColumn("__w", F.lit(int(w)))
+        .withColumn("__hash_mode", F.lit(hash_mode))
+    )
+    fs, live = layout.dir_fs(spark, path)
+    if not fs.exists(live):
+        out.coalesce(1).write.mode("overwrite").parquet(path)
+        return
+    out.coalesce(1).write.mode("overwrite").parquet(path + "__compact")
+    layout.swap_dir_live(spark, path)
+
+
+def load_cm(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Load a stored count table and its params; heals on open."""
+    heal_cm(spark, path)
+    df = spark.read.parquet(path)
+    row = df.select("__d", "__w", "__hash_mode").first()
+    params = {"d": int(row["__d"]), "w": int(row["__w"]),
+              "hash_mode": row["__hash_mode"]}
+    return df.drop("__d", "__w", "__hash_mode"), params
+
+
+def cm_append(
+    new_values: DataFrame, path: str, value_col: str,
+    weight_col: str | None = None,
+) -> None:
+    """Fold a batch into a STORED sketch (sum-merge + staged rewrite).
+    NOT idempotent — a replayed batch double-counts (see the module
+    contract); gate behind a replay fence for exactly-once counts."""
+    spark = new_values.sparkSession
+    stored, p = load_cm(spark, path)
+    batch = cm_counts(
+        new_values, value_col, d=p["d"], w=p["w"], weight_col=weight_col,
+        hash_mode=p["hash_mode"],
+    )
+    save_cm(cm_merge(stored, batch), path, p["d"], p["w"], p["hash_mode"])

@@ -4115,6 +4115,87 @@ SELECT query_id, doc_id, cosine, rnk FROM (
 )
 
 
+def q_text_cmfreq(spark, sf):
+    """Count-min frequency estimation (`functions/sketches.cm_counts` /
+    `cm_query`, md5 mode): token-occurrence frequencies for the nine
+    distinct words of the fixed BM25 queries, estimated from a d=4,
+    w=4096 sketch over the whole corpus token stream and reported next
+    to the exact count. The sketch state is pure integers, so the
+    estimate replays byte-for-byte in the oracle; the exact column makes
+    the never-under-count contract visible in the gate data itself."""
+    from mallarddv_spark.functions import sketches as sk
+
+    toks = _t(spark, sf, "documents").select(
+        F.explode(
+            F.split(F.trim(F.lower("text")), r"\s+")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = sk.cm_counts(toks, "tok", d=4, w=4096, hash_mode="md5")
+    words = sorted({w for _, q in _BM25_QUERIES for w in q.split()})
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    probes = literal_frame(spark, [(w,) for w in words], "word string")
+    est = sk.cm_query(
+        counts, probes, "word", d=4, w=4096, hash_mode="md5"
+    )
+    exact = toks.groupBy(F.col("tok").alias("word")).agg(
+        F.count("*").cast("bigint").alias("exact_count")
+    )
+    return (
+        est.join(exact, "word", "left")
+        .select(
+            "word",
+            "est_count",
+            F.coalesce("exact_count", F.lit(0)).cast("bigint").alias(
+                "exact_count"
+            ),
+        )
+    )
+
+
+O_TEXT_CMFREQ_TMPL = r"""
+WITH ctoks AS (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+cmc AS (
+    SELECT i AS row,
+           cast((('0x' || substr(md5(i || ':' || tok),1,15))::bigint) % 4096
+                as int) AS col,
+           count(*) AS cnt
+    FROM ctoks, unnest([0, 1, 2, 3]) u(i)
+    GROUP BY 1, 2
+),
+cwords(word) AS (VALUES {words}),
+cprobe AS (
+    SELECT word, i AS row,
+           cast((('0x' || substr(md5(i || ':' || word),1,15))::bigint) % 4096
+                as int) AS col
+    FROM cwords, unnest([0, 1, 2, 3]) u(i)
+),
+cest AS (
+    SELECT p.word, cast(min(coalesce(c.cnt, 0)) as bigint) AS est_count
+    FROM cprobe p LEFT JOIN cmc c USING (row, col)
+    GROUP BY p.word
+),
+cexact AS (SELECT tok AS word, count(*) AS exact_count FROM ctoks GROUP BY 1)
+SELECT e.word, e.est_count,
+       cast(coalesce(x.exact_count, 0) as bigint) AS exact_count
+FROM cest e LEFT JOIN cexact x USING (word)
+"""
+
+
+def _o_text_cmfreq() -> str:
+    words = sorted({w for _, q in _BM25_QUERIES for w in q.split()})
+    return O_TEXT_CMFREQ_TMPL.format(
+        words=", ".join(f"('{w}')" for w in words)
+    )
+
+
+O_TEXT_CMFREQ = _o_text_cmfreq()
+
+
 def q_text_frequency_suite(spark, sf):
     """Corpus-frequency suite: top-k vocabulary ranking, per-document
     rarity scoring, bigram-LM fluency scoring (train on even ids,
@@ -4128,7 +4209,9 @@ def q_text_frequency_suite(spark, sf):
     KenLM-family smoothing), text_dsir, text_nb_classify, bm25,
     bm25store (the stored-index build→append→probe round-trip, oracled
     by the same inline replay), hybrid (the BM25→cosine rerank
-    composition, value-exact in the oracle), pplbucket."""
+    composition, value-exact in the oracle), cmfreq (count-min token
+    frequencies next to exact counts — integer state, byte-exact
+    replay), pplbucket."""
     v = q_text_vocab_topk(spark, sf).select(
         F.lit("vocab").alias("part"),
         F.col("rnk").alias("id"),
@@ -4201,6 +4284,14 @@ def q_text_frequency_suite(spark, sf):
         *_nulls(("n2", "bigint")),
         F.col("cosine").alias("d1"),
     )
+    cm = q_text_cmfreq(spark, sf).select(
+        F.lit("cmfreq").alias("part"),
+        *_nulls(("id", "bigint")),
+        F.col("word").alias("term"),
+        F.col("est_count").alias("n1"),
+        F.col("exact_count").alias("n2"),
+        *_nulls(("d1", "double")),
+    )
     pb = q_text_pplbucket(spark, sf).select(
         F.lit("pplbucket").alias("part"),
         "id",
@@ -4212,7 +4303,7 @@ def q_text_frequency_suite(spark, sf):
     return (
         v.unionByName(r).unionByName(lm).unionByName(kn).unionByName(ds)
         .unionByName(nc).unionByName(bm).unionByName(bs).unionByName(hy)
-        .unionByName(pb)
+        .unionByName(cm).unionByName(pb)
     )
 
 
@@ -4247,7 +4338,11 @@ O_TEXT_FREQUENCY = (
     + ") bs\nUNION ALL\nSELECT 'hybrid' AS part, doc_id AS id, query_id AS term,"
     " rnk AS n1, cast(NULL as bigint) AS n2, cosine AS d1\nFROM ("
     + O_TEXT_HYBRID
-    + ") hy\nUNION ALL\nSELECT 'pplbucket' AS part, id, lang_bucket AS term,"
+    + ") hy\nUNION ALL\nSELECT 'cmfreq' AS part, cast(NULL as bigint) AS id,"
+    " word AS term, est_count AS n1, exact_count AS n2,"
+    " cast(NULL as double) AS d1\nFROM ("
+    + O_TEXT_CMFREQ
+    + ") cm\nUNION ALL\nSELECT 'pplbucket' AS part, id, lang_bucket AS term,"
     " ppl_bucket AS n1, n_bigrams AS n2, avg_logprob AS d1\nFROM ("
     + O_TEXT_PPLBUCKET
     + ") pb"

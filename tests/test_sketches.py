@@ -161,3 +161,102 @@ def test_registers_plan_no_window_no_python(spark):
     assert rep["python_stages"] == 0
     plan = regs._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition" not in plan
+
+
+# --- count-min sketch ------------------------------------------------------
+
+
+def test_cm_never_undercounts_and_bounds_overcount(spark):
+    """CM estimates are exact-or-over, never under; with d=4, w=2048 and
+    ~10k items the expected over-count is ~e*N/w ≈ 13 — assert a loose
+    bound."""
+    df = spark.range(10_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 1000)).alias("v")
+    )  # every value occurs exactly 10 times
+    counts = sk.cm_counts(df, "v", d=4, w=2048)
+    probes = spark.createDataFrame(
+        [(f"t{i}",) for i in range(0, 1000, 97)] + [("never-seen",)],
+        "v string",
+    )
+    got = {r.v: r.est_count
+           for r in sk.cm_query(counts, probes, "v", d=4, w=2048).collect()}
+    for v, est in got.items():
+        true = 10 if v != "never-seen" else 0
+        assert est >= true, (v, est)
+        assert est <= true + 60, (v, est)
+
+
+def test_cm_merge_and_weights(spark):
+    """Merging two batch sketches equals one sketch over the union;
+    weight_col folds pre-aggregated counts."""
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], "v string")
+    b = spark.createDataFrame([("x",), ("z",)], "v string")
+    m = sk.cm_merge(sk.cm_counts(a, "v", d=3, w=64),
+                    sk.cm_counts(b, "v", d=3, w=64))
+    one = sk.cm_counts(a.unionByName(b), "v", d=3, w=64)
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, one.collect()))
+    wdf = spark.createDataFrame([("x", 3), ("y", 1), ("z", 1)],
+                                "v string, n int")
+    wsk = sk.cm_counts(wdf, "v", d=3, w=64, weight_col="n")
+    assert sorted(map(tuple, wsk.collect())) == sorted(map(tuple, one.collect()))
+    probes = spark.createDataFrame([("x",), ("z",)], "v string")
+    got = {r.v: r.est_count
+           for r in sk.cm_query(one, probes, "v", d=3, w=64).collect()}
+    assert got["x"] >= 3 and got["z"] >= 1
+
+
+def test_cm_md5_replays_in_duckdb(spark, tmp_path):
+    """md5-mode count tables are exact integers — the replay is
+    trivially byte-identical, which is what makes the sketch shareable
+    across engines."""
+    pq = str(tmp_path / "cmvals.parquet")
+    spark.range(5_000).select(
+        F.concat(F.lit("w"), (F.col("id") % 500)).alias("v")
+    ).write.parquet(pq)
+    df = spark.read.parquet(pq)
+    got = sorted(map(tuple,
+                     sk.cm_counts(df, "v", d=3, w=256,
+                                  hash_mode="md5").collect()))
+    con = duckdb.connect()
+    want = sorted(con.execute(f"""
+WITH v AS (SELECT v FROM read_parquet('{pq}/*.parquet') WHERE v IS NOT NULL),
+probes AS (
+  SELECT i AS row,
+         cast((('0x' || substr(md5(i || ':' || v),1,15))::bigint) % 256
+              as int) AS col
+  FROM v, unnest([0, 1, 2]) u(i)
+)
+SELECT row, col, count(*) AS cnt FROM probes GROUP BY 1, 2
+""").fetchall())
+    assert got == want
+
+
+def test_cm_persist_append_heal(spark, tmp_path):
+    """save → append accumulates (documented NON-idempotence: a replayed
+    batch double-counts); a torn swap heals on open."""
+    import os
+
+    path = str(tmp_path / "cm")
+    a = spark.createDataFrame([("x",), ("y",)], "v string")
+    sk.save_cm(sk.cm_counts(a, "v", d=3, w=64), path, d=3, w=64,
+               hash_mode="xxhash64")
+    sk.cm_append(a, path, "v")  # the replay: x,y now count 2 each
+    stored, params = sk.load_cm(spark, path)
+    probes = spark.createDataFrame([("x",)], "v string")
+    est = sk.cm_query(stored, probes, "v", d=3, w=64).first().est_count
+    assert est == 2  # over-count is the documented at-least-once state
+    os.rename(path, path + "__pre_compact")
+    assert sk.heal_cm(spark, path) is not None
+    stored2, _ = sk.load_cm(spark, path)
+    assert sorted(map(tuple, stored2.collect())) == sorted(
+        map(tuple, stored.collect()))
+
+
+def test_cm_guards(spark):
+    df = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(DVConfigurationError, match="d must be"):
+        sk.cm_counts(df, "v", d=0)
+    with pytest.raises(DVConfigurationError, match="w must be"):
+        sk.cm_counts(df, "v", w=2)
+    with pytest.raises(DVConfigurationError, match="hash_mode"):
+        sk.cm_counts(df, "v", hash_mode="crc")
