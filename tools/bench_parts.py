@@ -23,8 +23,8 @@ PARTS = {
     "asof_purchase_click": ["asof", "range", "overlap"],
     "sql_subquery_suite": ["set_ops", "exists", "percentile"],
     "adv_ann_suite": ["lsh", "ivf", "ivfpqstore"],
-    "dedup_ngram_jaccard": [],
-    "text_frequency_suite": ["vocab", "rarity", "bigramlm", "dsir", "nbcls", "bm25", "pplbucket"],
+    "dedup_ngram_jaccard": ["jaccard", "contain"],
+    "text_frequency_suite": ["vocab", "rarity", "bigramlm", "knlm", "dsir", "nbcls", "bm25", "bm25store", "hybrid", "cmfreq", "pplbucket"],
     "text_pack_sequences": ["pack", "shards"],
 }
 
