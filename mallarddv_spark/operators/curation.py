@@ -1325,3 +1325,121 @@ def temperature_weights(
             "temperature_weights: all masses are zero"
         )
     return {k: v / total for k, v in scaled.items()}
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 64,
+    per_cluster: int | None = None,
+    total: int | None = None,
+    order: str = "hash",
+    seed: int = 42,
+    salt: str = "cbal-v1",
+) -> DataFrame:
+    """Cluster-balanced corpus sampling (the D4 / SSL-prototypes shape —
+    Tirumala et al. 2023, Sorscher et al. 2022): k-means over the
+    embedding space, then an EQUAL per-cluster quota. Density-blind
+    uniform sampling reproduces the corpus's density, so the
+    over-crawled regions of embedding space (boilerplate-ish, duplicated
+    topics) dominate any fixed budget; capping per cluster preserves
+    coverage of the sparse regions instead.
+
+    Quota: ``per_cluster`` directly, or ``ceil(total / n_clusters)``.
+    Within a cluster the kept set is ordered by ``order``:
+
+    * ``"hash"`` — deterministic pseudo-random (the
+      :func:`cap_per_stratum` hashed-order contract: stable across runs
+      and under corpus growth);
+    * ``"far_first"`` — keep the points FARTHEST from their centroid
+      first (SSL-prototypes' prototype pruning: the most prototypical,
+      most redundant examples go first);
+    * ``"near_first"`` — the opposite (keep prototypes; outlier/noise
+      pruning).
+
+    Returns the input plus ``(centroid_id, cap_rank)`` for the kept
+    rows. Centroids train on a bounded sample (the IVF coreset
+    precedent — k-means quality needs a few hundred points per
+    centroid, not the corpus) with a fixed ``seed``, then ONE transform
+    pass assigns clusters; the quota is a constant, so the per-cluster
+    rank filter plans as Partial+Final WindowGroupLimit — no cluster's
+    membership ever serializes into one task.
+
+    Not SQL-expressible (iterative k-means) — pytest-evidenced, like the
+    BPE trainer; the registry's sampling parts cover the relational
+    samplers.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if (per_cluster is None) == (total is None):
+        raise DVConfigurationError(
+            "cluster_balanced_sample: set exactly one of per_cluster / total"
+        )
+    if int(n_clusters) < 2:
+        raise DVConfigurationError(
+            "cluster_balanced_sample: n_clusters must be >= 2 (MLlib "
+            "KMeans minimum; a 1-cluster cap is just cap_per_stratum on a "
+            "constant)"
+        )
+    if order not in ("hash", "far_first", "near_first"):
+        raise DVConfigurationError(
+            f"cluster_balanced_sample: unknown order {order!r}"
+        )
+    quota = int(per_cluster if per_cluster is not None
+                else -(-int(total) // int(n_clusters)))
+    if quota <= 0:
+        raise DVConfigurationError(
+            "cluster_balanced_sample: quota must be positive"
+        )
+    feat = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    ).withColumn("__feat", array_to_vector("__v"))
+    target = int(n_clusters) * 512
+    n = feat.count()
+    sample = feat.sample(min(1.0, target / max(n, 1)), seed=seed) if n > target else feat
+    km = KMeans(
+        k=int(n_clusters), seed=seed, maxIter=3, initMode="random",
+        featuresCol="__feat", predictionCol="centroid_id",
+    ).fit(sample)
+    assigned = km.transform(feat).select(id_col, "__v", "centroid_id")
+    if order == "hash":
+        from pyspark.sql import Window
+
+        key = hex_bucket(id_col, salt, 8)
+        w = Window.partitionBy("centroid_id").orderBy(
+            F.asc(key), F.asc(id_col)
+        )
+    else:
+        from mallarddv_spark.functions.litframe import literal_frame
+
+        centroids = literal_frame(
+            assigned.sparkSession,
+            [(i, [float(x) for x in c]) for i, c in
+             enumerate(km.clusterCenters())],
+            "centroid_id int, __c array<double>",
+        )
+        assigned = assigned.join(F.broadcast(centroids), "centroid_id")
+        dist = F.expr(
+            "aggregate(zip_with(__v, __c, (a, b) -> (a - b) * (a - b)),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        assigned = assigned.withColumn("__d2", F.round(dist, 10))
+        from pyspark.sql import Window
+
+        direction = F.desc("__d2") if order == "far_first" else F.asc("__d2")
+        w = Window.partitionBy("centroid_id").orderBy(
+            direction, F.asc(id_col)
+        )
+    kept = (
+        assigned.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= quota)
+        .select(id_col, "centroid_id", "cap_rank")
+    )
+    return df.join(kept, id_col).select(
+        *df.columns, "centroid_id", F.col("cap_rank").cast("bigint").alias(
+            "cap_rank"
+        )
+    )

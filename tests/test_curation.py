@@ -712,3 +712,71 @@ def test_cap_and_shuffle_guards(spark):
         cap_per_stratum(docs, "source", "doc_id", 0)
     with pytest.raises(DVConfigurationError, match="shards"):
         shuffle_order(docs, "doc_id", shards=0)
+
+
+# --- cluster-balanced sampling ----------------------------------------------
+
+
+def test_cluster_balanced_sample_flattens_density(spark):
+    """A dense clump holding 90% of the corpus must NOT hold ~90% of the
+    sample: the per-cluster quota flattens embedding-space density (the
+    D4/SSL-prototypes effect). Deterministic across runs; the constant
+    quota plans as WindowGroupLimit."""
+    import random
+
+    from mallarddv_spark.operators.curation import cluster_balanced_sample
+
+    rng = random.Random(7)
+    rows = [(i, [10.0 + rng.gauss(0, 0.1), 10.0 + rng.gauss(0, 0.1)])
+            for i in range(900)]
+    rows += [(i, [rng.uniform(-50, 50), rng.uniform(-50, 50)])
+             for i in range(900, 1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, embedding array<double>")
+    out = cluster_balanced_sample(df, "doc_id", "embedding",
+                                  n_clusters=10, total=100)
+    got = sorted(r.doc_id for r in out.collect())
+    assert 50 <= len(got) <= 100
+    clump_frac = sum(1 for i in got if i < 900) / len(got)
+    assert clump_frac < 0.7, clump_frac     # uniform sampling would be ~0.9
+    # deterministic: same kept set on a second run
+    again = sorted(r.doc_id for r in cluster_balanced_sample(
+        df, "doc_id", "embedding", n_clusters=10, total=100).collect())
+    assert got == again
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_cluster_balanced_sample_orders_and_guards(spark):
+    """far_first keeps the farthest-from-centroid points; guards reject
+    ambiguous quotas and unknown orders."""
+    import pytest as _pytest
+
+    from mallarddv_spark.exceptions import DVConfigurationError
+    from mallarddv_spark.operators.curation import cluster_balanced_sample
+
+    # two well-separated tight groups, each with one far outlier
+    rows = [(i, [0.0 + i * 1e-6, 0.0]) for i in range(50)]
+    rows += [(i, [100.0 + (i - 200) * 1e-6, 100.0]) for i in range(200, 250)]
+    rows += [(100, [5.0, 5.0]), (101, [95.0, 95.0])]
+    df = spark.createDataFrame(rows, "doc_id bigint, embedding array<double>")
+    far = cluster_balanced_sample(
+        df, "doc_id", "embedding", n_clusters=2, per_cluster=1,
+        order="far_first", seed=3,
+    )
+    assert {r.doc_id for r in far.collect()} == {100, 101}
+    near = cluster_balanced_sample(
+        df, "doc_id", "embedding", n_clusters=2, per_cluster=10,
+        order="near_first", seed=3,
+    )
+    assert not ({100, 101} & {r.doc_id for r in near.collect()})
+    with _pytest.raises(DVConfigurationError, match="exactly one"):
+        cluster_balanced_sample(df, "doc_id", "embedding")
+    with _pytest.raises(DVConfigurationError, match="exactly one"):
+        cluster_balanced_sample(df, "doc_id", "embedding",
+                                per_cluster=2, total=10)
+    with _pytest.raises(DVConfigurationError, match="unknown order"):
+        cluster_balanced_sample(df, "doc_id", "embedding", total=10,
+                                order="sideways")
+    with _pytest.raises(DVConfigurationError, match="n_clusters"):
+        cluster_balanced_sample(df, "doc_id", "embedding", total=10,
+                                n_clusters=1)
