@@ -54,6 +54,7 @@ __all__ = [
     "save_hll", "load_hll", "hll_append", "heal_hll",
     "cm_counts", "cm_merge", "cm_query",
     "save_cm", "load_cm", "cm_append", "heal_cm",
+    "hist_counts", "hist_merge", "hist_quantiles",
 ]
 
 _HASH_BITS = 60
@@ -417,3 +418,141 @@ def cm_append(
         hash_mode=p["hash_mode"],
     )
     save_cm(cm_merge(stored, batch), path, p["d"], p["w"], p["hash_mode"])
+
+
+# ---------------------------------------------------------------------------
+# Fixed-range histogram sketch — mergeable QUANTILE estimation. KLL/t-digest
+# are the adaptive-range literature standards, but their estimates depend on
+# internal compaction randomness/order and cannot be replayed across engines.
+# A declared-range equi-width histogram is the honest oracle-exact variant:
+# integer bin counts (merge = sum, exactly), and the quantile interpolation
+# is one closed-form expression — the trade is that the value range must be
+# declared up front (telemetry, prices, scores, lengths: usually known), with
+# explicit underflow/overflow bins for the rest.
+# ---------------------------------------------------------------------------
+
+
+def _check_hist(lo: float, hi: float, n_bins: int) -> None:
+    if not lo < hi:
+        raise DVConfigurationError("hist: need lo < hi")
+    if not 2 <= int(n_bins) <= 1 << 20:
+        raise DVConfigurationError("hist: n_bins must be in [2, 2^20]")
+
+
+def hist_counts(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    weight_col: str | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width bin counts ``(…by, bin, cnt)`` over ``[lo, hi)``:
+    bin -1 holds underflow, ``n_bins`` overflow; NULLs ignored. One
+    groupBy with map-side combine; ≤ n_bins + 2 rows per group."""
+    _check_hist(lo, hi, n_bins)
+    groups = list(by or [])
+    v = F.col(value_col).cast("double")
+    width = (float(hi) - float(lo)) / int(n_bins)
+    raw_bin = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int")
+    b = (
+        F.when(v < F.lit(float(lo)), F.lit(-1))
+        .when(v >= F.lit(float(hi)), F.lit(int(n_bins)))
+        .otherwise(F.least(raw_bin, F.lit(int(n_bins) - 1)))
+    )
+    w = (
+        F.col(weight_col).cast("bigint") if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*groups, b.alias("bin"), w.alias("__w"))
+        .groupBy(*groups, "bin")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def hist_merge(*counts: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Merge histograms built at the SAME (lo, hi, n_bins): union + sum.
+    Exact."""
+    if not counts:
+        raise DVConfigurationError("hist_merge: need at least one table")
+    groups = list(by or [])
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.groupBy(*groups, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    counts: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    probs: list[float],
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from the bin counts, per group: for each p,
+    walk the cumulative distribution to the bin holding rank ``p·N``
+    and interpolate linearly inside it (underflow clamps to ``lo``,
+    overflow to ``hi``). Returns ``(…by, p, est)``; error is bounded by
+    one bin width plus the in-bin distribution; an empty group yields
+    no rows. Fully relational — the cumulative window runs over
+    ≤ n_bins + 2 rows PER GROUP (metadata-scale, not a data window),
+    and the arithmetic is a fixed-order closed form, so estimates
+    replay exactly in any engine."""
+    _check_hist(lo, hi, n_bins)
+    from pyspark.sql import Window
+
+    groups = list(by or [])
+    width = (float(hi) - float(lo)) / int(n_bins)
+    w = Window.partitionBy(*groups).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        counts.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("before", F.col("cum") - F.col("cnt"))
+    )
+    totals = counts.groupBy(*groups).agg(F.sum("cnt").alias("__n"))
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    pdf = literal_frame(
+        counts.sparkSession, [(float(p),) for p in probs], "p double"
+    )
+    j = (
+        cum.join(F.broadcast(totals), groups) if groups
+        else cum.crossJoin(F.broadcast(totals))
+    ).crossJoin(F.broadcast(pdf)).filter(
+        (F.col("p") * F.col("__n").cast("double") <= F.col("cum"))
+        | (F.col("cum") == F.col("__n"))
+    )
+    best = j.groupBy(*groups, "p").agg(F.min("bin").alias("bin"))
+    est = (
+        best.join(cum, groups + ["bin"])
+        .join(F.broadcast(totals), groups) if groups
+        else best.join(cum, ["bin"]).crossJoin(F.broadcast(totals))
+    )
+    expr = (
+        F.when(F.col("bin") < 0, F.lit(float(lo)))
+        .when(F.col("bin") >= int(n_bins), F.lit(float(hi)))
+        .otherwise(
+            F.lit(float(lo))
+            + (
+                F.col("bin").cast("double")
+                + (
+                    F.col("p") * F.col("__n").cast("double")
+                    - F.col("before").cast("double")
+                )
+                / F.col("cnt").cast("double")
+            )
+            * F.lit(width)
+        )
+    )
+    return est.select(
+        *groups,
+        "p",
+        F.round(
+            F.least(F.greatest(expr, F.lit(float(lo))), F.lit(float(hi))), 6
+        ).alias("est"),
+    )

@@ -2431,10 +2431,26 @@ def q_sql_approx_aggregates(spark, sf):
         F.col("n_registers").alias("own_hll_registers"),
         F.col("est_distinct").alias("own_hll_est"),
     )
+    # ...and the engine-owned mergeable HISTOGRAM quantile sketch, the
+    # same value-exact contract: declared range [900, 105000), 1024
+    # equi-width integer bins, closed-form interpolation — replays
+    # byte-for-byte where KLL/t-digest internals could not
+    hq = sk.hist_quantiles(
+        sk.hist_counts(
+            li, "l_extendedprice", lo=900.0, hi=105000.0, n_bins=1024,
+            by=["l_returnflag"],
+        ),
+        900.0, 105000.0, 1024, [0.5, 0.95], by=["l_returnflag"],
+    )
+    hist = hq.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("p") == 0.5, F.col("est"))).alias("hist_p50"),
+        F.max(F.when(F.col("p") == 0.95, F.col("est"))).alias("hist_p95"),
+    )
     agg = (
         sketches.join(F.broadcast(exact_cd), "l_returnflag")
         .join(F.broadcast(exact_pct), "l_returnflag")
         .join(F.broadcast(own), "l_returnflag")
+        .join(F.broadcast(hist), "l_returnflag")
     )
     return agg.select(
         "l_returnflag",
@@ -2444,6 +2460,8 @@ def q_sql_approx_aggregates(spark, sf):
         "p95_exact",
         "own_hll_registers",
         "own_hll_est",
+        "hist_p50",
+        "hist_p95",
         (
             F.abs(F.col("__hll") - F.col("exact_orders"))
             <= F.col("exact_orders") * F.lit(0.15)
@@ -2452,6 +2470,14 @@ def q_sql_approx_aggregates(spark, sf):
             F.abs(F.col("own_hll_est") - F.col("exact_orders"))
             <= F.col("exact_orders") * F.lit(0.05)
         ).alias("own_hll_within_5pct"),
+        (
+            F.abs(F.col("hist_p50") - F.col("p50_exact"))
+            <= F.abs(F.col("p50_exact")) * F.lit(0.01)
+        ).alias("hist_p50_within_1pct"),
+        (
+            F.abs(F.col("hist_p95") - F.col("p95_exact"))
+            <= F.abs(F.col("p95_exact")) * F.lit(0.01)
+        ).alias("hist_p95_within_1pct"),
         (
             F.abs(F.col("__p50a") - F.col("p50_exact"))
             <= F.abs(F.col("p50_exact")) * F.lit(0.01)
@@ -2476,11 +2502,57 @@ def _o_sql_approx() -> str:
         f" * cast({q2_49} as double)"
         f" / cast(s + ({m} - n_registers) * {q2_49} as double))"
     )
+    hw = (105000.0 - 900.0) / 1024
     return f"""
 WITH hh AS (
   SELECT l_returnflag,
          (('0x' || substr(md5(cast(l_orderkey as varchar)),1,15))::bigint) AS x
   FROM lineitem WHERE l_orderkey IS NOT NULL
+),
+hb AS (
+  SELECT l_returnflag,
+         CASE WHEN cast(l_extendedprice as double) < 900.0 THEN -1
+              WHEN cast(l_extendedprice as double) >= 105000.0 THEN 1024
+              ELSE least(cast(floor((cast(l_extendedprice as double) - 900.0)
+                                    / {hw!r}) as int), 1023)
+         END AS bin,
+         count(*) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
+),
+hcum AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum
+  FROM hb
+),
+hcum2 AS (SELECT *, cum - cnt AS before FROM hcum),
+htot AS (SELECT l_returnflag, sum(cnt) AS hn FROM hb GROUP BY 1),
+hp(p) AS (VALUES (cast(0.5 as double)), (cast(0.95 as double))),
+hj AS (
+  SELECT c.l_returnflag, p.p, min(c.bin) AS bin
+  FROM hcum2 c JOIN htot t USING (l_returnflag), hp p
+  WHERE p.p * cast(t.hn as double) <= c.cum OR c.cum = t.hn
+  GROUP BY 1, 2
+),
+hqq AS (
+  SELECT j.l_returnflag, j.p,
+    round(least(greatest(
+      CASE WHEN c.bin < 0 THEN 900.0
+           WHEN c.bin >= 1024 THEN 105000.0
+           ELSE 900.0 + (cast(c.bin as double)
+                + (j.p * cast(t.hn as double) - cast(c.before as double))
+                  / cast(c.cnt as double)) * {hw!r}
+      END, 900.0), 105000.0), 6) AS est
+  FROM hj j
+  JOIN hcum2 c ON c.l_returnflag = j.l_returnflag AND c.bin = j.bin
+  JOIN htot t ON t.l_returnflag = j.l_returnflag
+),
+hpv AS (
+  SELECT l_returnflag,
+         max(CASE WHEN p = 0.5 THEN est END) AS hist_p50,
+         max(CASE WHEN p = 0.95 THEN est END) AS hist_p95
+  FROM hqq GROUP BY 1
 ),
 hregs AS (
   SELECT l_returnflag, x // {q2_48} AS bucket,
@@ -2514,12 +2586,19 @@ base AS (
 SELECT b.l_returnflag, b.n, b.exact_orders, b.p50_exact, b.p95_exact,
        h.n_registers AS own_hll_registers,
        h.est AS own_hll_est,
+       v.hist_p50,
+       v.hist_p95,
        TRUE AS hll_within_15pct,
        abs(h.est - b.exact_orders) <= b.exact_orders * 0.05
            AS own_hll_within_5pct,
+       abs(v.hist_p50 - b.p50_exact) <= abs(b.p50_exact) * 0.01
+           AS hist_p50_within_1pct,
+       abs(v.hist_p95 - b.p95_exact) <= abs(b.p95_exact) * 0.01
+           AS hist_p95_within_1pct,
        TRUE AS p50_within_1pct,
        TRUE AS p95_within_1pct
 FROM base b JOIN hest h USING (l_returnflag)
+JOIN hpv v USING (l_returnflag)
 """
 
 

@@ -260,3 +260,90 @@ def test_cm_guards(spark):
         sk.cm_counts(df, "v", w=2)
     with pytest.raises(DVConfigurationError, match="hash_mode"):
         sk.cm_counts(df, "v", hash_mode="crc")
+
+
+# --- fixed-range histogram sketch ------------------------------------------
+
+
+def test_hist_quantiles_accuracy_and_merge(spark):
+    """Uniform data: quantiles land within one bin width; merging two
+    overlapping halves equals the one-shot histogram (exact integer
+    counts)."""
+    df = spark.range(100_000).select(
+        (F.col("id") % 10_000).cast("double").alias("v")
+    )
+    h = sk.hist_counts(df, "v", lo=0.0, hi=10_000.0, n_bins=256)
+    q = {r.p: r.est for r in sk.hist_quantiles(
+        h, 0.0, 10_000.0, 256, [0.0, 0.5, 0.95, 1.0]).collect()}
+    width = 10_000.0 / 256
+    assert abs(q[0.5] - 5_000.0) <= width
+    assert abs(q[0.95] - 9_500.0) <= width
+    assert q[0.0] == 0.0 and q[1.0] == 10_000.0
+    h1 = sk.hist_counts(df.filter("id % 2 = 0"), "v", 0.0, 10_000.0, 256)
+    h2 = sk.hist_counts(df.filter("id % 2 = 1"), "v", 0.0, 10_000.0, 256)
+    assert sorted(map(tuple, sk.hist_merge(h1, h2).collect())) == sorted(
+        map(tuple, h.collect()))
+
+
+def test_hist_grouped_underflow_overflow_and_guards(spark):
+    """Per-group quantiles; out-of-range values land in the explicit
+    under/overflow bins and clamp the extreme quantiles to the declared
+    range; guards reject bad geometry."""
+    rows = [("a", float(v)) for v in range(100)]
+    rows += [("b", float(v) * 10) for v in range(100)]
+    rows += [("a", -50.0), ("a", 5000.0)]  # under + overflow
+    df = spark.createDataFrame(rows, "g string, v double")
+    h = sk.hist_counts(df, "v", lo=0.0, hi=1000.0, n_bins=100, by=["g"])
+    bins = {r.g: r.bin for r in h.filter("bin IN (-1, 100)").collect()}
+    assert bins == {"a": -1} or set(
+        (r.g, r.bin) for r in h.filter("bin IN (-1, 100)").collect()
+    ) == {("a", -1), ("a", 100)}
+    q = {(r.g, r.p): r.est for r in sk.hist_quantiles(
+        h, 0.0, 1000.0, 100, [0.0, 0.5, 1.0], by=["g"]).collect()}
+    assert q[("a", 0.0)] == 0.0          # underflow clamps to lo
+    assert q[("a", 1.0)] == 1000.0       # overflow clamps to hi
+    # group b spreads 10x wider than a → median ~10x higher
+    assert q[("b", 0.5)] > 4 * q[("a", 0.5)]
+    with pytest.raises(DVConfigurationError, match="lo < hi"):
+        sk.hist_counts(df, "v", lo=5.0, hi=5.0)
+    with pytest.raises(DVConfigurationError, match="n_bins"):
+        sk.hist_counts(df, "v", lo=0.0, hi=1.0, n_bins=1)
+
+
+def test_hist_replays_in_duckdb(spark, tmp_path):
+    """Bin counts AND interpolated estimates match a closed-form DuckDB
+    replay — the contract behind the hist_p50/hist_p95 gate columns."""
+    pq = str(tmp_path / "hv.parquet")
+    spark.range(7_919).select(
+        ((F.col("id") * 37) % 1000).cast("double").alias("v")
+    ).write.parquet(pq)
+    df = spark.read.parquet(pq)
+    h = sk.hist_counts(df, "v", lo=0.0, hi=1000.0, n_bins=64)
+    got = {r.p: r.est for r in sk.hist_quantiles(
+        h, 0.0, 1000.0, 64, [0.5, 0.9]).collect()}
+    width = 1000.0 / 64
+    con = duckdb.connect()
+    want = dict(con.execute(f"""
+WITH hb AS (
+  SELECT CASE WHEN v < 0.0 THEN -1 WHEN v >= 1000.0 THEN 64
+              ELSE least(cast(floor((v - 0.0) / {width!r}) as int), 63) END AS bin,
+         count(*) AS cnt
+  FROM read_parquet('{pq}/*.parquet') WHERE v IS NOT NULL GROUP BY 1
+),
+hc AS (SELECT *, sum(cnt) OVER (ORDER BY bin
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hb),
+hc2 AS (SELECT *, cum - cnt AS before FROM hc),
+ht AS (SELECT sum(cnt) AS n FROM hb),
+hp(p) AS (VALUES (cast(0.5 as double)), (cast(0.9 as double))),
+hj AS (
+  SELECT p.p, min(c.bin) AS bin FROM hc2 c, ht t, hp p
+  WHERE p.p * cast(t.n as double) <= c.cum OR c.cum = t.n GROUP BY 1
+)
+SELECT j.p, round(least(greatest(
+  CASE WHEN c.bin < 0 THEN 0.0 WHEN c.bin >= 64 THEN 1000.0
+       ELSE 0.0 + (cast(c.bin as double)
+            + (j.p * cast(t.n as double) - cast(c.before as double))
+              / cast(c.cnt as double)) * {width!r} END, 0.0), 1000.0), 6)
+FROM hj j JOIN hc2 c ON c.bin = j.bin, ht t
+""").fetchall())
+    assert got == want, (got, want)
