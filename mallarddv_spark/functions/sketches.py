@@ -55,6 +55,7 @@ __all__ = [
     "cm_counts", "cm_merge", "cm_query",
     "save_cm", "load_cm", "cm_append", "heal_cm",
     "hist_counts", "hist_merge", "hist_quantiles",
+    "save_hist", "load_hist", "hist_append", "heal_hist",
 ]
 
 _HASH_BITS = 60
@@ -556,3 +557,57 @@ def hist_quantiles(
             F.least(F.greatest(expr, F.lit(float(lo))), F.lit(float(hi))), 6
         ).alias("est"),
     )
+
+
+def heal_hist(spark: SparkSession, path: str) -> str | None:
+    """Resolve a torn :func:`hist_append` swap (same drain as HLL/CM)."""
+    return heal_hll(spark, path)
+
+
+def save_hist(
+    counts: DataFrame, path: str, lo: float, hi: float, n_bins: int,
+) -> None:
+    """Persist a histogram plus its geometry (staged-rename when a live
+    copy exists)."""
+    spark = counts.sparkSession
+    heal_hist(spark, path)
+    from mallarddv_spark.sources import layout
+
+    out = (
+        counts.withColumn("__lo", F.lit(float(lo)))
+        .withColumn("__hi", F.lit(float(hi)))
+        .withColumn("__n_bins", F.lit(int(n_bins)))
+    )
+    fs, live = layout.dir_fs(spark, path)
+    if not fs.exists(live):
+        out.coalesce(1).write.mode("overwrite").parquet(path)
+        return
+    out.coalesce(1).write.mode("overwrite").parquet(path + "__compact")
+    layout.swap_dir_live(spark, path)
+
+
+def load_hist(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Load a stored histogram and its geometry; heals on open."""
+    heal_hist(spark, path)
+    df = spark.read.parquet(path)
+    row = df.select("__lo", "__hi", "__n_bins").first()
+    params = {"lo": float(row["__lo"]), "hi": float(row["__hi"]),
+              "n_bins": int(row["__n_bins"])}
+    return df.drop("__lo", "__hi", "__n_bins"), params
+
+
+def hist_append(
+    new_values: DataFrame, path: str, value_col: str,
+    weight_col: str | None = None, by: list[str] | None = None,
+) -> None:
+    """Fold a batch into a STORED histogram (sum-merge + staged rewrite).
+    Counts ADD, so appends are NOT idempotent — same contract as the
+    count-min sketch; fence replays upstream for exactly-once."""
+    spark = new_values.sparkSession
+    stored, p = load_hist(spark, path)
+    batch = hist_counts(
+        new_values, value_col, lo=p["lo"], hi=p["hi"], n_bins=p["n_bins"],
+        weight_col=weight_col, by=by,
+    )
+    save_hist(hist_merge(stored, batch, by=by), path,
+              p["lo"], p["hi"], p["n_bins"])

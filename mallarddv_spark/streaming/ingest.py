@@ -222,6 +222,7 @@ def neardup_stream_processor(
     bm25_index_path: str | None = None,
     compact_every_n_batches: int | None = None,
     vocab_hll_path: str | None = None,
+    doclen_hist_path: str | None = None,
 ):
     """Ready-made ``process_batch`` for :func:`stream_files_to_staging`:
     the continuous-crawl near-dup gate. Each micro-batch is
@@ -286,6 +287,17 @@ def neardup_stream_processor(
     replayed batch is absorbed exactly (idempotent regardless of crash
     point); the stored register table is ≤ 2^p rows, so the maintenance
     cost per batch is one tokenize + groupBy over the batch.
+
+    ``doclen_hist_path`` (a histogram created by ``sketches.save_hist``;
+    its stored geometry governs the bins) maintains the ingested
+    DOCUMENT-LENGTH distribution in whitespace tokens: corpus length
+    drift — a crawl source suddenly emitting stubs or mega-pages —
+    shows up in the running quantiles without a rescan.
+    Unlike the HLL, histogram appends ADD counts, so a replayed batch
+    double-counts; the append therefore runs AFTER the minhash replay
+    fence (exactly-once for fenced batches; a crash between fence and
+    histogram append under-counts that one batch — the conservative
+    direction for drift monitoring).
 
     ``compact_every_n_batches`` is the small-file policy: every
     micro-batch append writes one file set per touched bucket, so a
@@ -409,6 +421,19 @@ def neardup_stream_processor(
                 ).filter(F.col("tok") != "")
                 hll_append(toks, vocab_hll_path, "tok")
             dedup.minhash_index_append(fresh, index_path, id_col, text_col)
+            if doclen_hist_path is not None:
+                # AFTER the fence: histogram counts ADD (a replayed
+                # batch would double-count); post-fence placement trades
+                # that for a rare one-batch under-count on crash — the
+                # conservative direction for drift monitoring
+                from mallarddv_spark.functions.sketches import hist_append
+
+                lens = fresh.select(
+                    F.size(
+                        F.split(F.trim(F.col(text_col)), r"\s+")
+                    ).cast("double").alias("len")
+                )
+                hist_append(lens, doclen_hist_path, "len")
         if (
             compact_every_n_batches is not None
             and (batch_id + 1) % int(compact_every_n_batches) == 0

@@ -666,3 +666,45 @@ def test_neardup_stream_maintains_vocab_hll(spark, tmp_path):
     # 3 + 2*3 + 2 shared tokens = 11 distinct; tiny range → near-exact
     assert abs(est - 11) < 2, est
     spark.sql("DROP TABLE IF EXISTS default.vh_sink")
+
+
+def test_neardup_stream_maintains_doclen_hist(spark, tmp_path):
+    """doclen_hist_path: each fenced batch's token-length distribution
+    sum-merges into the stored histogram; quantiles over the stored
+    state reflect everything ingested."""
+    from pyspark.sql import Row
+    from mallarddv_spark.functions import sketches as sk
+    from mallarddv_spark.operators import dedup
+
+    seed = spark.createDataFrame([Row(doc_id=1, text="seed alpha beta")])
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(seed, index_path, num_perm=32, bands=8,
+                              shingle_size=3)
+    hist_path = str(tmp_path / "len_hist")
+    seed_lens = seed.selectExpr(
+        "cast(size(split(trim(text), '\\\\s+')) as double) AS len"
+    )
+    sk.save_hist(sk.hist_counts(seed_lens, "len", lo=0.0, hi=64.0,
+                                n_bins=64), hist_path, 0.0, 64.0, 64)
+    spark.sql("DROP TABLE IF EXISTS default.dh_sink")
+
+    process = ingest.neardup_stream_processor(
+        index_path, "default.dh_sink", threshold=0.9,
+        doclen_hist_path=hist_path,
+    )
+    batches = [
+        spark.createDataFrame(
+            [Row(doc_id=500 + i, text=" ".join(f"u{i}w{j}" for j in range(4 + i)))]
+        )
+        for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        process(b, i)
+    stored, params = sk.load_hist(spark, hist_path)
+    assert params == {"lo": 0.0, "hi": 64.0, "n_bins": 64}
+    # lengths ingested: 3 (seed) + 4, 5, 6 → N=4, median between 4 and 5
+    total = stored.agg({"cnt": "sum"}).first()[0]
+    assert total == 4
+    q = sk.hist_quantiles(stored, 0.0, 64.0, 64, [0.5]).first().est
+    assert 4.0 <= q <= 6.0, q
+    spark.sql("DROP TABLE IF EXISTS default.dh_sink")
