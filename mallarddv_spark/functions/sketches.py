@@ -352,13 +352,18 @@ def cm_query(
     counters (0 when a counter row is absent — the value was never
     seen on that row). Returns the input columns plus ``est_count``.
     The probe side explodes ×d and hash-joins the ≤ d·w count table —
-    at scale the count table is the broadcast side."""
+    the count table is broadcast only while ``d·w`` stays under ~2M
+    cells; a wide sketch (the guard admits w up to 2^24) would make a
+    forced broadcast a driver OOM, so past the threshold the join is
+    left to the planner (a shuffled hash join keyed on (row, col) —
+    dense integer keys, no skew by construction)."""
     _check_cm(d, w)
     probes = values.select(
         "*",
         F.explode(_cm_cols(value_col, int(d), int(w), hash_mode)).alias("__rc"),
     ).select("*", F.col("__rc.row").alias("row"), F.col("__rc.col").alias("col"))
-    joined = probes.join(F.broadcast(counts), ["row", "col"], "left")
+    build = F.broadcast(counts) if int(d) * int(w) <= (1 << 21) else counts
+    joined = probes.join(build, ["row", "col"], "left")
     return (
         joined.groupBy(*values.columns)
         .agg(

@@ -252,6 +252,27 @@ def test_cm_persist_append_heal(spark, tmp_path):
         map(tuple, stored.collect()))
 
 
+def test_cm_query_broadcast_threshold(spark):
+    """A default-width sketch broadcasts its count table; a wide sketch
+    (d·w over the ~2M-cell threshold) must NOT force a broadcast — a
+    2^24-wide count table force-broadcast is a driver OOM at scale."""
+    df = _vals(spark, 200)
+    probes = df.limit(5)
+    small = sk.cm_counts(df, "v", d=4, w=2048)
+    plan_small = sk.cm_query(small, probes, "v", d=4, w=2048)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan_small
+    wide = sk.cm_counts(df, "v", d=4, w=1 << 22)
+    out_wide = sk.cm_query(wide, probes, "v", d=4, w=1 << 22)
+    # no FORCED broadcast hint on a wide sketch — the planner (stats or
+    # AQE) may still pick a broadcast when the table turns out tiny,
+    # which is the desired adaptive behavior; the hint would force it
+    # even at 2^24 × 16 cells
+    plan_wide = out_wide._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan_wide
+    # estimates still exact for unique values at this width
+    assert all(r.est_count == 1 for r in out_wide.collect())
+
+
 def test_cm_guards(spark):
     df = spark.createDataFrame([("x",)], "v string")
     with pytest.raises(DVConfigurationError, match="d must be"):
