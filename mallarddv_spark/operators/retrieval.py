@@ -45,6 +45,7 @@ __all__ = [
     "build_postings",
     "bm25_topk",
     "hybrid_rerank_topk",
+    "rrf_fuse",
     "build_bm25_index",
     "bm25_index_append",
     "bm25_index_probe",
@@ -281,6 +282,92 @@ def hybrid_rerank_topk(
             qid_col, id_col, "score", "cosine",
             F.col("new_rnk").cast("bigint").alias("rnk"),
         )
+    )
+
+
+def rrf_fuse(
+    runs: list[DataFrame],
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k_rrf: int = 60,
+    k: int | None = 10,
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    or more ranked runs: ``score(doc) = Σ_j w_j / (k_rrf + rank_j)``,
+    summed over the runs that retrieved the doc. RRF is the standard
+    score-free way to combine heterogeneous retrievers (BM25 + dense
+    cosine + an ANN probe) — it needs only ranks, so incomparable score
+    scales (log-idf grid vs cosine) never have to be calibrated.
+
+    Each run must carry one row per ``(qid, doc)`` with a 1-based
+    integer ``rank_col`` — exactly the output shape of
+    :func:`bm25_topk` / :func:`bm25_index_probe` /
+    :func:`hybrid_rerank_topk` and (after renames)
+    ``similarity.cosine_topk_bruteforce`` and the ANN probes. ``k_rrf``
+    is the standard dampening constant (60 in the original paper);
+    ``weights`` defaults to 1.0 per run.
+
+    Determinism: each per-run contribution is snapped to the 1e-10
+    integer grid (``round(w_j * 1e10 / (k_rrf + rank))`` as bigint) and
+    summed in integer space — the bigram-LM/BM25 discipline — so fused
+    scores and tie-broken ranks (score desc, doc id asc) are
+    independent of partitioning and replay bit-for-bit in a DuckDB
+    oracle. Returns ``(qid, id, n_runs, rrf_score, rnk)``; ``n_runs``
+    counts the runs that retrieved the pair. ``k=None`` keeps all fused
+    rows.
+
+    Scale shape: no run-vs-run join — the runs UNION (each is already
+    a per-query top-k list, so the union is shortlist-sized even when
+    the query set is huge) into ONE ``groupBy(qid, doc)`` with map-side
+    combine, and the final per-query cut is a constant-``k``
+    ``row_number`` that Catalyst rewrites to Partial+Final
+    WindowGroupLimit — no query's candidate set ever serializes into
+    one task beyond its own fused shortlist.
+    """
+    if len(runs) < 2:
+        raise DVConfigurationError("rrf_fuse: need at least two runs")
+    if weights is None:
+        weights = [1.0] * len(runs)
+    if len(weights) != len(runs):
+        raise DVConfigurationError(
+            "rrf_fuse: weights must match runs 1:1"
+        )
+    if int(k_rrf) < 1:
+        raise DVConfigurationError("rrf_fuse: k_rrf must be >= 1")
+    tagged = []
+    for j, (run, wj) in enumerate(zip(runs, weights)):
+        contrib = F.round(
+            F.lit(float(wj)) * F.lit(1e10)
+            / (F.lit(int(k_rrf)) + F.col(rank_col).cast("double"))
+        ).cast("bigint")
+        tagged.append(
+            run.select(
+                F.col(qid_col).alias("__qid"),
+                F.col(id_col).alias("__id"),
+                contrib.alias("__c10"),
+            )
+        )
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    agg = out.groupBy("__qid", "__id").agg(
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.sum("__c10").alias("__s10"),
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__s10").desc(), F.col("__id").asc()
+    )
+    fused = agg.withColumn("rnk", F.row_number().over(w))
+    if k is not None:
+        fused = fused.filter(F.col("rnk") <= int(k))
+    return fused.select(
+        F.col("__qid").alias(qid_col),
+        F.col("__id").alias(id_col),
+        "n_runs",
+        F.round(F.col("__s10") / 1e10, 6).alias("rrf_score"),
+        F.col("rnk").cast("bigint").alias("rnk"),
     )
 
 

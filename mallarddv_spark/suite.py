@@ -4194,6 +4194,87 @@ SELECT query_id, doc_id, cosine, rnk FROM (
 )
 
 
+def q_text_rrf(spark, sf):
+    """Reciprocal-rank fusion (`operators/retrieval.rrf_fuse`, Cormack
+    et al. 2009) of two heterogeneous retrievers: the inline BM25
+    top-20 and the brute-force cosine top-20 (same query-vector
+    borrowing as the hybrid part), fused by rank only —
+    ``Σ 1/(60 + rank)`` with each term snapped to the 1e-10 integer
+    grid, so fused scores and tie-broken ranks replay bit-for-bit. The
+    fusion itself is union + one groupBy (never a run-vs-run join) and
+    the final cut is WindowGroupLimit-protected (plan-pinned in
+    tests/test_retrieval.py). Complements `hybrid`: rerank REPLACES the
+    lexical order with cosine; RRF blends both orders without touching
+    either score scale."""
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from mallarddv_spark.operators.similarity import cosine_topk_bruteforce
+
+    queries = literal_frame(
+        spark, _BM25_QUERIES, "query_id string, query string"
+    )
+    bm = bm25_topk(_t(spark, sf, "documents"), queries, k=20)
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter("vec_id < 3").select(
+        F.expr(
+            "CASE vec_id WHEN 0 THEN 'q_hash' WHEN 1 THEN 'q_sort' "
+            "ELSE 'q_dup' END"
+        ).alias("vec_id"),
+        "embedding",
+    )
+    cos = cosine_topk_bruteforce(qv, emb, k=20).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rnk"),
+    )
+    return rrf_fuse([bm, cos], k=10).select(
+        "query_id",
+        "doc_id",
+        F.col("n_runs").cast("bigint").alias("n_runs"),
+        "rrf_score",
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+O_TEXT_RRF = (
+    """
+WITH bm AS ("""
+    + O_TEXT_BM25
+    + """),
+rqv AS (
+  SELECT CASE vec_id WHEN 0 THEN 'q_hash' WHEN 1 THEN 'q_sort'
+         ELSE 'q_dup' END AS query_id,
+         embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 3
+),
+rcv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+rcos AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           round(list_dot_product(rqv.v, rcv.v)
+                 / (sqrt(list_dot_product(rqv.v, rqv.v))
+                    * sqrt(list_dot_product(rcv.v, rcv.v))), 6) DESC,
+           doc_id) AS rnk
+  FROM rqv CROSS JOIN rcv QUALIFY rnk <= 20
+),
+runi AS (
+  SELECT query_id, doc_id, round(1e10 / (60 + rnk))::BIGINT AS c10 FROM bm
+  UNION ALL
+  SELECT query_id, doc_id, round(1e10 / (60 + rnk))::BIGINT FROM rcos
+),
+ragg AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_runs,
+         sum(c10)::BIGINT AS s10
+  FROM runi GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_runs, round(s10 / 1e10, 6) AS rrf_score,
+       cast(row_number() OVER (PARTITION BY query_id
+                               ORDER BY s10 DESC, doc_id) as bigint) AS rnk
+FROM ragg QUALIFY rnk <= 10
+"""
+)
+
+
 def q_text_cmfreq(spark, sf):
     """Count-min frequency estimation (`functions/sketches.cm_counts` /
     `cm_query`, md5 mode): token-occurrence frequencies for the nine
@@ -4288,9 +4369,10 @@ def q_text_frequency_suite(spark, sf):
     KenLM-family smoothing), text_dsir, text_nb_classify, bm25,
     bm25store (the stored-index build→append→probe round-trip, oracled
     by the same inline replay), hybrid (the BM25→cosine rerank
-    composition, value-exact in the oracle), cmfreq (count-min token
-    frequencies next to exact counts — integer state, byte-exact
-    replay), pplbucket."""
+    composition, value-exact in the oracle), rrf (reciprocal-rank
+    fusion of the BM25 and cosine runs — rank-only blending on the
+    integer grid), cmfreq (count-min token frequencies next to exact
+    counts — integer state, byte-exact replay), pplbucket."""
     v = q_text_vocab_topk(spark, sf).select(
         F.lit("vocab").alias("part"),
         F.col("rnk").alias("id"),
@@ -4363,6 +4445,14 @@ def q_text_frequency_suite(spark, sf):
         *_nulls(("n2", "bigint")),
         F.col("cosine").alias("d1"),
     )
+    rf = q_text_rrf(spark, sf).select(
+        F.lit("rrf").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.col("query_id").alias("term"),
+        F.col("rnk").alias("n1"),
+        F.col("n_runs").alias("n2"),
+        F.col("rrf_score").alias("d1"),
+    )
     cm = q_text_cmfreq(spark, sf).select(
         F.lit("cmfreq").alias("part"),
         *_nulls(("id", "bigint")),
@@ -4382,7 +4472,7 @@ def q_text_frequency_suite(spark, sf):
     return (
         v.unionByName(r).unionByName(lm).unionByName(kn).unionByName(ds)
         .unionByName(nc).unionByName(bm).unionByName(bs).unionByName(hy)
-        .unionByName(cm).unionByName(pb)
+        .unionByName(rf).unionByName(cm).unionByName(pb)
     )
 
 
@@ -4417,7 +4507,10 @@ O_TEXT_FREQUENCY = (
     + ") bs\nUNION ALL\nSELECT 'hybrid' AS part, doc_id AS id, query_id AS term,"
     " rnk AS n1, cast(NULL as bigint) AS n2, cosine AS d1\nFROM ("
     + O_TEXT_HYBRID
-    + ") hy\nUNION ALL\nSELECT 'cmfreq' AS part, cast(NULL as bigint) AS id,"
+    + ") hy\nUNION ALL\nSELECT 'rrf' AS part, doc_id AS id, query_id AS term,"
+    " rnk AS n1, n_runs AS n2, rrf_score AS d1\nFROM ("
+    + O_TEXT_RRF
+    + ") rf\nUNION ALL\nSELECT 'cmfreq' AS part, cast(NULL as bigint) AS id,"
     " word AS term, est_count AS n1, exact_count AS n2,"
     " cast(NULL as double) AS d1\nFROM ("
     + O_TEXT_CMFREQ

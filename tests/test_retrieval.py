@@ -536,3 +536,135 @@ def test_totals_consistent_with_compact_on_empty_docs(spark, tmp_path):
     bm25_index_compact(spark, path)
     assert _rows(bm25_index_probe(spark, path, q, k=5)) == before
     assert spark.read.parquet(f"{path}/params").first().n_docs == 2
+
+
+# --- reciprocal-rank fusion -------------------------------------------------
+
+
+def _run(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id bigint, rnk bigint"
+    )
+
+
+def test_rrf_fusion_values_and_consensus(spark):
+    """Hand-computed RRF (k_rrf=60): a doc ranked mid-list in BOTH runs
+    must outrank a doc that tops only one — the consensus property that
+    makes RRF the standard fusion baseline. Scores match the closed
+    form on the 1e-10 grid."""
+    from mallarddv_spark.operators.retrieval import rrf_fuse
+
+    a = _run(spark, [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)])
+    b = _run(spark, [("q", 4, 1), ("q", 2, 2), ("q", 3, 3)])
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k=None).collect()}
+    # doc 2: in both runs at rank 2 -> 2/62; docs 1 and 4: rank 1 once -> 1/61
+    assert out[2].n_runs == 2 and out[1].n_runs == 1
+    assert out[2].rrf_score == round(round(1e10 / 62) * 2 / 1e10, 6)
+    assert out[1].rrf_score == round(round(1e10 / 61) / 1e10, 6)
+    assert out[2].rnk == 1                      # consensus at rank 2 wins
+    assert out[3].rnk == 2                      # consensus at rank 3 next
+    # the two single-run rank-1 docs tie on score; doc id breaks it
+    assert out[1].rnk == 3 and out[4].rnk == 4
+
+
+def test_rrf_weights_and_topk_cut(spark):
+    from mallarddv_spark.operators.retrieval import rrf_fuse
+
+    a = _run(spark, [("q", 1, 1), ("q", 2, 2)])
+    b = _run(spark, [("q", 2, 1), ("q", 3, 2)])
+    # weight run b 3x: doc 3 (rank 2 in b only) beats doc 1 (rank 1 in a)
+    out = {r.doc_id: r.rrf_score
+           for r in rrf_fuse([a, b], weights=[1.0, 3.0], k=None).collect()}
+    assert out[3] > out[1]
+    cut = rrf_fuse([a, b], k=1).collect()
+    assert len(cut) == 1 and cut[0].doc_id == 2
+
+
+def test_rrf_plan_group_limit_no_join(spark):
+    """The fused cut must plan as WindowGroupLimit, and fusion must be
+    union+groupBy — no run-vs-run join anywhere in the plan."""
+    from mallarddv_spark.operators.retrieval import rrf_fuse
+
+    a = _run(spark, [("q", 1, 1)])
+    b = _run(spark, [("q", 1, 2)])
+    plan = (
+        rrf_fuse([a, b], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_rrf_guards(spark):
+    from mallarddv_spark.operators.retrieval import rrf_fuse
+
+    a = _run(spark, [("q", 1, 1)])
+    with pytest.raises(DVConfigurationError, match="two runs"):
+        rrf_fuse([a])
+    with pytest.raises(DVConfigurationError, match="weights"):
+        rrf_fuse([a, a], weights=[1.0])
+    with pytest.raises(DVConfigurationError, match="k_rrf"):
+        rrf_fuse([a, a], k_rrf=0)
+
+
+def test_rrf_duckdb_differential(spark):
+    """Full-composition differential on the real corpus: fuse the BM25
+    top-20 with the brute-force cosine top-20 and replay the whole
+    thing (both runs + grid fusion) in DuckDB."""
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from mallarddv_spark.operators.similarity import cosine_topk_bruteforce
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = literal_frame(spark, QUERIES, "query_id string, query string")
+    bm = bm25_topk(docs, queries, k=20)
+    qv = emb.filter("vec_id < 3").select(
+        F.expr("CASE vec_id WHEN 0 THEN 'q_hash' WHEN 1 THEN 'q_sort' "
+               "ELSE 'q_dup' END").alias("vec_id"),
+        "embedding",
+    )
+    cos = cosine_topk_bruteforce(qv, emb, k=20).select(
+        F.col("query_id"), F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rnk"),
+    )
+    fused = rrf_fuse([bm, cos], k=10).orderBy("query_id", "rnk")
+    got = [(r.query_id, r.doc_id, r.n_runs, r.rrf_score, r.rnk)
+           for r in fused.collect()]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')")
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in QUERIES)
+    bm_sql = DUCK_BM25.format(queries=vals, k=20)
+    want = [tuple(r) for r in con.sql(
+        "WITH bm AS (" + bm_sql + """),
+        qv AS (SELECT CASE vec_id WHEN 0 THEN 'q_hash' WHEN 1 THEN 'q_sort'
+                      ELSE 'q_dup' END AS query_id,
+                      embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 3),
+        cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cosr AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY
+                   round(list_dot_product(qv.v, cv.v)
+                         / (sqrt(list_dot_product(qv.v, qv.v))
+                            * sqrt(list_dot_product(cv.v, cv.v))), 6) DESC,
+                   doc_id) AS rnk
+          FROM qv CROSS JOIN cv QUALIFY rnk <= 20),
+        uni AS (
+          SELECT query_id, doc_id, round(1e10 / (60 + rnk))::BIGINT AS c10
+          FROM bm
+          UNION ALL
+          SELECT query_id, doc_id, round(1e10 / (60 + rnk))::BIGINT FROM cosr),
+        agg AS (
+          SELECT query_id, doc_id, count(*)::BIGINT AS n_runs,
+                 sum(c10)::BIGINT AS s10
+          FROM uni GROUP BY 1, 2)
+        SELECT query_id, doc_id, n_runs, round(s10 / 1e10, 6) AS rrf_score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s10 DESC, doc_id) AS rnk
+        FROM agg QUALIFY rnk <= 10 ORDER BY query_id, rnk
+        """).fetchall()]
+    assert got == want
