@@ -1443,3 +1443,249 @@ def cluster_balanced_sample(
             "cap_rank"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source (host-level) curation
+# ---------------------------------------------------------------------------
+
+
+def source_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang: str = "en",
+    short_tokens: int = 50,
+) -> DataFrame:
+    """Per-source corpus profile — the host-level view C4/RefinedWeb-
+    style web curation filters on (Raffel et al. 2020 drop whole hosts
+    via blocklists; Penedo et al. 2023 weigh per-domain quality): doc
+    volume, token volume, mean quality-heuristic score, and the share
+    of short documents, one row per source.
+
+    Returns ``(source, n_docs, n_tokens, n_short, sum_q6,
+    mean_quality, short_frac)``. ``sum_q6`` is the per-doc
+    :func:`textops.quality_score` snapped to a 1e-6 integer grid
+    (the score already rounds to 6 dp, so the snap is lossless) and
+    summed in integer space — the mean is ONE final division, so the
+    profile is partition-order independent and replays exactly in a
+    second engine.
+
+    Scale shape: one corpus scan into one ``groupBy(source)`` with
+    map-side partial aggregation — a mega-host contributes bounded
+    per-task partials, never a colocated window. The result is
+    #hosts-sized (10^6–10^8 at web scale), not corpus-sized.
+    """
+    from mallarddv_spark.operators.textops import quality_score, token_count
+
+    if int(short_tokens) < 1:
+        raise DVConfigurationError("source_stats: short_tokens must be >= 1")
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        token_count(text_col).cast("bigint").alias("__nt"),
+        F.round(quality_score(text_col, lang) * 1e6).cast("bigint").alias(
+            "__q6"
+        ),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__nt") < int(short_tokens), 1).otherwise(0)
+        ).cast("bigint").alias("n_short"),
+        F.sum("__q6").alias("sum_q6"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_short",
+        "sum_q6",
+        F.round(
+            F.col("sum_q6").cast("double")
+            / F.col("n_docs").cast("double") / 1e6,
+            6,
+        ).alias("mean_quality"),
+        F.round(
+            F.col("n_short").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("short_frac"),
+    )
+
+
+def source_filter(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang: str = "en",
+    short_tokens: int = 50,
+    min_docs: int | None = None,
+    min_mean_quality: float | None = None,
+    max_short_frac: float | None = None,
+    blocklist: list[str] | DataFrame | None = None,
+) -> DataFrame:
+    """Drop WHOLE sources that fail host-level bars — the C4 blocklist /
+    RefinedWeb per-domain discipline: a low-quality host pollutes every
+    document it serves, so the decision unit is the source, not the
+    doc. Keeps rows whose source passes every enabled bar (``None``
+    disables a bar) and is not blocklisted; returns the input columns
+    plus the source's ``mean_quality`` and ``short_frac`` for audit.
+
+    Scale shape: the verdict table comes from :func:`source_stats`
+    (#hosts-sized). The corpus joins it WITHOUT a forced broadcast —
+    at web scale a host table can reach 10^8 rows, where a forced
+    broadcast is a driver OOM; planner stats/AQE still pick a broadcast
+    when the table is actually small, and AQE's skew-join splits the
+    mega-host partitions when it shuffles. The blocklist (if a plain
+    list) is a literal frame on an anti-join.
+    """
+    stats = source_stats(
+        df, source_col=source_col, text_col=text_col, lang=lang,
+        short_tokens=short_tokens,
+    )
+    keep = F.lit(True)
+    if min_docs is not None:
+        keep = keep & (F.col("n_docs") >= int(min_docs))
+    if min_mean_quality is not None:
+        keep = keep & (F.col("mean_quality") >= float(min_mean_quality))
+    if max_short_frac is not None:
+        keep = keep & (F.col("short_frac") <= float(max_short_frac))
+    verdicts = stats.filter(keep).select(
+        "source", "mean_quality", "short_frac"
+    )
+    if blocklist is not None:
+        if isinstance(blocklist, DataFrame):
+            bl = blocklist.select(F.col(blocklist.columns[0]).alias("source"))
+        else:
+            from mallarddv_spark.functions.litframe import literal_frame
+
+            bl = literal_frame(
+                df.sparkSession, [(s,) for s in blocklist], "source string"
+            )
+        verdicts = verdicts.join(F.broadcast(bl), "source", "left_anti")
+    out = df.join(
+        verdicts.withColumnRenamed("source", source_col), source_col
+    )
+    return out.select(*df.columns, "mean_quality", "short_frac")
+
+
+def lang_token_counts(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language token totals ``(lang, n_docs, n_tokens)`` — the
+    input table UniMax allocates over. One corpus scan, one
+    ``groupBy(lang)`` with map-side combine (a mega-language is bounded
+    per-task partials, never a colocated window)."""
+    from mallarddv_spark.operators.textops import token_count
+
+    return (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            token_count(text_col).cast("bigint").alias("__nt"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+        )
+    )
+
+
+def unimax_allocation(
+    counts: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    lang_col: str = "lang",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): split a total
+    training-token budget across languages so no language repeats more
+    than ``max_epochs`` times, distributing the remainder UNIFORMLY over
+    the unconstrained languages — the fairer alternative to temperature
+    sampling (:func:`temperature_weights`), which over-samples head
+    languages and can epoch tail languages hundreds of times.
+
+    Waterfilling, closed-form and relational: with capacities
+    ``c_i = n_tokens_i * max_epochs`` sorted ascending, a language is
+    capped (gets all of ``c_i``) exactly when ``c_i`` lies below the
+    waterlevel ``u* = (B - S_k) / (L - k)`` of the largest feasible
+    prefix ``k`` (``S_k`` = prefix capacity sum); every uncapped
+    language gets ``u*``. The feasibility test
+    ``c_i·(L - i) <= B - S_i`` and the final level are PURE INTEGER
+    arithmetic (``div``), so the allocation replays exactly in any
+    engine — no float enters the pipeline.
+
+    Returns ``(lang, n_tokens, capacity, allocated, epochs, capped)``
+    with ``epochs = allocated / n_tokens`` rounded to 6 dp (the one
+    float, derived for audit). If total capacity <= budget every
+    language is capped and the leftover budget is simply unspent —
+    UniMax never repeats data past ``max_epochs``.
+
+    Scale shape: every window here runs over the LANGUAGE table
+    (hundreds of rows — metadata, not data), after the corpus has been
+    reduced by :func:`lang_token_counts`; the global sort is
+    deliberate and bounded.
+    """
+    from pyspark.sql import Window
+
+    if int(budget_tokens) < 0:
+        raise DVConfigurationError(
+            "unimax_allocation: budget_tokens must be >= 0"
+        )
+    if int(max_epochs) < 1:
+        raise DVConfigurationError("unimax_allocation: max_epochs must be >= 1")
+    base = counts.select(
+        F.col(lang_col).alias("lang"),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        (F.col(tokens_col).cast("bigint") * int(max_epochs)).alias("capacity"),
+    )
+    w_sort = Window.orderBy(F.asc("capacity"), F.asc("lang"))
+    w_cum = w_sort.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(F.lit(1))
+    b = F.lit(int(budget_tokens)).cast("bigint")
+    ranked = (
+        base.withColumn("__i", F.row_number().over(w_sort))
+        .withColumn("__s", F.sum("capacity").over(w_cum))
+        .withColumn("__l", F.count("*").over(w_all))
+    )
+    # prefix i is feasible as the capped set when, after granting the
+    # first i capacities outright, the uniform share of the remainder
+    # still covers c_i: c_i * (L - i) <= B - S_i  (all bigints — exact)
+    feasible = (
+        F.col("capacity") * (F.col("__l") - F.col("__i")) <= b - F.col("__s")
+    ) & (F.col("__s") <= b)
+    ranked = ranked.withColumn(
+        "__k", F.max(F.when(feasible, F.col("__i")).otherwise(0)).over(w_all)
+    ).withColumn(
+        "__sk",
+        F.coalesce(
+            F.max(F.when(F.col("__i") == F.col("__k"), F.col("__s"))).over(
+                w_all
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    # integer waterlevel: floor((B - S_k) / (L - k)); when every
+    # language is capped (k = L) the level is unused
+    level = F.expr("(__b - __sk) div (__l - __k)")
+    out = ranked.withColumn("__b", b).withColumn(
+        "allocated",
+        F.when(F.col("__i") <= F.col("__k"), F.col("capacity")).otherwise(
+            F.when(F.col("__l") == F.col("__k"), F.col("capacity"))
+            .otherwise(F.least(F.col("capacity"), level))
+        ),
+    )
+    return out.select(
+        "lang",
+        "n_tokens",
+        "capacity",
+        F.col("allocated").cast("bigint").alias("allocated"),
+        F.round(
+            F.col("allocated").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("epochs"),
+        (F.col("__i") <= F.col("__k")).alias("capped"),
+    )

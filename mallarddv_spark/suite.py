@@ -3996,13 +3996,22 @@ def q_text_curation_assign(spark, sf):
     """Deterministic corpus partitioning suite: salted-hash train/val/test
     split assignment, per-domain stratified downsampling, the RefinedWeb
     per-stratum quota cap (`curation.cap_per_stratum` — top-10 per source
-    by hashed order, rank packed into the bucket payload), and the seeded
+    by hashed order, rank packed into the bucket payload), the seeded
     shuffle-order / shard assignment (`curation.shuffle_order`, 8
-    shards), as one tagged union. Parts: text_split_assign,
-    text_stratified_sample, text_cap_per_stratum, text_shuffle_order."""
+    shards), the C4/RefinedWeb-style per-source profile + keep verdict
+    (`curation.source_stats` — integer-grid quality sums, short_frac
+    <= 0.44 bar), and the UniMax per-language budget allocation
+    (`curation.unimax_allocation`, Chung et al. 2023 — pure-integer
+    waterfilling at half the total 2-epoch capacity; the budget scalar
+    is a one-row driver aggregate, metadata not data), as one tagged
+    union. Parts: text_split_assign, text_stratified_sample,
+    text_cap_per_stratum, text_shuffle_order, srcstats, unimax."""
     from mallarddv_spark.operators.curation import (
         cap_per_stratum,
+        lang_token_counts,
         shuffle_order,
+        source_stats,
+        unimax_allocation,
     )
 
     s = q_text_split_assign(spark, sf).select(
@@ -4030,7 +4039,37 @@ def q_text_curation_assign(spark, sf):
         F.col("shard").cast("string").alias("label"),
         F.col("order_bucket").alias("bucket"),
     )
-    return s.unionByName(t).unionByName(c).unionByName(o)
+    ss = source_stats(d, short_tokens=50).select(
+        F.lit("srcstats").alias("part"),
+        F.col("n_docs").alias("doc_id"),
+        F.col("source").alias("label"),
+        F.concat_ws(
+            ":",
+            F.col("n_tokens"),
+            F.col("n_short"),
+            F.col("sum_q6"),
+            F.when(F.col("short_frac") <= 0.44, F.lit(1)).otherwise(F.lit(0)),
+        ).alias("bucket"),
+    )
+    lt = lang_token_counts(d)
+    total_cap = lt.agg(
+        F.sum(F.col("n_tokens") * 2).cast("bigint")
+    ).first()[0]
+    um = unimax_allocation(lt, int(total_cap) // 2, max_epochs=2).select(
+        F.lit("unimax").alias("part"),
+        F.col("n_tokens").alias("doc_id"),
+        F.col("lang").alias("label"),
+        F.concat_ws(
+            ":",
+            F.col("capacity"),
+            F.col("allocated"),
+            F.when(F.col("capped"), F.lit(1)).otherwise(F.lit(0)),
+        ).alias("bucket"),
+    )
+    return (
+        s.unionByName(t).unionByName(c).unionByName(o)
+        .unionByName(ss).unionByName(um)
+    )
 
 
 O_TEXT_CURATION_ASSIGN = (
@@ -4061,6 +4100,77 @@ FROM (
          substr(md5('shuffle-v1' || cast(doc_id AS varchar)), 1, 8)
            AS order_bucket
   FROM documents) ob
+"""
+    + rf"""
+UNION ALL
+SELECT 'srcstats' AS part, n_docs AS doc_id, source AS label,
+       cast(n_tokens AS varchar) || ':' || cast(n_short AS varchar)
+       || ':' || cast(sum_q6 AS varchar) || ':' ||
+       CASE WHEN round(cast(n_short AS double) / n_docs, 6) <= 0.44
+            THEN '1' ELSE '0' END AS bucket
+FROM (
+  WITH src_per AS (
+    SELECT source,
+           len(string_split_regex(trim(text), '\s+')) AS nt,
+           round(round(
+             least(round(cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x IN ({_STOPWORDS}))) AS double)
+                   / len(string_split_regex(trim(text), '\s+')), 6) * 4.0,
+                   1.0) * 0.4
+             + (CASE WHEN length(text) > 0 THEN
+                  round(cast(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS double)
+                        / length(text), 6)
+                ELSE 0.0 END) * 0.4
+             + (CASE WHEN round(cast(length(replace(text, ' ', '')) AS double)
+                         / len(string_split_regex(trim(text), '\s+')), 6)
+                       BETWEEN 2.0 AND 12.0
+                THEN 1.0 ELSE 0.5 END) * 0.2, 6) * 1e6)::BIGINT AS q6
+    FROM documents
+  )
+  SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+         sum(CASE WHEN nt < 50 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+         sum(q6)::BIGINT AS sum_q6
+  FROM src_per GROUP BY source
+) src_agg
+UNION ALL
+SELECT 'unimax' AS part, n_tokens AS doc_id, lang AS label,
+       cast(capacity AS varchar) || ':' ||
+       cast((CASE WHEN i <= k THEN capacity
+                  WHEN l = k THEN capacity
+                  ELSE least(capacity, (b - sk) // (l - k)) END)::BIGINT
+            AS varchar)
+       || ':' || CASE WHEN i <= k THEN '1' ELSE '0' END AS bucket
+FROM (
+  WITH um_lt AS (
+    SELECT lang,
+           sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
+    FROM documents GROUP BY lang
+  ),
+  um_base AS (
+    SELECT lang, n_tokens, (n_tokens * 2)::BIGINT AS capacity FROM um_lt
+  ),
+  um_bud AS (
+    SELECT ((sum(capacity)::BIGINT) // 2)::BIGINT AS b FROM um_base
+  ),
+  um_rk AS (
+    SELECT lang, n_tokens, capacity,
+           row_number() OVER (ORDER BY capacity, lang) AS i,
+           sum(capacity) OVER (ORDER BY capacity, lang
+                               ROWS UNBOUNDED PRECEDING)::BIGINT AS s,
+           count(*) OVER ()::BIGINT AS l
+    FROM um_base
+  ),
+  um_fk AS (
+    SELECT max(CASE WHEN capacity * (l - i) <= b - s AND s <= b
+               THEN i ELSE 0 END)::BIGINT AS k
+    FROM um_rk, um_bud
+  ),
+  um_sk AS (
+    SELECT coalesce(max(CASE WHEN i = k THEN s END), 0)::BIGINT AS sk
+    FROM um_rk, um_fk
+  )
+  SELECT rk.*, b, k, sk FROM um_rk rk, um_bud, um_fk, um_sk
+) um
 """
 )
 

@@ -780,3 +780,163 @@ def test_cluster_balanced_sample_orders_and_guards(spark):
     with _pytest.raises(DVConfigurationError, match="n_clusters"):
         cluster_balanced_sample(df, "doc_id", "embedding", total=10,
                                 n_clusters=1)
+
+
+# --- per-source (host-level) curation ---------------------------------------
+
+
+def test_source_stats_and_filter(spark):
+    from mallarddv_spark.operators.curation import source_filter, source_stats
+
+    rows = [
+        # good host: fluent-ish text, long docs
+        (1, "hostA", "the quick brown fox jumps over the lazy dog and runs"),
+        (2, "hostA", "the cat and the dog are friends of the house there"),
+        # junk host: no stopwords, short
+        (3, "hostB", "xx yy"),
+        (4, "hostB", "zz qq"),
+        # tiny host
+        (5, "hostC", "the one and only document of this host is here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    st = {r.source: r for r in source_stats(df, short_tokens=5).collect()}
+    assert st["hostA"].n_docs == 2 and st["hostA"].n_short == 0
+    assert st["hostB"].n_short == 2 and st["hostB"].short_frac == 1.0
+    assert st["hostA"].mean_quality > st["hostB"].mean_quality
+    # integer-grid mean: sum_q6 / n_docs / 1e6
+    assert st["hostA"].mean_quality == round(
+        st["hostA"].sum_q6 / st["hostA"].n_docs / 1e6, 6
+    )
+    kept = source_filter(
+        df, short_tokens=5, min_docs=2, max_short_frac=0.5
+    )
+    assert {r.doc_id for r in kept.collect()} == {1, 2}  # B fails quality bars, C fails min_docs
+    assert set(kept.columns) == {"doc_id", "source", "text",
+                                 "mean_quality", "short_frac"}
+    # blocklist drops a whole host regardless of stats
+    bl = source_filter(df, short_tokens=5, min_docs=1, blocklist=["hostA"])
+    assert "hostA" not in {r.source for r in bl.collect()}
+
+
+def test_source_filter_no_forced_broadcast(spark):
+    """The verdict join must not carry a forced broadcast hint — a
+    web-scale host table can reach 10^8 rows. Planner stats/AQE may
+    still broadcast a small one at runtime."""
+    from mallarddv_spark.operators.curation import source_filter
+
+    df = spark.createDataFrame(
+        [(1, "a", "the and of x")], "doc_id bigint, source string, text string"
+    )
+    plan = source_filter(df, min_docs=1)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan
+
+
+def test_source_stats_duckdb_differential(spark):
+    """Per-source profile over the real corpus replays exactly in
+    DuckDB (integer-grid quality sums, one-shot divisions)."""
+    import duckdb
+    from mallarddv_spark.operators.curation import source_stats
+
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        (r.source, r.n_docs, r.n_tokens, r.n_short, r.sum_q6,
+         r.mean_quality, r.short_frac)
+        for r in source_stats(df, short_tokens=50).collect()
+    )
+    stop = ",".join(f"'{w}'" for w in [
+        "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    ])
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    want = sorted(tuple(r) for r in con.sql(rf"""
+        WITH per AS (
+          SELECT source,
+                 len(string_split_regex(trim(text), '\s+')) AS nt,
+                 round(round(
+                   least(round(cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x IN ({stop}))) as double)
+                         / len(string_split_regex(trim(text), '\s+')), 6) * 4.0, 1.0) * 0.4
+                   + (CASE WHEN length(text) > 0 THEN
+                        round(cast(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) as double)
+                              / length(text), 6)
+                      ELSE 0.0 END) * 0.4
+                   + (CASE WHEN round(cast(length(replace(text, ' ', '')) as double)
+                               / len(string_split_regex(trim(text), '\s+')), 6)
+                             BETWEEN 2.0 AND 12.0
+                      THEN 1.0 ELSE 0.5 END) * 0.2, 6) * 1e6)::BIGINT AS q6
+          FROM documents
+        )
+        SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+               sum(CASE WHEN nt < 50 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+               sum(q6)::BIGINT AS sum_q6,
+               round(cast(sum(q6) as double) / count(*) / 1e6, 6) AS mean_quality,
+               round(cast(sum(CASE WHEN nt < 50 THEN 1 ELSE 0 END) as double)
+                     / count(*), 6) AS short_frac
+        FROM per GROUP BY source
+    """).fetchall())
+    assert got == want
+
+
+# --- UniMax per-language budget allocation ----------------------------------
+
+
+def test_unimax_waterfilling(spark):
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.curation import unimax_allocation
+
+    counts = literal_frame(
+        spark, [("en", 1000), ("de", 100), ("sw", 10)],
+        "lang string, n_tokens bigint",
+    )
+    out = {r.lang: r for r in unimax_allocation(counts, 500, 2).collect()}
+    # capacities: sw 20, de 200, en 2000; k=2; level = (500-220) div 1
+    assert out["sw"].allocated == 20 and out["sw"].capped
+    assert out["de"].allocated == 200 and out["de"].capped
+    assert out["en"].allocated == 280 and not out["en"].capped
+    assert out["sw"].epochs == 2.0 and out["en"].epochs == 0.28
+    # budget exceeds total capacity: everyone capped, leftover unspent
+    big = {r.lang: r for r in unimax_allocation(counts, 10**9, 2).collect()}
+    assert all(v.allocated == v.capacity and v.capped for v in big.values())
+    # zero budget: zero allocations
+    zero = unimax_allocation(counts, 0, 2).agg(F.sum("allocated")).first()[0]
+    assert zero == 0
+
+
+def test_unimax_budget_never_exceeded(spark):
+    """Property over a range of budgets: total allocation <= budget,
+    equality whenever total capacity >= budget; no language exceeds
+    max_epochs."""
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.curation import unimax_allocation
+
+    counts = literal_frame(
+        spark,
+        [(f"l{i}", 7 * (i + 1) ** 3) for i in range(12)],
+        "lang string, n_tokens bigint",
+    )
+    cap_total = sum(7 * (i + 1) ** 3 for i in range(12)) * 3
+    for budget in (0, 100, 5000, 40_000, cap_total, cap_total + 999):
+        rows = unimax_allocation(counts, budget, 3).collect()
+        total = sum(r.allocated for r in rows)
+        assert total <= budget or total == sum(r.capacity for r in rows)
+        assert total <= min(budget, sum(r.capacity for r in rows))
+        # uniform level: uncapped languages all share one allocation
+        uncapped = {r.allocated for r in rows if not r.capped}
+        assert len(uncapped) <= 1 or budget == 0
+        for r in rows:
+            assert r.allocated <= r.capacity
+            assert r.epochs <= 3.0 + 1e-9
+
+
+def test_unimax_guards(spark):
+    import pytest as _pytest
+    from mallarddv_spark.exceptions import DVConfigurationError
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.curation import unimax_allocation
+
+    counts = literal_frame(spark, [("en", 10)], "lang string, n_tokens bigint")
+    with _pytest.raises(DVConfigurationError, match="budget"):
+        unimax_allocation(counts, -1)
+    with _pytest.raises(DVConfigurationError, match="max_epochs"):
+        unimax_allocation(counts, 10, max_epochs=0)
