@@ -1689,3 +1689,73 @@ def unimax_allocation(
         ).alias("epochs"),
         (F.col("__i") <= F.col("__k")).alias("capped"),
     )
+
+
+def materialize_epochs(
+    df: DataFrame,
+    alloc: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "epochs-v1",
+) -> DataFrame:
+    """Materialize a per-language token budget — the output of
+    :func:`unimax_allocation`, or any ``(lang, n_tokens, allocated)``
+    table — into the actual training corpus: every document of language
+    ``l`` repeats ``floor(allocated_l / n_tokens_l)`` times, and a
+    deterministic hash-sampled subset of its documents (rate =
+    fractional epoch remainder) carries one extra copy, so each
+    language's expected materialized token count equals its allocation.
+    Sampling documents at the token-remainder rate is the standard
+    unbiased stand-in for an exact token knapsack (documents are
+    exchangeable within a language).
+
+    Adds ``epoch`` (1-based copy number). Documents whose language has
+    no allocation row — or a zero allocation — are dropped. Selection
+    is a pure function of ``(salt, id)``: stable across runs, engines,
+    and corpus growth (the :func:`split_assign` discipline), and the
+    per-language extra-copy threshold is derived in PURE integer
+    arithmetic (``(remainder_tokens << 16) // n_tokens`` against the
+    first 4 md5 hex chars), so the materialization replays exactly in a
+    second engine.
+
+    Scale shape: the allocation table is collected driver-side (it is
+    per-LANGUAGE — hundreds of rows, metadata not data) and folded into
+    a literal CASE chain, so the corpus pays a pure projection + one
+    bounded explode (factor ≤ max_epochs) — no join, no shuffle. Do not
+    point this at a per-host allocation with 10^6+ strata; that needs
+    the join form.
+    """
+    rows = alloc.select(
+        F.col(lang_col).alias("l"),
+        F.col("n_tokens").cast("bigint").alias("n"),
+        F.col("allocated").cast("bigint").alias("a"),
+    ).collect()
+    if not rows:
+        raise DVConfigurationError("materialize_epochs: empty allocation")
+    full_expr: Column = F.lit(None).cast("bigint")
+    thr_expr: Column = F.lit(None).cast("string")
+    for r in rows:
+        if r.n is None or r.n <= 0:
+            continue
+        full = int(r.a) // int(r.n)
+        rem = int(r.a) - full * int(r.n)
+        bound = format((rem << 16) // int(r.n), "04x")
+        cond = F.col(lang_col) == r.l
+        full_expr = F.when(cond, F.lit(full)).otherwise(full_expr)
+        thr_expr = F.when(cond, F.lit(bound)).otherwise(thr_expr)
+    b = hex_bucket(id_col, salt, 4)
+    copies = (
+        full_expr
+        + F.when(b < thr_expr, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .select(
+            "*", F.explode(F.sequence(F.lit(1), F.col("__copies"))).alias(
+                "epoch"
+            )
+        )
+        .drop("__copies")
+        .withColumn("epoch", F.col("epoch").cast("bigint"))
+    )

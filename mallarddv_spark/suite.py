@@ -4003,12 +4003,17 @@ def q_text_curation_assign(spark, sf):
     <= 0.44 bar), and the UniMax per-language budget allocation
     (`curation.unimax_allocation`, Chung et al. 2023 — pure-integer
     waterfilling at half the total 2-epoch capacity; the budget scalar
-    is a one-row driver aggregate, metadata not data), as one tagged
-    union. Parts: text_split_assign, text_stratified_sample,
-    text_cap_per_stratum, text_shuffle_order, srcstats, unimax."""
+    is a one-row driver aggregate, metadata not data), plus the
+    materialized epoch expansion (`curation.materialize_epochs` — full
+    epochs repeat, the fractional remainder hash-samples one extra
+    copy; pure projection + bounded explode), as one tagged union.
+    Parts: text_split_assign, text_stratified_sample,
+    text_cap_per_stratum, text_shuffle_order, srcstats, unimax,
+    epochs."""
     from mallarddv_spark.operators.curation import (
         cap_per_stratum,
         lang_token_counts,
+        materialize_epochs,
         shuffle_order,
         source_stats,
         unimax_allocation,
@@ -4055,7 +4060,8 @@ def q_text_curation_assign(spark, sf):
     total_cap = lt.agg(
         F.sum(F.col("n_tokens") * 2).cast("bigint")
     ).first()[0]
-    um = unimax_allocation(lt, int(total_cap) // 2, max_epochs=2).select(
+    alloc = unimax_allocation(lt, int(total_cap) // 2, max_epochs=2)
+    um = alloc.select(
         F.lit("unimax").alias("part"),
         F.col("n_tokens").alias("doc_id"),
         F.col("lang").alias("label"),
@@ -4066,9 +4072,15 @@ def q_text_curation_assign(spark, sf):
             F.when(F.col("capped"), F.lit(1)).otherwise(F.lit(0)),
         ).alias("bucket"),
     )
+    ep = materialize_epochs(d, alloc).select(
+        F.lit("epochs").alias("part"),
+        "doc_id",
+        F.col("lang").alias("label"),
+        F.col("epoch").cast("string").alias("bucket"),
+    )
     return (
         s.unionByName(t).unionByName(c).unionByName(o)
-        .unionByName(ss).unionByName(um)
+        .unionByName(ss).unionByName(um).unionByName(ep)
     )
 
 
@@ -4171,6 +4183,59 @@ FROM (
   )
   SELECT rk.*, b, k, sk FROM um_rk rk, um_bud, um_fk, um_sk
 ) um
+UNION ALL
+SELECT 'epochs' AS part, d.doc_id, d.lang AS label,
+       cast(gs.e AS varchar) AS bucket
+FROM (
+  WITH ep_lt AS (
+    SELECT lang,
+           sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
+    FROM documents GROUP BY lang
+  ),
+  ep_base AS (
+    SELECT lang, n_tokens, (n_tokens * 2)::BIGINT AS capacity FROM ep_lt
+  ),
+  ep_bud AS (
+    SELECT ((sum(capacity)::BIGINT) // 2)::BIGINT AS b FROM ep_base
+  ),
+  ep_rk AS (
+    SELECT lang, n_tokens, capacity,
+           row_number() OVER (ORDER BY capacity, lang) AS i,
+           sum(capacity) OVER (ORDER BY capacity, lang
+                               ROWS UNBOUNDED PRECEDING)::BIGINT AS s,
+           count(*) OVER ()::BIGINT AS l
+    FROM ep_base
+  ),
+  ep_fk AS (
+    SELECT max(CASE WHEN capacity * (l - i) <= b - s AND s <= b
+               THEN i ELSE 0 END)::BIGINT AS k
+    FROM ep_rk, ep_bud
+  ),
+  ep_sk AS (
+    SELECT coalesce(max(CASE WHEN i = k THEN s END), 0)::BIGINT AS sk
+    FROM ep_rk, ep_fk
+  ),
+  ep_alloc AS (
+    SELECT lang, n_tokens,
+           (CASE WHEN i <= k THEN capacity
+                 WHEN l = k THEN capacity
+                 ELSE least(capacity, (b - sk) // (l - k)) END)::BIGINT
+             AS allocated
+    FROM ep_rk, ep_bud, ep_fk, ep_sk
+  )
+  SELECT lang,
+         (allocated // n_tokens)::BIGINT AS full_epochs,
+         printf('%04x',
+                (((allocated - (allocated // n_tokens) * n_tokens) * 65536)
+                 // n_tokens)::BIGINT) AS thr
+  FROM ep_alloc
+) ea
+JOIN documents d ON d.lang = ea.lang
+CROSS JOIN (VALUES (1), (2), (3)) gs(e)
+WHERE gs.e <= ea.full_epochs
+      + CASE WHEN substr(md5('epochs-v1' || cast(d.doc_id AS varchar)), 1, 4)
+                  < ea.thr
+             THEN 1 ELSE 0 END
 """
 )
 

@@ -940,3 +940,60 @@ def test_unimax_guards(spark):
         unimax_allocation(counts, -1)
     with _pytest.raises(DVConfigurationError, match="max_epochs"):
         unimax_allocation(counts, 10, max_epochs=0)
+
+
+def test_materialize_epochs(spark):
+    """Full epochs repeat every doc; the fractional remainder samples a
+    stable subset for one extra copy; languages without allocation drop;
+    expected token mass ~ allocation."""
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.curation import materialize_epochs
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 40 else "de", "w " * 10) for i in range(60)]
+        + [(99, "zz", "w " * 10)],
+        "doc_id bigint, lang string, text string",
+    )
+    # en: 400 tokens source, allocated 1000 -> 2 full epochs + 0.5 extra
+    # de: 200 tokens, allocated 200 -> exactly 1 epoch; zz: no row
+    alloc = literal_frame(
+        spark, [("en", 400, 1000), ("de", 200, 200)],
+        "lang string, n_tokens bigint, allocated bigint",
+    )
+    out = materialize_epochs(docs, alloc)
+    rows = out.collect()
+    assert not [r for r in rows if r.lang == "zz"]
+    de = [r for r in rows if r.lang == "de"]
+    assert len(de) == 20 and {r.epoch for r in de} == {1}
+    en_by_doc = {}
+    for r in rows:
+        if r.lang == "en":
+            en_by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in en_by_doc.values())
+    copies = sorted(len(v) for v in en_by_doc.values())
+    assert set(copies) <= {2, 3}
+    n_extra = sum(1 for v in en_by_doc.values() if len(v) == 3)
+    assert 10 <= n_extra <= 30  # ~half of 40, hash-sampled
+    # determinism
+    again = materialize_epochs(docs, alloc).collect()
+    assert sorted((r.doc_id, r.epoch) for r in again) == sorted(
+        (r.doc_id, r.epoch) for r in rows
+    )
+    # plan: projection + explode only, no join/shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_materialize_epochs_guards(spark):
+    import pytest as _pytest
+    from mallarddv_spark.exceptions import DVConfigurationError
+    from mallarddv_spark.operators.curation import materialize_epochs
+
+    docs = spark.createDataFrame([(1, "en", "x")],
+                                 "doc_id bigint, lang string, text string")
+    empty = docs.filter("1=0").selectExpr(
+        "lang", "cast(1 as bigint) n_tokens", "cast(1 as bigint) allocated"
+    )
+    with _pytest.raises(DVConfigurationError, match="empty allocation"):
+        materialize_epochs(docs, empty)
