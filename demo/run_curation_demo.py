@@ -9,7 +9,9 @@ same code runs over a 100 TB corpus):
 
 1. profile    — per-doc quality/lang/token stats in ONE scan
 2. clean      — corpus-level boilerplate line removal (CCNet-style)
-3. quality    — Gopher/C4-style threshold filter
+3. quality    — Gopher/C4-style threshold filter, then the HOST screen
+                (per-source profile; whole sources below the bar drop
+                — the C4-blocklist / RefinedWeb per-domain discipline)
 4. dedup      — exact + MinHash-LSH near-dup, connected-components
                 cluster verdicts (keep one doc per near-dup cluster),
                 then a containment pass dropping fragments included in
@@ -20,10 +22,15 @@ same code runs over a 100 TB corpus):
                 mode)
 7. tokenize   — BPE tokenizer TRAINED on the surviving corpus; its
                 real token counts drive everything downstream
-8. split/mix  — deterministic train/val split + token-budget mixing
+8. split/mix  — deterministic train/val split + token-budget mixing,
+                then the UniMax alternative (Chung et al. 2023):
+                epoch-capped waterfilling allocation materialized into
+                an epoch-expanded corpus
 9. pack       — fixed-length training sequences
 10. search    — BM25 inverted index over the final corpus (the
-                targeted-inspection path for a 100 TB lake)
+                targeted-inspection path for a 100 TB lake), hybrid
+                cosine rerank, and rank-only RRF fusion of the lexical
+                and dense runs
 """
 
 import os
@@ -74,7 +81,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     docs = cleaned.select(
         F.col("id").alias("doc_id"),
         F.regexp_replace("text", "\n", " ").alias("text"),
-    ).join(docs.select("doc_id", "lang"), "doc_id")
+    ).join(docs.select("doc_id", "lang", "source"), "doc_id")
 
     # 3. quality filter (thresholds tuned to the synthetic corpus,
     # which has no stopwords — disable the fluency rule)
@@ -85,6 +92,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     ).filter("qf_keep").drop("qf_keep", "qf_reasons")
     nq = kept_q.count()
     print(f"-- quality: {n0} -> {nq} docs --")
+
+    # 3b. host screen: per-source profile, then drop WHOLE sources whose
+    # short-doc share is extreme (the decision unit is the host, not the
+    # doc — C4 blocklists, RefinedWeb per-domain quality)
+    stats = curation.source_stats(kept_q, short_tokens=40)
+    print("-- host screen: worst 3 sources by short-doc share --")
+    stats.orderBy(F.desc("short_frac")).select(
+        "source", "n_docs", "short_frac", "mean_quality"
+    ).show(3)
+    kept_q = curation.source_filter(
+        kept_q, short_tokens=40, max_short_frac=0.6
+    ).drop("mean_quality", "short_frac")
+    nh = kept_q.count()
+    print(f"-- host screen: {nq} -> {nh} docs --")
 
     # 4. near-dup dedup: LSH pairs -> connected components -> keep one per
     # cluster
@@ -172,6 +193,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     for stratum, r in sorted(report.items()):
         print(f"   {stratum}: actual={r['actual_tokens']} rate={r['rate']}")
 
+    # 8b. the UniMax alternative: epoch-capped waterfilling over the
+    # per-language token totals (pure-integer arithmetic), materialized
+    # into the actual epoch-expanded corpus
+    lt = with_tokens.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    alloc = curation.unimax_allocation(lt, budget, max_epochs=2)
+    print(f"-- UniMax allocation of the same {budget}-token budget --")
+    alloc.orderBy("lang").show()
+    materialized = curation.materialize_epochs(with_tokens, alloc)
+    print("-- materialized epochs per language --")
+    materialized.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("docs"),
+        F.count("*").alias("rows"),
+        F.max("epoch").alias("max_epoch"),
+    ).orderBy("lang").show()
+
     # 9. pack into fixed-length training sequences
     packed = textops.pack_sequences(mixed, "doc_id", "text", token_budget=512)
     print("-- packed sequences (first bins) --")
@@ -203,6 +242,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     retrieval.hybrid_rerank_topk(shortlist, doc_vecs, q_vec, k=3).show(
         truncate=False
     )
+
+    # RRF: blend the lexical and dense runs by rank alone — no score
+    # calibration; consensus docs rise
+    from mallarddv_spark.operators.similarity import cosine_topk_bruteforce
+
+    dense = cosine_topk_bruteforce(
+        q_vec.select(F.col("query_id").alias("vec_id"), "embedding"),
+        emb, k=10,
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rnk"),
+    )
+    print("-- RRF fusion of the BM25 and dense top-10 runs --")
+    retrieval.rrf_fuse([shortlist, dense], k=3).show(truncate=False)
     spark.stop()
 
 
