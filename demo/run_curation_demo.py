@@ -48,8 +48,8 @@ from mallarddv_spark.operators import curation, dedup, graph, textops  # noqa: E
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     spark = get_spark(
-        master="local[4]",
-        shuffle_partitions=4,
+        master="local[8]",
+        shuffle_partitions=8,
         warehouse_dir=os.path.join(tempfile.mkdtemp(prefix="cur_demo_"), "wh"),
     )
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -78,10 +78,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"-- clean: dropped {dropped} duplicated corpus lines --")
     # the cleaned corpus (boilerplate lines removed, newlines back to
     # spaces) is what every later stage consumes
+    # cache the stage boundaries every later stage fans out from — the
+    # demo's point is the pipeline shape, not recomputing a 10-stage
+    # lineage per printed count (at 100 TB these would be materialized
+    # parquet checkpoints between jobs, not .cache())
     docs = cleaned.select(
         F.col("id").alias("doc_id"),
         F.regexp_replace("text", "\n", " ").alias("text"),
-    ).join(docs.select("doc_id", "lang", "source"), "doc_id")
+    ).join(docs.select("doc_id", "lang", "source"), "doc_id").cache()
 
     # 3. quality filter (thresholds tuned to the synthetic corpus,
     # which has no stopwords — disable the fluency rule)
@@ -103,7 +107,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     ).show(3)
     kept_q = curation.source_filter(
         kept_q, short_tokens=40, max_short_frac=0.6
-    ).drop("mean_quality", "short_frac")
+    ).drop("mean_quality", "short_frac").cache()
     nh = kept_q.count()
     print(f"-- host screen: {nq} -> {nh} docs --")
 
@@ -131,7 +135,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "CASE WHEN sz_a <= sz_b THEN doc_a ELSE doc_b END AS doc_id"
     ).distinct()
     ncont = contained.count()
-    survivors = survivors.join(contained, "doc_id", "left_anti")
+    survivors = survivors.join(contained, "doc_id", "left_anti").cache()
     print(f"-- containment: {ncont} contained fragments removed --")
 
     # 5. decontamination against a small "benchmark" (here: a sample of

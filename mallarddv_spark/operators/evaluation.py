@@ -1,5 +1,5 @@
-"""Retrieval-quality evaluation: recall@k and MRR of an approximate
-result set against an exact baseline.
+"""Retrieval-quality evaluation: recall@k, MRR, and graded nDCG@k of a
+ranked result set against an exact baseline or relevance labels.
 
 Reference scope note: no evaluation tier exists in the reference engine
 — this extends the training-data pipeline tier. Every approximate
@@ -16,9 +16,9 @@ driver row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["recall_at_k", "reciprocal_rank"]
+__all__ = ["recall_at_k", "reciprocal_rank", "ndcg_at_k"]
 
 
 def recall_at_k(
@@ -100,4 +100,93 @@ def reciprocal_rank(
             ),
         )
         .select(qid_col, "first_rank", "rr")
+    )
+
+
+def ndcg_at_k(
+    approx: DataFrame,
+    truth: DataFrame,
+    qid_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    rel_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query nDCG@k (Järvelin & Kekäläinen 2002) of a ranked run
+    against graded relevance labels — the position-discounted complement
+    to :func:`recall_at_k` (set overlap) and :func:`reciprocal_rank`
+    (first hit only): a run that buries its relevant results at rank k
+    scores below one that leads with them, and graded labels weight
+    highly-relevant documents more via the standard exponential gain
+    ``(2^rel - 1) / log2(rank + 1)``.
+
+    ``truth`` holds ``(qid, id[, rel])`` relevance pairs; with
+    ``rel_col=None`` every pair counts as binary relevance 1. IDCG is
+    the DCG of the ideal ordering of each query's labels (rel desc, id
+    asc, cut at ``k``), so ``ndcg`` is 1.0 exactly when the run leads
+    with the best-labeled documents. Queries present in ``truth`` but
+    absent from the run — and queries whose labels are all zero — score
+    0.0 rather than vanishing (the :func:`recall_at_k` convention).
+
+    Determinism: each gain term is snapped to the 1e-10 integer grid and
+    summed as bigint (the BM25/bigram-LM discipline), so DCG/IDCG — and
+    therefore nDCG — are independent of partitioning and replay exactly
+    in a second engine. Returns ``({qid_col}, dcg, idcg, ndcg)``
+    rounded to 6 dp.
+
+    Scale shape: both inputs are result-set / label-set sized (queries ×
+    k rows), so every join is tiny; the ideal-ordering ``row_number``
+    with its constant-``k`` cut plans as Partial+Final WindowGroupLimit.
+    """
+    if int(k) < 1:
+        raise ValueError("ndcg_at_k: k must be >= 1")
+    rel = (
+        F.col(rel_col).cast("double") if rel_col is not None else F.lit(1.0)
+    )
+    t = truth.select(qid_col, id_col, rel.alias("__rel"))
+
+    def gain10(rank_expr):
+        term = (F.pow(F.lit(2.0), F.col("__rel")) - F.lit(1.0)) / F.log2(
+            rank_expr.cast("double") + F.lit(1.0)
+        )
+        return F.round(term * 1e10).cast("bigint")
+
+    run = approx.filter(F.col(rank_col) <= int(k)).select(
+        qid_col, id_col, F.col(rank_col).cast("bigint").alias("__rnk")
+    )
+    # non-relevant retrieved docs contribute zero gain — inner join keeps
+    # exactly the scoring rows
+    dcg = (
+        run.join(t, [qid_col, id_col])
+        .groupBy(qid_col)
+        .agg(F.sum(gain10(F.col("__rnk"))).alias("__dcg10"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("__rel"), F.asc(id_col)
+    )
+    idcg = (
+        t.withColumn("__irnk", F.row_number().over(w))
+        .filter(F.col("__irnk") <= int(k))
+        .groupBy(qid_col)
+        .agg(F.sum(gain10(F.col("__irnk"))).alias("__idcg10"))
+    )
+    base = t.select(qid_col).distinct()
+    zero = F.lit(0).cast("bigint")
+    return (
+        base.join(dcg, qid_col, "left")
+        .join(idcg, qid_col, "left")
+        .withColumn("__dcg10", F.coalesce("__dcg10", zero))
+        .withColumn("__idcg10", F.coalesce("__idcg10", zero))
+        .select(
+            qid_col,
+            F.round(F.col("__dcg10") / 1e10, 6).alias("dcg"),
+            F.round(F.col("__idcg10") / 1e10, 6).alias("idcg"),
+            F.round(
+                F.when(
+                    F.col("__idcg10") > 0,
+                    F.col("__dcg10").cast("double") / F.col("__idcg10"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
     )

@@ -5,7 +5,11 @@ queries counted as zero, MRR semantics, result-set-sized plans."""
 import pytest
 from pyspark.sql import Row, functions as F
 
-from mallarddv_spark.operators.evaluation import recall_at_k, reciprocal_rank
+from mallarddv_spark.operators.evaluation import (
+    ndcg_at_k,
+    recall_at_k,
+    reciprocal_rank,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -49,6 +53,61 @@ def test_reciprocal_rank(spark):
     assert got == {"a": (2, 0.5), "b": (1, 1.0), "c": (None, 0.0)}
     mrr = reciprocal_rank(approx, truth).agg(F.avg("rr")).first()[0]
     assert abs(mrr - 0.5) < 1e-9
+
+
+def test_ndcg_semantics(spark):
+    """Hand-computed graded nDCG: a perfect ordering scores 1.0, a
+    buried relevant doc discounts, missing queries and all-zero labels
+    score 0.0."""
+    import math
+
+    truth = spark.createDataFrame(
+        # a: graded labels; b: binary; c: never retrieved; d: all-zero rels
+        [Row(query_id="a", neighbor_id=1, rel=3.0),
+         Row(query_id="a", neighbor_id=2, rel=1.0),
+         Row(query_id="b", neighbor_id=9, rel=1.0),
+         Row(query_id="c", neighbor_id=5, rel=2.0),
+         Row(query_id="d", neighbor_id=4, rel=0.0)]
+    )
+    approx = spark.createDataFrame(
+        # a retrieves its docs in the WRONG order; b leads with its doc
+        [Row(query_id="a", neighbor_id=2, rank=1),
+         Row(query_id="a", neighbor_id=1, rank=2),
+         Row(query_id="b", neighbor_id=9, rank=1),
+         Row(query_id="b", neighbor_id=8, rank=2),
+         Row(query_id="d", neighbor_id=4, rank=1)]
+    )
+    got = {r.query_id: r for r in
+           ndcg_at_k(approx, truth, rel_col="rel", k=10).collect()}
+    # a: DCG = 1/log2(2) + 7/log2(3); IDCG = 7/log2(2) + 1/log2(3)
+    dcg_a = 1.0 + 7.0 / math.log2(3)
+    idcg_a = 7.0 + 1.0 / math.log2(3)
+    assert abs(got["a"].ndcg - dcg_a / idcg_a) < 1e-5
+    assert got["a"].ndcg < 1.0
+    assert got["b"].ndcg == 1.0
+    assert got["c"].ndcg == 0.0 and got["c"].dcg == 0.0
+    assert got["d"].ndcg == 0.0  # IDCG 0 — defined as 0, not NULL/NaN
+    # binary default: every truth pair counts as rel=1
+    binary = {r.query_id: r.ndcg
+              for r in ndcg_at_k(approx, truth, k=10).collect()}
+    assert binary["b"] == 1.0 and binary["d"] == 1.0
+    # the k cut drops a's rank-2 hit entirely
+    at1 = {r.query_id: r.ndcg
+           for r in ndcg_at_k(approx, truth, rel_col="rel", k=1).collect()}
+    assert abs(at1["a"] - 1.0 / 7.0) < 1e-5
+
+
+def test_ndcg_plan_is_result_set_sized(spark):
+    from mallarddv_spark.plans.audit import plan_report
+
+    run = spark.createDataFrame([Row(query_id="a", neighbor_id=1, rank=1)])
+    truth = spark.createDataFrame([Row(query_id="a", neighbor_id=1)])
+    df = ndcg_at_k(run, truth, k=5)
+    rep = plan_report(df)
+    assert rep["python_stages"] == 0 and rep["nested_loop_joins"] == 0
+    # the ideal-ordering cut must be WindowGroupLimit-protected
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
 
 
 def test_recall_on_real_ann_tiers(spark):
