@@ -1,4 +1,6 @@
-"""Mergeable HyperLogLog sketches, relationally (Flajolet et al. 2007).
+"""Mergeable portable sketches, relationally: HyperLogLog (Flajolet et
+al. 2007), count-min (Cormode & Muthukrishnan 2005), fixed-range
+histogram, and KMV bottom-k (Bar-Yossef et al. 2002).
 
 Reference scope note: the reference engine has no sketch tier — this
 extends the corpus-statistics family. Two sketch modules coexist by
@@ -56,6 +58,8 @@ __all__ = [
     "save_cm", "load_cm", "cm_append", "heal_cm",
     "hist_counts", "hist_merge", "hist_quantiles",
     "save_hist", "load_hist", "hist_append", "heal_hist",
+    "kmv_sketch", "kmv_merge", "kmv_distinct", "kmv_quantiles",
+    "save_kmv", "load_kmv", "kmv_append", "heal_kmv",
 ]
 
 _HASH_BITS = 60
@@ -616,3 +620,217 @@ def hist_append(
     )
     save_hist(hist_merge(stored, batch, by=by), path,
               p["lo"], p["hi"], p["n_bins"])
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k minimum values) — distinct count + uniform distinct-value
+# sample in ONE mergeable sketch (Bar-Yossef et al. 2002)
+# ---------------------------------------------------------------------------
+#
+# The third portable sketch fills the two gaps the other two leave: the
+# HLL counts distinct but keeps no values; the histogram estimates
+# quantiles but needs a DECLARED [lo, hi) range. A KMV sketch keeps the
+# k distinct values with the SMALLEST hashes — simultaneously (a) a
+# distinct-count estimator ((k-1)·H/h_k) and (b) a uniform random
+# sample of the distinct values (hash order is value-blind), giving
+# range-free quantile estimates over the distinct-value distribution.
+# Everything is relational: the bottom-k is a constant-k rank that
+# Catalyst rewrites to Partial+Final WindowGroupLimit, so no group's
+# value set ever serializes into one task pre-cut, and merges re-rank
+# unions (the bottom-k of a union of bottom-k sets IS the bottom-k of
+# the union — lossless, idempotent under replay: the property that
+# makes stored-sketch appends self-absorbing, unlike CM/histogram).
+
+
+def _check_k(k: int) -> None:
+    if not 2 <= int(k) <= 1 << 20:
+        raise DVConfigurationError("kmv: k must be in [2, 2^20]")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int = 1024,
+    by: list[str] | None = None,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Bottom-``k`` sketch rows ``(…by, rnk, h, val)`` over the DISTINCT
+    values of ``value_col`` (hashed via their string rendering, the md5
+    convention — NULLs ignored), optionally per group. ``rnk`` is the
+    1-based hash rank, ``h`` the 60-bit hash, ``val`` the value's string
+    form. Distinctness first (one map-side-combined groupBy — bounded
+    tasks at any skew), then the constant-``k`` rank filter is
+    limit-protected in both shapes: grouped sketches plan Partial+Final
+    WindowGroupLimit, a global sketch a TakeOrderedAndProject (per-task
+    top-k + driver merge) — plan-pinned in ``tests/test_sketches.py``.
+    Ties between hash-colliding values break on ``val`` ascending, so
+    the sketch is fully deterministic."""
+    _check_k(k)
+    groups = list(by or [])
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, F.col(value_col).cast("string").alias("val"))
+        .distinct()
+    )
+    hashed = distinct.select(
+        *groups, "val", _hash60("val", hash_mode).alias("h")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*groups).orderBy(F.asc("h"), F.asc("val"))
+    return (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select(*groups, F.col("rnk").cast("int").alias("rnk"), "h", "val")
+    )
+
+
+def kmv_merge(
+    *sketches: DataFrame, k: int, by: list[str] | None = None
+) -> DataFrame:
+    """Merge sketches built at the SAME (k, hash_mode): union, drop
+    duplicate values (a value in several inputs hashes identically),
+    re-rank, keep ``k``. Lossless — any value in the true bottom-k of
+    the union is necessarily in its source sketch's bottom-k — and
+    therefore idempotent: re-merging a replayed batch changes nothing."""
+    _check_k(k)
+    if not sketches:
+        raise DVConfigurationError("kmv_merge: need at least one sketch")
+    groups = list(by or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*groups).orderBy(F.asc("h"), F.asc("val"))
+    return (
+        out.dropDuplicates(groups + ["val"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select(*groups, F.col("rnk").cast("int").alias("rnk"), "h", "val")
+    )
+
+
+def kmv_distinct(
+    sketch: DataFrame, k: int, by: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate per group: EXACT (= rows kept) while the
+    group holds fewer than ``k`` distinct values, else the standard KMV
+    estimator ``(k-1)·2^60 / h_(k)`` — one double division on integer
+    inputs, so the rounded estimate replays bit-for-bit in a second
+    engine. Returns ``(…by, n_kept, est_distinct)``."""
+    _check_k(k)
+    groups = list(by or [])
+    agg = sketch.groupBy(*groups).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max("h").alias("__hk"),
+    )
+    est = F.when(
+        F.col("n_kept") < int(k), F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(2 ** _HASH_BITS))
+        / F.col("__hk").cast("double")
+    )
+    return agg.select(
+        *groups, "n_kept", F.round(est, 4).alias("est_distinct")
+    )
+
+
+def kmv_quantiles(
+    sketch: DataFrame,
+    probs: list[float],
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Range-free quantile estimates of the DISTINCT-VALUE distribution
+    (values cast to double; duplicates carry no weight — row-weighted
+    quantiles are the histogram sketch's job): hash order is value-blind,
+    so the kept set is a uniform sample of the distinct values, and the
+    sample's lower quantile (element ``max(1, ceil(p·n))`` in value
+    order) estimates the population's with O(1/√k) rank error. The
+    selection rule is deterministic and closed-form, so estimates replay
+    exactly in any engine. Returns ``(…by, p, est)``; windows run over
+    ≤ k rows per group — sketch-scale, not data-scale."""
+    groups = list(by or [])
+    from pyspark.sql import Window
+
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    # tie-break equal doubles on the string form ("1" vs "1.0" both
+    # render 1.0) — the rank must be deterministic for exact replay
+    ranked = sketch.select(
+        *groups, "val", F.col("val").cast("double").alias("__v")
+    ).withColumn("__vr", F.row_number().over(
+        Window.partitionBy(*groups).orderBy(F.asc("__v"), F.asc("val"))
+    ))
+    totals = ranked.groupBy(*groups).agg(F.count("*").alias("__n"))
+    pdf = literal_frame(
+        sketch.sparkSession, [(float(p),) for p in probs], "p double"
+    )
+    j = (
+        ranked.join(F.broadcast(totals), groups) if groups
+        else ranked.crossJoin(F.broadcast(totals))
+    ).crossJoin(F.broadcast(pdf))
+    pick = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil(F.col("p") * F.col("__n").cast("double")).cast("bigint"),
+    )
+    return (
+        j.filter(F.col("__vr") == pick)
+        .select(*groups, "p", F.round(F.col("__v"), 6).alias("est"))
+    )
+
+
+# --- persistence (staged-rename, same contract as the HLL family) ----------
+
+
+def heal_kmv(spark: SparkSession, path: str) -> str | None:
+    """Resolve a torn :func:`kmv_append` swap; drains like
+    ``bloom.heal_bloom``. Idempotent."""
+    return heal_hll(spark, path)
+
+
+def save_kmv(
+    sketch: DataFrame, path: str, k: int, hash_mode: str,
+    by: list[str] | None = None,
+) -> None:
+    """Persist a sketch plus its parameters (k, hash_mode; group columns
+    ride as data — an append must reuse them)."""
+    spark = sketch.sparkSession
+    heal_kmv(spark, path)
+    from mallarddv_spark.sources import layout
+
+    out = sketch.withColumn("__k", F.lit(int(k))).withColumn(
+        "__hash_mode", F.lit(hash_mode)
+    )
+    fs, live = layout.dir_fs(spark, path)
+    if not fs.exists(live):
+        out.coalesce(1).write.mode("overwrite").parquet(path)
+        return
+    out.coalesce(1).write.mode("overwrite").parquet(path + "__compact")
+    layout.swap_dir_live(spark, path)
+
+
+def load_kmv(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Load a stored sketch (parameter columns dropped) and its params.
+    Heals a torn append on open."""
+    heal_kmv(spark, path)
+    df = spark.read.parquet(path)
+    row = df.select("__k", "__hash_mode").first()
+    params = {"k": int(row["__k"]), "hash_mode": row["__hash_mode"]}
+    return df.drop("__k", "__hash_mode"), params
+
+
+def kmv_append(
+    new_values: DataFrame, path: str, value_col: str,
+    by: list[str] | None = None,
+) -> None:
+    """Fold a batch into a STORED sketch. IDEMPOTENT — a replayed batch
+    merges to the identical sketch (value dedup absorbs it), so unlike
+    the CM/histogram appends this needs no replay fence."""
+    spark = new_values.sparkSession
+    stored, p = load_kmv(spark, path)
+    batch = kmv_sketch(
+        new_values, value_col, k=p["k"], by=by, hash_mode=p["hash_mode"]
+    )
+    save_kmv(kmv_merge(stored, batch, k=p["k"], by=by), path,
+             p["k"], p["hash_mode"], by=by)

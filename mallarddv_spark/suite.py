@@ -2446,11 +2446,25 @@ def q_sql_approx_aggregates(spark, sf):
         F.max(F.when(F.col("p") == 0.5, F.col("est"))).alias("hist_p50"),
         F.max(F.when(F.col("p") == 0.95, F.col("est"))).alias("hist_p95"),
     )
+    # ...and the engine-owned KMV bottom-k sketch: distinct estimate AND
+    # a range-free median of the distinct order keys from ONE sketch —
+    # both closed-form over the kept rows, so the VALUES replay exactly
+    kmv_sk = sk.kmv_sketch(
+        li, "l_orderkey", k=1024, by=["l_returnflag"], hash_mode="md5"
+    )
+    kmv = sk.kmv_distinct(kmv_sk, k=1024, by=["l_returnflag"]).select(
+        "l_returnflag", F.col("est_distinct").alias("own_kmv_est")
+    )
+    kmv_q = sk.kmv_quantiles(kmv_sk, [0.5], by=["l_returnflag"]).select(
+        "l_returnflag", F.col("est").alias("own_kmv_p50")
+    )
     agg = (
         sketches.join(F.broadcast(exact_cd), "l_returnflag")
         .join(F.broadcast(exact_pct), "l_returnflag")
         .join(F.broadcast(own), "l_returnflag")
         .join(F.broadcast(hist), "l_returnflag")
+        .join(F.broadcast(kmv), "l_returnflag")
+        .join(F.broadcast(kmv_q), "l_returnflag")
     )
     return agg.select(
         "l_returnflag",
@@ -2462,6 +2476,12 @@ def q_sql_approx_aggregates(spark, sf):
         "own_hll_est",
         "hist_p50",
         "hist_p95",
+        "own_kmv_est",
+        "own_kmv_p50",
+        (
+            F.abs(F.col("own_kmv_est") - F.col("exact_orders"))
+            <= F.col("exact_orders") * F.lit(0.10)
+        ).alias("own_kmv_within_10pct"),
         (
             F.abs(F.col("__hll") - F.col("exact_orders"))
             <= F.col("exact_orders") * F.lit(0.15)
@@ -2574,6 +2594,37 @@ hest AS (
                ELSE {raw} END, 4) AS est
   FROM hagg
 ),
+kd AS (
+  SELECT DISTINCT l_returnflag, cast(l_orderkey as varchar) AS val
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+),
+kr AS (
+  SELECT l_returnflag, val,
+         (('0x' || substr(md5(val),1,15))::bigint) AS h,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY (('0x' || substr(md5(val),1,15))::bigint), val) AS rnk
+  FROM kd
+),
+ks AS (SELECT * FROM kr WHERE rnk <= 1024),
+kest AS (
+  SELECT l_returnflag,
+         CASE WHEN count(*) < 1024 THEN round(cast(count(*) as double), 4)
+              ELSE round(1023.0 * cast(1152921504606846976 as double)
+                         / cast(max(h) as double), 4)
+         END AS kmv_est
+  FROM ks GROUP BY 1
+),
+kvr AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY cast(val as double), val) AS vr,
+            count(*) OVER (PARTITION BY l_returnflag) AS kn
+  FROM ks
+),
+kq AS (
+  SELECT l_returnflag, round(cast(val as double), 6) AS kmv_p50
+  FROM kvr WHERE vr = greatest(1, cast(ceil(0.5 * kn) as bigint))
+),
 base AS (
   SELECT l_returnflag,
          count(*) AS n,
@@ -2588,6 +2639,10 @@ SELECT b.l_returnflag, b.n, b.exact_orders, b.p50_exact, b.p95_exact,
        h.est AS own_hll_est,
        v.hist_p50,
        v.hist_p95,
+       e.kmv_est AS own_kmv_est,
+       q.kmv_p50 AS own_kmv_p50,
+       abs(e.kmv_est - b.exact_orders) <= b.exact_orders * 0.10
+           AS own_kmv_within_10pct,
        TRUE AS hll_within_15pct,
        abs(h.est - b.exact_orders) <= b.exact_orders * 0.05
            AS own_hll_within_5pct,
@@ -2599,6 +2654,8 @@ SELECT b.l_returnflag, b.n, b.exact_orders, b.p50_exact, b.p95_exact,
        TRUE AS p95_within_1pct
 FROM base b JOIN hest h USING (l_returnflag)
 JOIN hpv v USING (l_returnflag)
+JOIN kest e USING (l_returnflag)
+JOIN kq q USING (l_returnflag)
 """
 
 

@@ -368,3 +368,155 @@ SELECT j.p, round(least(greatest(
 FROM hj j JOIN hc2 c ON c.bin = j.bin, ht t
 """).fetchall())
     assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer than k distinct values: the sketch IS the value set, the
+    estimate is exact, and duplicates/NULLs are absorbed."""
+    df = _vals(spark, 50).unionByName(_vals(spark, 50)).unionByName(
+        spark.createDataFrame([(None,)], "v string")
+    )
+    s = sk.kmv_sketch(df, "v", k=256)
+    assert s.count() == 50
+    est = sk.kmv_distinct(s, k=256).first()
+    assert (est.n_kept, est.est_distinct) == (50, 50.0)
+
+
+def test_kmv_estimate_within_error_band(spark):
+    """20k distinct at k=1024: the (k-1)·H/h_k estimator lands within
+    3/√k ≈ 9.4% of truth for both hash modes."""
+    df = _vals(spark, 20_000)
+    for mode in ("md5", "xxhash64"):
+        est = sk.kmv_distinct(
+            sk.kmv_sketch(df, "v", k=1024, hash_mode=mode), k=1024
+        ).first().est_distinct
+        assert abs(est - 20_000) / 20_000 < 0.094, (mode, est)
+
+
+def test_kmv_merge_lossless_and_idempotent(spark):
+    """Merging two overlapping halves equals the one-shot sketch, and
+    re-merging one half again (a replayed batch) changes nothing — the
+    self-absorbing property CM/histogram appends do not have."""
+    df = _vals(spark, 5_000)
+    h1 = sk.kmv_sketch(df.filter("substr(v, 2) < '3'"), "v", k=512)
+    h2 = sk.kmv_sketch(df.filter("substr(v, 2) >= '2'"), "v", k=512)
+    merged = sk.kmv_merge(h1, h2, k=512)
+    one = sk.kmv_sketch(df, "v", k=512)
+    as_rows = lambda d: sorted((r.rnk, r.h, r.val) for r in d.collect())
+    assert as_rows(merged) == as_rows(one)
+    again = sk.kmv_merge(merged, h2, k=512)
+    assert as_rows(again) == as_rows(one)
+
+
+def test_kmv_quantiles_grouped(spark):
+    """Quantiles of the distinct-value distribution per group: exact
+    sample quantiles below k, rank error within 3/√k above it."""
+    df = spark.range(10_000).selectExpr(
+        "cast(id % 2 as string) AS g", "cast(id as double) AS v"
+    )
+    s = sk.kmv_sketch(df, "v", k=512, by=["g"])
+    got = {(r.g, r.p): r.est
+           for r in sk.kmv_quantiles(s, [0.5, 0.9], by=["g"]).collect()}
+    # group values are uniform on [0, 10000) — each quantile must land
+    # within the sampling rank error of the population quantile
+    for (g, p), est in got.items():
+        assert abs(est - p * 10_000) < 3 / (512 ** 0.5) * 10_000, (g, p, est)
+
+
+def test_kmv_md5_replays_in_duckdb(spark, tmp_path):
+    """Sketch rows, the distinct estimate, AND a quantile estimate match
+    a closed-form DuckDB replay byte-for-byte — the contract behind the
+    kmv gate columns."""
+    pq = str(tmp_path / "kv.parquet")
+    # numeric string values: the quantile leg casts them to double, and
+    # int -> string renders identically in both engines
+    spark.range(3_000).select(
+        ((F.col("id") * 37) % 10_000).cast("string").alias("v")
+    ).write.parquet(pq)
+    df = spark.read.parquet(pq)
+    s = sk.kmv_sketch(df, "v", k=256, hash_mode="md5")
+    got_rows = sorted((r.rnk, r.h, r.val) for r in s.collect())
+    got_est = sk.kmv_distinct(s, k=256).first().est_distinct
+    got_q = {r.p: r.est for r in sk.kmv_quantiles(s, [0.5]).collect()}
+    con = duckdb.connect()
+    want_rows = con.execute(f"""
+WITH d AS (SELECT DISTINCT v AS val FROM read_parquet('{pq}/*.parquet')
+           WHERE v IS NOT NULL),
+h AS (SELECT val, (('0x' || substr(md5(val),1,15))::bigint) AS h FROM d),
+r AS (SELECT *, row_number() OVER (ORDER BY h, val) AS rnk FROM h)
+SELECT rnk, h, val FROM r WHERE rnk <= 256 ORDER BY rnk
+""").fetchall()
+    assert got_rows == [(int(a), int(b), c) for a, b, c in want_rows]
+    want_est, want_q = con.execute(f"""
+WITH d AS (SELECT DISTINCT v AS val FROM read_parquet('{pq}/*.parquet')
+           WHERE v IS NOT NULL),
+h AS (SELECT val, (('0x' || substr(md5(val),1,15))::bigint) AS h FROM d),
+r AS (SELECT *, row_number() OVER (ORDER BY h, val) AS rnk FROM h),
+s AS (SELECT * FROM r WHERE rnk <= 256),
+est AS (SELECT CASE WHEN count(*) < 256 THEN round(cast(count(*) as double), 4)
+                    ELSE round(255.0 * cast(1152921504606846976 as double)
+                               / cast(max(h) as double), 4) END AS e FROM s),
+vr AS (SELECT *, row_number() OVER (ORDER BY cast(val as double), val) AS vr,
+              count(*) OVER () AS n FROM s)
+SELECT (SELECT e FROM est),
+       (SELECT round(cast(val as double), 6) FROM vr
+        WHERE vr = greatest(1, cast(ceil(0.5 * n) as bigint)))
+""").fetchone()
+    assert got_est == want_est
+    assert got_q[0.5] == want_q
+
+
+def test_kmv_persist_append_heal(spark, tmp_path):
+    """save → append → estimate equals the one-shot sketch over both
+    batches; a REPLAYED append is a no-op (idempotent); a torn staged
+    swap heals on open."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "kmv")
+    b1, b2 = _vals(spark, 2_000), _vals(spark, 2_000, start=1_500)
+    sk.save_kmv(sk.kmv_sketch(b1, "v", k=512), path, k=512, hash_mode="md5")
+    sk.kmv_append(b2, path, "v")
+    stored, p = sk.load_kmv(spark, path)
+    assert p == {"k": 512, "hash_mode": "md5"}
+    one = sk.kmv_sketch(b1.unionByName(b2), "v", k=512)
+    as_rows = lambda d: sorted((r.rnk, r.h, r.val) for r in d.collect())
+    assert as_rows(stored) == as_rows(one)
+    sk.kmv_append(b2, path, "v")  # replay
+    stored2, _ = sk.load_kmv(spark, path)
+    assert as_rows(stored2) == as_rows(one)
+    # torn swap: stage a compact dir, kill before rename
+    shutil.copytree(path, path + "__compact")
+    assert sk.heal_kmv(spark, path) is not None
+    assert not os.path.exists(path + "__compact")
+    stored3, _ = sk.load_kmv(spark, path)
+    assert as_rows(stored3) == as_rows(one)
+
+
+def test_kmv_plan_and_guards(spark):
+    """The bottom-k cut is limit-protected in BOTH shapes — global
+    sketches plan a TakeOrderedAndProject (per-task top-k + driver
+    merge), grouped sketches Partial+Final WindowGroupLimit — so no
+    group's value set ever serializes pre-cut; zero Python stages."""
+    from mallarddv_spark.plans.audit import plan_report
+
+    df = _vals(spark, 100)
+    s = sk.kmv_sketch(df, "v", k=16)
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan_report(s)["python_stages"] == 0
+    g = sk.kmv_sketch(
+        df.withColumn("g", F.expr("substr(v, 2, 1)")), "v", k=16, by=["g"]
+    )
+    gplan = g._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in gplan
+    assert plan_report(g)["python_stages"] == 0
+    with pytest.raises(DVConfigurationError, match="k must be"):
+        sk.kmv_sketch(df, "v", k=1)
+    with pytest.raises(DVConfigurationError, match="at least one"):
+        sk.kmv_merge(k=16)
