@@ -59,6 +59,7 @@ __all__ = [
     "hist_counts", "hist_merge", "hist_quantiles",
     "save_hist", "load_hist", "hist_append", "heal_hist",
     "kmv_sketch", "kmv_merge", "kmv_distinct", "kmv_quantiles",
+    "kmv_set_estimates",
     "save_kmv", "load_kmv", "kmv_append", "heal_kmv",
 ]
 
@@ -834,3 +835,64 @@ def kmv_append(
     )
     save_kmv(kmv_merge(stored, batch, k=p["k"], by=by), path,
              p["k"], p["hash_mode"], by=by)
+
+
+def kmv_set_estimates(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Set-overlap estimates between two KMV sketches built at the SAME
+    (k, hash_mode) — Beyer et al. 2007: merge the sketches into the
+    union's bottom-k; its k-th smallest hash is a threshold ``τ`` under
+    which the kept values are a uniform sample of the union, so the
+    fraction of them present in BOTH inputs estimates the Jaccard
+    similarity, and ``|A∩B| ≈ J · est_union``. This is the cheap
+    dataset-overlap audit (corpus slice vs benchmark, crawl batch vs
+    crawl batch) that decides whether a full decontamination /
+    dedup pass is worth scheduling — two kilobyte-scale sketches
+    instead of two corpus scans.
+
+    Returns ``(…by, n_union_kept, est_union, est_intersection,
+    jaccard)``. Below ``k`` union-distinct values everything is exact.
+    All arithmetic is the closed-form KMV chain — deterministic,
+    engine-replayable. Joins are sketch-sized (≤ k rows per group)."""
+    _check_k(k)
+    groups = list(by or [])
+    u = kmv_merge(sketch_a, sketch_b, k=k, by=by)
+    # membership flags ride a sketch-sized join: a union-sample value is
+    # in A iff A's sketch holds it (its hash is under A's own threshold
+    # ONLY if also under the union's — and the union's τ is the tighter
+    # one, so A's bottom-k contains every union-sample member of A)
+    a_vals = sketch_a.select(*groups, "val").withColumn("__ina", F.lit(1))
+    b_vals = sketch_b.select(*groups, "val").withColumn("__inb", F.lit(1))
+    keys = groups + ["val"]
+    flagged = (
+        u.join(a_vals, keys, "left")
+        .join(b_vals, keys, "left")
+        .withColumn("__both",
+                    (F.col("__ina").isNotNull()
+                     & F.col("__inb").isNotNull()).cast("int"))
+    )
+    agg = flagged.groupBy(*groups).agg(
+        F.count("*").cast("bigint").alias("n_union_kept"),
+        F.max("h").alias("__hk"),
+        F.sum("__both").cast("bigint").alias("__nboth"),
+    )
+    est_u = F.when(
+        F.col("n_union_kept") < int(k), F.col("n_union_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(2 ** _HASH_BITS))
+        / F.col("__hk").cast("double")
+    )
+    jac = F.col("__nboth").cast("double") / F.col("n_union_kept").cast(
+        "double"
+    )
+    return agg.select(
+        *groups,
+        "n_union_kept",
+        F.round(est_u, 4).alias("est_union"),
+        F.round(jac * est_u, 4).alias("est_intersection"),
+        F.round(jac, 6).alias("jaccard"),
+    )

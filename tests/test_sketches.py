@@ -520,3 +520,46 @@ def test_kmv_plan_and_guards(spark):
         sk.kmv_sketch(df, "v", k=1)
     with pytest.raises(DVConfigurationError, match="at least one"):
         sk.kmv_merge(k=16)
+
+
+def test_kmv_set_estimates(spark):
+    """Beyer et al. overlap estimates: exact below k, within the
+    sampling error band above it, and the asymmetric containment shows
+    in est_intersection."""
+    # A = [0, 3000), B = [2000, 6000): |A∩B| = 1000, |A∪B| = 6000, J = 1/6
+    a = _vals(spark, 3_000)
+    b = _vals(spark, 4_000, start=2_000)
+    # exact regime: k larger than the union
+    sa = sk.kmv_sketch(a, "v", k=8_192)
+    sb = sk.kmv_sketch(b, "v", k=8_192)
+    got = sk.kmv_set_estimates(sa, sb, k=8_192).first()
+    assert got.n_union_kept == 6_000
+    assert got.est_union == 6_000.0
+    assert got.est_intersection == 1_000.0
+    assert abs(got.jaccard - 1 / 6) < 1e-6
+    # estimator regime: k = 1024 — J std err ≈ sqrt(J(1-J)/k) ≈ 0.012
+    sa = sk.kmv_sketch(a, "v", k=1_024)
+    sb = sk.kmv_sketch(b, "v", k=1_024)
+    est = sk.kmv_set_estimates(sa, sb, k=1_024).first()
+    assert abs(est.jaccard - 1 / 6) < 0.05
+    assert abs(est.est_union - 6_000) / 6_000 < 0.094
+    assert abs(est.est_intersection - 1_000) / 1_000 < 0.35
+
+
+def test_kmv_set_estimates_grouped_and_disjoint(spark):
+    """Per-group overlap; disjoint groups report zero intersection."""
+    a = spark.range(1_000).selectExpr(
+        "cast(id % 2 as string) AS g", "concat('v', id) AS v"
+    )
+    # group 0 shares everything with a; group 1 shares nothing
+    b = spark.range(1_000).selectExpr(
+        "cast(id % 2 as string) AS g",
+        "CASE WHEN id % 2 = 0 THEN concat('v', id)"
+        "     ELSE concat('w', id) END AS v"
+    )
+    sa = sk.kmv_sketch(a, "v", k=2_048, by=["g"])
+    sb = sk.kmv_sketch(b, "v", k=2_048, by=["g"])
+    got = {r.g: r for r in
+           sk.kmv_set_estimates(sa, sb, k=2_048, by=["g"]).collect()}
+    assert got["0"].jaccard == 1.0 and got["0"].est_intersection == 500.0
+    assert got["1"].jaccard == 0.0 and got["1"].est_intersection == 0.0
