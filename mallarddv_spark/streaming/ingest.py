@@ -223,6 +223,7 @@ def neardup_stream_processor(
     compact_every_n_batches: int | None = None,
     vocab_hll_path: str | None = None,
     doclen_hist_path: str | None = None,
+    docsample_kmv_path: str | None = None,
 ):
     """Ready-made ``process_batch`` for :func:`stream_files_to_staging`:
     the continuous-crawl near-dup gate. Each micro-batch is
@@ -298,6 +299,15 @@ def neardup_stream_processor(
     fence (exactly-once for fenced batches; a crash between fence and
     histogram append under-counts that one batch — the conservative
     direction for drift monitoring).
+
+    ``docsample_kmv_path`` (a sketch created by ``sketches.save_kmv``)
+    maintains a KMV bottom-k over ingested document ids — a UNIFORM
+    random sample of everything admitted so far (hash order is
+    value-blind), for spot-QA: join the sample ids back to the sink
+    table to eyeball a representative slice of a month-old crawl
+    without scanning it. KMV appends are idempotent (a replayed batch
+    merges to the identical sketch), so this needs no fence either
+    side.
 
     ``compact_every_n_batches`` is the small-file policy: every
     micro-batch append writes one file set per touched bucket, so a
@@ -420,6 +430,13 @@ def neardup_stream_processor(
                     ).alias("tok")
                 ).filter(F.col("tok") != "")
                 hll_append(toks, vocab_hll_path, "tok")
+            if docsample_kmv_path is not None:
+                # KMV appends are IDEMPOTENT (value dedup absorbs a
+                # replayed batch), so like the HLL this can safely run
+                # before the fence
+                from mallarddv_spark.functions.sketches import kmv_append
+
+                kmv_append(fresh, docsample_kmv_path, id_col)
             dedup.minhash_index_append(fresh, index_path, id_col, text_col)
             if doclen_hist_path is not None:
                 # AFTER the fence: histogram counts ADD (a replayed

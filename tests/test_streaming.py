@@ -708,3 +708,53 @@ def test_neardup_stream_maintains_doclen_hist(spark, tmp_path):
     q = sk.hist_quantiles(stored, 0.0, 64.0, 64, [0.5]).first().est
     assert 4.0 <= q <= 6.0, q
     spark.sql("DROP TABLE IF EXISTS default.dh_sink")
+
+
+def test_neardup_stream_maintains_doc_sample_kmv(spark, tmp_path):
+    """docsample_kmv_path: each batch's admitted ids merge into the
+    stored bottom-k — after N batches (including a replay, absorbed by
+    KMV idempotence) the stored sketch equals a one-shot sketch over
+    every id the sink accepted, and joining the sample back to the sink
+    yields a readable document slice."""
+    from pyspark.sql import Row
+    from mallarddv_spark.functions import sketches as sk
+    from mallarddv_spark.operators import dedup
+
+    seed = spark.createDataFrame([Row(doc_id=1, text="seed alpha beta")])
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(seed, index_path, num_perm=32, bands=8,
+                              shingle_size=3)
+    kmv_path = str(tmp_path / "doc_sample")
+    sk.save_kmv(sk.kmv_sketch(seed, "doc_id", k=64), kmv_path,
+                k=64, hash_mode="md5")
+    spark.sql("DROP TABLE IF EXISTS default.ks_sink")
+
+    process = ingest.neardup_stream_processor(
+        index_path, "default.ks_sink", threshold=0.9,
+        docsample_kmv_path=kmv_path,
+    )
+    batches = [
+        spark.createDataFrame(
+            [Row(doc_id=500 + 10 * i + j, text=f"doc {i} {j} words here")
+             for j in range(3)]
+        )
+        for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        process(b, i)
+    process(batches[1], 99)  # replay — must be absorbed
+
+    everything = seed
+    for b in batches:
+        everything = everything.unionByName(b)
+    one = sk.kmv_sketch(everything, "doc_id", k=64)
+    stored, params = sk.load_kmv(spark, kmv_path)
+    assert params == {"k": 64, "hash_mode": "md5"}
+    as_rows = lambda d: sorted((r.rnk, r.h, r.val) for r in d.collect())
+    assert as_rows(stored) == as_rows(one)
+    # the QA join: sample ids → sink documents
+    sample_docs = spark.table("default.ks_sink").join(
+        stored.selectExpr("cast(val as bigint) AS doc_id"), "doc_id"
+    )
+    assert sample_docs.count() == 9  # all ingested ids (k=64 > corpus)
+    spark.sql("DROP TABLE IF EXISTS default.ks_sink")
