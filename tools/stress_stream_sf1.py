@@ -95,6 +95,9 @@ def main() -> None:
     sketches.save_hist(sketches.hist_counts(lens, "len", lo=0.0, hi=200.0,
                                             n_bins=50), hist_path,
                        lo=0.0, hi=200.0, n_bins=50)
+    kmv_path = os.path.join(td, "doc_sample")
+    sketches.save_kmv(sketches.kmv_sketch(seed, "doc_id", k=1024), kmv_path,
+                      k=1024, hash_mode="md5")
 
     spark.sql("DROP TABLE IF EXISTS default.sf1_sink")
     spark.sql("DROP TABLE IF EXISTS default.sf1_dead")
@@ -110,6 +113,7 @@ def main() -> None:
         compact_every_n_batches=2,
         vocab_hll_path=hll_path,
         doclen_hist_path=hist_path,
+        docsample_kmv_path=kmv_path,
     )
 
     src = os.path.join(td, "crawl")
@@ -139,6 +143,8 @@ def main() -> None:
     dead = spark.table("default.sf1_dead").count()
     rejects = spark.table("default.sf1_rejects").count()
     postings = spark.read.parquet(f"{bm25_path}/postings").count()
+    sample, kp = sketches.load_kmv(spark, kmv_path)
+    sample_est = sketches.kmv_distinct(sample, k=kp["k"]).first().est_distinct
     regs, hp = sketches.load_hll(spark, hll_path)
     vocab = sketches.hll_estimate(regs, p=hp["p"]).first().est_distinct
     hist, hpar = sketches.load_hist(spark, hist_path)
@@ -156,6 +162,8 @@ def main() -> None:
         "streamed": n_stream, "admitted": sink, "dead_lettered": dead,
         "quality_rejects": rejects, "bm25_postings": postings,
         "vocab_hll_estimate": vocab, "doclen_quantiles": qs,
+        "doc_sample_kept": sample.count(),
+        "doc_sample_est_admitted": sample_est,
         "probe_rows": probe,
     }), flush=True)
     spark.stop()
