@@ -874,6 +874,193 @@ def score_kn_logprob(
     )
 
 
+def train_trigram_lm(
+    df: DataFrame, text_col: str, lowercase: bool = True
+) -> dict:
+    """Count-based trigram language model — :func:`train_bigram_lm`
+    plus a ``trigrams`` table ``(w1, w2, w3, cnt)``, one decade closer
+    to the 5-gram KenLM models CCNet actually ships. The returned dict
+    is a strict superset of the bigram model's, so every bigram scorer
+    accepts it unchanged.
+
+    Scale shape: one more groupBy shuffle over the trigram stream
+    (map-side combine); the model size is the trigram-type vocabulary,
+    not the corpus."""
+    lm = train_bigram_lm(df, text_col, lowercase)
+    toks = _lm_tokens(text_col, lowercase)
+    base = df.select(toks.alias("__t"))
+    triples = F.when(
+        F.size("__t") >= 3,
+        F.expr(
+            "transform(sequence(1, size(__t) - 2), "
+            "i -> struct(element_at(__t, i) as w1, "
+            "element_at(__t, i + 1) as w2, "
+            "element_at(__t, i + 2) as w3))"
+        ),
+    ).otherwise(F.expr("array()"))
+    lm["trigrams"] = (
+        base.select(F.explode(triples).alias("p"))
+        .select("p.w1", "p.w2", "p.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return lm
+
+
+def score_kn3_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: dict,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean TRIGRAM log-probability under interpolated
+    Kneser-Ney (Chen & Goodman 1998's three-level recursion) — the
+    :func:`score_kn_logprob` discipline one order higher, proving the
+    recursion generalizes the way KenLM's 5-gram models do:
+
+    ``P(w3|w1,w2) = max(c(w1w2w3) - D, 0)/c(w1w2)
+                    + (D · N1+(w1w2·)/c(w1w2)) · P_mid(w3|w2)``,
+    ``P_mid(w3|w2) = max(N1+(·w2w3) - D, 0)/N1+(·w2·)
+                     + (D · Nf_mid(w2)/N1+(·w2·)) · P_cont(w3)``,
+    ``P_cont(w3)   = N1+(·w3)/|bigram types|``.
+
+    Every statistic below the top order is a CONTINUATION (type) count
+    from the trigram/bigram TYPE tables — the Kneser-Ney insight
+    applied at each level: ``N1+(·w2w3)`` counts distinct left contexts
+    of the bigram, ``N1+(·w2·)`` distinct (w1,w3) frames around w2,
+    ``Nf_mid(w2)`` distinct continuations w3 in the mid-level type
+    distribution. Fallback chain for unseen material, every branch
+    floored so log stays finite: unseen context (w1,w2) → ``P_mid``
+    directly; w2 never a trigram middle → ``P_cont``; OOV w3 → the
+    0.5-type floor. Returns ``(id, n_trigrams, n_oov_ctx,
+    avg_logprob)``; docs with < 3 tokens score no row. Same 1e-10
+    integer-grid sum as every scorer in this module — partition-order
+    independent, engine-replayable.
+
+    Scale shape: the four continuation tables are groupBy aggregates of
+    the trigram TYPE table (map-side combine, bounded tasks — never a
+    per-key window); scoring pays seven hash joins on word keys + one
+    groupBy on id. Word keys are Zipf-skewed — the
+    :func:`score_bigram_logprob` AQE skew-join note applies."""
+    if not 0.0 < float(discount) < 1.0:
+        raise DVConfigurationError(
+            "score_kn3_logprob: discount must be in (0, 1)"
+        )
+    if "trigrams" not in lm:
+        raise DVConfigurationError(
+            "score_kn3_logprob: model lacks a trigram table — train with "
+            "train_trigram_lm"
+        )
+    d_lit = repr(float(discount))
+    toks = _lm_tokens(text_col, bool(lm.get("lowercase", True)))
+    tri_types = lm["trigrams"]
+    bi_types = lm["bigrams"]
+    t_bitypes = int(bi_types.count()) or 1
+    # top level: context count c(w1,w2) and its distinct-continuation
+    # count N1+(w1w2·) — both from the raw tables
+    ctx2 = bi_types.select(
+        F.col("w1").alias("__x1"), F.col("w2").alias("__x2"),
+        F.col("cnt").alias("__c12"),
+    )
+    nf_hi = (
+        tri_types.groupBy("w1", "w2").agg(F.count("*").alias("__nfh"))
+        .select(F.col("w1").alias("__h1"), F.col("w2").alias("__h2"), "__nfh")
+    )
+    # mid level: continuation counts from the trigram TYPE table
+    ncb = (
+        tri_types.groupBy("w2", "w3").agg(F.count("*").alias("__ncb"))
+        .select(F.col("w2").alias("__m2"), F.col("w3").alias("__m3"), "__ncb")
+    )
+    mid = (
+        tri_types.groupBy("w2").agg(
+            F.count("*").alias("__nmid"),
+            F.countDistinct("w3").alias("__nfm"),
+        )
+        .select(F.col("w2").alias("__g2"), "__nmid", "__nfm")
+    )
+    # bottom level: N1+(·w3) over bigram types (the bigram-KN table)
+    nb = (
+        bi_types.groupBy("w2").agg(F.count("*").alias("__nb"))
+        .select(F.col("w2").alias("__p3"), "__nb")
+    )
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    triples = F.when(
+        F.size("__t") >= 3,
+        F.expr(
+            "transform(sequence(1, size(__t) - 2), "
+            "i -> struct(element_at(__t, i) as w1, "
+            "element_at(__t, i + 1) as w2, "
+            "element_at(__t, i + 2) as w3))"
+        ),
+    ).otherwise(F.expr("array()"))
+    stream = base.select("__id", F.explode(triples).alias("p")).select(
+        "__id", "p.w1", "p.w2", "p.w3"
+    )
+    tri = tri_types.select(
+        F.col("w1").alias("__t1"), F.col("w2").alias("__t2"),
+        F.col("w3").alias("__t3"), F.col("cnt").alias("__c123"),
+    )
+    # the expression tree is kept in one string so a future oracle can
+    # mirror it verbatim (the score_kn_logprob convention)
+    pc = (
+        f"(coalesce(cast(__nb as double), 0.5) "
+        f"/ cast({t_bitypes} as double))"
+    )
+    pmid = (
+        f"CASE WHEN __nmid IS NOT NULL THEN "
+        f"greatest(cast(coalesce(__ncb, 0) as double) - {d_lit}, "
+        f"cast(0 as double)) / cast(__nmid as double) "
+        f"+ ({d_lit} * cast(__nfm as double) / cast(__nmid as double)) "
+        f"* {pc} ELSE {pc} END"
+    )
+    lp = (
+        f"CASE WHEN __c12 IS NOT NULL THEN "
+        f"ln(greatest(cast(coalesce(__c123, 0) as double) - {d_lit}, "
+        f"cast(0 as double)) / cast(__c12 as double) "
+        f"+ ({d_lit} * cast(greatest(coalesce(__nfh, 0), 1) as double) "
+        f"/ cast(__c12 as double)) * ({pmid})) "
+        f"ELSE ln({pmid}) END"
+    )
+    scored = (
+        stream.join(
+            tri,
+            (F.col("w1") == F.col("__t1")) & (F.col("w2") == F.col("__t2"))
+            & (F.col("w3") == F.col("__t3")),
+            "left",
+        )
+        .join(
+            ctx2,
+            (F.col("w1") == F.col("__x1")) & (F.col("w2") == F.col("__x2")),
+            "left",
+        )
+        .join(
+            nf_hi,
+            (F.col("w1") == F.col("__h1")) & (F.col("w2") == F.col("__h2")),
+            "left",
+        )
+        .join(
+            ncb,
+            (F.col("w2") == F.col("__m2")) & (F.col("w3") == F.col("__m3")),
+            "left",
+        )
+        .join(mid, F.col("w2") == F.col("__g2"), "left")
+        .join(nb, F.col("w3") == F.col("__p3"), "left")
+        .select(
+            "__id",
+            F.col("__c12").isNull().cast("int").alias("__oov"),
+            F.round(F.expr(lp) * 1e10).cast("bigint").alias("__lp10"),
+        )
+    )
+    return scored.groupBy(F.col("__id").alias("id")).agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum("__oov").cast("bigint").alias("n_oov_ctx"),
+        F.round(
+            F.sum("__lp10") / (F.lit(1e10) * F.count("*")), 6
+        ).alias("avg_logprob"),
+    )
+
+
 def fluency_filter(
     df: DataFrame,
     id_col: str,

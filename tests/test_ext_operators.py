@@ -1139,6 +1139,113 @@ def test_kn_continuation_fixes_francisco(spark):
     assert sb[1] > sb[2]
 
 
+def test_score_kn3_logprob_matches_reference(spark):
+    """Spark trigram-KN scorer vs a pure-Python three-level Kneser-Ney
+    reference with the same grid discipline — seen trigrams, discounted
+    mass, unseen contexts, mid-level continuation fallback, and OOV
+    words all live."""
+    import math
+    from collections import Counter
+
+    train_rows = [(1, "the cat sat on the mat"),
+                  (2, "the dog sat on the rug"),
+                  (3, "a cat and a dog sat down"),
+                  (4, "the cat sat on a rug")]
+    test_rows = [(10, "the cat sat on"), (11, "rug mat dog sat"),
+                 (12, "zz qq yy"), (13, "a dog sat")]
+    lm = textops.train_trigram_lm(
+        spark.createDataFrame(train_rows, ["doc_id", "text"]), "text"
+    )
+    got = {
+        r.id: (r.n_trigrams, r.n_oov_ctx, r.avg_logprob)
+        for r in textops.score_kn3_logprob(
+            spark.createDataFrame(test_rows, ["doc_id", "text"]),
+            "doc_id", "text", lm,
+        ).collect()
+    }
+
+    bi, tri = Counter(), Counter()
+    for _, t in train_rows:
+        ws = t.lower().split()
+        bi.update(zip(ws, ws[1:]))
+        tri.update(zip(ws, ws[1:], ws[2:]))
+    T, D = len(bi), 0.75
+    nf_hi = Counter((a, b) for a, b, _ in tri)       # N1+(w1w2.)
+    ncb = Counter((b, c) for _, b, c in tri)         # N1+(.w2w3)
+    nmid = Counter(b for _, b, _ in tri)             # N1+(.w2.)
+    nfm = Counter()                                  # distinct w3 per mid w2
+    for (b, c) in set((b, c) for _, b, c in tri):
+        nfm[b] += 1
+    nb = Counter(b for _, b in bi)                   # N1+(.w3)
+
+    def pc(w3):
+        return (float(nb[w3]) if w3 in nb else 0.5) / float(T)
+
+    def pmid(w2, w3):
+        if w2 in nmid:
+            return (
+                max(float(ncb.get((w2, w3), 0)) - D, 0.0) / float(nmid[w2])
+                + (D * float(nfm[w2]) / float(nmid[w2])) * pc(w3)
+            )
+        return pc(w3)
+
+    def lp(w1, w2, w3):
+        if (w1, w2) in bi:
+            c12 = float(bi[(w1, w2)])
+            return math.log(
+                max(float(tri.get((w1, w2, w3), 0)) - D, 0.0) / c12
+                + (D * float(max(nf_hi.get((w1, w2), 0), 1)) / c12)
+                * pmid(w2, w3)
+            )
+        return math.log(pmid(w2, w3))
+
+    for did, t in test_rows:
+        ws = t.lower().split()
+        grams = list(zip(ws, ws[1:], ws[2:]))
+        lp10 = [round(lp(a, b, c) * 1e10) for a, b, c in grams]
+        want = (
+            len(grams),
+            sum(1 for a, b, _ in grams if (a, b) not in bi),
+            round(sum(lp10) / (1e10 * len(grams)), 6),
+        )
+        assert got[did] == want, (did, got[did], want)
+
+
+def test_kn3_context_disambiguation_and_model_compat(spark):
+    """The trigram point: two-word context disambiguates what a bigram
+    model cannot — and the trigram model dict is a strict superset, so
+    the bigram scorers accept it unchanged."""
+    train = [(i, "new york city") for i in range(6)] + [
+        (100, "old york road"), (101, "good city walls"),
+    ]
+    lm = textops.train_trigram_lm(
+        spark.createDataFrame(train, ["doc_id", "text"]), "text"
+    )
+    test = spark.createDataFrame(
+        [(1, "new york city"), (2, "new york walls")], ["doc_id", "text"]
+    )
+    s3 = {r.id: r.avg_logprob
+          for r in textops.score_kn3_logprob(
+              test, "doc_id", "text", lm).collect()}
+    assert s3[1] > s3[2]  # the seen trigram wins under its context
+    # docs with < 3 tokens score no row
+    short = textops.score_kn3_logprob(
+        spark.createDataFrame([(9, "two words")], ["doc_id", "text"]),
+        "doc_id", "text", lm,
+    )
+    assert short.count() == 0
+    # superset model: the bigram KN scorer runs on it unchanged
+    s2 = textops.score_kn_logprob(test, "doc_id", "text", lm)
+    assert s2.count() == 2
+    with pytest.raises(DVConfigurationError, match="discount"):
+        textops.score_kn3_logprob(test, "doc_id", "text", lm, discount=0.0)
+    lm2 = textops.train_bigram_lm(
+        spark.createDataFrame(train, ["doc_id", "text"]), "text"
+    )
+    with pytest.raises(DVConfigurationError, match="trigram"):
+        textops.score_kn3_logprob(test, "doc_id", "text", lm2)
+
+
 def test_kn_discount_guard(spark):
     lm = textops.train_bigram_lm(
         spark.createDataFrame([(1, "a b")], ["doc_id", "text"]), "text"
