@@ -139,8 +139,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"-- containment: {ncont} contained fragments removed --")
 
     # 5. decontamination against a small "benchmark" (here: a sample of
-    # the corpus itself, guaranteeing hits to show the mechanism)
+    # the corpus itself, guaranteeing hits to show the mechanism).
+    # 5a. FIRST the kilobyte-scale KMV overlap audit: sketch the 3-gram
+    # shingle sets of corpus and benchmark, estimate their Jaccard /
+    # intersection from the two sketches alone — at 100 TB this decides
+    # whether the full decontamination pass is worth scheduling at all
+    from mallarddv_spark.functions import sketches as sk
+
     bench = docs.orderBy("doc_id").limit(5)
+    shingle = (
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    corp_sh = survivors.selectExpr(f"explode({shingle}) AS sh")
+    bench_sh = bench.selectExpr(f"explode({shingle}) AS sh")
+    audit = sk.kmv_set_estimates(
+        sk.kmv_sketch(corp_sh, "sh", k=512),
+        sk.kmv_sketch(bench_sh, "sh", k=512),
+        k=512,
+    ).first()
+    print(f"-- overlap audit (KMV k=512): est corpus∪bench shingles "
+          f"{audit.est_union}, est shared {audit.est_intersection} "
+          f"(J={audit.jaccard}) -> run the full pass --")
     contam = curation.decontaminate(survivors, bench, "doc_id", "text")
     nc = contam.filter("contaminated").count()
     print(f"-- decontam: {nc} docs flagged against the benchmark --")
