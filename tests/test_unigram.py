@@ -1,0 +1,176 @@
+"""Unigram-LM tokenizer (operators/unigram): Viterbi optimality vs a
+pure-Python reference (hypothesis), tie-break determinism, strict vs
+unk-floor modes, seed-vocabulary properties, corpus encode shape, and
+plan pins."""
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from mallarddv_spark.exceptions import DVConfigurationError
+from mallarddv_spark.functions.litframe import literal_frame
+from mallarddv_spark.operators import unigram as ug
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vocab(spark, entries):
+    return literal_frame(
+        spark, list(entries.items()), "piece string, logp double"
+    )
+
+
+def _py_viterbi(word, vocab, unk=-20.0):
+    """Reference: best-score segmentation; ties prefer longer piece then
+    leftmost split (the documented contract)."""
+    L = len(word)
+    alpha = [(0.0, -1)] + [(-1e30, -1)] * L
+    for j in range(1, L + 1):
+        best = (-1e30, -1)
+        for i in range(0, j):
+            piece = word[i:j]
+            lp = vocab.get(piece)
+            if lp is None and j - i == 1 and unk is not None:
+                lp = unk
+            if lp is None or alpha[i][0] <= -1e29:
+                continue
+            cand = alpha[i][0] + lp
+            if cand > best[0]:
+                best = (cand, i)
+        alpha[j] = best
+    if alpha[L][0] <= -1e29:
+        return None, None
+    pieces, pos = [], L
+    while pos > 0:
+        bp = alpha[pos][1]
+        pieces.insert(0, word[bp:pos])
+        pos = bp
+    return pieces, round(alpha[L][0], 6)
+
+
+def test_viterbi_optimal_and_tiebreaks(spark):
+    vocab = _vocab(spark, {"a": -1.0, "b": -2.0, "ab": -1.5,
+                           "abc": -2.5, "c": -3.0})
+    words = spark.createDataFrame(
+        [("abc",), ("abab",), ("zzz",), ("azb",), ("cab",)], "word string"
+    )
+    got = {r.word: (r.pieces, r.score)
+           for r in ug.unigram_encode_words(words, vocab).collect()}
+    assert got["abc"] == (["abc"], -2.5)      # beats [ab,c] and [a,b,c]
+    assert got["abab"] == (["ab", "ab"], -3.0)
+    assert got["zzz"] == (["z", "z", "z"], -60.0)  # all-unk fallback
+    # tie: [ab] (-1.5) vs [a]+[b] would be -3.0 — but make a REAL tie
+    tv = _vocab(spark, {"x": -1.0, "xx": -2.0})
+    tie = ug.unigram_encode_words(
+        spark.createDataFrame([("xx",)], "word string"), tv
+    ).first()
+    # [xx] = -2.0 == [x, x] = -2.0: longer piece must win
+    assert tie.pieces == ["xx"] and tie.score == -2.0
+
+
+def test_strict_mode_nulls_unsegmentable(spark):
+    vocab = _vocab(spark, {"ab": -1.0})
+    got = {r.word: r.pieces for r in ug.unigram_encode_words(
+        spark.createDataFrame([("abab",), ("abc",)], "word string"),
+        vocab, unk_logp=None,
+    ).collect()}
+    assert got["abab"] == ["ab", "ab"]
+    assert got["abc"] is None  # 'c' uncovered, no floor
+
+
+_pieces = st.dictionaries(
+    st.text(alphabet="abc", min_size=1, max_size=3),
+    st.floats(min_value=-10.0, max_value=-0.5),
+    min_size=1, max_size=8,
+)
+_word = st.text(alphabet="abc", min_size=1, max_size=8)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_pieces, st.lists(_word, min_size=1, max_size=4, unique=True))
+def test_viterbi_matches_python_reference(spark, vocab_dict, words):
+    """Spark Viterbi == pure-Python DP on arbitrary small vocabularies:
+    same pieces, same 6-dp score, same strict-mode NULLs."""
+    vocab_dict = {k: round(v, 3) for k, v in vocab_dict.items()}
+    vocab = _vocab(spark, vocab_dict)
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    for unk in (-20.0, None):
+        got = {r.word: (r.pieces, r.score)
+               for r in ug.unigram_encode_words(
+                   wdf, vocab, unk_logp=unk).collect()}
+        for w in words:
+            pieces, score = _py_viterbi(w, vocab_dict, unk)
+            g_pieces, g_score = got[w]
+            assert g_pieces == pieces, (w, vocab_dict, g_pieces, pieces)
+            if score is None:
+                assert g_score is None
+            else:
+                assert abs(g_score - score) < 1e-6, (w, g_score, score)
+
+
+def test_seed_vocab_properties(spark):
+    docs = spark.createDataFrame(
+        [(1, "banana bandana"), (2, "banana ban")], "doc_id bigint, text string"
+    )
+    v = ug.unigram_seed_vocab(docs, "text", max_piece_len=3, top_k=5)
+    rows = {r.piece: r.logp for r in v.collect()}
+    # every single character survives regardless of top_k
+    for ch in "band":
+        assert ch in rows, ch
+    # logp normalizes over the kept set: sum of exp(logp) == 1
+    assert abs(sum(math.exp(p) for p in rows.values()) - 1.0) < 1e-6
+    # frequent substrings outrank rare ones: 'an' (count 7) must be kept
+    assert "an" in rows
+    # deterministic: a second build is identical
+    again = {r.piece: r.logp for r in ug.unigram_seed_vocab(
+        docs, "text", max_piece_len=3, top_k=5).collect()}
+    assert rows == again
+    with pytest.raises(DVConfigurationError, match="top_k"):
+        ug.unigram_seed_vocab(docs, "text", top_k=0)
+    with pytest.raises(DVConfigurationError, match="max_piece_len"):
+        ug.unigram_seed_vocab(docs, "text", max_piece_len=0)
+
+
+def test_corpus_encode_shape_and_roundtrip(spark):
+    """Seed + encode end-to-end on the real documents table: every word
+    segments, token concatenation reconstructs the document's words,
+    and the doc logprob is the grid-sum of its word scores."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    vocab = ug.unigram_seed_vocab(docs, "text", max_piece_len=4, top_k=512)
+    enc = ug.unigram_encode(docs, "doc_id", "text", vocab)
+    joined = enc.join(docs, "doc_id").select(
+        "doc_id", "tokens", "n_words", "n_tokens",
+        F.concat_ws("", F.col("tokens")).alias("glued"),
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", "").alias("flat"),
+    )
+    bad = joined.filter(F.col("glued") != F.col("flat")).count()
+    assert bad == 0
+    r = enc.agg(F.min(F.size("tokens")), F.min("logprob")).first()
+    assert r[0] >= 1 and r[1] is not None
+    # empty docs have no row
+    empty = spark.createDataFrame([(99, "   ")], "doc_id bigint, text string")
+    assert ug.unigram_encode(empty, "doc_id", "text", vocab).count() == 0
+
+
+def test_plans_no_python_no_per_word_jobs(spark):
+    from mallarddv_spark.plans.audit import plan_report
+
+    vocab = _vocab(spark, {"a": -1.0, "ab": -1.5, "b": -2.0})
+    words = spark.createDataFrame([("abab",)], "word string")
+    seg = ug.unigram_encode_words(words, vocab)
+    rep = plan_report(seg)
+    assert rep["python_stages"] == 0
+    # the vocabulary rides ONE broadcast map cell and the whole lattice
+    # is Catalyst `aggregate(sequence(...))` expressions — no shuffle of
+    # the word table, no window, no per-piece join
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    assert "aggregate(sequence(1, length(" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "windowspecdefinition" not in plan
+    assert rep["sort_merge_joins"] == 0
+    docs = spark.createDataFrame([(1, "abab ab")], "doc_id bigint, text string")
+    assert plan_report(
+        ug.unigram_encode(docs, "doc_id", "text", vocab)
+    )["python_stages"] == 0
