@@ -21,10 +21,16 @@ the lake is the ENCODE — a fixed vocabulary applied to every document
 * the seed vocabulary (:func:`unigram_seed_vocab`) is the standard
   frequent-substring seeding of the EM trainer: one groupBy over the
   exploded substring stream of the WORD table (vocabulary-sized, never
-  the corpus). Full EM refinement is deliberately out of scope — the
-  seed + Viterbi pair is deterministic and self-contained; a
+  the corpus).
+* EM refinement (:func:`unigram_em_round` / :func:`unigram_train`) is
+  the real forward-backward E-step — expected piece counts under ALL
+  segmentations via sum-product folds over the same lattice machinery
+  — and the exact M-step renormalization; the corpus log-likelihood is
+  non-decreasing round over round (pytest-pinned). Kudo's loss-based
+  vocabulary-shrink schedule is the one simplification (zero-mass
+  pieces drop out; the seed's top_k bounds the start); a
   SentencePiece-trained vocabulary loads into the same encoder as
-  ``(piece, logp)`` rows.
+  ``(piece, logp)`` rows when exact reference parity matters.
 
 Determinism: Viterbi ties prefer the longer piece, then leftmost split
 (strict ``>`` over ascending split points); per-word scores evaluate
@@ -43,6 +49,8 @@ __all__ = [
     "unigram_seed_vocab",
     "unigram_encode_words",
     "unigram_encode",
+    "unigram_em_round",
+    "unigram_train",
 ]
 
 
@@ -246,3 +254,179 @@ def unigram_encode(
             ).alias("tokens"),
         )
     )
+
+
+def _lse(a: str, b: str) -> str:
+    # log-domain sum with the -1e30 "log zero" sentinel: ln(e^a + e^b)
+    # = max + ln1p(e^-|a-b|); fixed evaluation order — deterministic
+    return (
+        f"CASE WHEN ({a}) <= cast(-1e29 as double) THEN ({b}) "
+        f"WHEN ({b}) <= cast(-1e29 as double) THEN ({a}) "
+        f"ELSE greatest({a}, {b}) + log1p(exp(-abs(({a}) - ({b})))) END"
+    )
+
+
+def _forward_expr(word_col: str) -> str:
+    # alpha[j] = logsumexp over i<j of alpha[i] + logp(piece i..j);
+    # element_at(.., p + 1) = alpha for prefix length p. Strict: no unk
+    # floor — EM runs on a coverage-complete vocabulary (the seed keeps
+    # every single character).
+    lp = f"element_at(__vmap, substr({word_col}, i + 1, j - i))"
+    cand = f"(element_at(acc, i + 1) + {lp})"
+    step = (
+        f"aggregate(sequence(0, j - 1), cast(-1e30 as double), "
+        f"(s, i) -> CASE WHEN element_at(acc, i + 1) <= cast(-1e29 as "
+        f"double) OR {lp} IS NULL THEN s ELSE {_lse('s', cand)} END)"
+    )
+    return (
+        f"aggregate(sequence(1, length({word_col})), "
+        f"array(cast(0.0 as double)), (acc, j) -> acc || array({step}))"
+    )
+
+
+def _backward_expr(word_col: str) -> str:
+    # beta[j] = logsumexp over k>j of logp(piece j..k) + beta[k], built
+    # back-to-front by PREPENDING: at fold step idx the position is
+    # j = length - idx (inlined textually — lambdas cannot bind
+    # intermediate names) and acc holds [beta_{j+1} .. beta_L], so
+    # beta[k] = element_at(acc, k - j). Final array: [beta_0 .. beta_L].
+    j = f"(length({word_col}) - idx)"
+    lp = f"element_at(__vmap, substr({word_col}, {j} + 1, k - {j}))"
+    cand = f"({lp} + element_at(acc, k - {j}))"
+    step = (
+        f"aggregate(sequence({j} + 1, length({word_col})), "
+        f"cast(-1e30 as double), "
+        f"(s, k) -> CASE WHEN element_at(acc, k - {j}) <= cast(-1e29 as "
+        f"double) OR {lp} IS NULL THEN s ELSE {_lse('s', cand)} END)"
+    )
+    return (
+        f"aggregate(sequence(1, length({word_col})), "
+        f"array(cast(0.0 as double)), (acc, idx) -> array({step}) || acc)"
+    )
+
+
+def unigram_em_round(
+    words: DataFrame,
+    vocab: DataFrame,
+    word_col: str = "word",
+    count_col: str = "wcnt",
+) -> tuple[DataFrame, float]:
+    """One EM re-estimation round of the unigram LM (Kudo 2018's E/M
+    steps, exactly): forward-backward over every word's segmentation
+    lattice gives each piece's EXPECTED count under ALL segmentations
+    (not just the Viterbi best), weighted by word frequency; the M-step
+    renormalizes ``logp' = ln(E_p / ΣE)``. Returns ``(new_vocab,
+    corpus_log_likelihood)`` — the likelihood is Σ wcnt·ln P(word) and
+    must not decrease round over round (EM's guarantee; pytest-pinned).
+
+    Pieces whose expected count is zero drop out naturally; single
+    characters present in any word always have mass (every lattice path
+    through them contributes), so coverage is self-preserving — no
+    floor needed.
+
+    Scale shape: both lattice passes are fold expressions over the WORD
+    table with the vocabulary in one broadcast map cell (the
+    :func:`unigram_encode_words` machinery, sum-product instead of
+    max-product); the E-step explodes O(len²) spans per word — still
+    vocabulary-sized, never the corpus — into ONE groupBy(piece) with
+    map-side combine. Words containing characters outside the
+    vocabulary have zero-probability lattices and are excluded from
+    both the expected counts and the likelihood (count them via the
+    strict encoder if they matter)."""
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece"), F.col("logp")))
+        ).alias("__vmap")
+    )
+    base = (
+        words.select(
+            F.col(word_col).alias("__w"),
+            F.col(count_col).cast("double").alias("__wc"),
+        )
+        .filter(F.length("__w") > 0)
+        .crossJoin(F.broadcast(vmap))
+        .withColumn("__alphas", F.expr(_forward_expr("__w")))
+        .withColumn("__betas", F.expr(_backward_expr("__w")))
+        .withColumn(
+            "__ll", F.expr("element_at(__alphas, length(__w) + 1)")
+        )
+        .filter(F.col("__ll") > F.lit(-1e29))
+        .localCheckpoint(eager=False)
+    )
+    ll = (
+        base.agg(F.sum(F.col("__wc") * F.col("__ll"))).first()[0] or 0.0
+    )
+    spans = base.select(
+        "__w", "__wc", "__vmap", "__alphas", "__betas", "__ll",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, length(__w) - 1), i -> "
+                "transform(sequence(i + 1, length(__w)), j -> "
+                "struct(i as i, j as j))))"
+            )
+        ).alias("__s"),
+    )
+    # posterior mass of span (i, j): exp(alpha_i + logp + beta_j - ll)
+    post = spans.select(
+        F.expr("substr(__w, __s.i + 1, __s.j - __s.i)").alias("piece"),
+        F.expr(
+            "CASE WHEN element_at(__vmap, substr(__w, __s.i + 1, "
+            "__s.j - __s.i)) IS NOT NULL "
+            "AND element_at(__alphas, __s.i + 1) > cast(-1e29 as double) "
+            "AND element_at(__betas, __s.j + 1) > cast(-1e29 as double) "
+            "THEN __wc * exp(element_at(__alphas, __s.i + 1) "
+            "+ element_at(__vmap, substr(__w, __s.i + 1, __s.j - __s.i)) "
+            "+ element_at(__betas, __s.j + 1) - __ll) END"
+        ).alias("__e"),
+    ).filter(F.col("__e").isNotNull())
+    ecounts = post.groupBy("piece").agg(F.sum("__e").alias("__ec"))
+    total = ecounts.agg(F.sum("__ec")).first()[0] or 1.0
+    new_vocab = ecounts.select(
+        "piece",
+        F.round(
+            F.log(F.col("__ec") / F.lit(float(total))), 10
+        ).alias("logp"),
+    )
+    return new_vocab, float(ll)
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str,
+    rounds: int = 2,
+    max_piece_len: int = 8,
+    top_k: int = 8192,
+    lowercase: bool = True,
+) -> tuple[DataFrame, list[float]]:
+    """Seed + EM-refine a unigram-LM vocabulary: the full (simplified)
+    Kudo 2018 pipeline — :func:`unigram_seed_vocab` initializes,
+    ``rounds`` of :func:`unigram_em_round` re-estimate. Returns
+    ``(vocab, log_likelihood_per_round)``; the trajectory is
+    non-decreasing (EM). Kudo's loss-based vocabulary-shrink schedule
+    is intentionally not replicated — zero-expectation pieces already
+    drop out each round, and the seed's ``top_k`` bounds the start;
+    a SentencePiece-trained vocabulary remains loadable directly into
+    :func:`unigram_encode` when exact parity with the reference
+    implementation matters."""
+    if int(rounds) < 0:
+        raise DVConfigurationError("unigram_train: rounds must be >= 0")
+    t = F.trim(F.col(text_col))
+    if lowercase:
+        t = F.lower(t)
+    words = (
+        df.select(F.explode(F.split(t, r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = unigram_seed_vocab(
+        df, text_col, max_piece_len=max_piece_len, top_k=top_k,
+        lowercase=lowercase,
+    )
+    trajectory: list[float] = []
+    for _ in range(int(rounds)):
+        vocab, ll = unigram_em_round(words, vocab)
+        vocab = vocab.localCheckpoint(eager=True)
+        trajectory.append(ll)
+    return vocab, trajectory

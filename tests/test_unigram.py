@@ -174,3 +174,98 @@ def test_plans_no_python_no_per_word_jobs(spark):
     assert plan_report(
         ug.unigram_encode(docs, "doc_id", "text", vocab)
     )["python_stages"] == 0
+
+
+def _py_em_round(word_counts, vocab):
+    """Reference E/M step: forward-backward expected counts, renormalize."""
+    from collections import defaultdict
+
+    def lse(s, c):
+        return c if s is None else max(s, c) + math.log1p(
+            math.exp(-abs(s - c)))
+
+    def fwd(w):
+        L = len(w)
+        a = [0.0] + [None] * L
+        for j in range(1, L + 1):
+            s = None
+            for i in range(j):
+                lp = vocab.get(w[i:j])
+                if lp is None or a[i] is None:
+                    continue
+                s = lse(s, a[i] + lp)
+            a[j] = s
+        return a
+
+    def bwd(w):
+        L = len(w)
+        b = [None] * L + [0.0]
+        for j in range(L - 1, -1, -1):
+            s = None
+            for k in range(j + 1, L + 1):
+                lp = vocab.get(w[j:k])
+                if lp is None or b[k] is None:
+                    continue
+                s = lse(s, lp + b[k])
+            b[j] = s
+        return b
+
+    E, LL = defaultdict(float), 0.0
+    for w, wc in word_counts.items():
+        a, b = fwd(w), bwd(w)
+        ll = a[len(w)]
+        if ll is None:
+            continue
+        LL += wc * ll
+        for i in range(len(w)):
+            for j in range(i + 1, len(w) + 1):
+                lp = vocab.get(w[i:j])
+                if lp is None or a[i] is None or b[j] is None:
+                    continue
+                E[w[i:j]] += wc * math.exp(a[i] + lp + b[j] - ll)
+    T = sum(E.values())
+    return {p: round(math.log(e / T), 10) for p, e in E.items()}, LL
+
+
+@settings(max_examples=6, deadline=None)
+@given(_pieces, st.dictionaries(_word, st.integers(min_value=1, max_value=5),
+                                min_size=1, max_size=4))
+def test_em_round_matches_python_reference(spark, vocab_dict, word_counts):
+    """One Spark EM round == the pure-Python forward-backward E/M step:
+    same corpus log-likelihood and the same re-estimated logp per piece
+    (coverage-incomplete words excluded identically on both sides)."""
+    vocab_dict = {k: round(v, 3) for k, v in vocab_dict.items()}
+    want, want_ll = _py_em_round(word_counts, vocab_dict)
+    if not want:
+        return  # nothing segmentable under this vocabulary
+    vocab = _vocab(spark, vocab_dict)
+    words = spark.createDataFrame(
+        list(word_counts.items()), "word string, wcnt bigint"
+    )
+    got_vocab, got_ll = ug.unigram_em_round(words, vocab)
+    assert abs(got_ll - want_ll) < 1e-6
+    got = {r.piece: r.logp for r in got_vocab.collect()}
+    assert set(got) == set(want)
+    for p in want:
+        assert abs(got[p] - want[p]) < 1e-6, (p, got[p], want[p])
+
+
+def test_em_likelihood_nondecreasing_and_encode_roundtrip(spark):
+    """EM's guarantee on the real corpus: the log-likelihood trajectory
+    never decreases, and the refined vocabulary still glue-round-trips
+    through the encoder."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    vocab, traj = ug.unigram_train(
+        docs, "text", rounds=3, max_piece_len=4, top_k=256
+    )
+    assert len(traj) == 3
+    for a, b in zip(traj, traj[1:]):
+        assert b >= a - 1e-6, traj
+    enc = ug.unigram_encode(docs, "doc_id", "text", vocab)
+    joined = enc.join(docs, "doc_id").select(
+        F.concat_ws("", F.col("tokens")).alias("glued"),
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", "").alias("flat"),
+    )
+    assert joined.filter(F.col("glued") != F.col("flat")).count() == 0
+    with pytest.raises(DVConfigurationError, match="rounds"):
+        ug.unigram_train(docs, "text", rounds=-1)
