@@ -1299,3 +1299,60 @@ def test_containment_property_matches_sets(spark, texts):
         ).collect()
     }
     assert got == want
+
+
+def test_webdataset_export_roundtrip_and_determinism(spark, tmp_path):
+    """WebDataset tar export: the pairing convention round-trips (every
+    sample = {key}.bin + {key}.json, key-ascending), payload bytes and
+    metadata survive exactly, two runs are byte-identical, the manifest
+    certifies read-back counts, and a completed export refuses
+    overwrite."""
+    import json
+    import tarfile
+
+    docs = spark.createDataFrame(
+        [(i, bytes([i % 256] * (10 + i)), f"src{i % 3}", i * 10)
+         for i in range(20)],
+        "doc_id bigint, blob binary, source string, n bigint",
+    )
+    out1, out2 = str(tmp_path / "wds1"), str(tmp_path / "wds2")
+    m1 = multimodal.write_webdataset_shards(
+        docs, out1, "doc_id", "blob", meta_cols=["source", "n"], n_shards=3
+    )
+    assert m1["total_samples"] == 20
+    assert m1["n_shards"] >= 1 and len(m1["shards"]) == m1["n_shards"]
+    # round-trip every member
+    seen = {}
+    for s in m1["shards"]:
+        with tarfile.open(f"{out1}/{s['shard']}", "r") as tf:
+            names = [m.name for m in tf.getmembers()]
+            # pairing + ordering: bin immediately followed by its json,
+            # keys ascending within the shard
+            keys = [n[:-4] for n in names if n.endswith(".bin")]
+            assert keys == sorted(keys)
+            for k in keys:
+                assert f"{k}.json" in names
+                payload = tf.extractfile(f"{k}.bin").read()
+                meta = json.loads(tf.extractfile(f"{k}.json").read())
+                seen[int(k)] = (payload, meta)
+    assert len(seen) == 20
+    for i in range(20):
+        payload, meta = seen[i]
+        assert payload == bytes([i % 256] * (10 + i))
+        assert meta == {"source": f"src{i % 3}", "n": i * 10}
+    # determinism: a second export is byte-identical per shard
+    multimodal.write_webdataset_shards(
+        docs, out2, "doc_id", "blob", meta_cols=["source", "n"], n_shards=3
+    )
+    for s in m1["shards"]:
+        b1 = open(f"{out1}/{s['shard']}", "rb").read()
+        b2 = open(f"{out2}/{s['shard']}", "rb").read()
+        assert b1 == b2, s["shard"]
+    # completed exports refuse overwrite; manifest certifies counts
+    with pytest.raises(DVConfigurationError, match="manifest"):
+        multimodal.write_webdataset_shards(
+            docs, out1, "doc_id", "blob", n_shards=3
+        )
+    disk = json.load(open(f"{out1}/manifest.json"))
+    assert disk["total_samples"] == 20
+    assert all(s["n_members"] == 2 * s["n_samples"] for s in disk["shards"])
