@@ -224,7 +224,14 @@ def unigram_encode(
     The corpus pays one ``posexplode`` + one join against the
     distinct-word segmentation (vocabulary-sized — AQE broadcasts it);
     documents with no tokens have no row (the module's no-evidence
-    convention)."""
+    convention).
+
+    Cost note: the lattice is O(len²) per distinct word, which is
+    nothing for natural words but real for pathological "words" (URLs,
+    base64 blobs, minified code — a 10k-char token costs 10^8 lookups).
+    Run :func:`textops.quality_filter` / the Gopher repetition battery
+    first, or pre-split such tokens — the standard corpus-cleaning
+    order, which is why this operator does not silently truncate."""
     t = F.trim(F.col(text_col))
     if lowercase:
         t = F.lower(t)
