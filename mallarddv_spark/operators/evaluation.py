@@ -143,7 +143,13 @@ def ndcg_at_k(
     rel = (
         F.col(rel_col).cast("double") if rel_col is not None else F.lit(1.0)
     )
-    t = truth.select(qid_col, id_col, rel.alias("__rel"))
+    # a duplicated label pair must not double its gain (in both DCG and
+    # the ideal ordering) — collapse to the strongest label
+    t = (
+        truth.select(qid_col, id_col, rel.alias("__rel"))
+        .groupBy(qid_col, id_col)
+        .agg(F.max("__rel").alias("__rel"))
+    )
 
     def gain10(rank_expr):
         term = (F.pow(F.lit(2.0), F.col("__rel")) - F.lit(1.0)) / F.log2(

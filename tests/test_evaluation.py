@@ -140,3 +140,22 @@ def test_plans_are_result_set_sized(spark):
     )
     rep = plan_report(recall_at_k(exact, exact, k=5))
     assert rep["python_stages"] == 0 and rep["nested_loop_joins"] == 0
+
+
+def test_ndcg_duplicate_labels_collapse(spark):
+    """A duplicated truth pair must not double its gain: duplicates
+    collapse to the strongest label on both the DCG and ideal sides."""
+    truth = spark.createDataFrame(
+        [Row(query_id="a", neighbor_id=1, rel=2.0),
+         Row(query_id="a", neighbor_id=1, rel=3.0),  # duplicate, stronger
+         Row(query_id="a", neighbor_id=2, rel=1.0)]
+    )
+    run = spark.createDataFrame(
+        [Row(query_id="a", neighbor_id=1, rank=1),
+         Row(query_id="a", neighbor_id=2, rank=2)]
+    )
+    got = ndcg_at_k(run, truth, rel_col="rel", k=10).first()
+    assert got.ndcg == 1.0  # perfect order under the deduped labels
+    # DCG = 7/log2(2) + 1/log2(3) — duplicate did NOT double-count
+    import math
+    assert abs(got.dcg - (7.0 + 1.0 / math.log2(3))) < 1e-5
