@@ -997,3 +997,72 @@ def test_materialize_epochs_guards(spark):
     )
     with _pytest.raises(DVConfigurationError, match="empty allocation"):
         materialize_epochs(docs, empty)
+
+
+def test_content_term_filter_word_and_phrase(spark):
+    """C4-style content screen: word mode matches whole tokens only
+    (no substring false positives), phrase mode catches multi-word
+    entries by boundary-padded containment; max_hits thresholds; counts
+    survive for audit."""
+    from mallarddv_spark.operators.curation import content_term_filter
+
+    docs = spark.createDataFrame(
+        [(1, "a clean classroom discussion"),
+         (2, "buy spam pills now spam"),
+         (3, "totally fine text"),
+         (4, "multi word badness appears here")],
+        "doc_id bigint, text string",
+    )
+    w = {r.doc_id: (r.term_hits, r.content_keep)
+         for r in content_term_filter(
+             docs, "doc_id", "text", ["spam", "pills", "ass"]).collect()}
+    # 'classroom' must NOT match 'ass'; doc 2 counts every occurrence
+    assert w[1] == (0, True)
+    assert w[2] == (3, False)
+    assert w[3] == (0, True)
+    # thresholding: allow up to 3 hits
+    w3 = {r.doc_id: r.content_keep
+          for r in content_term_filter(
+              docs, "doc_id", "text", ["spam", "pills"], max_hits=3
+          ).collect()}
+    assert w3[2] is True
+    # phrase mode: multi-word entry, presence-counted, boundary-safe
+    p = {r.doc_id: (r.term_hits, r.content_keep)
+         for r in content_term_filter(
+             docs, "doc_id", "text", ["word badness", "ass"],
+             match="phrase").collect()}
+    assert p[4] == (1, False)
+    assert p[1] == (0, True)  # 'classroom' has no ' ass ' boundary match
+    import pytest as _pytest
+    from mallarddv_spark.exceptions import DVConfigurationError as _E
+    with _pytest.raises(_E, match="match mode"):
+        content_term_filter(docs, "doc_id", "text", ["x"], match="regex")
+    with _pytest.raises(_E, match="empty term"):
+        content_term_filter(docs, "doc_id", "text", ["  "])
+
+
+def test_content_term_filter_matches_duckdb(spark):
+    """Word-mode hit counts replay in DuckDB — the oracle-readiness
+    check for the screen."""
+    import duckdb
+
+    from mallarddv_spark.operators.curation import content_term_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    got = {r.doc_id: r.term_hits for r in content_term_filter(
+        docs, "doc_id", "text", ["data", "query slow", "join"]).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet' LIMIT 200"
+    )
+    want = dict(con.execute("""
+        SELECT d.doc_id, count(*) FILTER (tok IN ('data', 'query slow',
+                                                  'join')) AS hits
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                                                       '\\s+')) AS tok
+              FROM documents) d
+        GROUP BY d.doc_id
+    """).fetchall())
+    for did, hits in got.items():
+        assert hits == want.get(did, 0), did
