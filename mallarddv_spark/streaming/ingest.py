@@ -224,6 +224,7 @@ def neardup_stream_processor(
     vocab_hll_path: str | None = None,
     doclen_hist_path: str | None = None,
     docsample_kmv_path: str | None = None,
+    pre_screen=None,
 ):
     """Ready-made ``process_batch`` for :func:`stream_files_to_staging`:
     the continuous-crawl near-dup gate. Each micro-batch is
@@ -300,6 +301,16 @@ def neardup_stream_processor(
     histogram append under-counts that one batch — the conservative
     direction for drift monitoring).
 
+    ``pre_screen`` is the custom-screen hook: a callable
+    ``batch_df -> batch_df`` applied after the replay fence and BEFORE
+    the near-dup/bloom/NB work (cheapest-first — e.g.
+    ``curation.content_term_filter(...).filter("content_keep")`` drops
+    listed content before any signature is computed). The hook owns its
+    own dead-lettering; whatever it returns is what the remaining
+    screens see. It runs after the fence, so a replayed batch is not
+    re-screened — the hook must be deterministic for the at-least-once
+    contract to hold.
+
     ``docsample_kmv_path`` (a sketch created by ``sketches.save_kmv``)
     maintains a KMV bottom-k over ingested document ids — a UNIFORM
     random sample of everything admitted so far (hash order is
@@ -347,6 +358,11 @@ def neardup_stream_processor(
             F.col("doc_id").alias(id_col)
         )
         batch = batch.join(seen, id_col, "left_anti")
+        if pre_screen is not None:
+            # cheapest-first: custom screens (e.g. the C4 term filter)
+            # drop documents BEFORE the minhash/bloom/NB work is paid;
+            # after the fence so replays are not re-screened
+            batch = pre_screen(batch).localCheckpoint(eager=True)
         # within-batch near-dups (same params as the stored index)
         self_pairs = dedup.minhash_lsh_pairs(
             batch, id_col, text_col,

@@ -758,3 +758,38 @@ def test_neardup_stream_maintains_doc_sample_kmv(spark, tmp_path):
     )
     assert sample_docs.count() == 9  # all ingested ids (k=64 > corpus)
     spark.sql("DROP TABLE IF EXISTS default.ks_sink")
+
+
+def test_neardup_stream_pre_screen_hook(spark, tmp_path):
+    """pre_screen: a C4-style content screen drops listed documents
+    BEFORE the near-dup/index work; survivors flow through, screened
+    ids reach neither sink nor index."""
+    from pyspark.sql import Row
+    from mallarddv_spark.operators import dedup
+    from mallarddv_spark.operators.curation import content_term_filter
+
+    seed = spark.createDataFrame([Row(doc_id=1, text="seed alpha beta")])
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(seed, index_path, num_perm=32, bands=8,
+                              shingle_size=3)
+    spark.sql("DROP TABLE IF EXISTS default.ps_sink")
+
+    def screen(batch):
+        return content_term_filter(
+            batch, "doc_id", "text", ["casino", "pills"]
+        ).filter("content_keep").drop("term_hits", "content_keep")
+
+    process = ingest.neardup_stream_processor(
+        index_path, "default.ps_sink", threshold=0.9, pre_screen=screen,
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=500, text="useful unique words entirely here"),
+         Row(doc_id=501, text="casino pills casino pills spam")]
+    )
+    process(batch, 0)
+    sink_ids = {r.doc_id for r in spark.table("default.ps_sink").collect()}
+    assert sink_ids == {500}
+    indexed = {r.doc_id for r in spark.read.parquet(
+        f"{index_path}/sigs").collect()}
+    assert 501 not in indexed and 500 in indexed
+    spark.sql("DROP TABLE IF EXISTS default.ps_sink")
