@@ -51,6 +51,8 @@ __all__ = [
     "unigram_encode",
     "unigram_em_round",
     "unigram_train",
+    "save_unigram",
+    "load_unigram",
 ]
 
 
@@ -437,3 +439,30 @@ def unigram_train(
         vocab = vocab.localCheckpoint(eager=True)
         trajectory.append(ll)
     return vocab, trajectory
+
+
+def save_unigram(vocab: DataFrame, path: str, lowercase: bool = True) -> None:
+    """Persist a unigram vocabulary: ``{path}/vocab`` parquet plus a
+    one-row ``{path}/params`` written LAST — its presence marks the
+    model complete (the save_bpe / NB-classifier convention)."""
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    spark = vocab.sparkSession
+    vocab.select("piece", "logp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/vocab")
+    literal_frame(
+        spark, [(bool(lowercase),)], "lowercase boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_unigram(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a model persisted by :func:`save_unigram`: the ``(piece,
+    logp)`` vocabulary and its params. A missing ``params`` directory
+    (torn save) fails loudly here rather than silently encoding under
+    default settings."""
+    p = spark.read.parquet(f"{path}/params").first()
+    return (
+        spark.read.parquet(f"{path}/vocab"),
+        {"lowercase": bool(p.lowercase)},
+    )

@@ -269,3 +269,25 @@ def test_em_likelihood_nondecreasing_and_encode_roundtrip(spark):
     assert joined.filter(F.col("glued") != F.col("flat")).count() == 0
     with pytest.raises(DVConfigurationError, match="rounds"):
         ug.unigram_train(docs, "text", rounds=-1)
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    """Persisted vocabulary encodes identically to the in-memory one;
+    params ride along; a torn save (no params) fails loudly."""
+    docs = spark.createDataFrame(
+        [(1, "banana bandana"), (2, "banana ban")],
+        "doc_id bigint, text string",
+    )
+    vocab = ug.unigram_seed_vocab(docs, "text", max_piece_len=3, top_k=64)
+    path = str(tmp_path / "ulm")
+    ug.save_unigram(vocab, path)
+    loaded, params = ug.load_unigram(spark, path)
+    assert params == {"lowercase": True}
+    a = ug.unigram_encode(docs, "doc_id", "text", vocab).collect()
+    b = ug.unigram_encode(docs, "doc_id", "text", loaded).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    # torn save: vocab written, params missing -> loud failure
+    import shutil
+    shutil.rmtree(f"{path}/params")
+    with pytest.raises(Exception):
+        ug.load_unigram(spark, path)
