@@ -361,18 +361,40 @@ def cm_query(
     cells; a wide sketch (the guard admits w up to 2^24) would make a
     forced broadcast a driver OOM, so past the threshold the join is
     left to the planner (a shuffled hash join keyed on (row, col) —
-    dense integer keys, no skew by construction)."""
+    dense integer keys, no skew by construction).
+
+    The internal join keys ride the module's ``__``-prefixed scratch
+    convention, so a probe frame may itself carry columns named
+    ``row``/``col``/``cnt`` without an ambiguous-reference error. Note
+    the final groupBy is on the probe's columns: probe rows that are
+    EXACT duplicates across every column collapse to one output row
+    (they would carry the identical estimate anyway)."""
     _check_cm(d, w)
-    probes = values.select(
-        "*",
-        F.explode(_cm_cols(value_col, int(d), int(w), hash_mode)).alias("__rc"),
-    ).select("*", F.col("__rc.row").alias("row"), F.col("__rc.col").alias("col"))
-    build = F.broadcast(counts) if int(d) * int(w) <= (1 << 21) else counts
-    joined = probes.join(build, ["row", "col"], "left")
+    probes = (
+        values.select(
+            "*",
+            F.explode(_cm_cols(value_col, int(d), int(w), hash_mode)).alias(
+                "__rc"
+            ),
+        )
+        .select(
+            "*",
+            F.col("__rc.row").alias("__row"),
+            F.col("__rc.col").alias("__col"),
+        )
+        .drop("__rc")
+    )
+    build = counts.select(
+        F.col("row").alias("__row"),
+        F.col("col").alias("__col"),
+        F.col("cnt").alias("__cnt"),
+    )
+    build = F.broadcast(build) if int(d) * int(w) <= (1 << 21) else build
+    joined = probes.join(build, ["__row", "__col"], "left")
     return (
         joined.groupBy(*values.columns)
         .agg(
-            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            F.min(F.coalesce(F.col("__cnt"), F.lit(0)))
             .cast("bigint")
             .alias("est_count")
         )

@@ -1117,8 +1117,6 @@ def incremental_dedup(
     shuffle joins (history then shuffles on fingerprint — correct, just
     not the history-never-moves plan).
     """
-    from pyspark.sql import Window
-
     content = F.col(text_col)
     if normalize:
         content = F.trim(F.regexp_replace(F.lower(content), r"\s+", " "))
@@ -1135,8 +1133,18 @@ def incremental_dedup(
         .distinct()
         .withColumn("in_hist", F.lit(True))
     )
-    w = Window.partitionBy("fingerprint")
-    batch = batch.withColumn("min_id", F.min("id").over(w))
+    # In-batch canonical pick: groupBy, NOT a window partitioned by
+    # fingerprint — a window must colocate every copy of a fingerprint in
+    # one task, so a boilerplate page duplicated 10^7x inside a backfill
+    # batch would serialize into a single partition. The aggregate gets a
+    # map-side partial combine (each task contributes one row per local
+    # fingerprint), and the result table is bounded by the DISTINCT
+    # fingerprint count — the same size class as the broadcast probe set,
+    # so it rides the same broadcast gate back onto the batch.
+    min_ids = batch.groupBy("fingerprint").agg(F.min("id").alias("min_id"))
+    batch = batch.join(
+        F.broadcast(min_ids) if broadcast else min_ids, "fingerprint"
+    )
     joined = batch.join(
         F.broadcast(hist_hits) if broadcast else hist_hits, "fingerprint", "left"
     )

@@ -403,6 +403,22 @@ def write_webdataset_shards(
         )
     metas = list(meta_cols or [])
     os.makedirs(path, exist_ok=True)
+    # A prior ABORTED export (no manifest, so the guard above passes)
+    # may have left shard tars — possibly from a run with a different
+    # n_shards — that a post-write glob would silently count into this
+    # run's manifest. Refuse to certify over them; orphaned .tmp-* files
+    # from failed task attempts were never renamed live and are safe to
+    # sweep.
+    stale = sorted(glob.glob(os.path.join(path, "shard-*.tar")))
+    if stale:
+        raise DVConfigurationError(
+            "write_webdataset_shards: target holds "
+            f"{len(stale)} shard tar(s) from an aborted export with no "
+            f"manifest (e.g. {os.path.basename(stale[0])}); remove them "
+            "or export to a fresh directory"
+        )
+    for orphan in glob.glob(os.path.join(path, "*.tmp-*")):
+        os.remove(orphan)
     shard = F.pmod(
         F.xxhash64(F.col(id_col).cast("string")), F.lit(int(n_shards))
     ).cast("int")
@@ -459,6 +475,10 @@ def write_webdataset_shards(
         _close()
 
     rows.foreachPartition(_write)
+    # sweep .tmp-* leftovers from failed task attempts of THIS run (a
+    # retried task's successful attempt already renamed its tar live)
+    for orphan in glob.glob(os.path.join(path, "*.tmp-*")):
+        os.remove(orphan)
     # certify by reading back tar HEADERS; manifest written last
     import tarfile as _tarfile
 

@@ -286,6 +286,27 @@ def test_incremental_dedup_verdicts(spark):
     assert norm[4]["verdict"] == "dup_history"
 
 
+def test_incremental_dedup_no_fingerprint_window(spark):
+    """The in-batch canonical pick must be a groupBy aggregate joined
+    back, never min-over-window partitioned by fingerprint — a window
+    colocates every copy of a mega-duplicated fingerprint (boilerplate
+    page repeated 10^7x in a backfill) into ONE task. No window spec of
+    any kind may appear in the plan."""
+    import re
+
+    from mallarddv_spark.operators.curation import incremental_dedup
+
+    hist = spark.createDataFrame([Row(doc_id=100, text="old content")])
+    batch = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i % 3}") for i in range(9)]
+    )
+    plan = (
+        incremental_dedup(batch, hist, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not re.findall(r"windowspecdefinition\(", plan), plan
+
+
 def test_bpe_token_count(spark):
     from mallarddv_spark.operators.curation import bpe_token_count
 

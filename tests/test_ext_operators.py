@@ -1356,3 +1356,33 @@ def test_webdataset_export_roundtrip_and_determinism(spark, tmp_path):
     disk = json.load(open(f"{out1}/manifest.json"))
     assert disk["total_samples"] == 20
     assert all(s["n_members"] == 2 * s["n_samples"] for s in disk["shards"])
+
+
+def test_webdataset_aborted_export_guard(spark, tmp_path):
+    """A target dir holding shard tars WITHOUT a manifest (prior aborted
+    export — possibly with a different n_shards) must be refused, never
+    silently counted into the new manifest; orphaned .tmp-* files from
+    failed task attempts are swept, not certified."""
+    docs = spark.createDataFrame(
+        [(i, bytes([i]) * 4) for i in range(6)], "doc_id bigint, blob binary"
+    )
+    out = tmp_path / "wds"
+    out.mkdir()
+    (out / "shard-00007.tar").write_bytes(b"stale tar from aborted run")
+    with pytest.raises(DVConfigurationError, match="aborted"):
+        multimodal.write_webdataset_shards(
+            docs, str(out), "doc_id", "blob", n_shards=2
+        )
+    # orphan tmp files alone (no live shard tars) are swept and the
+    # export proceeds clean
+    (out / "shard-00007.tar").unlink()
+    (out / "shard-00001.tar.tmp-42").write_bytes(b"failed attempt junk")
+    m = multimodal.write_webdataset_shards(
+        docs, str(out), "doc_id", "blob", n_shards=2
+    )
+    assert m["total_samples"] == 6
+    leftovers = [p.name for p in out.iterdir() if ".tmp-" in p.name]
+    assert leftovers == []
+    assert {s["shard"] for s in m["shards"]} == {
+        p.name for p in out.iterdir() if p.name.endswith(".tar")
+    }

@@ -186,6 +186,20 @@ def test_cm_never_undercounts_and_bounds_overcount(spark):
         assert est <= true + 60, (v, est)
 
 
+def test_cm_query_probe_column_collisions(spark):
+    """A probe frame carrying its own row/col/cnt columns must not
+    trigger an ambiguous-reference error — the internal join keys are
+    __-aliased. The caller's columns survive in the output."""
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "v string")
+    counts = sk.cm_counts(df, "v", d=3, w=64)
+    probes = spark.createDataFrame(
+        [("a", 1, 2, 3), ("b", 4, 5, 6)], "v string, row int, col int, cnt int"
+    )
+    got = {r.v: r for r in sk.cm_query(counts, probes, "v", d=3, w=64).collect()}
+    assert got["a"].est_count >= 5 and got["b"].est_count >= 2
+    assert got["a"].row == 1 and got["a"].col == 2 and got["a"].cnt == 3
+
+
 def test_cm_merge_and_weights(spark):
     """Merging two batch sketches equals one sketch over the union;
     weight_col folds pre-aggregated counts."""
