@@ -1345,6 +1345,8 @@ def cluster_balanced_sample(
     order: str = "hash",
     seed: int = 42,
     salt: str = "cbal-v1",
+    max_iter: int = 20,
+    corpus_size_hint: int | None = None,
 ) -> DataFrame:
     """Cluster-balanced corpus sampling (the D4 / SSL-prototypes shape —
     Tirumala et al. 2023, Sorscher et al. 2022): k-means over the
@@ -1367,12 +1369,24 @@ def cluster_balanced_sample(
       pruning).
 
     Returns the input plus ``(centroid_id, cap_rank)`` for the kept
-    rows. Centroids train on a bounded sample (the IVF coreset
-    precedent — k-means quality needs a few hundred points per
-    centroid, not the corpus) with a fixed ``seed``, then ONE transform
-    pass assigns clusters; the quota is a constant, so the per-cluster
-    rank filter plans as Partial+Final WindowGroupLimit — no cluster's
-    membership ever serializes into one task.
+    rows. Centroids train on a bounded CONTENT-DETERMINISTIC coreset
+    (the IVF coreset precedent — k-means quality needs a few hundred
+    points per centroid, not the corpus): rows ranked by a salted hash
+    of the id, so the same corpus yields the same coreset — and thus
+    the same centroids and far_first/near_first selections — regardless
+    of how the input happens to be partitioned (``df.sample`` would be
+    layout-dependent). No count pass is taken: without
+    ``corpus_size_hint`` the coreset is a ``TakeOrderedAndProject`` over
+    the corpus (per-task top-k + one merge — fine up to ~10^9 rows);
+    at the 100 TB shape pass ``corpus_size_hint`` (any order-of-
+    magnitude estimate ≥ the true count works) and a hash-threshold
+    pre-filter cuts the corpus to ~3× the coreset size BEFORE the
+    top-k, so the merge sees thousands of rows, not per-task tops from
+    a million tasks. Training runs k-means‖ init (MLlib default) for up
+    to ``max_iter`` Lloyd iterations with the fixed ``seed``; then ONE
+    transform pass assigns clusters. The quota is a constant, so the
+    per-cluster rank filter plans as Partial+Final WindowGroupLimit —
+    no cluster's membership ever serializes into one task.
 
     Not SQL-expressible (iterative k-means) — pytest-evidenced, like the
     BPE trainer; the registry's sampling parts cover the relational
@@ -1406,12 +1420,19 @@ def cluster_balanced_sample(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
     ).withColumn("__feat", array_to_vector("__v"))
     target = int(n_clusters) * 512
-    n = feat.count()
-    sample = feat.sample(min(1.0, target / max(n, 1)), seed=seed) if n > target else feat
+    coreset_key = hex_bucket(id_col, f"{salt}-coreset", 8)
+    pool = feat.withColumn("__ck", coreset_key)
+    if corpus_size_hint is not None and int(corpus_size_hint) > 3 * target:
+        # hash-threshold pre-filter: keep ~3x target expected rows so the
+        # corpus never reaches the top-k merge; deterministic in content
+        pool = pool.filter(
+            F.col("__ck") < F.lit(_hex_bound(3 * target / int(corpus_size_hint), 8))
+        )
+    coreset = pool.orderBy("__ck", id_col).limit(target).drop("__ck")
     km = KMeans(
-        k=int(n_clusters), seed=seed, maxIter=3, initMode="random",
+        k=int(n_clusters), seed=seed, maxIter=int(max_iter),
         featuresCol="__feat", predictionCol="centroid_id",
-    ).fit(sample)
+    ).fit(coreset)
     assigned = km.transform(feat).select(id_col, "__v", "centroid_id")
     if order == "hash":
         from pyspark.sql import Window

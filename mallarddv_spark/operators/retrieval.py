@@ -120,6 +120,7 @@ def bm25_topk(
     postings: DataFrame | None = None,
     n_docs: int | None = None,
     total_len: int | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents per query under BM25.
 
@@ -147,7 +148,17 @@ def bm25_topk(
     the shuffle — a stopword-heavy query matching a billion documents
     moves k rows per task, not a billion into one sort
     (plan-pinned in ``tests/test_retrieval.py``).
+
+    ``broadcast=True`` (the default) HARD-REQUIRES the exploded query-
+    term table — one row per distinct (query, term), ~40 bytes each —
+    to fit Spark's 8 GB broadcast ceiling: comfortable for ~10^4
+    queries × ~10 terms (~4 MB), gone well before ~10^8 rows. For a
+    million-query batch job pass ``broadcast=False``: the query-term
+    and df-table joins degrade to plain shuffled joins keyed on
+    ``term`` — the postings then shuffle once, which is the correct
+    trade when the probe side itself is corpus-scale.
     """
+    _b = F.broadcast if broadcast else (lambda d: d)
     if postings is None:
         if corpus is None:
             raise DVConfigurationError("bm25_topk: need corpus or postings")
@@ -160,13 +171,13 @@ def bm25_topk(
     qt = _query_terms(queries, qid_col, qtext_col, lowercase)
     # df(term) is counted on (term, doc) rows BEFORE the per-query
     # expansion — a term shared by two queries must not double-count
-    matched = postings.join(F.broadcast(qt.select("term").distinct()), "term")
+    matched = postings.join(_b(qt.select("term").distinct()), "term")
     # (term, df) via groupBy — map-side combine bounds every task even
     # for a stopword term; the result is <= #query-terms rows → broadcast
     dftab = matched.groupBy("term").agg(
         F.count("*").cast("bigint").alias("__df")
     )
-    matched = matched.join(F.broadcast(dftab), "term")
+    matched = matched.join(_b(dftab), "term")
     dfreq = F.col("__df")
     # avgdl enters as dl * n_docs / total_len — exact integers until the
     # one double division, same expression on the DuckDB side
@@ -184,7 +195,7 @@ def bm25_topk(
     contrib = idf * F.col("tf").cast("double") * F.lit(1.0 + k1) / denom
     scored = matched.withColumn(
         "__c10", F.round(contrib * 1e10).cast("bigint")
-    ).join(F.broadcast(qt), "term").select(qid_col, id_col, "__c10")
+    ).join(_b(qt), "term").select(qid_col, id_col, "__c10")
     agg = scored.groupBy(qid_col, id_col).agg(
         F.count("*").cast("bigint").alias("n_terms"),
         F.sum("__c10").alias("__s10"),
@@ -214,6 +225,7 @@ def hybrid_rerank_topk(
     vec_col: str = "embedding",
     qvec_col: str = "embedding",
     k: int = 10,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Two-tier retrieval: rerank a BM25 shortlist by embedding cosine —
     the standard lexical-recall → semantic-precision search shape.
@@ -236,6 +248,16 @@ def hybrid_rerank_topk(
     plan a sort-merge join that shuffles every embedding). The pruned
     result is shortlist-sized and broadcasts back onto the hits to keep
     the vectorless-hit semantics. Query vectors ride a broadcast.
+
+    ``broadcast=True`` (the default) HARD-REQUIRES the pruned vector
+    table — one embedding per distinct shortlist doc, at most
+    ``#queries × k`` rows × (8 bytes × dim) — under Spark's 8 GB
+    broadcast ceiling: ~10^4 queries × k=100 × 1024-dim doubles is
+    ~8 GB, the practical edge. For a million-query batch job pass
+    ``broadcast=False``: all three joins degrade to plain shuffled
+    joins (the shortlist and the pruned vectors shuffle on their keys;
+    the corpus-sized ``doc_vecs`` still only streams through the inner
+    prune join, now shuffled on ``id_col``).
     """
     dv = doc_vecs.select(
         F.col(id_col),
@@ -258,12 +280,13 @@ def hybrid_rerank_topk(
     # prune the corpus-sized vector table to the shortlist FIRST (inner
     # broadcast join — dv never shuffles), then left-join the pruned,
     # now-shortlist-sized result back so vectorless hits survive
+    _b = F.broadcast if broadcast else (lambda d: d)
     dv_pruned = dv.join(
-        F.broadcast(bm25_hits.select(id_col).distinct()), id_col
+        _b(bm25_hits.select(id_col).distinct()), id_col
     )
     scored = (
-        bm25_hits.join(F.broadcast(dv_pruned), id_col, "left")
-        .join(F.broadcast(qv), qid_col, "left")
+        bm25_hits.join(_b(dv_pruned), id_col, "left")
+        .join(_b(qv), qid_col, "left")
         .withColumn(
             "cosine",
             F.when(

@@ -803,6 +803,64 @@ def test_cluster_balanced_sample_orders_and_guards(spark):
                                 n_clusters=1)
 
 
+def test_cluster_balanced_sample_layout_deterministic(spark):
+    """The coreset is content-deterministic (salted-hash rank, not
+    df.sample): the SAME corpus read under different partition layouts
+    must train identical centroids and keep the identical far_first
+    set."""
+    import random
+
+    from mallarddv_spark.operators.curation import cluster_balanced_sample
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-10, 10), rng.uniform(-10, 10)])
+            for i in range(400)]
+    base = spark.createDataFrame(rows, "doc_id bigint, embedding array<double>")
+    layouts = [base.repartition(1), base.repartition(13, "doc_id"),
+               base.repartition(32)]
+    kept = [
+        sorted(
+            r.doc_id
+            for r in cluster_balanced_sample(
+                lay, "doc_id", "embedding", n_clusters=8, per_cluster=5,
+                order="far_first",
+            ).collect()
+        )
+        for lay in layouts
+    ]
+    assert kept[0] == kept[1] == kept[2]
+
+
+def test_cluster_balanced_sample_planted_coverage(spark):
+    """Centroid quality test (k-means-parallel init + real iteration
+    budget): with 20 well-separated planted clusters, >= 95% of the
+    planted clusters must land at least one kept representative — a
+    3-iteration random-init fit routinely drops whole regions. The
+    corpus_size_hint path (hash-threshold pre-filter, no count pass)
+    must keep the same guarantee."""
+    import random
+
+    from mallarddv_spark.operators.curation import cluster_balanced_sample
+
+    rng = random.Random(5)
+    planted = [(rng.uniform(-100, 100), rng.uniform(-100, 100))
+               for _ in range(20)]
+    rows = []
+    for i in range(2000):
+        cx, cy = planted[i % 20]
+        rows.append((i, [cx + rng.gauss(0, 0.5), cy + rng.gauss(0, 0.5)]))
+    df = spark.createDataFrame(rows, "doc_id bigint, embedding array<double>")
+    # hint=40000 actually triggers the hash-threshold branch here
+    # (hint > 3*target = 30720) while staying >= the true count
+    for hint in (None, 40000):
+        out = cluster_balanced_sample(
+            df, "doc_id", "embedding", n_clusters=20, per_cluster=3,
+            corpus_size_hint=hint,
+        )
+        covered = {r.doc_id % 20 for r in out.collect()}
+        assert len(covered) >= 19, (hint, sorted(covered))
+
+
 # --- per-source (host-level) curation ---------------------------------------
 
 

@@ -415,6 +415,39 @@ def test_hybrid_rerank(spark):
     assert rep["python_stages"] == 0 and rep["nested_loop_joins"] == 0
 
 
+def test_broadcast_escape_hatches_identical(spark, docs, queries):
+    """broadcast=False (the million-query batch path: plain shuffled
+    joins, no 8 GB ceiling) must produce output identical to the
+    default broadcast plan — for both bm25_topk and
+    hybrid_rerank_topk."""
+    from mallarddv_spark.operators.retrieval import hybrid_rerank_topk
+
+    assert _rows(bm25_topk(docs, queries, k=20)) == _rows(
+        bm25_topk(docs, queries, k=20, broadcast=False)
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="quantum flux quantum flux quantum flux"),
+         Row(doc_id=2, text="quantum flux other words"),
+         Row(doc_id=3, text="quantum flux unvectored")]
+    )
+    q = spark.createDataFrame([Row(query_id="a", query="quantum flux")])
+    hits = bm25_topk(corpus, q, k=10)
+    doc_vecs = spark.createDataFrame(
+        [Row(doc_id=1, embedding=[1.0, 0.0]),
+         Row(doc_id=2, embedding=[0.9, 0.9])]
+    )
+    q_vecs = spark.createDataFrame([Row(query_id="a", embedding=[1.0, 1.0])])
+
+    def _rr(df):
+        return [(r.query_id, r.doc_id, r.score, r.cosine, r.rnk)
+                for r in df.orderBy("query_id", "rnk").collect()]
+
+    assert _rr(hybrid_rerank_topk(hits, doc_vecs, q_vecs, k=10)) == _rr(
+        hybrid_rerank_topk(hits, doc_vecs, q_vecs, k=10, broadcast=False)
+    )
+
+
 def test_topk_window_uses_group_limit(spark, docs, queries):
     """The rank filter must plan as Partial+Final WindowGroupLimit —
     every map task keeps only its local top-k per query before the
