@@ -5544,14 +5544,69 @@ O_SIM_IVFPQADC = "WITH " + _adc_ctes + "\n" + _adc_final + "\n"
 
 
 
+def q_similarity_margin(spark, sf):
+    """Margin-based alignment mining (Artetxe & Schwenk 2019) over two
+    disjoint embedding slices: mutual top-4 kNN pairs scored by ratio
+    margin (cosine over the mean of both sides' neighborhood cosines,
+    1e-6 integer-grid sums), thresholded at the paper's 1.05. The
+    mutual cut and the threshold are both non-vacuous at every test SF
+    (~195 of 200 fwd pairs survive mutuality, ~55% pass the
+    threshold)."""
+    from mallarddv_spark.operators.alignment import margin_knn_pairs
+
+    e = _t(spark, sf, "embeddings")
+    src = e.filter("vec_id < 50")
+    tgt = e.filter("vec_id >= 50 AND vec_id < 250")
+    return margin_knn_pairs(
+        src, tgt, id_col="vec_id", vec_col="embedding", k=4,
+        mutual=True, min_margin=1.05,
+    )
+
+
+O_SIM_MARGIN = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings
+),
+s AS (SELECT * FROM e WHERE vec_id < 50),
+t AS (SELECT * FROM e WHERE vec_id >= 50 AND vec_id < 250),
+fp AS (SELECT s.vec_id AS qid, t.vec_id AS nid,
+       round(list_dot_product(s.v, t.v) / (s.norm * t.norm), 6) AS cosine FROM s, t),
+fwd AS (SELECT qid, nid, cosine FROM (
+   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rnk
+   FROM fp) x WHERE rnk <= 4),
+bp AS (SELECT t.vec_id AS qid, s.vec_id AS nid,
+       round(list_dot_product(s.v, t.v) / (s.norm * t.norm), 6) AS cosine FROM t, s),
+bwd AS (SELECT qid, nid, cosine FROM (
+   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rnk
+   FROM bp) x WHERE rnk <= 4),
+afwd AS (SELECT qid, sum(CAST(round(cosine * 1e6) AS BIGINT)) / (count(*) * 1e6) AS m
+         FROM fwd GROUP BY qid),
+abwd AS (SELECT qid, sum(CAST(round(cosine * 1e6) AS BIGINT)) / (count(*) * 1e6) AS m
+         FROM bwd GROUP BY qid),
+cand AS (SELECT f.qid AS src_id, f.nid AS tgt_id, f.cosine FROM fwd f
+  WHERE EXISTS (SELECT 1 FROM bwd b WHERE b.qid = f.nid AND b.nid = f.qid))
+SELECT src_id, tgt_id, margin FROM (
+    SELECT c.src_id, c.tgt_id,
+           round(c.cosine / ((af.m + ab.m) / 2), 6) AS margin
+    FROM cand c
+    JOIN afwd af ON af.qid = c.src_id
+    JOIN abwd ab ON ab.qid = c.tgt_id) z
+WHERE margin >= 1.05
+"""
+
+
 def q_similarity_suite(spark, sf):
     """Embedding-similarity suite: brute-force cosine top-k (queries ×
     candidates), the above-threshold all-pairs variant, the
-    int8-quantized top-k probe, and the deterministic-codebook PQ ADC
-    top-k (`pqadc` — its `cosine` slot carries the ADC squared distance)
-    as one tagged union. Parts: similarity_topk, similarity_pairs,
-    similarity_quantized_topk, plus the pqadc part oracled by
-    O_SIM_PQADC."""
+    int8-quantized top-k probe, the deterministic-codebook PQ ADC
+    top-k (`pqadc` — its `cosine` slot carries the ADC squared distance),
+    and mutual-kNN ratio-margin alignment mining (`margin` — its
+    `cosine` slot carries the margin) as one tagged union. Parts:
+    similarity_topk, similarity_pairs, similarity_quantized_topk, plus
+    the pqadc and margin parts oracled by O_SIM_PQADC /
+    O_SIM_MARGIN."""
     tk = q_similarity_topk(spark, sf).select(
         F.lit("topk").alias("part"),
         F.col("query_id").alias("id_a"),
@@ -5587,9 +5642,16 @@ def q_similarity_suite(spark, sf):
         F.col("rank"),
         F.col("adc_dist").alias("cosine"),
     )
+    mg = q_similarity_margin(spark, sf).select(
+        F.lit("margin").alias("part"),
+        F.col("src_id").alias("id_a"),
+        F.col("tgt_id").alias("id_b"),
+        *_nulls(("rank", "bigint")),
+        F.col("margin").alias("cosine"),
+    )
     return (
         tk.unionByName(pr).unionByName(qt).unionByName(pq)
-        .unionByName(ivfpq)
+        .unionByName(ivfpq).unionByName(mg)
     )
 
 
@@ -5604,7 +5666,9 @@ O_SIMILARITY_SUITE = (
     + O_SIM_PQADC
     + ") pq\nUNION ALL\nSELECT 'ivfpqadc', query_id, neighbor_id, rank, adc_dist\nFROM ("
     + O_SIM_IVFPQADC
-    + ") ipq"
+    + ") ipq\nUNION ALL\nSELECT 'margin', src_id, tgt_id, cast(NULL as bigint), margin\nFROM ("
+    + O_SIM_MARGIN
+    + ") mg"
 )
 
 
