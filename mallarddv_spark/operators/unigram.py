@@ -50,6 +50,7 @@ __all__ = [
     "unigram_encode_words",
     "unigram_encode",
     "unigram_em_round",
+    "unigram_prune_round",
     "unigram_train",
     "save_unigram",
     "load_unigram",
@@ -399,6 +400,136 @@ def unigram_em_round(
     return new_vocab, float(ll)
 
 
+def _viterbi_bwd_expr(word_col: str) -> str:
+    # max-product mirror of :func:`_backward_expr`: beta[j] = best
+    # segmentation score of the suffix starting at 0-based char j,
+    # built back-to-front by prepending; element_at(.., j + 1) = beta_j,
+    # beta_L = 0. Strict (no unk floor) — pruning runs on a vocabulary
+    # whose own pieces are the "words".
+    j = f"(length({word_col}) - idx)"
+    lp = f"element_at(__vmap, substr({word_col}, {j} + 1, k - {j}))"
+    cand = f"({lp} + element_at(acc, k - {j}))"
+    step = (
+        f"aggregate(sequence({j} + 1, length({word_col})), "
+        f"cast(-1e30 as double), "
+        f"(s, k) -> CASE WHEN element_at(acc, k - {j}) <= cast(-1e29 as "
+        f"double) OR {lp} IS NULL THEN s ELSE greatest(s, {cand}) END)"
+    )
+    return (
+        f"aggregate(sequence(1, length({word_col})), "
+        f"array(cast(0.0 as double)), (acc, idx) -> array({step}) || acc)"
+    )
+
+
+def unigram_prune_round(
+    words: DataFrame,
+    vocab: DataFrame,
+    target_size: int,
+    word_col: str = "word",
+    count_col: str = "wcnt",
+) -> DataFrame:
+    """Kudo's loss-based vocabulary shrink (the SentencePiece trainer's
+    prune step): score every multi-character piece by the corpus
+    likelihood it would cost to remove, keep the costliest until the
+    vocabulary is down to ``target_size``, and renormalize.
+
+    The loss follows SentencePiece's approximation: Viterbi-segment the
+    word table to get each piece's usage frequency, then for each piece
+    compute the best ALTERNATIVE segmentation of the piece's own string
+    — the best lattice path that does not use the full-span arc,
+    ``max over split m of viterbi_prefix(m) + viterbi_suffix(m)`` —
+    and charge ``loss = freq · (logp − alt)``. Unused pieces cost
+    nothing and prune first; pieces with NO alternative segmentation
+    and all single characters are kept unconditionally (coverage).
+    Ties break on ascending piece — fully deterministic.
+
+    Scale shape: the frequency pass is the :func:`unigram_encode_words`
+    machinery (vocabulary broadcast as one map cell, corpus-size
+    independent — it runs on the WORD table); the alternative-path pass
+    runs the same lattice folds over the VOCABULARY table itself
+    (10^4–10^5 rows). The keep-cut is an ``orderBy().limit()`` —
+    TakeOrderedAndProject over vocabulary-sized input. The one
+    driver-side value is the kept probability mass (a one-row agg) for
+    the renormalization."""
+    if int(target_size) < 1:
+        raise DVConfigurationError(
+            "unigram_prune_round: target_size must be >= 1"
+        )
+    # --- usage frequency under Viterbi segmentation of the word table
+    seg = unigram_encode_words(
+        words.select(F.col(word_col).alias("word")).distinct(),
+        vocab, word_col="word", unk_logp=None,
+    )
+    wc = words.select(
+        F.col(word_col).alias("word"),
+        F.col(count_col).cast("double").alias("__wc"),
+    )
+    freq = (
+        seg.filter(F.col("pieces").isNotNull())
+        .join(wc, "word")
+        .select(F.explode("pieces").alias("piece"), "__wc")
+        .groupBy("piece")
+        .agg(F.sum("__wc").alias("__freq"))
+    )
+    # --- best alternative segmentation of each piece's own string
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece"), F.col("logp")))
+        ).alias("__vmap")
+    )
+    alt_expr = (
+        "aggregate(sequence(1, length(piece) - 1), "
+        "cast(-1e30 as double), (best, m) -> "
+        "CASE WHEN element_at(__alphas, m + 1).s > cast(-1e29 as double) "
+        "AND element_at(__betas, m + 1) > cast(-1e29 as double) "
+        "THEN greatest(best, element_at(__alphas, m + 1).s "
+        "+ element_at(__betas, m + 1)) ELSE best END)"
+    )
+    scored = (
+        vocab.crossJoin(F.broadcast(vmap))
+        .withColumn("__alphas", F.expr(_viterbi_expr("piece", "cast(null as double)")))
+        .withColumn("__betas", F.expr(_viterbi_bwd_expr("piece")))
+        .withColumn(
+            "__alt",
+            F.when(F.length("piece") > 1, F.expr(alt_expr)),
+        )
+        .join(freq, "piece", "left")
+        .select(
+            "piece", "logp",
+            F.coalesce(F.col("__freq"), F.lit(0.0)).alias("__freq"),
+            "__alt",
+        )
+    )
+    forced = scored.filter(
+        (F.length("piece") == 1) | (F.col("__alt") <= F.lit(-1e29))
+    )
+    prunable = scored.filter(
+        (F.length("piece") > 1) & (F.col("__alt") > F.lit(-1e29))
+    )
+    n_forced = forced.count()
+    keep_n = max(0, int(target_size) - n_forced)
+    loss = F.round(
+        F.col("__freq") * (F.col("logp") - F.col("__alt")), 10
+    )
+    kept = (
+        prunable.withColumn("__loss", loss)
+        .orderBy(F.desc("__loss"), F.asc("piece"))
+        .limit(keep_n)
+        .select("piece", "logp")
+        .unionByName(forced.select("piece", "logp"))
+    )
+    # renormalize in probability space: ONE row comes back to the driver
+    total = kept.agg(F.sum(F.exp("logp"))).first()[0] or 1.0
+    import math
+
+    return kept.select(
+        "piece",
+        F.round(F.col("logp") - F.lit(math.log(float(total))), 10).alias(
+            "logp"
+        ),
+    )
+
+
 def unigram_train(
     df: DataFrame,
     text_col: str,
@@ -406,19 +537,37 @@ def unigram_train(
     max_piece_len: int = 8,
     top_k: int = 8192,
     lowercase: bool = True,
+    target_vocab: int | None = None,
+    shrink_factor: float = 0.75,
 ) -> tuple[DataFrame, list[float]]:
-    """Seed + EM-refine a unigram-LM vocabulary: the full (simplified)
-    Kudo 2018 pipeline — :func:`unigram_seed_vocab` initializes,
-    ``rounds`` of :func:`unigram_em_round` re-estimate. Returns
-    ``(vocab, log_likelihood_per_round)``; the trajectory is
-    non-decreasing (EM). Kudo's loss-based vocabulary-shrink schedule
-    is intentionally not replicated — zero-expectation pieces already
-    drop out each round, and the seed's ``top_k`` bounds the start;
-    a SentencePiece-trained vocabulary remains loadable directly into
-    :func:`unigram_encode` when exact parity with the reference
-    implementation matters."""
+    """Seed + EM-refine a unigram-LM vocabulary — the Kudo 2018
+    pipeline: :func:`unigram_seed_vocab` initializes, ``rounds`` of
+    :func:`unigram_em_round` re-estimate, and (when ``target_vocab`` is
+    given) :func:`unigram_prune_round` shrinks the vocabulary by
+    ``shrink_factor`` per stage until it reaches the target, with a
+    fresh EM re-fit after every prune — the SentencePiece trainer's
+    seed → (EM × rounds → prune) × stages → EM schedule. Returns
+    ``(vocab, log_likelihood_trajectory)`` with one entry per EM round
+    across all stages; within a stage the trajectory is non-decreasing
+    (EM's guarantee — pytest-pinned), while a prune boundary may step
+    down (fewer pieces = less probability mass, the expected cost of a
+    smaller vocabulary).
+
+    Without ``target_vocab`` the behavior is the pre-r10 trainer:
+    zero-expectation pieces drop out each round and the seed's
+    ``top_k`` bounds the start. A SentencePiece-trained vocabulary
+    remains loadable directly into :func:`unigram_encode` when exact
+    parity with the reference implementation matters."""
     if int(rounds) < 0:
         raise DVConfigurationError("unigram_train: rounds must be >= 0")
+    if target_vocab is not None and int(target_vocab) < 1:
+        raise DVConfigurationError(
+            "unigram_train: target_vocab must be >= 1"
+        )
+    if not (0.0 < float(shrink_factor) < 1.0):
+        raise DVConfigurationError(
+            "unigram_train: shrink_factor must be in (0, 1)"
+        )
     t = F.trim(F.col(text_col))
     if lowercase:
         t = F.lower(t)
@@ -434,10 +583,28 @@ def unigram_train(
         lowercase=lowercase,
     )
     trajectory: list[float] = []
-    for _ in range(int(rounds)):
-        vocab, ll = unigram_em_round(words, vocab)
-        vocab = vocab.localCheckpoint(eager=True)
-        trajectory.append(ll)
+
+    def _em_stage(v):
+        for _ in range(int(rounds)):
+            v, ll = unigram_em_round(words, v)
+            v = v.localCheckpoint(eager=True)
+            trajectory.append(ll)
+        return v
+
+    vocab = _em_stage(vocab)
+    if target_vocab is None:
+        return vocab, trajectory
+    size = vocab.count()
+    while size > int(target_vocab):
+        stage_target = max(int(target_vocab), int(size * float(shrink_factor)))
+        vocab = unigram_prune_round(
+            words, vocab, stage_target
+        ).localCheckpoint(eager=True)
+        vocab = _em_stage(vocab)
+        new_size = vocab.count()
+        if new_size >= size:
+            break  # forced pieces alone exceed the target — cannot shrink
+        size = new_size
     return vocab, trajectory
 
 

@@ -271,6 +271,119 @@ def test_em_likelihood_nondecreasing_and_encode_roundtrip(spark):
         ug.unigram_train(docs, "text", rounds=-1)
 
 
+def _py_prune_round(word_counts, vocab, target_size):
+    """Reference for :func:`unigram_prune_round`: Viterbi usage freq,
+    best alternative segmentation of each piece's own string (no
+    full-span arc), loss = freq * (logp - alt); keep single chars and
+    unsegmentable pieces unconditionally, top-loss multi-char pieces to
+    target_size, renormalize in probability space."""
+
+    def vit_score(s):
+        # best segmentation score of string s under vocab (full lattice)
+        L = len(s)
+        a = [0.0] + [-1e30] * L
+        for j in range(1, L + 1):
+            for i in range(j):
+                lp = vocab.get(s[i:j])
+                if lp is None or a[i] <= -1e29:
+                    continue
+                a[j] = max(a[j], a[i] + lp)
+        return a
+
+    freq = {}
+    for w, wc in word_counts.items():
+        pieces, _ = _py_viterbi(w, vocab, unk=None)
+        if pieces is None:
+            continue
+        for p in pieces:
+            freq[p] = freq.get(p, 0.0) + wc
+    forced, prunable = [], []
+    for p, lp in vocab.items():
+        if len(p) == 1:
+            forced.append(p)
+            continue
+        a = vit_score(p)
+        # suffix-side viterbi via reversed prefix trick is wrong for
+        # asymmetric vocabs — compute directly
+        L = len(p)
+        b = [-1e30] * L + [0.0]
+        for j in range(L - 1, -1, -1):
+            for k in range(j + 1, L + 1):
+                lpp = vocab.get(p[j:k])
+                if lpp is None or b[k] <= -1e29:
+                    continue
+                b[j] = max(b[j], lpp + b[k])
+        alt = max(
+            (a[m] + b[m] for m in range(1, L)
+             if a[m] > -1e29 and b[m] > -1e29),
+            default=-1e30,
+        )
+        if alt <= -1e29:
+            forced.append(p)
+        else:
+            loss = round(freq.get(p, 0.0) * (lp - alt), 10)
+            prunable.append((p, loss))
+    keep_n = max(0, target_size - len(forced))
+    prunable.sort(key=lambda t: (-t[1], t[0]))
+    kept = forced + [p for p, _ in prunable[:keep_n]]
+    total = sum(math.exp(vocab[p]) for p in kept)
+    return {p: round(vocab[p] - math.log(total), 10) for p in kept}
+
+
+@settings(max_examples=6, deadline=None)
+@given(_pieces, st.dictionaries(_word, st.integers(min_value=1, max_value=5),
+                                min_size=1, max_size=4),
+       st.integers(min_value=1, max_value=6))
+def test_prune_round_matches_python_reference(spark, vocab_dict,
+                                              word_counts, target):
+    """Spark loss-based prune == the pure-Python reference: the same
+    kept piece set and the same renormalized logp, for arbitrary small
+    vocabularies, corpora, and targets."""
+    vocab_dict = {k: round(v, 3) for k, v in vocab_dict.items()}
+    want = _py_prune_round(word_counts, vocab_dict, target)
+    vocab = _vocab(spark, vocab_dict)
+    words = spark.createDataFrame(
+        list(word_counts.items()), "word string, wcnt bigint"
+    )
+    got = {r.piece: r.logp
+           for r in ug.unigram_prune_round(words, vocab, target).collect()}
+    assert set(got) == set(want), (vocab_dict, word_counts, target)
+    for p in want:
+        assert abs(got[p] - want[p]) < 1e-6, (p, got[p], want[p])
+
+
+def test_train_reaches_target_vocab(spark):
+    """unigram_train(target_vocab=) shrinks the seed to the target (or
+    the forced-coverage floor), the EM trajectory is non-decreasing
+    WITHIN each stage (rounds=2 per stage), and the pruned vocabulary
+    still glue-round-trips through the encoder."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    seed = ug.unigram_seed_vocab(docs, "text", max_piece_len=4, top_k=256)
+    n_chars = seed.filter(F.length("piece") == 1).count()
+    target = n_chars + 40
+    vocab, traj = ug.unigram_train(
+        docs, "text", rounds=2, max_piece_len=4, top_k=256,
+        target_vocab=target,
+    )
+    assert vocab.count() <= target
+    assert len(traj) >= 4 and len(traj) % 2 == 0  # >= 2 stages, 2 EM each
+    for s in range(0, len(traj), 2):
+        assert traj[s + 1] >= traj[s] - 1e-6, traj
+    # every single character of the corpus survives pruning (coverage)
+    enc = ug.unigram_encode(docs, "doc_id", "text", vocab, unk_logp=-20.0)
+    joined = enc.join(docs, "doc_id").select(
+        F.concat_ws("", F.col("tokens")).alias("glued"),
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", "").alias("flat"),
+    )
+    assert joined.filter(F.col("glued") != F.col("flat")).count() == 0
+    with pytest.raises(DVConfigurationError, match="target_vocab"):
+        ug.unigram_train(docs, "text", target_vocab=0)
+    with pytest.raises(DVConfigurationError, match="shrink_factor"):
+        ug.unigram_train(docs, "text", target_vocab=10, shrink_factor=1.5)
+    with pytest.raises(DVConfigurationError, match="target_size"):
+        ug.unigram_prune_round(docs, seed, 0)
+
+
 def test_save_load_roundtrip(spark, tmp_path):
     """Persisted vocabulary encodes identically to the in-memory one;
     params ride along; a torn save (no params) fails loudly."""
