@@ -1061,6 +1061,249 @@ def score_kn3_logprob(
     )
 
 
+def train_ngram_lm(
+    df: DataFrame, text_col: str, order: int = 5, lowercase: bool = True
+) -> dict:
+    """Count-based n-gram language model up to ``order`` (the KenLM
+    5-gram shape CCNet actually ships): one count table per order
+    1..n, ``(w1..wk, cnt)``, in ``lm["ngrams"][k]``. The returned dict
+    also carries ``unigrams``/``bigrams`` (and ``trigrams`` when
+    ``order >= 3``) aliases so every lower-order scorer accepts it
+    unchanged.
+
+    Scale shape: ONE tokenize + explode pass emits, per token
+    position, the up-to-``order``-token slice starting there; each
+    order's counts are one groupBy over that shared stream (map-side
+    combine — the same near-linear class as :func:`train_bigram_lm`,
+    just n aggregations instead of two). Model size is the n-gram-type
+    vocabulary, not the corpus. At petabyte scale persist the exploded
+    stream before the n aggregations (or let the lake's columnar cache
+    absorb the re-reads); the logical plan reuses one scan either way.
+    """
+    n = int(order)
+    if n < 2:
+        raise DVConfigurationError("train_ngram_lm: order must be >= 2")
+    toks = _lm_tokens(text_col, lowercase)
+    base = df.select(toks.alias("__t"))
+    grams_stream = base.select(
+        F.explode(
+            F.expr(f"transform(sequence(1, size(__t)), i -> slice(__t, i, {n}))")
+        ).alias("__g")
+    )
+    ngrams: dict[int, DataFrame] = {}
+    for k in range(1, n + 1):
+        keys = [
+            F.expr(f"element_at(__g, {i + 1})").alias(f"w{i + 1}")
+            for i in range(k)
+        ]
+        ngrams[k] = (
+            grams_stream.filter(F.size("__g") >= k)
+            .select(*keys)
+            .groupBy(*[f"w{i + 1}" for i in range(k)])
+            .agg(F.count("*").alias("cnt"))
+        )
+    total = ngrams[1].agg(F.sum("cnt")).first()[0] or 0
+    lm: dict = {
+        "ngrams": ngrams,
+        "order": n,
+        "total_tokens": int(total),
+        "lowercase": lowercase,
+        # lower-order scorer compatibility aliases (unigram table keeps
+        # the bigram trainer's single-column name)
+        "unigrams": ngrams[1].withColumnRenamed("w1", "w"),
+        "bigrams": ngrams[2],
+    }
+    if n >= 3:
+        lm["trigrams"] = ngrams[3]
+    return lm
+
+
+def score_kn_ngram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: dict,
+    discount: float = 0.75,
+    order: int | None = None,
+) -> DataFrame:
+    """Per-document mean ``order``-gram log-probability under
+    interpolated Kneser-Ney — the Chen & Goodman 1998 recursion at
+    ARBITRARY order, generalizing :func:`score_kn_logprob` (order 2)
+    and :func:`score_kn3_logprob` (order 3) to the KenLM 5-gram shape;
+    at order 3 it reproduces the trigram scorer bit-for-bit
+    (pytest-pinned), so the ``knlm`` gate semantics are unchanged.
+
+    Level structure (highest order n = ``order``):
+
+    * top: raw counts — ``max(c(ctx,w) − D, 0)/c(ctx) +
+      (D · N1+(ctx·)/c(ctx)) · P_{n−1}``; unseen context falls through
+      to ``P_{n−1}``.
+    * middle k (1 < k < n): CONTINUATION counts from the (k+1)-gram
+      TYPE table — numerator ``N1+(·u)`` over the k-gram suffix u,
+      denominator ``N1+(·mid·)``, bonus weight the distinct
+      continuations of mid; missing mid falls through to ``P_{k−1}``.
+    * bottom: ``P_1(w) = N1+(·w)/|bigram types|`` with the 0.5-type
+      OOV floor.
+
+    Returns ``(id, n_ngrams, n_oov_ctx, avg_logprob)``; docs with
+    fewer than ``order`` tokens score no row. Same 1e-10 integer-grid
+    sum discipline — partition-order independent, engine-replayable.
+
+    Scale shape: every statistic table is a groupBy aggregate of a
+    type/count table (map-side combine, bounded tasks — never a
+    per-key window); the lower-order suffix statistics all derive from
+    the SAME per-order type tables, so each order contributes one
+    aggregation exchange, reused by numerator and denominator. Scoring
+    pays ``3(n−1) + 1`` hash joins on word keys + one groupBy on id;
+    word keys are Zipf-skewed — the :func:`score_bigram_logprob` AQE
+    skew-join note applies."""
+    if not 0.0 < float(discount) < 1.0:
+        raise DVConfigurationError(
+            "score_kn_ngram_logprob: discount must be in (0, 1)"
+        )
+    grams = lm.get("ngrams")
+    if not grams:
+        raise DVConfigurationError(
+            "score_kn_ngram_logprob: model lacks ngram tables — train "
+            "with train_ngram_lm"
+        )
+    n = int(order if order is not None else lm["order"])
+    if n < 2 or n > int(lm["order"]):
+        raise DVConfigurationError(
+            f"score_kn_ngram_logprob: order must be in [2, {lm['order']}]"
+        )
+    d_lit = repr(float(discount))
+    toks = _lm_tokens(text_col, bool(lm.get("lowercase", True)))
+    t_bitypes = int(grams[2].count()) or 1
+
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    fields = ", ".join(
+        f"element_at(__t, i + {j}) as w{j + 1}" for j in range(n)
+    )
+    tuples = F.when(
+        F.size("__t") >= n,
+        F.expr(
+            f"transform(sequence(1, size(__t) - {n - 1}), "
+            f"i -> struct({fields}))"
+        ),
+    ).otherwise(F.expr("array()"))
+    stream = base.select("__id", F.explode(tuples).alias("p")).select(
+        "__id", *[F.col(f"p.w{i + 1}").alias(f"w{i + 1}") for i in range(n)]
+    )
+
+    def _eq(cols_stream, cols_table):
+        cond = None
+        for a, b in zip(cols_stream, cols_table):
+            c = F.col(a) == F.col(b)
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    # --- top level: raw n-gram counts, raw context counts, N1+(ctx .)
+    topk = [f"w{i + 1}" for i in range(n)]
+    ctxk = topk[:-1]
+    top = grams[n].select(
+        *[F.col(f"w{i + 1}").alias(f"__tN{i + 1}") for i in range(n)],
+        F.col("cnt").alias("__cN"),
+    )
+    ctx = grams[n - 1].select(
+        *[F.col(f"w{i + 1}").alias(f"__xN{i + 1}") for i in range(n - 1)],
+        F.col("cnt").alias("__ctxN"),
+    )
+    nf_top = (
+        grams[n].groupBy(*ctxk).agg(F.count("*").alias("__nfN"))
+        .select(
+            *[F.col(f"w{i + 1}").alias(f"__hN{i + 1}") for i in range(n - 1)],
+            "__nfN",
+        )
+    )
+    scored = (
+        stream.join(top, _eq(topk, [f"__tN{i + 1}" for i in range(n)]), "left")
+        .join(ctx, _eq(ctxk, [f"__xN{i + 1}" for i in range(n - 1)]), "left")
+        .join(
+            nf_top, _eq(ctxk, [f"__hN{i + 1}" for i in range(n - 1)]), "left"
+        )
+    )
+    # --- middle levels k = n-1 .. 2: continuation stats from the
+    # (k+1)-gram TYPE table; the stream's level-k suffix is positions
+    # n-k+1..n (1-based), its mid (context) positions n-k+1..n-1
+    for k in range(n - 1, 1, -1):
+        ttab = grams[k + 1]  # type table: one row per (k+1)-gram
+        suffix = [f"w{i + 1}" for i in range(n - k, n)]
+        midkeys = suffix[:-1]
+        num = (
+            ttab.groupBy(*[f"w{i + 2}" for i in range(k)])
+            .agg(F.count("*").alias(f"__ncb{k}"))
+            .select(
+                *[
+                    F.col(f"w{i + 2}").alias(f"__m{k}_{i + 1}")
+                    for i in range(k)
+                ],
+                f"__ncb{k}",
+            )
+        )
+        mid = (
+            ttab.groupBy(*[f"w{i + 2}" for i in range(k - 1)])
+            .agg(
+                F.count("*").alias(f"__nmid{k}"),
+                F.countDistinct(f"w{k + 1}").alias(f"__nfm{k}"),
+            )
+            .select(
+                *[
+                    F.col(f"w{i + 2}").alias(f"__g{k}_{i + 1}")
+                    for i in range(k - 1)
+                ],
+                f"__nmid{k}", f"__nfm{k}",
+            )
+        )
+        scored = scored.join(
+            num, _eq(suffix, [f"__m{k}_{i + 1}" for i in range(k)]), "left"
+        ).join(
+            mid, _eq(midkeys, [f"__g{k}_{i + 1}" for i in range(k - 1)]),
+            "left",
+        )
+    # --- bottom level: N1+(. w) over bigram types
+    nb = (
+        grams[2].groupBy("w2").agg(F.count("*").alias("__nb"))
+        .select(F.col("w2").alias("__p1"), "__nb")
+    )
+    scored = scored.join(nb, F.col(f"w{n}") == F.col("__p1"), "left")
+
+    # --- the nested CASE expression, innermost (unigram) out; the tree
+    # mirrors score_kn3_logprob verbatim at n = 3 (identity-pinned)
+    p = (
+        f"(coalesce(cast(__nb as double), 0.5) "
+        f"/ cast({t_bitypes} as double))"
+    )
+    for k in range(2, n):
+        p = (
+            f"CASE WHEN __nmid{k} IS NOT NULL THEN "
+            f"greatest(cast(coalesce(__ncb{k}, 0) as double) - {d_lit}, "
+            f"cast(0 as double)) / cast(__nmid{k} as double) "
+            f"+ ({d_lit} * cast(__nfm{k} as double) "
+            f"/ cast(__nmid{k} as double)) * {p} ELSE {p} END"
+        )
+    lp = (
+        f"CASE WHEN __ctxN IS NOT NULL THEN "
+        f"ln(greatest(cast(coalesce(__cN, 0) as double) - {d_lit}, "
+        f"cast(0 as double)) / cast(__ctxN as double) "
+        f"+ ({d_lit} * cast(greatest(coalesce(__nfN, 0), 1) as double) "
+        f"/ cast(__ctxN as double)) * ({p})) "
+        f"ELSE ln({p}) END"
+    )
+    scored = scored.select(
+        "__id",
+        F.col("__ctxN").isNull().cast("int").alias("__oov"),
+        F.round(F.expr(lp) * 1e10).cast("bigint").alias("__lp10"),
+    )
+    return scored.groupBy(F.col("__id").alias("id")).agg(
+        F.count("*").alias("n_ngrams"),
+        F.sum("__oov").cast("bigint").alias("n_oov_ctx"),
+        F.round(
+            F.sum("__lp10") / (F.lit(1e10) * F.count("*")), 6
+        ).alias("avg_logprob"),
+    )
+
+
 def fluency_filter(
     df: DataFrame,
     id_col: str,

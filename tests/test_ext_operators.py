@@ -1246,6 +1246,141 @@ def test_kn3_context_disambiguation_and_model_compat(spark):
         textops.score_kn3_logprob(test, "doc_id", "text", lm2)
 
 
+def test_kn_ngram_identity_with_fixed_order_scorers(spark):
+    """The generic order-N scorer at order 3 reproduces score_kn3_logprob
+    bit-for-bit, and at order 2 reproduces score_kn_logprob — the knlm
+    gate semantics are provably unchanged."""
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the dog sat on the rug"),
+         (3, "a cat and a dog sat down"),
+         (4, "the cat sat on a rug")], ["doc_id", "text"])
+    test = spark.createDataFrame(
+        [(10, "the cat sat on"), (11, "rug mat dog sat"),
+         (12, "zz qq yy"), (13, "a dog sat")], ["doc_id", "text"])
+    lm = textops.train_ngram_lm(train, "text", order=3)
+    g3 = {r.id: (r.n_ngrams, r.n_oov_ctx, r.avg_logprob)
+          for r in textops.score_kn_ngram_logprob(
+              test, "doc_id", "text", lm, order=3).collect()}
+    w3 = {r.id: (r.n_trigrams, r.n_oov_ctx, r.avg_logprob)
+          for r in textops.score_kn3_logprob(
+              test, "doc_id", "text", lm).collect()}
+    assert g3 == w3
+    g2 = {r.id: (r.n_ngrams, r.n_oov_ctx, r.avg_logprob)
+          for r in textops.score_kn_ngram_logprob(
+              test, "doc_id", "text", lm, order=2).collect()}
+    w2 = {r.id: (r.n_bigrams, r.n_oov_ctx, r.avg_logprob)
+          for r in textops.score_kn_logprob(
+              test, "doc_id", "text", lm).collect()}
+    assert g2 == w2
+
+
+def test_kn_ngram_matches_python_reference_orders_4_and_5(spark):
+    """Generic interpolated Kneser-Ney at the KenLM 5-gram shape vs a
+    pure-Python recursive reference with the same grid discipline —
+    seen n-grams, every middle-level continuation fallback, unseen
+    contexts, and OOV words all live at orders 4 AND 5."""
+    import math
+    from collections import Counter
+
+    train_rows = [
+        (1, "the cat sat on the mat today"),
+        (2, "the dog sat on the rug today"),
+        (3, "a cat and a dog sat down on the mat"),
+        (4, "the cat sat on a rug in the sun"),
+        (5, "the dog ran on the mat today"),
+    ]
+    test_rows = [
+        (10, "the cat sat on the mat"),     # seen high-order material
+        (11, "rug mat dog sat on the"),     # shuffled: mid fallbacks
+        (12, "zz qq yy ww vv"),             # pure OOV
+        (13, "a dog sat down on the rug"),  # partial matches
+    ]
+    train_texts = [t for _, t in train_rows]
+
+    def py_kn(n, D=0.75):
+        grams = {k: Counter() for k in range(1, n + 1)}
+        for t in train_texts:
+            ws = t.lower().split()
+            for k in range(1, n + 1):
+                grams[k].update(
+                    tuple(ws[i:i + k]) for i in range(len(ws) - k + 1)
+                )
+        T = len(grams[2])
+        nbb = Counter(g[1] for g in grams[2])
+        ncb, nmid, nfm = {}, {}, {}
+        for k in range(2, n):
+            types = set(grams[k + 1])
+            ncb[k] = Counter(g[1:] for g in types)
+            nmid[k] = Counter(g[1:-1] for g in types)
+            nfm[k] = Counter(s[:-1] for s in ncb[k])
+        nf_top = Counter(g[:-1] for g in grams[n])
+
+        def pc(w):
+            return (float(nbb[w]) if w in nbb else 0.5) / float(T)
+
+        def p_k(k, suf):
+            if k == 1:
+                return pc(suf[0])
+            lower = p_k(k - 1, suf[1:])
+            mid = suf[:-1]
+            if mid in nmid[k]:
+                return (
+                    max(float(ncb[k].get(suf, 0)) - D, 0.0)
+                    / float(nmid[k][mid])
+                    + (D * float(nfm[k][mid]) / float(nmid[k][mid])) * lower
+                )
+            return lower
+
+        def lp(gram):
+            ctx = gram[:-1]
+            lower = p_k(n - 1, gram[1:])
+            if ctx in grams[n - 1]:
+                c = float(grams[n - 1][ctx])
+                return math.log(
+                    max(float(grams[n].get(gram, 0)) - D, 0.0) / c
+                    + (D * float(max(nf_top.get(ctx, 0), 1)) / c) * lower
+                )
+            return math.log(lower)
+
+        want = {}
+        for did, t in test_rows:
+            ws = t.lower().split()
+            gs = [tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            if not gs:
+                continue
+            lp10 = [round(lp(g) * 1e10) for g in gs]
+            want[did] = (
+                len(gs),
+                sum(1 for g in gs if g[:-1] not in grams[n - 1]),
+                round(sum(lp10) / (1e10 * len(gs)), 6),
+            )
+        return want
+
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    test = spark.createDataFrame(test_rows, ["doc_id", "text"])
+    lm = textops.train_ngram_lm(train, "text", order=5)
+    for n in (4, 5):
+        got = {r.id: (r.n_ngrams, r.n_oov_ctx, r.avg_logprob)
+               for r in textops.score_kn_ngram_logprob(
+                   test, "doc_id", "text", lm, order=n).collect()}
+        assert got == py_kn(n), (n, got, py_kn(n))
+    # guards + model-dict compatibility aliases
+    with pytest.raises(DVConfigurationError, match="order"):
+        textops.train_ngram_lm(train, "text", order=1)
+    with pytest.raises(DVConfigurationError, match="order"):
+        textops.score_kn_ngram_logprob(test, "doc_id", "text", lm, order=6)
+    with pytest.raises(DVConfigurationError, match="ngram"):
+        textops.score_kn_ngram_logprob(
+            test, "doc_id", "text",
+            textops.train_bigram_lm(train, "text"))
+    with pytest.raises(DVConfigurationError, match="discount"):
+        textops.score_kn_ngram_logprob(
+            test, "doc_id", "text", lm, discount=1.0)
+    assert textops.score_bigram_logprob(
+        test, "doc_id", "text", lm).count() == 4
+
+
 def test_kn_discount_guard(spark):
     lm = textops.train_bigram_lm(
         spark.createDataFrame([(1, "a b")], ["doc_id", "text"]), "text"
