@@ -1335,6 +1335,40 @@ def temperature_weights(
     return {k: v / total for k, v in scaled.items()}
 
 
+def _fit_embedding_centroids(
+    feat: DataFrame,
+    id_col: str,
+    n_clusters: int,
+    seed: int,
+    max_iter: int,
+    salt: str,
+    corpus_size_hint: int | None,
+):
+    """Shared k-means fit for the embedding-curation family: train on a
+    bounded CONTENT-DETERMINISTIC coreset (rows ranked by a salted hash
+    of the id — same corpus, same centroids, regardless of partition
+    layout; ``df.sample`` would be layout-dependent), k-means‖ init,
+    ``max_iter`` Lloyd iterations, fixed seed. ``feat`` must carry
+    ``__feat`` (MLlib vector). No count pass: without
+    ``corpus_size_hint`` the coreset is a TakeOrderedAndProject over
+    the corpus; with it a hash-threshold pre-filter cuts the corpus to
+    ~3× the coreset size before the top-k merge."""
+    from pyspark.ml.clustering import KMeans
+
+    target = int(n_clusters) * 512
+    pool = feat.withColumn("__ck", hex_bucket(id_col, f"{salt}-coreset", 8))
+    if corpus_size_hint is not None and int(corpus_size_hint) > 3 * target:
+        pool = pool.filter(
+            F.col("__ck")
+            < F.lit(_hex_bound(3 * target / int(corpus_size_hint), 8))
+        )
+    coreset = pool.orderBy("__ck", id_col).limit(target).drop("__ck")
+    return KMeans(
+        k=int(n_clusters), seed=seed, maxIter=int(max_iter),
+        featuresCol="__feat", predictionCol="centroid_id",
+    ).fit(coreset)
+
+
 def cluster_balanced_sample(
     df: DataFrame,
     id_col: str,
@@ -1392,7 +1426,6 @@ def cluster_balanced_sample(
     BPE trainer; the registry's sampling parts cover the relational
     samplers.
     """
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     if (per_cluster is None) == (total is None):
@@ -1419,20 +1452,10 @@ def cluster_balanced_sample(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
     ).withColumn("__feat", array_to_vector("__v"))
-    target = int(n_clusters) * 512
-    coreset_key = hex_bucket(id_col, f"{salt}-coreset", 8)
-    pool = feat.withColumn("__ck", coreset_key)
-    if corpus_size_hint is not None and int(corpus_size_hint) > 3 * target:
-        # hash-threshold pre-filter: keep ~3x target expected rows so the
-        # corpus never reaches the top-k merge; deterministic in content
-        pool = pool.filter(
-            F.col("__ck") < F.lit(_hex_bound(3 * target / int(corpus_size_hint), 8))
-        )
-    coreset = pool.orderBy("__ck", id_col).limit(target).drop("__ck")
-    km = KMeans(
-        k=int(n_clusters), seed=seed, maxIter=int(max_iter),
-        featuresCol="__feat", predictionCol="centroid_id",
-    ).fit(coreset)
+    km = _fit_embedding_centroids(
+        feat, id_col, int(n_clusters), seed, int(max_iter), salt,
+        corpus_size_hint,
+    )
     assigned = km.transform(feat).select(id_col, "__v", "centroid_id")
     if order == "hash":
         from pyspark.sql import Window
@@ -1470,6 +1493,156 @@ def cluster_balanced_sample(
     return df.join(kept, id_col).select(
         *df.columns, "centroid_id", F.col("cap_rank").cast("bigint").alias(
             "cap_rank"
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 64,
+    eps: float = 0.05,
+    keep: str = "min_id",
+    seed: int = 42,
+    max_iter: int = 20,
+    corpus_size_hint: int | None = None,
+    salt: str = "semdedup-v1",
+    cc_max_iter: int = 25,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    partitioning + within-cluster cosine — removes *paraphrase-level*
+    duplicates that no lexical signature (MinHash/SimHash/winnowing)
+    can see, at thresholds too loose for the banded-LSH near-dup path
+    to capture efficiently.
+
+    Pipeline: (1) k-means over the embedding space (the shared
+    content-deterministic coreset fit — same centroids regardless of
+    input layout); (2) ONE assignment pass; (3) pairwise cosine within
+    each cluster only — pairs with ``cosine >= 1 - eps`` are semantic
+    duplicates; (4) duplicate groups = connected components of the pair
+    graph (a chain a~b~c is one group even when cos(a,c) misses the
+    bar — the same transitive-closure policy as the lexical dedup
+    tier). Returns one row per input: ``(id, centroid_id, cluster_id,
+    keep)``; singletons are their own cluster.
+
+    ``keep`` policy: ``"min_id"`` keeps each group's minimum id (the
+    module's deterministic default); ``"far_centroid"`` keeps the
+    member FARTHEST from its k-means centroid (ties: min id) — the
+    paper's choice, which retains the least prototypical exemplar and
+    pairs with :func:`cluster_balanced_sample`'s ``far_first`` pruning.
+
+    Scale shape: the corpus never self-joins globally — candidate pairs
+    exist only within a k-means cell, so the quadratic work is
+    ``Σ cell²``. Size ``n_clusters`` ≈ corpus / desired-cell-size (the
+    paper uses ~10⁴ clusters at 10⁸ docs); a mega-cell means the
+    centroids under-fit — raise ``n_clusters`` rather than ever letting
+    one cell hold millions. The component pass shuffles only the pair
+    list (bounded by actual duplication); the far-centroid pick is two
+    groupBys on the duplicate rows, never a window."""
+    from mallarddv_spark.operators.graph import connected_components
+    from pyspark.ml.functions import array_to_vector
+
+    if not 0.0 < float(eps) < 1.0:
+        raise DVConfigurationError(
+            "semantic_dedup: eps must be in (0, 1)"
+        )
+    if keep not in ("min_id", "far_centroid"):
+        raise DVConfigurationError(
+            f"semantic_dedup: unknown keep policy {keep!r}"
+        )
+    if int(n_clusters) < 2:
+        raise DVConfigurationError(
+            "semantic_dedup: n_clusters must be >= 2"
+        )
+    threshold = 1.0 - float(eps)
+    feat = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    ).withColumn("__feat", array_to_vector("__v"))
+    km = _fit_embedding_centroids(
+        feat, "id", int(n_clusters), seed, int(max_iter), salt,
+        corpus_size_hint,
+    )
+    assigned = (
+        km.transform(feat)
+        .select("id", "__v", "centroid_id")
+        .withColumn(
+            "__n",
+            F.expr(
+                "sqrt(aggregate(__v, cast(0.0 as double), (a, x) -> a + x * x))"
+            ),
+        )
+    )
+    a = assigned.select(
+        "centroid_id", F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = assigned.select(
+        "centroid_id", F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    # try_divide: a zero-norm embedding can never pair (NULL cosine
+    # fails the threshold) — it survives as its own singleton
+    cos = F.expr(
+        "round(try_divide(aggregate(zip_with(__va, __vb, (x, y) -> x * y), "
+        "cast(0.0 as double), (a, x) -> a + x), (__na * __nb)), 6)"
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, "id_a", "id_b", max_iter=cc_max_iter)
+    verdicts = (
+        assigned.select("id", "centroid_id", "__v", "__n")
+        .join(comp, F.col("id") == F.col("node"), "left")
+        .select(
+            "id", "centroid_id", "__v", "__n",
+            F.coalesce("component", F.col("id")).alias("cluster_id"),
+        )
+    )
+    if keep == "min_id":
+        out = verdicts.withColumn("keep", F.col("id") == F.col("cluster_id"))
+        return out.select("id", "centroid_id", "cluster_id", "keep")
+    # far_centroid: distance to the OWN centroid, group max, tie min id —
+    # two groupBys over the (duplication-bounded) verdict rows, no window
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    centroids = literal_frame(
+        df.sparkSession,
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "centroid_id int, __c array<double>",
+    )
+    dist = F.round(
+        F.expr(
+            "aggregate(zip_with(__v, __c, (a, b) -> (a - b) * (a - b)), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        ),
+        10,
+    )
+    with_d = verdicts.join(F.broadcast(centroids), "centroid_id").withColumn(
+        "__d", dist
+    )
+    dmax = with_d.groupBy(F.col("cluster_id").alias("__cl")).agg(
+        F.max("__d").alias("__dmax")
+    )
+    winner = (
+        with_d.join(
+            dmax,
+            (F.col("cluster_id") == F.col("__cl"))
+            & (F.col("__d") == F.col("__dmax")),
+        )
+        .groupBy(F.col("cluster_id").alias("__cl2"))
+        .agg(F.min("id").alias("__keep_id"))
+    )
+    return (
+        with_d.join(winner, F.col("cluster_id") == F.col("__cl2"), "left")
+        .select(
+            "id", "centroid_id", "cluster_id",
+            (F.col("id") == F.col("__keep_id")).alias("keep"),
         )
     )
 

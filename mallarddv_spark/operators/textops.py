@@ -1118,6 +1118,56 @@ def train_ngram_lm(
     return lm
 
 
+def save_ngram_lm(lm: dict, path: str) -> None:
+    """Persist a :func:`train_ngram_lm` model: ``{path}/ngrams/{k}``
+    parquet per order plus a one-row ``{path}/params`` written LAST —
+    its presence marks the model complete (the save_bpe / save_unigram
+    completeness-marker convention). The CCNet workflow this serves:
+    train the reference LM once, then score every future corpus against
+    the stored counts without re-reading the training data."""
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    grams = lm.get("ngrams")
+    if not grams:
+        raise DVConfigurationError(
+            "save_ngram_lm: model lacks ngram tables — train with "
+            "train_ngram_lm"
+        )
+    spark = grams[1].sparkSession
+    for k, t in grams.items():
+        t.write.mode("overwrite").parquet(f"{path}/ngrams/{int(k)}")
+    literal_frame(
+        spark,
+        [(int(lm["order"]), int(lm["total_tokens"]),
+          bool(lm.get("lowercase", True)))],
+        "order int, total_tokens bigint, lowercase boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_ngram_lm(spark, path: str) -> dict:
+    """Load a model persisted by :func:`save_ngram_lm` — lazily: each
+    order's count table is a parquet scan, so scoring reads only the
+    statistics it joins (the stored model can be far larger than
+    memory). A missing ``params`` directory (torn save) fails loudly
+    here rather than silently scoring under default settings."""
+    p = spark.read.parquet(f"{path}/params").first()
+    n = int(p.order)
+    ngrams = {
+        k: spark.read.parquet(f"{path}/ngrams/{k}") for k in range(1, n + 1)
+    }
+    lm: dict = {
+        "ngrams": ngrams,
+        "order": n,
+        "total_tokens": int(p.total_tokens),
+        "lowercase": bool(p.lowercase),
+        "unigrams": ngrams[1].withColumnRenamed("w1", "w"),
+        "bigrams": ngrams[2],
+    }
+    if n >= 3:
+        lm["trigrams"] = ngrams[3]
+    return lm
+
+
 def score_kn_ngram_logprob(
     df: DataFrame,
     id_col: str,

@@ -861,6 +861,98 @@ def test_cluster_balanced_sample_planted_coverage(spark):
         assert len(covered) >= 19, (hint, sorted(covered))
 
 
+def test_semantic_dedup_groups_and_keep_policies(spark):
+    """SemDeDup: planted near-identical embedding groups collapse to one
+    kept representative each (min_id and far_centroid policies), a
+    transitive chain a~b~c is ONE group, distinct vectors all survive,
+    and guards reject bad parameters."""
+    import random
+
+    from mallarddv_spark.operators.curation import semantic_dedup
+
+    rng = random.Random(3)
+
+    def jitter(base, scale):
+        return [x + rng.uniform(-scale, scale) for x in base]
+
+    rows = []
+    # 5 duplicate groups of 4 near-identical vectors in distinct regions
+    for g in range(5):
+        base = [rng.uniform(-50, 50) for _ in range(8)]
+        for m in range(4):
+            rows.append((g * 10 + m, jitter(base, 1e-4)))
+    # 20 singletons with unique random directions (20 gaussian vectors
+    # in 8-d: pairwise cosines stay far below the 0.99 bar)
+    for i in range(20):
+        rows.append((1000 + i, [rng.gauss(0, 30) for _ in range(8)]))
+    df = spark.createDataFrame(rows, "doc_id bigint, embedding array<double>")
+    out = semantic_dedup(df, "doc_id", "embedding", n_clusters=8, eps=0.01)
+    got = {r.id: r for r in out.collect()}
+    assert len(got) == len(rows)
+    for g in range(5):
+        ids = [g * 10 + m for m in range(4)]
+        assert len({got[i].cluster_id for i in ids}) == 1, g
+        assert [i for i in ids if got[i].keep] == [min(ids)], g
+    for i in range(20):
+        assert got[1000 + i].keep and got[1000 + i].cluster_id == 1000 + i
+    # far_centroid keeps exactly one per group too (the farthest member)
+    far = {r.id: r for r in semantic_dedup(
+        df, "doc_id", "embedding", n_clusters=8, eps=0.01,
+        keep="far_centroid").collect()}
+    for g in range(5):
+        ids = [g * 10 + m for m in range(4)]
+        assert sum(1 for i in ids if far[i].keep) == 1, g
+    assert sum(1 for r in far.values() if r.keep) == 25
+    # transitive chain: a~b and b~c but cos(a,c) below bar -> one group
+    import math
+    th = math.cos(math.acos(1 - 0.01) * 1.2)  # a-c just past the bar
+    chain = spark.createDataFrame(
+        [(1, [1.0, 0.0]),
+         (2, [math.cos(math.acos(1 - 0.01) * 0.9),
+              math.sin(math.acos(1 - 0.01) * 0.9)]),
+         (3, [math.cos(math.acos(1 - 0.01) * 1.2),
+              math.sin(math.acos(1 - 0.01) * 1.2)]),
+         (4, [-1.0, 0.0])],
+        "doc_id bigint, embedding array<double>",
+    )
+    cv = {r.id: r for r in semantic_dedup(
+        chain, "doc_id", "embedding", n_clusters=2, eps=0.01).collect()}
+    assert th < 1 - 0.01  # fixture sanity: a-c alone would NOT pair
+    assert cv[1].cluster_id == cv[2].cluster_id == cv[3].cluster_id == 1
+    assert cv[4].keep and not cv[2].keep and not cv[3].keep
+    from mallarddv_spark.exceptions import DVConfigurationError
+    import pytest as _pytest
+
+    with _pytest.raises(DVConfigurationError, match="eps"):
+        semantic_dedup(df, "doc_id", "embedding", eps=0.0)
+    with _pytest.raises(DVConfigurationError, match="keep"):
+        semantic_dedup(df, "doc_id", "embedding", keep="random")
+    with _pytest.raises(DVConfigurationError, match="n_clusters"):
+        semantic_dedup(df, "doc_id", "embedding", n_clusters=1)
+
+
+def test_semantic_dedup_no_global_self_join(spark):
+    """The pairwise stage must be keyed on centroid_id — no global
+    cartesian/nested-loop join anywhere in the plan, and no window."""
+    import re
+
+    from mallarddv_spark.operators.curation import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 11)]) for i in range(40)],
+        "doc_id bigint, embedding array<double>",
+    )
+    for policy in ("min_id", "far_centroid"):
+        plan = (
+            semantic_dedup(df, "doc_id", "embedding", n_clusters=4,
+                           keep=policy)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert not re.findall(r"windowspecdefinition\(", plan), policy
+
+
 # --- per-source (host-level) curation ---------------------------------------
 
 

@@ -1381,6 +1381,33 @@ def test_kn_ngram_matches_python_reference_orders_4_and_5(spark):
         test, "doc_id", "text", lm).count() == 4
 
 
+def test_ngram_lm_save_load_roundtrip(spark, tmp_path):
+    """A persisted n-gram model scores identically to the in-memory
+    one (the CCNet train-once shape); a torn save (no params) fails
+    loudly; the loaded dict keeps the lower-order scorer aliases."""
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the dog sat on the rug")], ["doc_id", "text"])
+    test = spark.createDataFrame(
+        [(10, "the cat sat on"), (11, "zz qq yy ww")], ["doc_id", "text"])
+    lm = textops.train_ngram_lm(train, "text", order=4)
+    path = str(tmp_path / "knlm4")
+    textops.save_ngram_lm(lm, path)
+    loaded = textops.load_ngram_lm(spark, path)
+    a = sorted(map(str, textops.score_kn_ngram_logprob(
+        test, "doc_id", "text", lm).collect()))
+    b = sorted(map(str, textops.score_kn_ngram_logprob(
+        test, "doc_id", "text", loaded).collect()))
+    assert a == b and len(a) == 2
+    assert textops.score_kn_logprob(test, "doc_id", "text", loaded).count() == 2
+    with pytest.raises(DVConfigurationError, match="ngram"):
+        textops.save_ngram_lm(textops.train_bigram_lm(train, "text"), path)
+    import shutil
+    shutil.rmtree(f"{path}/params")
+    with pytest.raises(Exception):
+        textops.load_ngram_lm(spark, path)
+
+
 def test_kn_discount_guard(spark):
     lm = textops.train_bigram_lm(
         spark.createDataFrame([(1, "a b")], ["doc_id", "text"]), "text"
