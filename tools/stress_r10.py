@@ -1,0 +1,139 @@
+"""sf1-scale stress for the round-10 tiers (the stress_sf1 discipline:
+no baseline comparison — catch super-linear blowups, skew stragglers,
+and shuffle cliffs one decade past the bench SF).
+
+Covers: semantic_dedup (both keep policies, 20k x 64-d embeddings),
+generic 5-gram KN train+score (50k docs), unigram target_vocab pruning,
+and incremental_dedup under a deliberately mega-duplicated fingerprint
+(2M-row batch, 5 distinct fingerprints — the exact skew shape the r10
+groupBy rewrite exists for).
+
+Usage: python tools/stress_r10.py [semdedup kn5 unigram incdedup]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mallarddv_spark.plans.audit import plan_report  # noqa: E402
+from mallarddv_spark.session import get_spark  # noqa: E402
+
+SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "_stress", "sf1")
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def stress_semdedup(spark):
+    from mallarddv_spark.operators.curation import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF1}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # plant 2 000 near-duplicates (ids 100000+x duplicate x with a tiny
+    # jitter) so the pair/CC path carries real work — the raw corpus is
+    # random vectors with no pairs at cosine >= 0.95
+    dups = emb.filter("vec_id < 2000").select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + 1e-4 * (i % 3))"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(dups)
+    for policy in ("min_id", "far_centroid"):
+        t0 = time.monotonic()
+        out = semantic_dedup(
+            corpus, "vec_id", "embedding", n_clusters=128, eps=0.05,
+            keep=policy, corpus_size_hint=22_000,
+        )
+        rows = out.count()
+        kept = out.filter("keep").count()
+        emit(op="semantic_dedup", policy=policy,
+             sec=round(time.monotonic() - t0, 2), rows=rows, kept=kept,
+             plan=plan_report(out))
+
+
+def stress_kn5(spark):
+    from mallarddv_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    t0 = time.monotonic()
+    lm = textops.train_ngram_lm(docs, "text", order=5)
+    sizes = {k: lm["ngrams"][k].count() for k in (1, 3, 5)}
+    t_train = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    out = textops.score_kn_ngram_logprob(docs, "doc_id", "text", lm)
+    rows = out.count()
+    emit(op="kn5_train", sec=t_train, type_counts=sizes)
+    emit(op="kn5_score", sec=round(time.monotonic() - t0, 2), rows=rows,
+         plan=plan_report(out))
+
+
+def stress_unigram(spark):
+    from mallarddv_spark.operators import unigram as ug
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    t0 = time.monotonic()
+    seed = ug.unigram_seed_vocab(docs, "text", max_piece_len=6, top_k=4096)
+    n_chars = seed.filter(F.length("piece") == 1).count()
+    # the sf1 synthetic corpus has a tiny true vocabulary (EM's zero-mass
+    # dropout alone lands ~260 pieces) — set the target low enough that
+    # the loss-based prune stages actually engage
+    target = n_chars + 64
+    vocab, traj = ug.unigram_train(
+        docs, "text", rounds=1, max_piece_len=6, top_k=4096,
+        target_vocab=target,
+    )
+    emit(op="unigram_prune_train", sec=round(time.monotonic() - t0, 2),
+         final_vocab=vocab.count(), target=target,
+         n_em_rounds=len(traj), ll_trajectory=[round(x, 1) for x in traj])
+
+
+def stress_incdedup(spark):
+    from mallarddv_spark.operators.curation import incremental_dedup
+
+    # 2M-row batch, 5 distinct fingerprints: pre-r10 this serialized
+    # 400k copies per fingerprint into single window tasks
+    batch = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("boilerplate page "), (F.col("id") % 5)).alias("text"),
+    )
+    hist = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("hist doc "), F.col("id")).alias("text"),
+    )
+    t0 = time.monotonic()
+    out = incremental_dedup(batch, hist, "doc_id", "text")
+    agg = {r.verdict: r.c for r in
+           out.groupBy("verdict").agg(F.count("*").alias("c")).collect()}
+    emit(op="incremental_dedup_megadup", sec=round(time.monotonic() - t0, 2),
+         verdicts=agg, plan=plan_report(out))
+
+
+STAGES = {
+    "semdedup": stress_semdedup,
+    "kn5": stress_kn5,
+    "unigram": stress_unigram,
+    "incdedup": stress_incdedup,
+}
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(STAGES)
+    spark = get_spark(app_name="stress-r10")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in names:
+        STAGES[name](spark)
+
+
+if __name__ == "__main__":
+    main()
