@@ -2055,3 +2055,114 @@ def content_term_filter(
         )
         .withColumn("content_keep", F.col("term_hits") <= int(max_hits))
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup
+# ---------------------------------------------------------------------------
+
+
+def canonical_url(
+    url: Column | str,
+    strip_www: bool = True,
+    strip_param_prefixes: tuple[str, ...] = ("utm_",),
+    strip_params: tuple[str, ...] = ("fbclid", "gclid", "ref"),
+) -> Column:
+    """Canonical form of a URL column — the cheap first dedup pass of a
+    web-crawl pipeline (CCNet/RefinedWeb dedup the SAME page fetched
+    under trivially-different URLs before any content hashing):
+
+    * scheme and host lowercased; userinfo (``user@``) dropped;
+      leading ``www.`` dropped (``strip_www``); the scheme's default
+      port (``:80``/``:443``) dropped;
+    * fragment dropped; duplicate path slashes collapsed; trailing
+      slash dropped (bare host → ``/``);
+    * query parameters: tracking keys removed (prefix matches in
+      ``strip_param_prefixes``, exact keys in ``strip_params``),
+      survivors SORTED so parameter order cannot split a page, empty
+      query dropped entirely.
+
+    Strings with no ``scheme://`` prefix canonicalize to NULL — the
+    caller decides (treat as distinct, quarantine, or drop). Every step
+    is a Catalyst string expression (zero Python), and each has an
+    exact DuckDB equivalent, so the transform is oracle-replayable.
+    """
+    s = F.col(url) if isinstance(url, str) else url
+    nofrag = F.regexp_extract(s, r"^([^#]*)", 1)
+    scheme = F.lower(
+        F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(
+        nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(path, r"/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(nofrag, r"^[^?]*\?(.*)$", 1)
+    def keep_param(x):
+        drop = F.lit(False)
+        for p in strip_param_prefixes:
+            drop = drop | x.startswith(p)
+        for k in strip_params:
+            drop = drop | (F.split_part(x, F.lit("="), F.lit(1)) == k)
+        return (x != "") & ~drop
+    qcanon = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), keep_param)), "&"
+    )
+    return F.when(
+        scheme != "",
+        F.concat(
+            scheme, F.lit("://"), host, path,
+            F.when(qcanon == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), qcanon)
+            ),
+        ),
+    )
+
+
+def url_dedup(
+    df: DataFrame, id_col: str, url_col: str, **canon_kwargs
+) -> DataFrame:
+    """URL-level dedup verdicts: one row per input,
+    ``(id, canonical_url, keep)`` — ``keep`` marks the min-id holder of
+    each canonical URL; rows whose URL does not canonicalize (no
+    scheme) keep a NULL canonical and are always kept (no evidence of
+    duplication).
+
+    Scale shape: the canonical pick is a groupBy aggregate (map-side
+    combine — a mega-duplicated URL contributes one row per task), NOT
+    a window partitioned by the URL, joined back on the canonical key
+    (one row per distinct URL; AQE broadcasts it when small) — the
+    :func:`incremental_dedup` discipline.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        canonical_url(url_col, **canon_kwargs).alias("canonical_url"),
+    )
+    min_ids = (
+        base.filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(F.min("id").alias("__min_id"))
+    )
+    return (
+        base.join(min_ids, "canonical_url", "left")
+        .select(
+            "id",
+            "canonical_url",
+            (
+                F.col("canonical_url").isNull()
+                | (F.col("id") == F.col("__min_id"))
+            ).alias("keep"),
+        )
+    )

@@ -4063,10 +4063,15 @@ def q_text_curation_assign(spark, sf):
     is a one-row driver aggregate, metadata not data), plus the
     materialized epoch expansion (`curation.materialize_epochs` — full
     epochs repeat, the fractional remainder hash-samples one extra
-    copy; pure projection + bounded explode), as one tagged union.
+    copy; pure projection + bounded explode), and URL canonicalization
+    + URL-level dedup verdicts (`curation.canonical_url`/`url_dedup` —
+    scheme/host lowering, www/userinfo/default-port/fragment stripping,
+    slash collapsing, tracking-param removal + param sort, groupBy
+    min-id keep; URLs synthesized deterministically from doc_id/source
+    to cover every normalization axis), as one tagged union.
     Parts: text_split_assign, text_stratified_sample,
     text_cap_per_stratum, text_shuffle_order, srcstats, unimax,
-    epochs."""
+    epochs, urlnorm."""
     from mallarddv_spark.operators.curation import (
         cap_per_stratum,
         lang_token_counts,
@@ -4074,6 +4079,7 @@ def q_text_curation_assign(spark, sf):
         shuffle_order,
         source_stats,
         unimax_allocation,
+        url_dedup,
     )
 
     s = q_text_split_assign(spark, sf).select(
@@ -4135,10 +4141,34 @@ def q_text_curation_assign(spark, sf):
         F.col("lang").alias("label"),
         F.col("epoch").cast("string").alias("bucket"),
     )
+    un = url_dedup(
+        d.withColumn("url", F.expr(URLNORM_SYNTH)), "doc_id", "url"
+    ).select(
+        F.lit("urlnorm").alias("part"),
+        F.col("id").alias("doc_id"),
+        F.coalesce("canonical_url", F.lit("~none")).alias("label"),
+        F.when(F.col("keep"), F.lit("1")).otherwise(F.lit("0")).alias("bucket"),
+    )
     return (
         s.unionByName(t).unionByName(c).unionByName(o)
-        .unionByName(ss).unionByName(um).unionByName(ep)
+        .unionByName(ss).unionByName(um).unionByName(ep).unionByName(un)
     )
+
+
+# Deterministic URL synthesis for the urlnorm part — identical text in
+# Spark SQL and DuckDB (documents.parquet carries no URL column, the
+# PII-injection precedent). The five cases cover: scheme/host case +
+# www + default port + double slash + trailing slash + fragment +
+# tracking params + param order (0), a clean already-canonical form
+# (1), userinfo + :443 + trailing slash (2), param reordering +
+# fbclid/ref stripping (3 — collapses with 0 per source), and a
+# non-URL (4 — NULL canonical, always kept).
+URLNORM_SYNTH = """CASE CAST(doc_id % 5 AS INT)
+ WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.com:80//a//b/?utm_source=feed&z=1&a=2#frag'
+ WHEN 1 THEN 'https://' || source || '.example.com/a/b'
+ WHEN 2 THEN 'https://user@' || source || '.Example.COM:443/a/b/'
+ WHEN 3 THEN 'http://' || source || '.example.com/a//b?z=1&a=2&fbclid=xyz&ref=tw'
+ ELSE 'not a url ' || CAST(doc_id AS STRING) END"""
 
 
 O_TEXT_CURATION_ASSIGN = (
@@ -4293,6 +4323,49 @@ WHERE gs.e <= ea.full_epochs
       + CASE WHEN substr(md5('epochs-v1' || cast(d.doc_id AS varchar)), 1, 4)
                   < ea.thr
              THEN 1 ELSE 0 END
+UNION ALL
+SELECT 'urlnorm' AS part, id AS doc_id, coalesce(c, '~none') AS label,
+       CASE WHEN c IS NULL OR id = min(id) OVER (PARTITION BY c)
+            THEN '1' ELSE '0' END AS bucket
+FROM (
+  WITH uu AS (
+    SELECT doc_id AS id,
+           CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.com:80//a//b/?utm_source=feed&z=1&a=2#frag'
+            WHEN 1 THEN 'https://' || source || '.example.com/a/b'
+            WHEN 2 THEN 'https://user@' || source || '.Example.COM:443/a/b/'
+            WHEN 3 THEN 'http://' || source || '.example.com/a//b?z=1&a=2&fbclid=xyz&ref=tw'
+            ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+    FROM documents),
+  up2 AS (
+    SELECT id,
+      lower(regexp_extract(regexp_extract(url, '^([^#]*)', 1),
+            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      regexp_replace(lower(regexp_extract(regexp_extract(url, '^([^#]*)', 1),
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^[^@]*@', '') AS host0,
+      regexp_replace(regexp_extract(regexp_extract(url, '^([^#]*)', 1),
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+            '//+', '/', 'g') AS path0,
+      regexp_extract(regexp_extract(url, '^([^#]*)', 1),
+            '^[^?]*\?(.*)$', 1) AS uq
+    FROM uu),
+  up3 AS (
+    SELECT id, scheme,
+      CASE WHEN scheme = 'http' THEN regexp_replace(h1, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(h1, ':443$', '')
+           ELSE h1 END AS host,
+      CASE WHEN p1 = '' THEN '/' ELSE p1 END AS path,
+      coalesce(array_to_string(list_sort(list_filter(string_split(uq, '&'),
+        x -> x <> '' AND NOT (starts_with(x, 'utm_')
+             OR split_part(x, '=', 1) IN ('fbclid', 'gclid', 'ref')))),
+        '&'), '') AS q
+    FROM (SELECT *, regexp_replace(host0, '^www\.', '') AS h1,
+                 regexp_replace(path0, '/$', '') AS p1 FROM up2))
+  SELECT id, CASE WHEN scheme = '' THEN NULL
+         ELSE scheme || '://' || host || path ||
+              CASE WHEN q = '' THEN '' ELSE '?' || q END END AS c
+  FROM up3
+) uc
 """
 )
 

@@ -26,7 +26,7 @@ PARTS = {
     "dedup_ngram_jaccard": ["jaccard", "contain"],
     "text_frequency_suite": ["vocab", "rarity", "bigramlm", "knlm", "dsir", "nbcls", "bm25", "bm25store", "hybrid", "rrf", "cmfreq", "pplbucket"],
     "text_pack_sequences": ["pack", "shards"],
-    "text_curation_assign": ["split", "sample", "cap", "order", "srcstats", "unimax", "epochs"],
+    "text_curation_assign": ["split", "sample", "cap", "order", "srcstats", "unimax", "epochs", "urlnorm"],
 }
 
 
