@@ -223,8 +223,11 @@ def neardup_stream_processor(
     compact_every_n_batches: int | None = None,
     vocab_hll_path: str | None = None,
     doclen_hist_path: str | None = None,
+    doclen_tdigest_path: str | None = None,
     docsample_kmv_path: str | None = None,
     pre_screen=None,
+    url_col: str | None = None,
+    seen_urls_path: str | None = None,
 ):
     """Ready-made ``process_batch`` for :func:`stream_files_to_staging`:
     the continuous-crawl near-dup gate. Each micro-batch is
@@ -301,6 +304,37 @@ def neardup_stream_processor(
     histogram append under-counts that one batch — the conservative
     direction for drift monitoring).
 
+    ``doclen_tdigest_path`` (a digest created by ``tdigest.save_tdigest``)
+    maintains the same document-length distribution as a merging
+    t-digest — the range-FREE variant for when no length ceiling is
+    declarable (the histogram clamps everything past its stored ``hi``
+    into one overflow bin; the digest keeps resolving p99.9 as
+    mega-pages appear). Digest weights ADD like histogram counts, so
+    the append runs AFTER the minhash replay fence — same
+    exactly-once-for-fenced-batches / rare-one-batch-under-count
+    semantics, the conservative direction for drift monitoring.
+
+    ``url_col`` switches on the URL gate — the cheapest screen a crawl
+    has, so it runs FIRST (right after the replay fence, before even
+    ``pre_screen``): the batch is deduplicated on
+    ``curation.canonical_url`` (min-id survivor per canonical form —
+    the same page under ``?utm_…``/``www.``/trailing-slash variants in
+    one crawl file admits once, before any signature is computed), and
+    with ``seen_urls_path`` ALSO set, canonical URLs already admitted
+    by PREVIOUS batches are dropped (a plain-parquet canonical-URL set;
+    the probe broadcasts the batch's distinct canonicals against it —
+    the history-never-shuffles :func:`operators.curation.incremental_dedup`
+    shape). Documents whose URL does not canonicalize (no scheme) pass
+    — no evidence is not negative evidence; the content screens still
+    see them. Admitted canonicals append to the store BEFORE the
+    minhash fence: the store has existence semantics, so a replayed
+    append is absorbed (duplicate rows change no verdict, and the
+    compaction tick rewrites the store distinct); a crash that fences a
+    batch before its URLs landed merely degrades those URLs' future
+    re-fetches to the content screens. The URL gate screens REFETCHES
+    of the same address; the near-dup index screens the same CONTENT
+    under different addresses — a crawl wants both.
+
     ``pre_screen`` is the custom-screen hook: a callable
     ``batch_df -> batch_df`` applied after the replay fence and BEFORE
     the near-dup/bloom/NB work (cheapest-first — e.g.
@@ -358,6 +392,48 @@ def neardup_stream_processor(
             F.col("doc_id").alias(id_col)
         )
         batch = batch.join(seen, id_col, "left_anti")
+        if url_col is not None:
+            from mallarddv_spark.operators.curation import (
+                canonical_url,
+                url_dedup,
+            )
+            from mallarddv_spark.sources import layout
+
+            # in-batch canonical-URL dedup (min-id survivor; NULL
+            # canonicals — non-URLs — always pass)
+            uv = url_dedup(batch, id_col, url_col)
+            batch = batch.join(
+                uv.filter("NOT keep").select(F.col("id").alias(id_col)),
+                id_col, "left_anti",
+            )
+            if seen_urls_path is not None:
+                layout.heal_dir_swap(spark, seen_urls_path)
+                fs, live = layout.dir_fs(spark, seen_urls_path)
+                if fs.exists(live):
+                    canon = (
+                        batch.select(
+                            canonical_url(url_col).alias("canonical_url")
+                        )
+                        .filter(F.col("canonical_url").isNotNull())
+                        .distinct()
+                    )
+                    # probe the (unboundedly growing) store with the
+                    # broadcast batch canonicals — the store never
+                    # shuffles; matched set is <= |batch|
+                    hits = (
+                        spark.read.parquet(seen_urls_path)
+                        .join(F.broadcast(canon), "canonical_url")
+                        .distinct()
+                        .withColumnRenamed("canonical_url", "__cu")
+                    )
+                    batch = (
+                        batch.withColumn(
+                            "__cu", canonical_url(url_col)
+                        )
+                        .join(hits, "__cu", "left_anti")
+                        .drop("__cu")
+                    )
+            batch = batch.localCheckpoint(eager=True)
         if pre_screen is not None:
             # cheapest-first: custom screens (e.g. the C4 term filter)
             # drop documents BEFORE the minhash/bloom/NB work is paid;
@@ -453,6 +529,25 @@ def neardup_stream_processor(
                 from mallarddv_spark.functions.sketches import kmv_append
 
                 kmv_append(fresh, docsample_kmv_path, id_col)
+            if url_col is not None and seen_urls_path is not None:
+                # BEFORE the fence: the store has existence semantics
+                # (duplicate rows change no verdict; compact dedups),
+                # so a replayed append self-absorbs — and fencing a
+                # batch whose URLs never landed would permanently skip
+                # them (the BM25-ordering argument)
+                from mallarddv_spark.operators.curation import (
+                    canonical_url,
+                )
+
+                (
+                    fresh.select(
+                        canonical_url(url_col).alias("canonical_url")
+                    )
+                    .filter(F.col("canonical_url").isNotNull())
+                    .distinct()
+                    .write.mode("append")
+                    .parquet(seen_urls_path)
+                )
             dedup.minhash_index_append(fresh, index_path, id_col, text_col)
             if doclen_hist_path is not None:
                 # AFTER the fence: histogram counts ADD (a replayed
@@ -467,6 +562,19 @@ def neardup_stream_processor(
                     ).cast("double").alias("len")
                 )
                 hist_append(lens, doclen_hist_path, "len")
+            if doclen_tdigest_path is not None:
+                # AFTER the fence, like the histogram: digest weights
+                # ADD, so the fence is what makes appends exactly-once
+                from mallarddv_spark.functions.tdigest import (
+                    tdigest_append,
+                )
+
+                lens = fresh.select(
+                    F.size(
+                        F.split(F.trim(F.col(text_col)), r"\s+")
+                    ).cast("double").alias("len")
+                )
+                tdigest_append(lens, doclen_tdigest_path, "len")
         if (
             compact_every_n_batches is not None
             and (batch_id + 1) % int(compact_every_n_batches) == 0
@@ -478,5 +586,23 @@ def neardup_stream_processor(
                 )
 
                 bm25_index_compact(spark, bm25_index_path)
+            if url_col is not None and seen_urls_path is not None:
+                # crash-safe distinct rewrite: dedups replay-doubled
+                # rows and collapses the per-batch small files
+                from mallarddv_spark.sources import layout
+
+                layout.heal_dir_swap(spark, seen_urls_path)
+                fs, live = layout.dir_fs(spark, seen_urls_path)
+                if fs.exists(live):
+                    # distinct keeps the shuffle's parallelism — the
+                    # canonical-URL set is corpus-sized, never a
+                    # single-file table
+                    (
+                        spark.read.parquet(seen_urls_path)
+                        .distinct()
+                        .write.mode("overwrite")
+                        .parquet(seen_urls_path + "__compact")
+                    )
+                    layout.swap_dir_live(spark, seen_urls_path)
 
     return process

@@ -793,3 +793,105 @@ def test_neardup_stream_pre_screen_hook(spark, tmp_path):
         f"{index_path}/sigs").collect()}
     assert 501 not in indexed and 500 in indexed
     spark.sql("DROP TABLE IF EXISTS default.ps_sink")
+
+
+def test_neardup_stream_url_gate(spark, tmp_path):
+    """url_col + seen_urls_path: the same canonical URL admits once —
+    within a batch (min-id survivor) AND across batches (seen-URL
+    store probe); non-URL rows pass to the content screens; the
+    compaction tick rewrites the store distinct; a replayed batch is a
+    fence no-op."""
+    from pyspark.sql import Row
+    from mallarddv_spark.operators import dedup
+
+    seed = spark.createDataFrame([Row(doc_id=1, text="seed alpha beta")])
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(seed, index_path, num_perm=32, bands=8,
+                              shingle_size=3)
+    urls_path = str(tmp_path / "seen_urls")
+    spark.sql("DROP TABLE IF EXISTS default.ug_sink")
+
+    process = ingest.neardup_stream_processor(
+        index_path, "default.ug_sink", threshold=0.9,
+        url_col="url", seen_urls_path=urls_path,
+        compact_every_n_batches=2,
+    )
+    b0 = spark.createDataFrame([
+        # 500/501: same canonical URL (utm + www + port variants),
+        # different text — min id survives the in-batch URL dedup
+        Row(doc_id=500, text="first completely distinct words here",
+            url="https://WWW.h.com:443/page?utm_source=x"),
+        Row(doc_id=501, text="second unrelated body of other tokens",
+            url="https://h.com/page"),
+        # non-URL: passes the URL gate untouched
+        Row(doc_id=502, text="third document no address given at all",
+            url="not a url"),
+    ])
+    process(b0, 0)
+    assert {r.doc_id for r in spark.table("default.ug_sink").collect()} == \
+        {500, 502}
+    stored = {r.canonical_url
+              for r in spark.read.parquet(urls_path).collect()}
+    assert stored == {"https://h.com/page"}
+    # batch 1: new id + new text under the SAME canonical URL → dropped
+    # by the seen-URL probe; a genuinely new URL admits
+    b1 = spark.createDataFrame([
+        Row(doc_id=600, text="fourth refetch with changed boilerplate",
+            url="https://h.com/page?utm_campaign=y"),
+        Row(doc_id=601, text="fifth page at a brand new address now",
+            url="https://h.com/other"),
+    ])
+    process(b1, 1)  # batch_id 1 → compaction tick (every 2)
+    sink = {r.doc_id for r in spark.table("default.ug_sink").collect()}
+    assert sink == {500, 502, 601}
+    stored = sorted(
+        r.canonical_url for r in spark.read.parquet(urls_path).collect()
+    )
+    assert stored == ["https://h.com/other", "https://h.com/page"]
+    # replay of batch 1: the minhash fence absorbs it entirely
+    process(b1, 2)
+    assert {r.doc_id
+            for r in spark.table("default.ug_sink").collect()} == sink
+    spark.sql("DROP TABLE IF EXISTS default.ug_sink")
+
+
+def test_neardup_stream_maintains_doclen_tdigest(spark, tmp_path):
+    """doclen_tdigest_path: each fenced batch's token lengths merge
+    into the stored digest — range-free drift quantiles with exact
+    total/min/max over everything ingested."""
+    from pyspark.sql import Row
+    from mallarddv_spark.functions import tdigest as td
+    from mallarddv_spark.operators import dedup
+
+    seed = spark.createDataFrame([Row(doc_id=1, text="seed alpha beta")])
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(seed, index_path, num_perm=32, bands=8,
+                              shingle_size=3)
+    td_path = str(tmp_path / "len_td")
+    seed_lens = seed.selectExpr(
+        "cast(size(split(trim(text), '\\\\s+')) as double) AS len"
+    )
+    td.save_tdigest(*td.tdigest_build(seed_lens, "len", delta=50),
+                    path=td_path)
+    spark.sql("DROP TABLE IF EXISTS default.td_sink")
+
+    process = ingest.neardup_stream_processor(
+        index_path, "default.td_sink", threshold=0.9,
+        doclen_tdigest_path=td_path,
+    )
+    batches = [
+        spark.createDataFrame(
+            [Row(doc_id=700 + i,
+                 text=" ".join(f"t{i}w{j}" for j in range(4 + i)))]
+        )
+        for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        process(b, i)
+    cents, params = td.load_tdigest(spark, td_path)
+    # lengths ingested: 3 (seed) + 4, 5, 6
+    assert params["total"] == 4.0
+    assert params["min"] == 3.0 and params["max"] == 6.0
+    q = td.tdigest_quantiles(cents, params, [0.5]).first().est
+    assert 4.0 <= q <= 6.0, q
+    spark.sql("DROP TABLE IF EXISTS default.td_sink")
