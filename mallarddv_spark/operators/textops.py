@@ -1168,6 +1168,71 @@ def load_ngram_lm(spark, path: str) -> dict:
     return lm
 
 
+def prune_ngram_lm(lm: dict, thresholds: dict[int, int]) -> dict:
+    """KenLM-style count-threshold pruning of a :func:`train_ngram_lm`
+    model: drop every order-``k`` n-gram whose count is below
+    ``thresholds[k]`` (KenLM's ``--prune`` — the pruning the shipped
+    CCNet LMs actually use; SRILM's Stolcke entropy pruning is a
+    deliberate non-goal here, because it operates on a FROZEN ARPA
+    backoff model with stored backoff weights, while this model keeps
+    raw counts and smooths at score time).
+
+    Thresholds must be non-decreasing with order and order 1 must stay
+    unpruned (both KenLM's own rules). Non-decreasing thresholds make
+    the pruned model CLOSED: every kept k-gram's (k−1)-gram prefix and
+    suffix each occur at least as often as the k-gram itself, so they
+    survive their own (lower) bar — no kept n-gram ever dangles
+    (pytest-pinned). Scoring a pruned model needs nothing special:
+    :func:`score_kn_ngram_logprob` derives every continuation/type
+    statistic from the stored tables at score time, so the smoothing
+    self-consistently reflects the pruned counts, and pruned n-grams
+    fall through the normal unseen-context path.
+
+    Returns a NEW model dict sharing the unpruned orders' tables;
+    ``total_tokens`` is unchanged (order 1 is never pruned). Pruning
+    is one filter per order — no shuffle, fully pushed to the scan
+    when the model is loaded from parquet."""
+    grams = lm.get("ngrams")
+    if not grams:
+        raise DVConfigurationError(
+            "prune_ngram_lm: model lacks ngram tables — train with "
+            "train_ngram_lm"
+        )
+    n = int(lm["order"])
+    thr = {int(k): int(v) for k, v in thresholds.items()}
+    if any(k < 1 or k > n for k in thr):
+        raise DVConfigurationError(
+            f"prune_ngram_lm: threshold orders must be in [1, {n}]"
+        )
+    if thr.get(1, 1) > 1:
+        raise DVConfigurationError(
+            "prune_ngram_lm: order 1 must stay unpruned (threshold <= 1)"
+        )
+    prev = 1
+    for k in range(2, n + 1):
+        cur = thr.get(k, prev)
+        if cur < prev:
+            raise DVConfigurationError(
+                "prune_ngram_lm: thresholds must be non-decreasing "
+                f"with order (order {k}: {cur} < {prev})"
+            )
+        thr[k] = cur
+        prev = cur
+    ngrams = {
+        k: (
+            t.filter(F.col("cnt") >= thr[k]) if thr.get(k, 1) > 1 else t
+        )
+        for k, t in grams.items()
+    }
+    out: dict = dict(lm)
+    out["ngrams"] = ngrams
+    out["unigrams"] = ngrams[1].withColumnRenamed("w1", "w")
+    out["bigrams"] = ngrams[2]
+    if n >= 3:
+        out["trigrams"] = ngrams[3]
+    return out
+
+
 def score_kn_ngram_logprob(
     df: DataFrame,
     id_col: str,

@@ -1548,3 +1548,130 @@ def test_webdataset_aborted_export_guard(spark, tmp_path):
     assert {s["shard"] for s in m["shards"]} == {
         p.name for p in out.iterdir() if p.name.endswith(".tar")
     }
+
+
+def test_prune_ngram_lm_matches_python_and_is_closed(spark):
+    """KenLM-style count-threshold pruning: the pruned model scores
+    exactly what the pure-Python KN reference computes over identically
+    pruned counts; non-decreasing thresholds keep the model closed
+    (every kept k-gram's prefix and suffix survive); guards enforce
+    KenLM's rules."""
+    import math
+    from collections import Counter
+
+    train_rows = [
+        (1, "the cat sat on the mat today"),
+        (2, "the dog sat on the rug today"),
+        (3, "a cat and a dog sat down on the mat"),
+        (4, "the cat sat on a rug in the sun"),
+        (5, "the dog ran on the mat today"),
+        (6, "the cat sat on the mat again"),
+        (7, "the cat sat on the mat again"),
+    ]
+    test_rows = [
+        (10, "the cat sat on the mat"),
+        (11, "a dog sat down on the rug"),
+        (12, "rug mat dog sat on the"),
+    ]
+    train_texts = [t for _, t in train_rows]
+    n, D = 4, 0.75
+    THR = {2: 2, 3: 2, 4: 3}
+
+    def py_kn_pruned(n):
+        grams = {k: Counter() for k in range(1, n + 1)}
+        for t in train_texts:
+            ws = t.lower().split()
+            for k in range(1, n + 1):
+                grams[k].update(
+                    tuple(ws[i:i + k]) for i in range(len(ws) - k + 1)
+                )
+        for k, c in THR.items():
+            if k <= n:
+                grams[k] = Counter(
+                    {g: v for g, v in grams[k].items() if v >= c}
+                )
+        T = len(grams[2])
+        nbb = Counter(g[1] for g in grams[2])
+        ncb, nmid, nfm = {}, {}, {}
+        for k in range(2, n):
+            types = set(grams[k + 1])
+            ncb[k] = Counter(g[1:] for g in types)
+            nmid[k] = Counter(g[1:-1] for g in types)
+            nfm[k] = Counter(s[:-1] for s in ncb[k])
+        nf_top = Counter(g[:-1] for g in grams[n])
+
+        def pc(w):
+            return (float(nbb[w]) if w in nbb else 0.5) / float(T)
+
+        def p_k(k, suf):
+            if k == 1:
+                return pc(suf[0])
+            lower = p_k(k - 1, suf[1:])
+            mid = suf[:-1]
+            if mid in nmid[k]:
+                return (
+                    max(float(ncb[k].get(suf, 0)) - D, 0.0)
+                    / float(nmid[k][mid])
+                    + (D * float(nfm[k][mid]) / float(nmid[k][mid])) * lower
+                )
+            return lower
+
+        def lp(gram):
+            ctx = gram[:-1]
+            lower = p_k(n - 1, gram[1:])
+            if ctx in grams[n - 1]:
+                c = float(grams[n - 1][ctx])
+                return math.log(
+                    max(float(grams[n].get(gram, 0)) - D, 0.0) / c
+                    + (D * float(max(nf_top.get(ctx, 0), 1)) / c) * lower
+                )
+            return math.log(lower)
+
+        want = {}
+        for did, t in test_rows:
+            ws = t.lower().split()
+            gs = [tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            if not gs:
+                continue
+            lp10 = [round(lp(g) * 1e10) for g in gs]
+            want[did] = (
+                len(gs),
+                sum(1 for g in gs if g[:-1] not in grams[n - 1]),
+                round(sum(lp10) / (1e10 * len(gs)), 6),
+            )
+        return want
+
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    test = spark.createDataFrame(test_rows, ["doc_id", "text"])
+    lm = textops.train_ngram_lm(train, "text", order=n)
+    pruned = textops.prune_ngram_lm(lm, THR)
+    # the model genuinely shrank at every pruned order
+    for k in range(2, n + 1):
+        assert pruned["ngrams"][k].count() < lm["ngrams"][k].count(), k
+    # closure: every kept k-gram's (k-1)-gram prefix AND suffix kept
+    for k in range(2, n + 1):
+        lower = {
+            tuple(r)[: k - 1]
+            for r in pruned["ngrams"][k - 1].drop("cnt")
+            .selectExpr(*[f"w{i+1}" for i in range(k - 1)]).collect()
+        }
+        for r in pruned["ngrams"][k].drop("cnt").selectExpr(
+            *[f"w{i+1}" for i in range(k)]
+        ).collect():
+            g = tuple(r)
+            assert g[:-1] in lower, ("prefix", k, g)
+            assert g[1:] in lower, ("suffix", k, g)
+    # scoring the pruned model == pure-Python KN over pruned counts
+    got = {r.id: (r.n_ngrams, r.n_oov_ctx, r.avg_logprob)
+           for r in textops.score_kn_ngram_logprob(
+               test, "doc_id", "text", pruned, order=n).collect()}
+    assert got == py_kn_pruned(n), (got, py_kn_pruned(n))
+    # guards: KenLM's rules
+    with pytest.raises(DVConfigurationError, match="unpruned"):
+        textops.prune_ngram_lm(lm, {1: 2})
+    with pytest.raises(DVConfigurationError, match="non-decreasing"):
+        textops.prune_ngram_lm(lm, {2: 3, 3: 2})
+    with pytest.raises(DVConfigurationError, match="orders"):
+        textops.prune_ngram_lm(lm, {9: 2})
+    with pytest.raises(DVConfigurationError, match="ngram"):
+        textops.prune_ngram_lm({"order": 2}, {2: 2})
