@@ -135,5 +135,93 @@ def main() -> None:
         STAGES[name](spark)
 
 
+
+
+def stress_wordpiece(spark):
+    from mallarddv_spark.operators.wordpiece import (
+        train_wordpiece, wordpiece_encode,
+    )
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    t0 = time.monotonic()
+    model = train_wordpiece(docs, "text", num_merges=30)
+    t_train = time.monotonic() - t0
+    t0 = time.monotonic()
+    enc = wordpiece_encode(docs, "doc_id", "text", model)
+    agg = enc.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("toks"),
+        F.sum("n_unk").alias("unk"),
+    ).first()
+    emit(op="wordpiece", train_sec=round(t_train, 2),
+         encode_sec=round(time.monotonic() - t0, 2),
+         vocab=len(model["vocab"]), docs=agg.docs,
+         tokens=int(agg.toks), unk=int(agg.unk),
+         plan=plan_report(enc))
+
+
+def stress_tdigest(spark):
+    from mallarddv_spark.functions.tdigest import (
+        tdigest_build, tdigest_merge, tdigest_quantiles,
+    )
+
+    li = spark.read.parquet(f"{SF1}/lineitem.parquet")
+    t0 = time.monotonic()
+    cents, params = tdigest_build(
+        li, "l_extendedprice", weight_col="l_quantity", delta=200,
+    )
+    n_cents = cents.count()
+    t_build = time.monotonic() - t0
+    t0 = time.monotonic()
+    qs = {r.p: round(r.est, 2) for r in tdigest_quantiles(
+        cents, params, [0.001, 0.5, 0.999]).collect()}
+    t_q = time.monotonic() - t0
+    # split-merge: two half-digests merged vs the whole
+    t0 = time.monotonic()
+    merged = tdigest_merge([
+        tdigest_build(li.filter("l_orderkey % 2 = 0"), "l_extendedprice",
+                      weight_col="l_quantity", delta=200),
+        tdigest_build(li.filter("l_orderkey % 2 = 1"), "l_extendedprice",
+                      weight_col="l_quantity", delta=200),
+    ])
+    mq = {r.p: round(r.est, 2) for r in tdigest_quantiles(
+        merged[0], merged[1], [0.5]).collect()}
+    emit(op="tdigest", build_sec=round(t_build, 2),
+         quantile_sec=round(t_q, 2),
+         merge_sec=round(time.monotonic() - t0, 2),
+         centroids=n_cents, total=params["total"], q=qs, merged_q=mq)
+
+
+def stress_urldedup(spark):
+    """2M-row batch where FIVE canonical URLs each repeat 400k times
+    under rotating tracking-param noise — the mega-duplicated-key
+    shape; the groupBy pick must absorb it with map-side combine."""
+    from mallarddv_spark.operators.curation import url_dedup
+
+    batch = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://WWW.h"), (F.col("id") % 5).cast("string"),
+            F.lit(".Example.com:443/page/"),
+            (F.col("id") % 5).cast("string"),
+            F.lit("/?utm_source=s"), (F.col("id") % 1000).cast("string"),
+            F.lit("&x=1"),
+        ).alias("url"),
+    )
+    t0 = time.monotonic()
+    out = url_dedup(batch, "doc_id", "url")
+    kept = out.filter("keep").count()
+    rows = out.count()
+    emit(op="url_dedup_megadup", sec=round(time.monotonic() - t0, 2),
+         rows=rows, kept=kept, plan=plan_report(out))
+
+
+STAGES.update({
+    "wordpiece": stress_wordpiece,
+    "tdigest": stress_tdigest,
+    "urldedup": stress_urldedup,
+})
+
+
 if __name__ == "__main__":
     main()
