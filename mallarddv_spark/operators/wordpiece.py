@@ -148,7 +148,8 @@ def train_wordpiece(
             .agg(F.sum("cnt").alias("n"))
         )
         top = (
-            pairs.join(
+            pairs.filter(F.col("n") >= int(min_pair_count))
+            .join(
                 sym_counts.select(F.col("s").alias("a"), F.col("sc").alias("ca")),
                 "a",
             )
@@ -164,7 +165,7 @@ def train_wordpiece(
             .orderBy(F.col("score").desc(), F.col("a").asc(), F.col("b").asc())
             .take(1)
         )
-        if not top or top[0].n < min_pair_count:
+        if not top:
             break
         a, b = top[0].a, top[0].b
         prod = _wp_product(a, b)

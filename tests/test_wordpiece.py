@@ -60,15 +60,14 @@ def _py_train(texts, num_merges, min_pair_count=2):
                 sym[s] += words[w]
             for i in range(len(syms) - 1):
                 pairs[(syms[i], syms[i + 1])] += words[w]
-        if not pairs:
+        eligible = {g: c for g, c in pairs.items() if c >= min_pair_count}
+        if not eligible:
             break
         # same IEEE-double score and (a, b) tie-break as the engine
         best = min(
-            pairs.items(),
+            eligible.items(),
             key=lambda kv: (-(kv[1] / (sym[kv[0][0]] * sym[kv[0][1]])), kv[0]),
         )[0]
-        if pairs[best] < min_pair_count:
-            break
         a, b = best
         prod = a + b[len(CONT):]
         merges.append(prod)
