@@ -98,6 +98,13 @@ def main() -> None:
     kmv_path = os.path.join(td, "doc_sample")
     sketches.save_kmv(sketches.kmv_sketch(seed, "doc_id", k=1024), kmv_path,
                       k=1024, hash_mode="md5")
+    # r10 surfaces: range-free doc-length t-digest + canonical-URL store
+    from mallarddv_spark.functions import tdigest as td_mod
+
+    td_path = os.path.join(td, "doclen_td")
+    td_mod.save_tdigest(*td_mod.tdigest_build(lens, "len", delta=100),
+                        path=td_path)
+    urls_path = os.path.join(td, "seen_urls")
 
     spark.sql("DROP TABLE IF EXISTS default.sf1_sink")
     spark.sql("DROP TABLE IF EXISTS default.sf1_dead")
@@ -114,18 +121,30 @@ def main() -> None:
         vocab_hll_path=hll_path,
         doclen_hist_path=hist_path,
         docsample_kmv_path=kmv_path,
+        doclen_tdigest_path=td_path,
+        url_col="url",
+        seen_urls_path=urls_path,
     )
 
+    rest = rest.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://WWW.h"), (F.col("doc_id") % 30000).cast("string"),
+            F.lit(".Example.com:443/p/"),
+            (F.col("doc_id") % 30000).cast("string"),
+            F.lit("/?utm_batch="), F.col("doc_id").cast("string"),
+        ),
+    )
     src = os.path.join(td, "crawl")
     ck = os.path.join(td, "ck")
-    schema = rest.select("doc_id", "text").schema
+    schema = rest.select("doc_id", "text", "url").schema
     per = (n_stream + N_BATCHES - 1) // N_BATCHES
     t_all = time.monotonic()
     for i in range(N_BATCHES):
         lo = SEED_DOCS + i * per
         hi = SEED_DOCS + (i + 1) * per
         rest.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).select(
-            "doc_id", "text"
+            "doc_id", "text", "url"
         ).coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
         t0 = time.monotonic()
         q = ingest.stream_files_to_staging(
@@ -150,6 +169,11 @@ def main() -> None:
     hist, hpar = sketches.load_hist(spark, hist_path)
     qs = {f"p{int(r.p * 100)}": r.est for r in sketches.hist_quantiles(
         hist, probs=[0.5, 0.95], **hpar).collect()}
+    td_cents, td_params = td_mod.load_tdigest(spark, td_path)
+    td_qs = {f"p{int(r.p * 100)}": round(r.est, 1)
+             for r in td_mod.tdigest_quantiles(
+                 td_cents, td_params, [0.5, 0.95]).collect()}
+    seen_urls = spark.read.parquet(urls_path).distinct().count()
     probe = bm25_index_probe(
         spark, bm25_path,
         spark.createDataFrame([("q1", "stream join scan")],
@@ -164,6 +188,9 @@ def main() -> None:
         "vocab_hll_estimate": vocab, "doclen_quantiles": qs,
         "doc_sample_kept": sample.count(),
         "doc_sample_est_admitted": sample_est,
+        "doclen_tdigest_quantiles": td_qs,
+        "doclen_tdigest_total": td_params["total"],
+        "seen_urls_distinct": seen_urls,
         "probe_rows": probe,
     }), flush=True)
     spark.stop()
