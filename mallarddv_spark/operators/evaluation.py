@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["recall_at_k", "reciprocal_rank", "ndcg_at_k"]
+__all__ = ["recall_at_k", "reciprocal_rank", "ndcg_at_k", "tokenizer_stats"]
 
 
 def recall_at_k(
@@ -195,4 +195,69 @@ def ndcg_at_k(
                 6,
             ).alias("ndcg"),
         )
+    )
+
+
+def tokenizer_stats(
+    df: DataFrame,
+    encoded: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-level tokenizer quality numbers from an encoded corpus —
+    the measurements a pipeline compares BPE / unigram-LM / WordPiece
+    (or merge budgets of one of them) by before committing a vocabulary:
+
+    * ``fertility`` = Σ n_tokens / Σ n_words (tokens per word; 1.0 is
+      whole-word, higher = more fragmentation);
+    * ``chars_per_token`` = Σ non-whitespace chars / Σ n_tokens
+      (compression — how much text one token carries);
+    * ``unk_rate`` = Σ n_unk / Σ n_tokens when the encoder reports an
+      ``n_unk`` column (WordPiece's OOV signal; NULL otherwise —
+      BPE/unigram segment everything, so no-evidence is not zero).
+
+    ``encoded`` is the shared encoder output shape ``(id, n_words,
+    n_tokens[, n_unk], …)`` of :func:`bpe.bpe_encode`,
+    :func:`unigram.unigram_encode`, and
+    :func:`wordpiece.wordpiece_encode`; ``df`` supplies the original
+    text for the char counts (``lowercase`` must match the model —
+    char totals are case-insensitive anyway, the flag only mirrors the
+    encoder's normalization for exactness). Documents the encoder
+    skipped (no tokens) contribute neither tokens nor chars.
+
+    Returns ONE row ``(n_docs, n_words, n_tokens, fertility,
+    chars_per_token, unk_rate)``, ratios at 6 dp. One join + one
+    aggregate — result is a single row, never data-sized."""
+    t = F.trim(F.col(text_col))
+    if lowercase:
+        t = F.lower(t)
+    chars = df.select(
+        F.col(id_col).alias("__cid"),
+        F.length(F.regexp_replace(t, r"\s+", "")).cast("bigint").alias(
+            "__chars"
+        ),
+    )
+    enc = encoded.withColumn(
+        "__unk",
+        F.col("n_unk").cast("bigint")
+        if "n_unk" in encoded.columns else F.lit(None).cast("bigint"),
+    )
+    joined = enc.join(chars, enc[id_col] == F.col("__cid"))
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / F.sum("n_words").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("__chars").cast("double")
+            / F.sum("n_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("__unk").cast("double")
+            / F.sum("n_tokens").cast("double"), 6
+        ).alias("unk_rate"),
     )

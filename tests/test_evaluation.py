@@ -159,3 +159,50 @@ def test_ndcg_duplicate_labels_collapse(spark):
     # DCG = 7/log2(2) + 1/log2(3) — duplicate did NOT double-count
     import math
     assert abs(got.dcg - (7.0 + 1.0 / math.log2(3))) < 1e-5
+
+
+def test_tokenizer_stats_across_the_triad(spark):
+    """tokenizer_stats: hand-computed values on a fixture, plus the
+    comparative properties a tokenizer bake-off relies on (fertility
+    >= 1 and falling with merge budget; WordPiece unk_rate zero on its
+    own training corpus, NULL where the encoder reports no n_unk)."""
+    from mallarddv_spark.operators.bpe import bpe_encode, train_bpe
+    from mallarddv_spark.operators.evaluation import tokenizer_stats
+    from mallarddv_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the mat sat flat"), (3, "a cat sat")],
+        ["doc_id", "text"],
+    )
+    wp = train_wordpiece(docs, "text", num_merges=6, min_pair_count=1)
+    enc = wordpiece_encode(docs, "doc_id", "text", wp)
+    row = tokenizer_stats(docs, enc, "doc_id", "text").first()
+    # hand check: 10 words, 29 non-space chars; totals must reconcile
+    n_chars = sum(len(t.replace(" ", ""))
+                  for _, t in docs.collect())
+    assert n_chars == 29
+    assert row.n_docs == 3 and row.n_words == 10
+    agg = enc.agg({"n_tokens": "sum"}).first()[0]
+    assert row.n_tokens == agg
+    assert row.fertility == round(agg / 10, 6)
+    assert row.chars_per_token == round(n_chars / agg, 6)
+    assert row.unk_rate == 0.0  # own training corpus, full coverage
+    # BPE reports no n_unk -> NULL unk_rate; fertility falls with merges
+    few = tokenizer_stats(
+        docs, bpe_encode(docs, "doc_id", "text",
+                         train_bpe(docs, "text", num_merges=2,
+                                   min_pair_count=1)),
+        "doc_id", "text",
+    ).first()
+    many = tokenizer_stats(
+        docs, bpe_encode(docs, "doc_id", "text",
+                         train_bpe(docs, "text", num_merges=25,
+                                   min_pair_count=1)),
+        "doc_id", "text",
+    ).first()
+    assert few.unk_rate is None and many.unk_rate is None
+    assert few.fertility >= many.fertility >= 1.0
+    assert many.chars_per_token >= few.chars_per_token

@@ -74,3 +74,59 @@ def test_dedup_plan_no_window(spark, df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition" not in plan.lower()
     assert plan_report(out)["python_stages"] == 0
+
+
+def test_canonicalization_idempotent(spark):
+    """canonical_url is a projection: canonical(canonical(u)) ==
+    canonical(u) — hypothesis-generated URLs over every axis the
+    normalizer touches (case, www, ports, userinfo, duplicate slashes,
+    trailing slash, fragments, tracking + regular params in any
+    order)."""
+    from hypothesis import given, settings, strategies as st
+
+    host_chars = st.text("abcXYZ09-", min_size=1, max_size=8)
+    param = st.one_of(
+        st.sampled_from(["utm_source=x", "utm_medium=m", "fbclid=1",
+                         "ref=tw", "gclid=9"]),
+        st.tuples(st.text("abz", min_size=1, max_size=3),
+                  st.text("019", min_size=0, max_size=3)).map(
+            lambda kv: f"{kv[0]}={kv[1]}"),
+    )
+    urls = st.builds(
+        lambda scheme, www, host, port, segs, slash, params, frag:
+            scheme + "://" + www + host + ".com" + port
+            + "".join("/" + s for s in segs) + slash
+            + ("?" + "&".join(params) if params else "")
+            + ("#" + frag if frag else ""),
+        st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+        st.sampled_from(["", "www.", "WWW.", "user@", "user@www."]),
+        host_chars,
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.lists(st.text("abC1/", min_size=0, max_size=4), max_size=3),
+        st.sampled_from(["", "/", "//"]),
+        st.lists(param, max_size=4),
+        st.sampled_from(["", "f", "x=1"]),
+    )
+
+    @given(st.lists(urls, min_size=1, max_size=24, unique=True))
+    @settings(max_examples=12, deadline=None)
+    def run(batch):
+        df = spark.createDataFrame([(u,) for u in batch], "url string")
+        once = df.select(canonical_url("url").alias("c")).collect()
+        twice = (
+            df.select(canonical_url("url").alias("u1"))
+            .select(canonical_url("u1").alias("c"))
+            .collect()
+        )
+        assert [r.c for r in once] == [r.c for r in twice]
+        # and every canonical is lowercase-scheme with no fragment,
+        # no userinfo, no tracking params
+        for r in once:
+            if r.c is None:
+                continue
+            assert "#" not in r.c and "@" not in r.c
+            assert "utm_" not in r.c and "fbclid" not in r.c
+            scheme = r.c.split("://")[0]
+            assert scheme == scheme.lower()
+
+    run()
