@@ -8,6 +8,8 @@ Pipeline (each stage is a pure DataFrame transform; at lake scale the
 same code runs over a 100 TB corpus):
 
 1. profile    — per-doc quality/lang/token stats in ONE scan
+   + URL gate — canonical-URL dedup (the cheapest crawl screen) before
+                any content work
 2. clean      — corpus-level boilerplate line removal (CCNet-style)
 3. quality    — Gopher/C4-style threshold filter, then the HOST screen
                 (per-source profile; whole sources below the bar drop
@@ -21,7 +23,9 @@ same code runs over a 100 TB corpus):
                 (approximate percentile thresholds — the corpus-scale
                 mode)
 7. tokenize   — BPE tokenizer TRAINED on the surviving corpus; its
-                real token counts drive everything downstream
+                real token counts drive everything downstream, plus a
+                WordPiece bake-off scored by tokenizer_stats
+                (fertility / compression / OOV)
 8. split/mix  — deterministic train/val split + token-budget mixing,
                 then the UniMax alternative (Chung et al. 2023):
                 epoch-capped waterfilling allocation materialized into
@@ -62,6 +66,29 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         3, truncate=False
     )
 
+    # 1b. URL gate: the cheapest dedup a crawl has — canonicalize and
+    # keep one doc per address BEFORE any content work (the synthetic
+    # corpus carries no URLs, so the demo synthesizes a realistic mess:
+    # tracking params, www/port/case variants; doc_id % 3 == 2 rows
+    # share an address with doc_id - 2)
+    with_urls = docs.withColumn(
+        "url",
+        F.expr(
+            "CASE WHEN doc_id % 3 = 2 THEN concat('https://WWW.crawl.example"
+            ".com:443/d/', cast(doc_id - 2 AS string), '?utm_source=feed')"
+            " ELSE concat('https://crawl.example.com/d/',"
+            " cast(doc_id AS string)) END"
+        ),
+    )
+    uv = curation.url_dedup(with_urls, "doc_id", "url")
+    docs = docs.join(
+        uv.filter("NOT keep").select(F.col("id").alias("doc_id")),
+        "doc_id", "left_anti",
+    )
+    nu = docs.count()
+    print(f"-- url gate: {n0} -> {nu} docs "
+          f"({n0 - nu} refetched addresses dropped) --")
+
     # 2. clean: corpus-level boilerplate removal (3-token windows stand in
     # for lines in the single-line synthetic corpus)
     toks = F.split("text", " ")
@@ -95,7 +122,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
                "min_mean_token_len": None, "max_dup_token_ratio": None},
     ).filter("qf_keep").drop("qf_keep", "qf_reasons")
     nq = kept_q.count()
-    print(f"-- quality: {n0} -> {nq} docs --")
+    print(f"-- quality: {nu} -> {nq} docs --")
 
     # 3b. host screen: per-source profile, then drop WHOLE sources whose
     # short-doc share is extreme (the decision unit is the host, not the
@@ -195,6 +222,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print(f"-- tokenize: {len(bpe['merges'])} BPE merges, "
           f"first 5 = {bpe['merges'][:5]} --")
+
+    # 7b. bake-off: WordPiece trained on the same corpus, both scored
+    # by tokenizer_stats — the numbers a pipeline picks a vocabulary by
+    from mallarddv_spark.operators.evaluation import tokenizer_stats
+    from mallarddv_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    wp = train_wordpiece(survivors, "text", num_merges=30)
+    full_bpe = bpe_ops.bpe_encode(survivors, "doc_id", "text", bpe)
+    full_wp = wordpiece_encode(survivors, "doc_id", "text", wp)
+    print("-- tokenizer bake-off (30 merges each) --")
+    for name, enc_df in (("bpe", full_bpe), ("wordpiece", full_wp)):
+        s = tokenizer_stats(survivors, enc_df, "doc_id", "text").first()
+        print(f"   {name}: fertility={s.fertility} "
+              f"chars/token={s.chars_per_token} unk_rate={s.unk_rate}")
 
     # 8. deterministic split + token-budget mixing by language stratum
     with_tokens = survivors.join(encoded, "doc_id").withColumn(
