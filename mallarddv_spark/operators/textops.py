@@ -1168,6 +1168,97 @@ def load_ngram_lm(spark, path: str) -> dict:
     return lm
 
 
+def pack_bins_ffd(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_budget: int = 2048,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Whole-document bin packing under a token budget by first-fit
+    DECREASING — the padding-minimizing packing for training WITHOUT
+    cross-document attention contamination (each document lands whole
+    in exactly one bin; nothing is split across a budget boundary —
+    the complement of :func:`pack_sequences`' concat-and-chunk, per
+    Krell et al. 2021's packed-BERT analysis: FFD gets within ~1% of
+    optimal bin count on natural length distributions).
+
+    Returns ``(id, n_tokens, shard_id, bin_id, oversize)`` —
+    ``bin_id`` is per-shard; ``oversize`` marks documents longer than
+    the budget, each placed in its own bin (truncate or re-chunk them
+    upstream; silently splitting would be pack_sequences' job).
+
+    Scale shape: a global FFD is inherently sequential, so documents
+    hash into ``n_shards`` independent shards (the
+    :func:`pack_sequences` discipline — deterministic because both
+    the shard hash and the in-shard (len DESC, id) order are functions
+    of content). Each shard's pack is ONE fold expression over its
+    collected doc list — O(docs × bins) per shard with the bin-load
+    array copied per step, so SIZE SHARDS to ~10³–10⁴ docs each
+    (n_shards ≈ corpus/5k; the same per-task array contract as the
+    t-digest build buckets). Padding fraction is then
+    ``1 − Σ tokens / (bins × budget)`` per shard, measurable from the
+    output."""
+    spark = df.sparkSession
+    if int(token_budget) < 1:
+        raise DVConfigurationError("pack_bins_ffd: token_budget must be >= 1")
+    if n_shards is None:
+        n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    b = int(token_budget)
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(int(n_shards)))
+        .cast("int")
+        .alias("shard_id"),
+    )
+    # sort key: length DESC then id ASC — encode as struct(-len, id);
+    # ids are cast to bigint (numeric-id contract, pinned by the fold
+    # state type)
+    docs = base.groupBy("shard_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("n_tokens")).alias("nl"),
+                                    F.col("id")))
+        ).alias("ds")
+    )
+    # first-fit index over the bin-load array (1-based; 0 = no fit).
+    # Spark's sequence(1, 0) DESCENDS, so an empty bin list must
+    # short-circuit before the scan
+    fit = (
+        f"IF(size(st.bins) = 0, 0, "
+        f"aggregate(sequence(1, size(st.bins)), 0, (f, j) -> "
+        f"IF(f = 0 AND element_at(st.bins, j) - x.nl <= {b}, j, f)))"
+    )
+    place_existing = (
+        f"struct(transform(st.bins, (ld, i) -> "
+        f"IF(i = {fit} - 1, ld - x.nl, ld)) as bins, "
+        f"st.asg || array(struct(x.id as id, {fit} - 1 as bin)) as asg)"
+    )
+    place_new = (
+        "struct(st.bins || array(-x.nl) as bins, "
+        "st.asg || array(struct(x.id as id, size(st.bins) as bin)) as asg)"
+    )
+    walk = (
+        f"aggregate(ds, struct(cast(array() as array<bigint>) as bins, "
+        f"cast(array() as array<struct<id: bigint, bin: int>>) as asg), "
+        f"(st, x) -> IF({fit} = 0, {place_new}, {place_existing}))"
+    )
+    return (
+        docs.withColumn("__st", F.expr(walk))
+        .select("shard_id", F.explode("__st.asg").alias("a"))
+        .select(
+            F.col("a.id").alias("id"),
+            "shard_id",
+            F.col("a.bin").cast("bigint").alias("bin_id"),
+        )
+        .join(base.select("id", "n_tokens"), "id")
+        .select(
+            "id", "n_tokens", "shard_id", "bin_id",
+            (F.col("n_tokens") > F.lit(b)).alias("oversize"),
+        )
+    )
+
+
 def prune_ngram_lm(lm: dict, thresholds: dict[int, int]) -> dict:
     """KenLM-style count-threshold pruning of a :func:`train_ngram_lm`
     model: drop every order-``k`` n-gram whose count is below

@@ -1675,3 +1675,77 @@ def test_prune_ngram_lm_matches_python_and_is_closed(spark):
         textops.prune_ngram_lm(lm, {9: 2})
     with pytest.raises(DVConfigurationError, match="ngram"):
         textops.prune_ngram_lm({"order": 2}, {2: 2})
+
+
+def test_pack_bins_ffd_matches_python_reference(spark):
+    """Whole-document FFD packing: per-shard assignments equal a
+    pure-Python first-fit-decreasing reference; no bin exceeds the
+    budget (oversize docs alone in theirs); FFD never uses more bins
+    than naive next-fit in arrival order; determinism across layouts."""
+    import random
+
+    rng = random.Random(17)
+    rows = [(i, " ".join("w" for _ in range(rng.randint(1, 900))))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    B, SHARDS = 1024, 4
+    out = textops.pack_bins_ffd(df, "doc_id", "text",
+                                token_budget=B, n_shards=SHARDS)
+    got = {r.id: (r.shard_id, r.bin_id, r.n_tokens, r.oversize)
+           for r in out.collect()}
+    assert len(got) == 300
+
+    # pure-Python FFD per shard (same shard hash read back from the out)
+    by_shard = {}
+    for i, t in rows:
+        ln = len(t.split())
+        by_shard.setdefault(got[i][0], []).append((ln, i))
+    for shard, docs in by_shard.items():
+        bins = []
+        want = {}
+        for ln, i in sorted(docs, key=lambda x: (-x[0], x[1])):
+            placed = None
+            for j, load in enumerate(bins):
+                if load + ln <= B:
+                    placed = j
+                    bins[j] += ln
+                    break
+            if placed is None:
+                bins.append(ln)
+                placed = len(bins) - 1
+            want[i] = placed
+        for ln, i in docs:
+            assert got[i][1] == want[i], (shard, i)
+        # no bin over budget unless it holds a single oversize doc
+        loads = {}
+        for ln, i in docs:
+            loads.setdefault(want[i], []).append(ln)
+        for members in loads.values():
+            assert sum(members) <= B or (
+                len(members) == 1 and members[0] > B
+            )
+    # fewer (or equal) bins than naive next-fit in id order, per shard
+    for shard, docs in by_shard.items():
+        nf_bins, cur = 1, 0
+        for ln, i in sorted(docs, key=lambda x: x[1]):
+            if cur + ln > B:
+                nf_bins += 1
+                cur = ln
+            else:
+                cur += ln
+        ffd_bins = len({got[i][1] for _, i in docs})
+        assert ffd_bins <= nf_bins, shard
+    # content-determinism across partition layouts
+    again = {r.id: (r.shard_id, r.bin_id)
+             for r in textops.pack_bins_ffd(
+                 df.repartition(13), "doc_id", "text",
+                 token_budget=B, n_shards=SHARDS).collect()}
+    assert again == {i: v[:2] for i, v in got.items()}
+    # oversize flag + guard
+    big = spark.createDataFrame(
+        [(1, " ".join("w" for _ in range(50)))], ["doc_id", "text"])
+    r = textops.pack_bins_ffd(big, "doc_id", "text",
+                              token_budget=10).first()
+    assert r.oversize
+    with pytest.raises(DVConfigurationError, match="token_budget"):
+        textops.pack_bins_ffd(big, "doc_id", "text", token_budget=0)
