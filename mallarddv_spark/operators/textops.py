@@ -1510,6 +1510,243 @@ def score_kn_ngram_logprob(
     )
 
 
+def export_arpa(
+    lm: dict, discount: float = 0.75, order: int | None = None
+) -> DataFrame:
+    """Materialize a :func:`train_ngram_lm` model as ARPA backoff
+    entries — ``(k, gram, log10p, log10bow)`` — the KenLM/SRILM interop
+    surface (CCNet ships its reference LMs as KenLM binaries built from
+    exactly this format).
+
+    The interpolated-KN recursion :func:`score_kn_ngram_logprob`
+    evaluates IS a backoff model, and this export is its closed form:
+    each stored k-gram's entry carries the scorer's own level-k
+    probability, and each k-gram's backoff weight is the level-(k+1)
+    interpolation weight λ with that gram as context — raw-count
+    ``D·max(N1+(g·),1)/c(g)`` at the top context level, continuation
+    ``D·nfm/nmid`` below, NULL (≡ bow 1, omitted in ARPA text) where
+    the gram never appears mid-position. A standard ARPA backoff
+    evaluator over these entries reproduces the scorer EXACTLY on every
+    query class — seen grams, unseen-gram/seen-context backoff at every
+    level, unseen contexts, OOV words (the ``<unk>`` entry carries the
+    scorer's 0.5-type floor) — pytest-pinned by a pure-Python ARPA
+    evaluator differential.
+
+    Scale shape: one pass of groupBy statistics per level over the
+    stored type tables (the scorer's own exchanges) + one suffix join
+    per level against the level below — entries stream out
+    model-sized, never corpus-sized. Serialize with
+    :func:`write_arpa_text` (driver-streamed text — the format is
+    inherently one ordered file) or keep the parquet form for lakes."""
+    grams = lm.get("ngrams")
+    if not grams:
+        raise DVConfigurationError(
+            "export_arpa: model lacks ngram tables — train with "
+            "train_ngram_lm"
+        )
+    n = int(order if order is not None else lm["order"])
+    if n < 2 or n > int(lm["order"]):
+        raise DVConfigurationError(
+            f"export_arpa: order must be in [2, {lm['order']}]"
+        )
+    if not 0.0 < float(discount) < 1.0:
+        raise DVConfigurationError("export_arpa: discount must be in (0, 1)")
+    d = float(discount)
+    t_bitypes = int(grams[2].count()) or 1
+
+    def cols(k):
+        return [f"w{i + 1}" for i in range(k)]
+
+    # --- probabilities, bottom-up ---------------------------------
+    nbb = grams[2].groupBy("w2").agg(F.count("*").alias("__nb"))
+    levels = {
+        1: grams[1]
+        .join(nbb, grams[1]["w1"] == nbb["w2"], "left")
+        .select(
+            grams[1]["w1"],
+            (
+                F.coalesce(F.col("__nb").cast("double"), F.lit(0.5))
+                / F.lit(float(t_bitypes))
+            ).alias("__p"),
+        )
+    }
+    for k in range(2, n):
+        tt = grams[k + 1]
+        ncb = tt.groupBy(*[f"w{i + 2}" for i in range(k)]).agg(
+            F.count("*").alias("__ncb")
+        ).select(
+            *[F.col(f"w{i + 2}").alias(f"__u{i + 1}") for i in range(k)],
+            "__ncb",
+        )
+        mid = tt.groupBy(*[f"w{i + 2}" for i in range(k - 1)]).agg(
+            F.count("*").alias("__nmid"),
+            F.countDistinct(f"w{k + 1}").alias("__nfm"),
+        ).select(
+            *[F.col(f"w{i + 2}").alias(f"__m{i + 1}") for i in range(k - 1)],
+            "__nmid", "__nfm",
+        )
+        lower = levels[k - 1].select(
+            *[F.col(f"w{i + 1}").alias(f"__l{i + 1}") for i in range(k - 1)],
+            F.col("__p").alias("__lp"),
+        )
+        base = grams[k].join(ncb, [
+            grams[k][f"w{j + 1}"] == ncb[f"__u{j + 1}"] for j in range(k)
+        ], "left")
+        base = base.join(mid, [
+            F.col(f"w{j + 1}") == F.col(f"__m{j + 1}") for j in range(k - 1)
+        ], "left").join(lower, [
+            F.col(f"w{j + 2}") == F.col(f"__l{j + 1}") for j in range(k - 1)
+        ])
+        levels[k] = base.select(
+            *cols(k),
+            F.when(
+                F.col("__nmid").isNotNull(),
+                F.greatest(
+                    F.coalesce(F.col("__ncb").cast("double"), F.lit(0.0))
+                    - F.lit(d),
+                    F.lit(0.0),
+                ) / F.col("__nmid").cast("double")
+                + (
+                    F.lit(d) * F.col("__nfm").cast("double")
+                    / F.col("__nmid").cast("double")
+                ) * F.col("__lp"),
+            ).otherwise(F.col("__lp")).alias("__p"),
+        )
+    # top level: raw counts
+    ctx = grams[n - 1].select(
+        *[F.col(f"w{i + 1}").alias(f"__x{i + 1}") for i in range(n - 1)],
+        F.col("cnt").alias("__cctx"),
+    )
+    nf_top = grams[n].groupBy(*cols(n - 1)).agg(
+        F.count("*").alias("__nf")
+    ).select(
+        *[F.col(f"w{i + 1}").alias(f"__h{i + 1}") for i in range(n - 1)],
+        "__nf",
+    )
+    lower = levels[n - 1].select(
+        *[F.col(f"w{i + 1}").alias(f"__l{i + 1}") for i in range(n - 1)],
+        F.col("__p").alias("__lp"),
+    )
+    levels[n] = (
+        grams[n]
+        .join(ctx, [
+            F.col(f"w{j + 1}") == F.col(f"__x{j + 1}") for j in range(n - 1)
+        ])
+        .join(nf_top, [
+            F.col(f"w{j + 1}") == F.col(f"__h{j + 1}") for j in range(n - 1)
+        ])
+        .join(lower, [
+            F.col(f"w{j + 2}") == F.col(f"__l{j + 1}") for j in range(n - 1)
+        ])
+        .select(
+            *cols(n),
+            (
+                F.greatest(
+                    F.col("cnt").cast("double") - F.lit(d), F.lit(0.0)
+                ) / F.col("__cctx").cast("double")
+                + (
+                    F.lit(d)
+                    * F.greatest(F.col("__nf"), F.lit(1)).cast("double")
+                    / F.col("__cctx").cast("double")
+                ) * F.col("__lp")
+            ).alias("__p"),
+        )
+    )
+    # --- backoff weights per entry level j < n --------------------
+    bows = {}
+    for j in range(1, n):
+        if j == n - 1:
+            b = grams[j].join(nf_top, [
+                F.col(f"w{i + 1}") == F.col(f"__h{i + 1}") for i in range(j)
+            ], "left").select(
+                *cols(j),
+                (
+                    F.lit(d)
+                    * F.greatest(F.coalesce(F.col("__nf"), F.lit(0)),
+                                 F.lit(1)).cast("double")
+                    / F.col("cnt").cast("double")
+                ).alias("__bow"),
+            )
+        else:
+            tt = grams[j + 2]
+            mid = tt.groupBy(*[f"w{i + 2}" for i in range(j)]).agg(
+                F.count("*").alias("__nmid"),
+                F.countDistinct(f"w{j + 2}").alias("__nfm"),
+            ).select(
+                *[F.col(f"w{i + 2}").alias(f"__m{i + 1}") for i in range(j)],
+                "__nmid", "__nfm",
+            )
+            b = grams[j].join(mid, [
+                F.col(f"w{i + 1}") == F.col(f"__m{i + 1}") for i in range(j)
+            ], "left").select(
+                *cols(j),
+                F.when(
+                    F.col("__nmid").isNotNull(),
+                    F.lit(d) * F.col("__nfm").cast("double")
+                    / F.col("__nmid").cast("double"),
+                ).alias("__bow"),
+            )
+        bows[j] = b
+    # --- assemble (k, gram, log10p, log10bow) ---------------------
+    spark = grams[1].sparkSession
+    out = None
+    for k in range(1, n + 1):
+        e = levels[k]
+        if k < n:
+            e = e.join(bows[k], cols(k), "left")
+        else:
+            e = e.withColumn("__bow", F.lit(None).cast("double"))
+        part = e.select(
+            F.lit(k).alias("k"),
+            F.concat_ws(" ", *cols(k)).alias("gram"),
+            F.log10("__p").alias("log10p"),
+            F.log10("__bow").alias("log10bow"),
+        )
+        out = part if out is None else out.unionByName(part)
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    unk = literal_frame(
+        spark,
+        [(1, "<unk>", float(__import__("math").log10(0.5 / t_bitypes)),
+          None)],
+        "k int, gram string, log10p double, log10bow double",
+    )
+    return out.unionByName(unk)
+
+
+def write_arpa_text(entries: DataFrame, path: str) -> None:
+    """Serialize :func:`export_arpa` entries as an ARPA text file —
+    driver-streamed (the format is ONE ordered text file by
+    definition; for models past driver memory keep the parquet form
+    and feed KenLM's ``lmplz``-side tooling from it). Probabilities
+    print at 7 dp, the SRILM convention."""
+    import os as _os
+
+    counts = {
+        r.k: r.c
+        for r in entries.groupBy("k").agg(F.count("*").alias("c")).collect()
+    }
+    n = max(counts)
+    _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\\data\\\n")
+        for k in range(1, n + 1):
+            f.write(f"ngram {k}={counts.get(k, 0)}\n")
+        for k in range(1, n + 1):
+            f.write(f"\n\\{k}-grams:\n")
+            it = (
+                entries.filter(F.col("k") == k)
+                .orderBy("gram")
+                .toLocalIterator()
+            )
+            for r in it:
+                if r.log10bow is None:
+                    f.write(f"{r.log10p:.7f}\t{r.gram}\n")
+                else:
+                    f.write(f"{r.log10p:.7f}\t{r.gram}\t{r.log10bow:.7f}\n")
+        f.write("\n\\end\\\n")
+
+
 def fluency_filter(
     df: DataFrame,
     id_col: str,

@@ -1749,3 +1749,105 @@ def test_pack_bins_ffd_matches_python_reference(spark):
     assert r.oversize
     with pytest.raises(DVConfigurationError, match="token_budget"):
         textops.pack_bins_ffd(big, "doc_id", "text", token_budget=0)
+
+
+def test_export_arpa_backoff_evaluator_reproduces_scorer(spark, tmp_path):
+    """export_arpa: a STANDARD ARPA backoff evaluator (pure Python,
+    stored-prob lookup + bow-chain fallback + <unk>) over the exported
+    entries reproduces score_kn_ngram_logprob on every query class —
+    seen grams, unseen-gram/seen-context at each level, unseen
+    contexts, OOV words — at orders 3 and 4; the text serialization
+    round-trips through a file parse."""
+    import math
+
+    train_rows = [
+        (1, "the cat sat on the mat today"),
+        (2, "the dog sat on the rug today"),
+        (3, "a cat and a dog sat down on the mat"),
+        (4, "the cat sat on a rug in the sun"),
+        (5, "the dog ran on the mat today"),
+    ]
+    test_rows = [
+        (10, "the cat sat on the mat"),
+        (11, "rug mat dog sat on the"),
+        (12, "zz qq yy ww vv"),
+        (13, "a dog sat down on the rug"),
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    test = spark.createDataFrame(test_rows, ["doc_id", "text"])
+    lm = textops.train_ngram_lm(train, "text", order=4)
+
+    def load_entries(rows):
+        table = {}
+        unk = None
+        for k, gram, lp, bow in rows:
+            g = tuple(gram.split(" "))
+            if g == ("<unk>",):
+                unk = lp
+                continue
+            table.setdefault(k, {})[g] = (lp, bow)
+        return table, unk
+
+    def arpa_eval(table, unk, gram):
+        """standard backoff: ln p(w | ctx)"""
+        k = len(gram)
+        if k == 1:
+            if gram in table.get(1, {}):
+                return table[1][gram][0] * math.log(10)
+            return unk * math.log(10)
+        if gram in table.get(k, {}):
+            return table[k][gram][0] * math.log(10)
+        ctx = gram[:-1]
+        bow_entry = table.get(k - 1, {}).get(ctx)
+        bow = (bow_entry[1] if bow_entry and bow_entry[1] is not None
+               else 0.0)
+        return bow * math.log(10) + arpa_eval(table, unk, gram[1:])
+
+    for n in (3, 4):
+        entries = textops.export_arpa(lm, order=n)
+        rows = [(r.k, r.gram, r.log10p, r.log10bow)
+                for r in entries.collect()]
+        table, unk = load_entries(rows)
+        assert unk is not None
+        got = {r.id: r for r in textops.score_kn_ngram_logprob(
+            test, "doc_id", "text", lm, order=n).collect()}
+        for did, text in test_rows:
+            ws = text.lower().split()
+            gs = [tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            if not gs:
+                assert did not in got
+                continue
+            lps = [arpa_eval(table, unk, g) for g in gs]
+            want = sum(round(x * 1e10) for x in lps) / (1e10 * len(gs))
+            assert abs(got[did].avg_logprob - round(want, 6)) <= 2e-6, (
+                n, did, got[did].avg_logprob, want,
+            )
+    # text round-trip: parse the file back, re-evaluate one doc
+    entries = textops.export_arpa(lm, order=3)
+    path = str(tmp_path / "model.arpa")
+    textops.write_arpa_text(entries, path)
+    lines = open(path, encoding="utf-8").read().splitlines()
+    assert lines[0] == "\\data\\" and lines[-1] == "\\end\\"
+    parsed = []
+    section = None
+    for ln in lines[1:-1]:
+        if ln.startswith("\\") and ln.endswith("-grams:"):
+            section = int(ln[1])
+            continue
+        if not ln or ln.startswith("ngram "):
+            continue
+        parts = ln.split("\t")
+        parsed.append((section, parts[1], float(parts[0]),
+                       float(parts[2]) if len(parts) > 2 else None))
+    table, unk = load_entries(parsed)
+    got = {r.id: r.avg_logprob for r in textops.score_kn_ngram_logprob(
+        test, "doc_id", "text", lm, order=3).collect()}
+    ws = test_rows[0][1].lower().split()
+    gs = [tuple(ws[i:i + 3]) for i in range(len(ws) - 2)]
+    want = sum(arpa_eval(table, unk, g) for g in gs) / len(gs)
+    assert abs(got[10] - want) <= 1e-5
+    # guards
+    with pytest.raises(DVConfigurationError, match="order"):
+        textops.export_arpa(lm, order=5)
+    with pytest.raises(DVConfigurationError, match="ngram"):
+        textops.export_arpa({"order": 3})
