@@ -222,6 +222,45 @@ STAGES.update({
     "urldedup": stress_urldedup,
 })
 
+def stress_ffd(spark):
+    from mallarddv_spark.operators.textops import pack_bins_ffd
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    t0 = time.monotonic()
+    out = pack_bins_ffd(docs, "doc_id", "text", token_budget=2048,
+                        n_shards=16)
+    bins = out.groupBy("shard_id", "bin_id").agg(
+        F.sum("n_tokens").alias("load")
+    )
+    stats = bins.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("load").alias("toks"),
+        F.max("load").alias("max_load"),
+    ).first()
+    pad = 1.0 - stats.toks / (stats.n_bins * 2048.0)
+    emit(op="pack_bins_ffd", sec=round(time.monotonic() - t0, 2),
+         docs=out.count(), bins=stats.n_bins,
+         padding_frac=round(pad, 4), max_load=stats.max_load,
+         plan=plan_report(out))
+
+
+def stress_arpa(spark):
+    from mallarddv_spark.operators.textops import export_arpa, train_ngram_lm
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    lm = train_ngram_lm(docs, "text", order=5)
+    t0 = time.monotonic()
+    entries = export_arpa(lm)
+    counts = {r.k: r.c for r in entries.groupBy("k").agg(
+        F.count("*").alias("c")).collect()}
+    emit(op="export_arpa", sec=round(time.monotonic() - t0, 2),
+         entries_per_order=counts, total=sum(counts.values()),
+         plan=plan_report(entries))
+
+
+STAGES.update({"ffd": stress_ffd, "arpa": stress_arpa})
+
+
 
 if __name__ == "__main__":
     main()
