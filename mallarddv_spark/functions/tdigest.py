@@ -78,11 +78,16 @@ def _compress_expr(pts_col: str, total_col: str, delta: int) -> str:
     update ``cm += (x.v − cm)·x.w/(cw + x.w)`` is fixed-order, so the
     whole pass is deterministic for a given sorted input."""
     d = float(int(delta))
-    k_hi = (
-        f"{d} * (asin(2.0d * ((st.wb + st.cw + x.w) / {total_col}) - 1.0d) "
-        f"/ pi() + 0.5d)"
+    # q clamped into [0, 1]: the fold's running weight and the
+    # aggregated total are the same doubles summed in different orders,
+    # so q can exceed 1 by ulps — asin past 1 is NaN, which would turn
+    # the merge condition false nondeterministically
+    q_hi = (
+        f"least(greatest((st.wb + st.cw + x.w) / {total_col}, 0.0d), 1.0d)"
     )
-    k_lo = f"{d} * (asin(2.0d * (st.wb / {total_col}) - 1.0d) / pi() + 0.5d)"
+    q_lo = f"least(greatest(st.wb / {total_col}, 0.0d), 1.0d)"
+    k_hi = f"{d} * (asin(2.0d * ({q_hi}) - 1.0d) / pi() + 0.5d)"
+    k_lo = f"{d} * (asin(2.0d * ({q_lo}) - 1.0d) / pi() + 0.5d)"
     merge_branch = (
         "struct(st.cs as cs, "
         "st.cm + (x.v - st.cm) * x.w / (st.cw + x.w) as cm, "
@@ -151,8 +156,10 @@ def tdigest_build(
         F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
         if weight_col else F.lit(1.0)
     )
+    # NaN weights must be rejected explicitly — Spark orders NaN above
+    # every number, so `NaN > 0` alone would admit them into the sums
     vw = (
-        df.filter(v.isNotNull() & ~F.isnan(v) & (w > 0))
+        df.filter(v.isNotNull() & ~F.isnan(v) & ~F.isnan(w) & (w > 0))
         .select(v.alias("v"), w.alias("w"))
         .groupBy("v")
         .agg(F.sum("w").alias("w"))
