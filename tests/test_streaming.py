@@ -895,3 +895,50 @@ def test_neardup_stream_maintains_doclen_tdigest(spark, tmp_path):
     q = td.tdigest_quantiles(cents, params, [0.5]).first().est
     assert 4.0 <= q <= 6.0, q
     spark.sql("DROP TABLE IF EXISTS default.td_sink")
+
+
+def test_neardup_stream_url_store_heals_torn_compact(spark, tmp_path):
+    """A compaction swap of the seen-URL store killed mid-rename (staged
+    copy written, live still present — the staged+live torn state) must
+    heal on the next batch's probe instead of double-counting or
+    wedging the stream."""
+    from pyspark.sql import Row
+    from mallarddv_spark.operators import dedup
+
+    seed = spark.createDataFrame([Row(doc_id=1, text="seed alpha beta")])
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(seed, index_path, num_perm=32, bands=8,
+                              shingle_size=3)
+    urls_path = str(tmp_path / "seen_urls")
+    spark.sql("DROP TABLE IF EXISTS default.uh_sink")
+
+    process = ingest.neardup_stream_processor(
+        index_path, "default.uh_sink", threshold=0.9,
+        url_col="url", seen_urls_path=urls_path,
+    )
+    b0 = spark.createDataFrame(
+        [Row(doc_id=800, text="totally original first content",
+             url="https://h.com/a")]
+    )
+    process(b0, 0)
+    # fake the torn state: a staged compact copy alongside the live dir
+    spark.read.parquet(urls_path).distinct().write.parquet(
+        urls_path + "__compact"
+    )
+    # next batch: heal must drain the staged dir, then the probe must
+    # still drop the refetch and admit the new address
+    b1 = spark.createDataFrame([
+        Row(doc_id=801, text="second unrelated words entirely",
+            url="https://h.com/a?utm_source=x"),
+        Row(doc_id=802, text="third body of fresh other tokens",
+            url="https://h.com/b"),
+    ])
+    process(b1, 1)
+    import os
+    assert not os.path.exists(urls_path + "__compact")
+    sink = {r.doc_id for r in spark.table("default.uh_sink").collect()}
+    assert sink == {800, 802}
+    stored = sorted(r.canonical_url
+                    for r in spark.read.parquet(urls_path).collect())
+    assert stored == ["https://h.com/a", "https://h.com/b"]
+    spark.sql("DROP TABLE IF EXISTS default.uh_sink")
