@@ -1747,6 +1747,142 @@ def write_arpa_text(entries: DataFrame, path: str) -> None:
         f.write("\n\\end\\\n")
 
 
+def load_arpa(spark, path: str) -> DataFrame:
+    """Parse an ARPA file (KenLM/SRILM text format) into the
+    ``(k, gram, log10p, log10bow)`` entry frame :func:`export_arpa`
+    produces — the import half of the interop loop: score a corpus
+    under an EXTERNAL reference LM (the actual CCNet workflow —
+    download a published KenLM model, score every crawl snapshot
+    against it) without retraining.
+
+    Entry lines are self-describing (``log10p<TAB>gram[<TAB>bow]`` —
+    the level is the gram's word count), so the parse is a
+    distributed ``spark.read.text`` + one projection — no section
+    state, order-independent, works on a multi-gigabyte ARPA."""
+    lines = spark.read.text(path)
+    e = lines.filter(
+        F.col("value").rlike(r"^-?[0-9]+(\.[0-9]+)?\t")
+    ).select(F.split("value", "\t").alias("f"))
+    return e.select(
+        F.size(F.split(F.expr("element_at(f, 2)"), " ")).alias("k"),
+        F.expr("element_at(f, 2)").alias("gram"),
+        F.expr("element_at(f, 1)").cast("double").alias("log10p"),
+        F.expr("try_element_at(f, 3)").cast("double").alias("log10bow"),
+    )
+
+
+def score_arpa_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    entries: DataFrame,
+    order: int | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document mean n-gram log-probability under a STORED ARPA
+    backoff model (:func:`load_arpa` / :func:`export_arpa` entries) —
+    the standard backoff evaluation: use the stored probability when
+    the k-gram is present, otherwise back off through
+    ``bow(context) + P(suffix)`` level by level (log10 domain), with
+    the ``<unk>`` entry flooring OOV words. On entries exported from
+    a :func:`train_ngram_lm` model AT THE SAME TOP ORDER this
+    reproduces :func:`score_kn_ngram_logprob` (pytest-pinned to the
+    text file's 7 dp); on an external KenLM ARPA it reproduces KenLM.
+    Query a file at its own order (KenLM's rule too): a 4-gram file's
+    level-3 entries are middle-level continuation probabilities, not
+    an order-3 top level, so ``order`` below the file's maximum
+    answers a different (still well-defined) backoff model.
+
+    Returns ``(id, n_ngrams, n_oov, avg_logprob)`` (natural log, the
+    scorer convention; ``n_oov`` counts unigram misses). Docs with
+    fewer than ``order`` tokens score no row.
+
+    Scale shape: one prob join per level + one bow join per
+    context level — ``2·order − 1`` hash joins against model-sized
+    tables (AQE broadcasts them when they fit), one groupBy on id.
+    Same 1e-10 grid sum discipline as the KN scorer."""
+    orders = [r.k for r in entries.select("k").distinct().collect()]
+    if not orders:
+        raise DVConfigurationError("score_arpa_logprob: empty entries")
+    n = int(order if order is not None else max(orders))
+    if n < 2 or n > max(orders):
+        raise DVConfigurationError(
+            f"score_arpa_logprob: order must be in [2, {max(orders)}]"
+        )
+    unk_row = entries.filter(
+        (F.col("k") == 1) & (F.col("gram") == "<unk>")
+    ).select("log10p").first()
+    unk = float(unk_row.log10p) if unk_row else -99.0
+    toks = _lm_tokens(text_col, lowercase)
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    fields = ", ".join(
+        f"element_at(__t, i + {j}) as w{j + 1}" for j in range(n)
+    )
+    tuples = F.when(
+        F.size("__t") >= n,
+        F.expr(
+            f"transform(sequence(1, size(__t) - {n - 1}), "
+            f"i -> struct({fields}))"
+        ),
+    ).otherwise(F.expr("array()"))
+    stream = base.select("__id", F.explode(tuples).alias("p")).select(
+        "__id", *[F.col(f"p.w{i + 1}").alias(f"w{i + 1}") for i in range(n)]
+    )
+    # suffix gram strings: level-k prob key ends at position n; level-j
+    # bow key ends at position n-1
+    for k in range(1, n + 1):
+        stream = stream.withColumn(
+            f"__s{k}",
+            F.concat_ws(" ", *[f"w{i + 1}" for i in range(n - k, n)]),
+        )
+    for j in range(1, n):
+        stream = stream.withColumn(
+            f"__c{j}",
+            F.concat_ws(
+                " ", *[f"w{i + 1}" for i in range(n - 1 - j, n - 1)]
+            ),
+        )
+    scored = stream
+    for k in range(1, n + 1):
+        pk = entries.filter(F.col("k") == k).select(
+            F.col("gram").alias(f"__pg{k}"), F.col("log10p").alias(f"__p{k}")
+        )
+        scored = scored.join(
+            pk, F.col(f"__s{k}") == F.col(f"__pg{k}"), "left"
+        )
+    for j in range(1, n):
+        bj = entries.filter(
+            (F.col("k") == j) & F.col("log10bow").isNotNull()
+        ).select(
+            F.col("gram").alias(f"__bg{j}"), F.col("log10bow").alias(f"__b{j}")
+        )
+        scored = scored.join(
+            bj, F.col(f"__c{j}") == F.col(f"__bg{j}"), "left"
+        )
+    # backoff chain, innermost out (log10 domain)
+    lp = f"coalesce(__p1, cast({unk!r} as double))"
+    for k in range(2, n + 1):
+        lp = (
+            f"CASE WHEN __p{k} IS NOT NULL THEN __p{k} "
+            f"ELSE coalesce(__b{k - 1}, cast(0.0 as double)) + ({lp}) END"
+        )
+    ln10 = "2.302585092994046"
+    scored = scored.select(
+        "__id",
+        F.col("__p1").isNull().cast("int").alias("__oov"),
+        F.round(F.expr(f"({lp}) * {ln10}") * 1e10).cast("bigint").alias(
+            "__lp10"
+        ),
+    )
+    return scored.groupBy(F.col("__id").alias("id")).agg(
+        F.count("*").alias("n_ngrams"),
+        F.sum("__oov").cast("bigint").alias("n_oov"),
+        F.round(
+            F.sum("__lp10") / (F.lit(1e10) * F.count("*")), 6
+        ).alias("avg_logprob"),
+    )
+
+
 def fluency_filter(
     df: DataFrame,
     id_col: str,

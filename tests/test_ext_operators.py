@@ -1851,3 +1851,55 @@ def test_export_arpa_backoff_evaluator_reproduces_scorer(spark, tmp_path):
         textops.export_arpa(lm, order=5)
     with pytest.raises(DVConfigurationError, match="ngram"):
         textops.export_arpa({"order": 3})
+
+
+def test_load_arpa_and_score_full_circle(spark, tmp_path):
+    """Interop full circle: train → export_arpa → write text → load_arpa
+    → score_arpa_logprob reproduces score_kn_ngram_logprob (to the text
+    file's 7 dp) on every query class, orders 3 and 4; OOV words count
+    as unigram misses; guards."""
+    train_rows = [
+        (1, "the cat sat on the mat today"),
+        (2, "the dog sat on the rug today"),
+        (3, "a cat and a dog sat down on the mat"),
+        (4, "the cat sat on a rug in the sun"),
+        (5, "the dog ran on the mat today"),
+    ]
+    test_rows = [
+        (10, "the cat sat on the mat"),
+        (11, "rug mat dog sat on the"),
+        (12, "zz qq yy ww vv"),
+        (13, "a dog sat down on the rug"),
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    test = spark.createDataFrame(test_rows, ["doc_id", "text"])
+    lm = textops.train_ngram_lm(train, "text", order=4)
+    # equivalence holds at the export's own top order: a 4-gram ARPA's
+    # level-3 entries are continuation-based MIDDLE-level probabilities,
+    # not an order-3 top level (standard ARPA semantics — KenLM also
+    # queries a file at its own order)
+    loaded = None
+    for n in (3, 4):
+        path = str(tmp_path / f"m{n}.arpa")
+        exported = textops.export_arpa(lm, order=n)
+        textops.write_arpa_text(exported, path)
+        loaded = textops.load_arpa(spark, path)
+        # the parse recovers exactly the exported entry set
+        assert loaded.count() == exported.count()
+        want = {r.id: r for r in textops.score_kn_ngram_logprob(
+            test, "doc_id", "text", lm, order=n).collect()}
+        got = {r.id: r for r in textops.score_arpa_logprob(
+            test, "doc_id", "text", loaded, order=n).collect()}
+        assert set(got) == set(want)
+        for did in want:
+            assert got[did].n_ngrams == want[did].n_ngrams
+            assert abs(got[did].avg_logprob
+                       - want[did].avg_logprob) <= 1e-5, (n, did)
+    # OOV accounting: doc 12 is pure OOV at every position
+    got4 = {r.id: r for r in textops.score_arpa_logprob(
+        test, "doc_id", "text", loaded).collect()}
+    assert got4[12].n_oov == got4[12].n_ngrams
+    assert got4[10].n_oov == 0
+    import pytest as _pt
+    with _pt.raises(DVConfigurationError, match="order"):
+        textops.score_arpa_logprob(test, "doc_id", "text", loaded, order=9)
