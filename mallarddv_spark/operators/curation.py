@@ -2166,3 +2166,64 @@ def url_dedup(
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction
+# ---------------------------------------------------------------------------
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Boilerplate HTML → text extraction — the stage between a raw
+    crawl (WARC payloads) and every text operator in this package
+    (what trafilatura/jusText do with a DOM, reduced to the
+    tag-stripping core that covers the bulk of the work):
+
+    * ``<script>``/``<style>``/``<noscript>`` blocks dropped whole
+      (their text is code, not content);
+    * HTML comments dropped;
+    * block-level tags (``p div br li ul ol tr td th table h1–h6
+      section article header footer blockquote``) become newlines —
+      paragraph structure survives for the line-level operators
+      (:func:`remove_duplicated_lines` needs real line boundaries);
+    * remaining tags become spaces; the common named entities
+      (``&amp; &lt; &gt; &quot; &#39; &apos; &nbsp;``) decode
+      (numeric character references beyond ``&#39;`` are passed
+      through — full entity tables are a tokenizer-table job, not a
+      regex job, and they are rare in body text);
+    * horizontal whitespace collapses to single spaces, blank-ish
+      lines to single newlines, ends trimmed.
+
+    Every step is one ``regexp_replace`` in the RE2-compatible subset
+    (no backreferences, non-greedy spans only), so the same patterns
+    replay in DuckDB — the transform is oracle-gated. Malformed HTML
+    degrades gracefully (an unclosed ``<script`` drops to end of
+    document — the conservative direction for training data; an
+    unmatched ``<`` survives as text).
+    """
+    s = F.col(html) if isinstance(html, str) else html
+    for tag in ("script", "style", "noscript"):
+        s = F.regexp_replace(
+            s, f"(?is)<{tag}[^>]*>.*?</{tag}[^>]*>", " "
+        )
+        # unclosed block: drop to end of document
+        s = F.regexp_replace(s, f"(?is)<{tag}[^>]*>.*", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    block = (
+        "p|div|br|li|ul|ol|tr|td|th|table|h1|h2|h3|h4|h5|h6|"
+        "section|article|header|footer|blockquote"
+    )
+    s = F.regexp_replace(s, f"(?is)</?(?:{block})(?:[^>]*)>", "\n")
+    # a "tag" must open with a letter, '/' or '!' — a bare '<' (e.g.
+    # "5 < 6") is text and survives
+    s = F.regexp_replace(s, r"(?s)</?[a-zA-Z!][^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+        ("&amp;", "&"),  # LAST: "&amp;lt;" must yield "&lt;", not "<"
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.regexp_replace(s, r"[ \t\r]+", " ")
+    s = F.regexp_replace(s, r" ?\n[ \n]*", "\n")
+    # trim() strips spaces only — ends need the newline-inclusive form
+    return F.regexp_replace(s, r"^\s+|\s+$", "")

@@ -4373,9 +4373,13 @@ FROM (
 def q_text_chunking_winnow(spark, sf):
     """Per-document derived-sequence suite: overlapping token-window training
     chunks, winnowing (MOSS) fingerprint index, corpus-level line
-    dedup, and exact-substring shared-run spans, as one tagged union.
-    Parts: text_chunking, text_winnow_fingerprints, text_line_dedup,
-    text_substring_spans."""
+    dedup, exact-substring shared-run spans, and HTML→text extraction
+    (`curation.html_to_text` over a deterministic HTML wrapper of each
+    document — script/style/comment drop, block tags → newlines,
+    entity decode, whitespace discipline — every regexp in the
+    RE2-compatible subset, replayed step-for-step in DuckDB), as one
+    tagged union. Parts: text_chunking, text_winnow_fingerprints,
+    text_line_dedup, text_substring_spans, htmltext."""
     c = q_text_chunking(spark, sf).select(
         F.lit("chunk").alias("part"),
         "doc_id",
@@ -4407,8 +4411,70 @@ def q_text_chunking_winnow(spark, sf):
         F.col("run_tokens").alias("n_tokens"),
         *_nulls(("d1", "double")),
     )
-    return c.unionByName(w).unionByName(ld).unionByName(ss)
+    from mallarddv_spark.operators.curation import html_to_text
 
+    d = _t(spark, sf, "documents")
+    ht = d.withColumn("__html", F.expr(HTMLTEXT_SYNTH)).select(
+        F.lit("htmltext").alias("part"),
+        "doc_id",
+        *_nulls(("idx", "bigint")),
+        html_to_text("__html").alias("payload"),
+        F.size(
+            F.split(F.trim(F.regexp_replace(html_to_text("__html"),
+                                            r"\s+", " ")), " ")
+        ).cast("bigint").alias("n_tokens"),
+        *_nulls(("d1", "double")),
+    )
+    return (
+        c.unionByName(w).unionByName(ld).unionByName(ss).unionByName(ht)
+    )
+
+
+# Deterministic HTML wrapper for the htmltext part — identical text in
+# Spark SQL and DuckDB (the urlnorm synthesis precedent): covers
+# script/style blocks with tag-looking payloads, comments, nested
+# inline tags, named entities, and a bare '<' that must survive.
+HTMLTEXT_SYNTH = (
+    "concat('<html><head><script>var x = \"<p>\";</script>"
+    "<style>.a .b</style></head><body><h1>Doc ', "
+    "CAST(doc_id AS STRING), '</h1><p>', text, "
+    "'</p><!-- note --><div>tail &amp;co 1 < 2 &lt;fin&gt;</div>"
+    "</body></html>')"
+)
+
+
+
+
+def _o_html_expr(col: str) -> str:
+    """DuckDB mirror of curation.html_to_text, step for step (RE2
+    subset — no backreferences, non-greedy spans only)."""
+    expr = col
+    for tag in ("script", "style", "noscript"):
+        expr = (f"regexp_replace({expr}, "
+                f"'(?is)<{tag}[^>]*>.*?</{tag}[^>]*>', ' ', 'g')")
+        expr = f"regexp_replace({expr}, '(?is)<{tag}[^>]*>.*', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '(?s)<!--.*?-->', ' ', 'g')"
+    block = ("p|div|br|li|ul|ol|tr|td|th|table|h1|h2|h3|h4|h5|h6|"
+             "section|article|header|footer|blockquote")
+    expr = (f"regexp_replace({expr}, '(?is)</?(?:{block})(?:[^>]*)>', "
+            f"chr(10), 'g')")
+    expr = f"regexp_replace({expr}, '(?s)</?[a-zA-Z!][^>]*>', ' ', 'g')"
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "''"), ("&apos;", "''"),
+                     ("&amp;", "&")):
+        expr = f"replace({expr}, '{ent}', '{rep}')"
+    expr = f"regexp_replace({expr}, '[ \\t\\r]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, ' ?\\n[ \\n]*', chr(10), 'g')"
+    return f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+
+
+_O_HTML_SYNTH = (
+    "concat('<html><head><script>var x = \"<p>\";</script>"
+    "<style>.a .b</style></head><body><h1>Doc ', "
+    "CAST(doc_id AS VARCHAR), '</h1><p>', text, "
+    "'</p><!-- note --><div>tail &amp;co 1 < 2 &lt;fin&gt;</div>"
+    "</body></html>')"
+)
 
 O_TEXT_CHUNKING_WINNOW = (
     "SELECT 'chunk' AS part, doc_id, chunk_idx AS idx, chunk_text AS payload,"
@@ -4424,7 +4490,13 @@ O_TEXT_CHUNKING_WINNOW = (
     " concat(start_a, ':', start_b) AS payload, run_tokens AS n_tokens,"
     " cast(NULL as double) AS d1\nFROM ("
     + O_TEXT_SUBSTR
-    + ") ss"
+    + ") ss\nUNION ALL\nSELECT 'htmltext' AS part, doc_id,"
+    " cast(NULL as bigint) AS idx, "
+    + _o_html_expr(f"({_O_HTML_SYNTH})")
+    + " AS payload, len(string_split(trim(regexp_replace("
+    + _o_html_expr(f"({_O_HTML_SYNTH})")
+    + r", '\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens,"
+    " cast(NULL as double) AS d1\nFROM documents"
 )
 
 

@@ -1237,3 +1237,34 @@ def test_content_term_filter_matches_duckdb(spark):
     """).fetchall())
     for did, hits in got.items():
         assert hits == want.get(did, 0), did
+
+
+def test_html_to_text_extraction(spark):
+    """html_to_text: script/style/comment drop (incl. unclosed blocks),
+    block tags -> newlines, inline tags -> spaces, entity decode with
+    &amp; LAST (double-encoded survives), bare '<' survives as text,
+    whitespace discipline."""
+    from mallarddv_spark.operators.curation import html_to_text
+
+    cases = [
+        (1, "<html><head><script>var x = '<p>';</script><style>.a .b"
+            "</style></head><body><h1>Title</h1><p>Hello <b>world</b>"
+            " &amp; more</p><!-- note --><div>Second &lt;line&gt;"
+            "</div></body></html>",
+         "Title\nHello world & more\nSecond <line>"),
+        (2, "plain text no markup", "plain text no markup"),
+        (3, "<p>a</p><p></p><p>b</p>", "a\nb"),
+        (4, "broken <script>never closed", "broken"),
+        (5, "a &amp;lt; b &nbsp;c", "a &lt; b c"),
+        (6, "5 < 6 and <em>emph</em>", "5 < 6 and emph"),
+        (7, "<ul><li>one</li><li>two</li></ul>", "one\ntwo"),
+        (8, "x<br/>y", "x\ny"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "id bigint, html string"
+    )
+    got = {r.id: r.t
+           for r in df.select("id", html_to_text("html").alias("t"))
+           .collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
