@@ -1168,6 +1168,81 @@ def load_ngram_lm(spark, path: str) -> dict:
     return lm
 
 
+_SCRIPT_CLASSES = (
+    # (name, Java regex class, RE2 class — the oracle mirror's syntax).
+    # Doubled backslashes: these land inside SQL string LITERALS, which
+    # unescape one level before the regex engine sees them
+    ("latin", r"\\p{IsLatin}", r"\\p{Latin}"),
+    ("cyrillic", r"\\p{IsCyrillic}", r"\\p{Cyrillic}"),
+    ("han", r"\\p{IsHan}", r"\\p{Han}"),
+    ("arabic", r"\\p{IsArabic}", r"\\p{Arabic}"),
+    ("digit", "0-9", "0-9"),
+)
+
+
+def script_profile(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document Unicode-script composition — the signal that
+    catches mislabeled languages and mixed-script spam before any
+    model-based language ID runs (a "French" page that is 60% Han is a
+    labeling bug; a Latin page stuffed with Cyrillic homoglyphs is an
+    evasion pattern): ``(id, n_script_chars, latin_frac,
+    cyrillic_frac, han_frac, arabic_frac, digit_frac, other_frac,
+    dominant_script)``.
+
+    Fractions are over NON-WHITESPACE characters, on the 1e-6 grid
+    (engine-replayable); ``dominant_script`` is the argmax with a
+    fixed class order breaking ties; empty/whitespace-only docs get
+    zero fractions and ``dominant_script = 'none'``. One projection —
+    no shuffle, no Python; Java's ``\\p{IsScript}`` classes have exact
+    RE2 ``\\p{Script}`` mirrors (parity pinned in the driver gate)."""
+    s = F.col(text_col)
+    nz = F.length(F.regexp_replace(s, r"\s", "")).cast("double")
+    counts = {
+        name: F.size(
+            F.expr(
+                f"regexp_extract_all({text_col}, '[{java}]', 0)"
+            )
+        ).cast("double")
+        for name, java, _ in _SCRIPT_CLASSES
+    }
+    fracs = {
+        name: F.when(nz > 0, F.round(c / nz, 6)).otherwise(F.lit(0.0))
+        for name, c in counts.items()
+    }
+    other = F.when(
+        nz > 0,
+        F.round(
+            (nz - sum(counts.values())) / nz, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    # dominant: argmax in the fixed class order (first listed wins
+    # ties); a doc whose top class is zero-count is 'other'
+    return df.select(
+        F.col(id_col).alias("id"),
+        nz.cast("bigint").alias("n_script_chars"),
+        *[fracs[name].alias(f"{name}_frac") for name, _, _ in _SCRIPT_CLASSES],
+        other.alias("other_frac"),
+        F.expr(
+            "CASE WHEN length(regexp_replace(" + text_col
+            + ", '\\\\s', '')) = 0 THEN 'none' "
+            + " ".join(
+                f"WHEN size(regexp_extract_all({text_col}, '[{java}]', 0)) "
+                f">= greatest("
+                + ",".join(
+                    f"size(regexp_extract_all({text_col}, '[{j2}]', 0))"
+                    for _, j2, _ in _SCRIPT_CLASSES
+                )
+                + f") AND size(regexp_extract_all({text_col}, "
+                f"'[{java}]', 0)) > 0 THEN '{name}'"
+                for name, java, _ in _SCRIPT_CLASSES
+            )
+            + " ELSE 'other' END"
+        ).alias("dominant_script"),
+    )
+
+
 def pack_bins_ffd(
     df: DataFrame,
     id_col: str,

@@ -3959,7 +3959,10 @@ def q_text_doc_stats(spark, sf):
     language-ID votes, and both content fingerprints.
 
     Parts: text_token_count, text_quality, text_langid, text_fingerprint,
-    text_bpe_tokens."""
+    text_bpe_tokens; plus the Unicode-script profile columns
+    (`textops.script_profile` over a snippet + injected non-Latin
+    suffix — the Java-vs-RE2 script-class parity is what the hash
+    verifies; all four dominant classes exercised)."""
     from mallarddv_spark.operators.curation import bpe_token_count
 
     d = _t(spark, sf, "documents")
@@ -4003,6 +4006,41 @@ def q_text_doc_stats(spark, sf):
         F.md5(F.concat_ws(" ", F.sort_array(toks))).alias("sorted_fp"),
         bpe.alias("n_bpe_tokens"),
         F.round(bpe / F.size(toks), 6).alias("bpe_ratio"),
+    ).join(_script_cols(d), "doc_id")
+
+
+# Unicode injection for the script-profile columns — the synthetic
+# corpus is pure ASCII, so each doc gains a deterministic non-Latin
+# suffix by doc_id % 4 (the urlnorm/PII synthesis precedent); the
+# Java \p{IsScript} vs RE2 \p{Script} class parity is what the gate
+# hash actually verifies.
+SCRIPT_SYNTH = (
+    "concat(substring(text, 1, 10), CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '' "
+    "WHEN 1 THEN ' Привет мир Привет мир Привет' "
+    "WHEN 2 THEN ' 世界 你好 商店 世界 你好' "
+    "ELSE ' مرحبا بالعالم مرحبا بالعالم 123' END)"
+)
+
+
+def _script_cols(d):
+    from mallarddv_spark.operators.textops import script_profile
+
+    sp = script_profile(
+        d.select("doc_id", F.expr(SCRIPT_SYNTH).alias("text")),
+        "doc_id", "text",
+    )
+    return sp.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_script_chars"),
+        F.round(F.col("latin_frac") * 1e6).cast("bigint").alias("latin_f6"),
+        F.round(F.col("cyrillic_frac") * 1e6).cast("bigint").alias(
+            "cyrillic_f6"
+        ),
+        F.round(F.col("han_frac") * 1e6).cast("bigint").alias("han_f6"),
+        F.round(F.col("arabic_frac") * 1e6).cast("bigint").alias(
+            "arabic_f6"
+        ),
+        "dominant_script",
     )
 
 
@@ -4025,6 +4063,45 @@ def _o_text_doc_stats() -> str:
         r"len(regexp_extract_all(text,"
         r" '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))"
     )
+    from mallarddv_spark.operators.textops import _SCRIPT_CLASSES
+
+    synth = (
+        "concat(substring(text, 1, 10), CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '' "
+        "WHEN 1 THEN ' Привет мир Привет мир Привет' "
+        "WHEN 2 THEN ' 世界 你好 商店 世界 你好' "
+        "ELSE ' مرحبا بالعالم مرحبا بالعالم 123' END)"
+    )
+    nz = r"length(regexp_replace(text2, '\s', '', 'g'))"
+    cnt = {
+        name: "len(regexp_extract_all(text2, '["
+        + re2.replace("\\\\", "\\") + "]'))"
+        for name, _, re2 in _SCRIPT_CLASSES
+    }
+    frac6 = {
+        name: (
+            f"CASE WHEN {nz} = 0 THEN 0 ELSE round(round(cast({c} as double)"
+            f" / {nz}, 6) * 1e6) END::BIGINT"
+        )
+        for name, c in cnt.items()
+    }
+    dom = (
+        f"CASE WHEN {nz} = 0 THEN 'none' "
+        + " ".join(
+            f"WHEN {cnt[name]} >= greatest("
+            + ",".join(cnt[n2] for n2, _, _ in _SCRIPT_CLASSES)
+            + f") AND {cnt[name]} > 0 THEN '{name}'"
+            for name, _, _ in _SCRIPT_CLASSES
+        )
+        + " ELSE 'other' END"
+    )
+    script_cols = (
+        f"{nz}::BIGINT AS n_script_chars,\n       "
+        + ",\n       ".join(
+            f"{frac6[name]} AS {name}_f6"
+            for name in ("latin", "cyrillic", "han", "arabic")
+        )
+        + f",\n       {dom} AS dominant_script"
+    )
     return rf"""
 SELECT doc_id,
        len({toks}) AS n_tokens,
@@ -4041,8 +4118,9 @@ SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))) AS norm_fp,
        md5(array_to_string(list_sort({toks}), ' ')) AS sorted_fp,
        cast({bpe} as bigint) AS n_bpe_tokens,
-       round(cast({bpe} as double) / len({toks}), 6) AS bpe_ratio
-FROM documents
+       round(cast({bpe} as double) / len({toks}), 6) AS bpe_ratio,
+       {script_cols}
+FROM (SELECT *, {synth} AS text2 FROM documents) d2
 """
 
 

@@ -1903,3 +1903,40 @@ def test_load_arpa_and_score_full_circle(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(DVConfigurationError, match="order"):
         textops.score_arpa_logprob(test, "doc_id", "text", loaded, order=9)
+
+
+def test_script_profile(spark):
+    """Unicode-script composition: fractions over non-whitespace chars,
+    fixed-order dominant argmax, 'none' for empty docs, digits counted
+    separately from Latin."""
+    rows = [
+        (1, "hello plain latin words", "latin"),
+        (2, "Привет мир Привет", "cyrillic"),
+        (3, "世界 你好 мир", "han"),          # 4 han vs 3 cyr
+        (4, "مرحبا بالعالم", "arabic"),
+        (5, "123 456", "digit"),
+        (6, "   ", "none"),
+        (7, "!!! ???", "other"),
+        (8, "mixed Привет text", "latin"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id bigint, text string"
+    )
+    got = {r.id: r for r in textops.script_profile(
+        df, "doc_id", "text").collect()}
+    for i, _, dom in rows:
+        assert got[i].dominant_script == dom, (i, got[i])
+    assert got[3].han_frac == round(4 / 7, 6)
+    assert got[3].cyrillic_frac == round(3 / 7, 6)
+    assert got[6].n_script_chars == 0 and got[6].latin_frac == 0.0
+    assert got[7].other_frac == 1.0
+    # fractions sum to 1 on the grid for non-empty docs
+    for i, _, dom in rows:
+        r = got[i]
+        if r.n_script_chars:
+            total = (r.latin_frac + r.cyrillic_frac + r.han_frac
+                     + r.arabic_frac + r.digit_frac + r.other_frac)
+            assert abs(total - 1.0) < 1e-5, (i, total)
+    from mallarddv_spark.plans.audit import plan_report
+    assert plan_report(textops.script_profile(
+        df, "doc_id", "text"))["python_stages"] == 0
