@@ -28,14 +28,89 @@ def asof_join(
     right_ts: str,
     right_payload: list[str] | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.right_ts <= left.left_ts`` and the same key ``on``
-    (backward as-of join; unmatched left rows keep NULL payload).
+    """For each left row, attach one right row with the same key ``on``
+    (the pandas ``merge_asof`` surface; unmatched left rows keep NULL
+    payload):
+
+    * ``direction="backward"`` (default) — the LATEST right row with
+      ``right_ts <= left_ts`` (the original attribution shape);
+    * ``"forward"`` — the EARLIEST right row with
+      ``right_ts >= left_ts`` (next-event attribution: "first purchase
+      AFTER the campaign email");
+    * ``"nearest"`` — whichever of the two is closer in time, ties
+      preferring backward (deterministic).
+
+    ``tolerance`` bounds the match distance: a matched row further than
+    ``tolerance`` is discarded (NULL payload). Seconds for timestamp
+    columns, same-unit for numeric ones. Correctness note: the
+    backward match is the single latest candidate, so if IT fails the
+    tolerance no earlier candidate can pass (symmetric for forward) —
+    post-filtering is exact, not an approximation.
 
     Returns all left columns plus right payload columns (suffixed on
     collision) and ``{right_ts}{suffix}`` — the matched right timestamp.
+
+    Scale shape unchanged from the original: union-tag-window per key —
+    one shuffle, no join; ``nearest`` runs the window twice (both
+    directions) and combines with a projection.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "asof_join: direction must be backward | forward | nearest"
+        )
+    if direction == "nearest":
+        back = asof_join(left, right, on, left_ts, right_ts,
+                         right_payload, suffix + "__b", "backward",
+                         tolerance)
+        fwd = asof_join(left, right, on, left_ts, right_ts,
+                        right_payload, suffix + "__f", "forward",
+                        tolerance)
+        if right_payload is None:
+            right_payload = [
+                c for c in right.columns if c not in (on, right_ts)
+            ]
+        if right_ts in left.columns:
+            ts_b, ts_f = right_ts + suffix + "__b", right_ts + suffix + "__f"
+        else:
+            ts_b = ts_f = right_ts
+        ts_out = right_ts + suffix if right_ts in left.columns else right_ts
+        # re-join the two passes on the full left row; duplicate left
+        # rows pair arbitrarily but receive IDENTICAL matches from each
+        # directional pass (same key, same ts), so any pairing is right
+        lcols = list(left.columns)
+        from pyspark.sql import Window as _W
+        w = _W.partitionBy(*lcols).orderBy(F.lit(1))
+        b = back.withColumn("__rn", F.row_number().over(w))
+        f = fwd.withColumn("__rn", F.row_number().over(w))
+        joined = b.join(
+            f.select(
+                *lcols, "__rn",
+                *[F.col(c + suffix + "__f" if c + suffix + "__f" in f.columns
+                        else c).alias("__f_" + c) for c in right_payload],
+                F.col(ts_f).alias("__f_ts"),
+            ),
+            lcols + ["__rn"],
+        )
+        d_b = _abs_delta(joined, left_ts, ts_b)
+        d_f = _abs_delta(joined, left_ts, "__f_ts")
+        use_b = F.col(ts_b).isNotNull() & (
+            F.col("__f_ts").isNull() | (d_b <= d_f)
+        )
+        sel = [F.col(c) for c in lcols]
+        for c in right_payload:
+            bcol = c + suffix + "__b" if c + suffix + "__b" in joined.columns else c
+            out_name = c + suffix if c in left.columns else c
+            sel.append(
+                F.when(use_b, F.col(bcol))
+                .otherwise(F.col("__f_" + c)).alias(out_name)
+            )
+        sel.append(
+            F.when(use_b, F.col(ts_b)).otherwise(F.col("__f_ts")).alias(ts_out)
+        )
+        return joined.select(*sel)
     if right_payload is None:
         right_payload = [
             c for c in right.columns if c not in (on, right_ts)
@@ -71,10 +146,15 @@ def asof_join(
     )
 
     # right rows sort before left rows at equal ts (is_left asc) so a left row
-    # at t sees a right row at exactly t
+    # at t sees a right row at exactly t; forward = the same scan over
+    # ts DESC (the earliest >= t is the last one seen walking backward)
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward"
+        else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(ts_order, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = tagged.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
@@ -83,7 +163,29 @@ def asof_join(
         *[F.col(f"__last_r.{src}").alias(dst) for src, dst in payload_out],
         F.col(f"__last_r.{right_ts}").alias(ts_out),
     )
+    if tolerance is not None:
+        within = _abs_delta(out, left_ts, ts_out) <= float(tolerance)
+        out = out.select(
+            *l_cols,
+            *[
+                F.when(within, F.col(dst)).alias(dst)
+                for _, dst in payload_out
+            ],
+            F.when(within, F.col(ts_out)).alias(ts_out),
+        )
     return out
+
+
+def _abs_delta(df: DataFrame, a: str, b: str):
+    """|a − b| as double — seconds for timestamp columns (via
+    ``timestampdiff``, the NTZ-safe arithmetic), plain difference for
+    numeric ones."""
+    t = dict(df.dtypes)[a]
+    if t.startswith("timestamp"):
+        return F.abs(
+            F.expr(f"timestampdiff(MICROSECOND, `{b}`, `{a}`)").cast("double")
+        ) / F.lit(1e6)
+    return F.abs(F.col(a).cast("double") - F.col(b).cast("double"))
 
 
 def pit_table(

@@ -82,3 +82,66 @@ def test_pit_table(spark):
     jan_k2 = rows[("k2", _ts("2024-01-31 23:59:59"))]
     assert jan_k2.sat_a_load_dts == _ts("2024-01-15 00:00:00")
     assert jan_k2.sat_b_load_dts is None
+
+
+def test_asof_directions_and_tolerance(spark):
+    """merge_asof surface: forward = earliest >= , nearest = closer side
+    with ties preferring backward, tolerance nulls far matches exactly
+    (the single candidate per side makes post-filtering exact)."""
+    from mallarddv_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10.0), ("u1", 25.0), ("u2", 5.0)], "uid string, t double")
+    right = spark.createDataFrame(
+        [("u1", 8.0, "a"), ("u1", 12.0, "b"), ("u1", 30.0, "c"),
+         ("u2", 50.0, "d")],
+        "uid string, rt double, tag string")
+
+    back = {(r.uid, r.t): (r.tag, r.rt) for r in asof_join(
+        left, right, "uid", "t", "rt").collect()}
+    assert back[("u1", 10.0)] == ("a", 8.0)
+    assert back[("u1", 25.0)] == ("b", 12.0)
+    assert back[("u2", 5.0)] == (None, None)
+
+    fwd = {(r.uid, r.t): (r.tag, r.rt) for r in asof_join(
+        left, right, "uid", "t", "rt", direction="forward").collect()}
+    assert fwd[("u1", 10.0)] == ("b", 12.0)
+    assert fwd[("u1", 25.0)] == ("c", 30.0)
+    assert fwd[("u2", 5.0)] == ("d", 50.0)
+
+    near = {(r.uid, r.t): (r.tag, r.rt) for r in asof_join(
+        left, right, "uid", "t", "rt", direction="nearest").collect()}
+    assert near[("u1", 10.0)] == ("a", 8.0)   # tie (2 vs 2): backward
+    assert near[("u1", 25.0)] == ("c", 30.0)  # 5 < 13
+    assert near[("u2", 5.0)] == ("d", 50.0)   # only forward exists
+
+    tol = {(r.uid, r.t): (r.tag, r.rt) for r in asof_join(
+        left, right, "uid", "t", "rt", direction="nearest",
+        tolerance=3.0).collect()}
+    assert tol[("u1", 10.0)] == ("a", 8.0)
+    assert tol[("u1", 25.0)] == (None, None)
+    assert tol[("u2", 5.0)] == (None, None)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="direction"):
+        asof_join(left, right, "uid", "t", "rt", direction="sideways")
+
+
+def test_asof_forward_tolerance_on_timestamps(spark):
+    """Tolerance counts SECONDS on timestamp columns (timestampdiff —
+    the NTZ-safe arithmetic)."""
+    from mallarddv_spark.operators.asof import asof_join
+
+    left = spark.sql(
+        "SELECT 'u' AS uid, timestamp'2025-01-01 00:00:10' AS t"
+    )
+    right = spark.sql(
+        "SELECT 'u' AS uid, timestamp'2025-01-01 00:00:25' AS rt, "
+        "'x' AS tag"
+    )
+    hit = asof_join(left, right, "uid", "t", "rt",
+                    direction="forward", tolerance=20.0).first()
+    assert hit.tag == "x"
+    miss = asof_join(left, right, "uid", "t", "rt",
+                     direction="forward", tolerance=10.0).first()
+    assert miss.tag is None
