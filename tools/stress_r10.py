@@ -260,6 +260,76 @@ def stress_arpa(spark):
 
 STAGES.update({"ffd": stress_ffd, "arpa": stress_arpa})
 
+def stress_textproj(spark):
+    """script_profile + html_to_text at sf1 — pure projections; the
+    stress pins wall and Python-free plans at 50k docs."""
+    from mallarddv_spark.operators.curation import html_to_text
+    from mallarddv_spark.operators.textops import script_profile
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    t0 = time.monotonic()
+    sp = script_profile(docs, "doc_id", "text")
+    n1 = sp.count()
+    t1 = time.monotonic() - t0
+    t0 = time.monotonic()
+    wrapped = docs.selectExpr(
+        "doc_id",
+        "concat('<html><body><h1>T</h1><p>', text, "
+        "'</p><!-- c --></body></html>') AS html",
+    )
+    ext = wrapped.select("doc_id", html_to_text("html").alias("text"))
+    n2 = ext.count()
+    emit(op="script_and_html", docs=n1, script_sec=round(t1, 2),
+         html_sec=round(time.monotonic() - t0, 2), extracted=n2,
+         plan_script=plan_report(sp), plan_html=plan_report(ext))
+
+
+def stress_fuzzy_decon(spark):
+    """fuzzy_decontaminate at sf1: 50k train docs vs a 500-doc
+    benchmark drawn FROM the corpus (guaranteed verbatim hits) + their
+    one-word edits (paraphrase hits)."""
+    from mallarddv_spark.operators.curation import fuzzy_decontaminate
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    bench = docs.filter("doc_id % 100 = 0").limit(500).select(
+        F.col("doc_id").alias("qid"),
+        F.regexp_replace("text", "^\\S+", "edited").alias("question"),
+    )
+    t0 = time.monotonic()
+    out = fuzzy_decontaminate(docs, bench, "doc_id", "text",
+                              bench_id_col="qid",
+                              bench_text_col="question",
+                              threshold=0.5)
+    hits = out.filter("contaminated").count()
+    emit(op="fuzzy_decontaminate", sec=round(time.monotonic() - t0, 2),
+         train=out.count(), bench=500, contaminated=hits,
+         plan=plan_report(out))
+
+
+def stress_asof_dirs(spark):
+    """forward/nearest as-of on the 1M-row sf1 events table."""
+    from mallarddv_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{SF1}/events.parquet")
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "user_id", "ts AS ct")
+    buys = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id", "ts AS pt", "event_id AS pid")
+    for d in ("forward", "nearest"):
+        t0 = time.monotonic()
+        out = asof_join(clicks, buys, "user_id", "ct", "pt", direction=d)
+        n = out.count()
+        matched = out.filter("pid IS NOT NULL").count()
+        emit(op=f"asof_{d}", sec=round(time.monotonic() - t0, 2),
+             rows=n, matched=matched)
+
+
+STAGES.update({
+    "textproj": stress_textproj,
+    "fuzzydecon": stress_fuzzy_decon,
+    "asofdirs": stress_asof_dirs,
+})
+
 
 
 if __name__ == "__main__":
