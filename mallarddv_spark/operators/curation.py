@@ -2331,3 +2331,48 @@ def fuzzy_decontaminate(
             "max_est_jaccard",
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool = False,
+) -> DataFrame:
+    """Diff two corpus snapshots by document id and content
+    fingerprint — the audit a pipeline runs between crawl drops before
+    re-spending dedup/tokenize compute: ``(id, verdict)`` with verdict
+    ∈ ``added`` (id only in new), ``removed`` (id only in old),
+    ``changed`` (same id, different content), ``unchanged``.
+
+    ``normalize=True`` fingerprints whitespace-collapsed lowercase text
+    (the :func:`incremental_dedup` normalization), so formatting-only
+    churn counts as unchanged.
+
+    Scale shape: one md5 projection per side + one full-outer hash
+    join on the id — no windows, no collects; verdict counts are one
+    further groupBy. Duplicate ids within a snapshot are collapsed to
+    their min fingerprint first (deterministic; a snapshot SHOULD be
+    id-unique — run :func:`incremental_dedup` upstream if not)."""
+    content = F.col(text_col)
+    if normalize:
+        content = F.trim(F.regexp_replace(F.lower(content), r"\s+", " "))
+    fp = F.md5(content)
+
+    def side(df, name):
+        return (
+            df.select(F.col(id_col).alias("id"), fp.alias(name))
+            .groupBy("id")
+            .agg(F.min(name).alias(name))
+        )
+
+    o = side(old, "__old_fp")
+    n = side(new, "__new_fp")
+    verdict = (
+        F.when(F.col("__old_fp").isNull(), F.lit("added"))
+        .when(F.col("__new_fp").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp") == F.col("__new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "id", "full_outer").select("id", verdict.alias("verdict"))

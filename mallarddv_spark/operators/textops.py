@@ -1243,6 +1243,32 @@ def script_profile(
     )
 
 
+def split_sentences(text: Column | str) -> Column:
+    """Sentence segmentation as ONE regex split — ``array<string>`` of
+    sentences: boundaries are ``. ! ?`` runs followed by whitespace and
+    an upper-case/digit/quote opener (the lookaround keeps the
+    terminator WITH its sentence). The chunking tier splits on token
+    windows regardless of meaning; this gives the sentence-aware
+    alternative for boundary-respecting packing and per-sentence
+    quality signals.
+
+    Heuristic by design, like every regex segmenter: abbreviations
+    ("Dr. Smith") and decimal points inside numbers are handled (no
+    split without following whitespace + opener; single-letter
+    initials like "J. K." stay glued only when the next char is not an
+    opener — documented residual: "Mr. Smith" DOES split, a lexicon
+    job, not a regex job). Empty/whitespace-only text yields an empty
+    array."""
+    s = F.col(text) if isinstance(text, str) else text
+    # two bounded lookbehind branches: terminator directly before the
+    # whitespace, or terminator + one closing quote/bracket
+    parts = F.split(
+        F.trim(s),
+        r"(?:(?<=[.!?][\"')\]])|(?<=[.!?]))\s+(?=[\"'A-Z0-9(])",
+    )
+    return F.filter(parts, lambda x: F.trim(x) != "")
+
+
 def pack_bins_ffd(
     df: DataFrame,
     id_col: str,

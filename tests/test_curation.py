@@ -1305,3 +1305,31 @@ def test_fuzzy_decontaminate(spark):
         train, bench, "doc_id", "text",
         bench_id_col="qid", bench_text_col="question"))
     assert rep["python_stages"] == 0
+
+
+def test_corpus_diff(spark):
+    """Snapshot diff by id + content fingerprint: added / removed /
+    changed / unchanged; normalize=True makes formatting-only churn
+    unchanged; duplicate ids collapse deterministically."""
+    from mallarddv_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "e f"), (5, "x  Y")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(2, "c d"), (3, "e CHANGED"), (4, "new doc"), (5, "x y")],
+        ["doc_id", "text"])
+    got = {r.id: r.verdict
+           for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "added", 5: "changed"}
+    norm = {r.id: r.verdict
+            for r in corpus_diff(old, new, "doc_id", "text",
+                                 normalize=True).collect()}
+    assert norm[5] == "unchanged"  # case + whitespace only
+    # duplicate ids collapse to min fingerprint on both sides
+    dup_old = old.unionByName(
+        spark.createDataFrame([(1, "a b")], ["doc_id", "text"]))
+    got2 = {r.id: r.verdict
+            for r in corpus_diff(dup_old, new, "doc_id", "text").collect()}
+    assert got2[1] == "removed"

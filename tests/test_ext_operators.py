@@ -1940,3 +1940,25 @@ def test_script_profile(spark):
     from mallarddv_spark.plans.audit import plan_report
     assert plan_report(textops.script_profile(
         df, "doc_id", "text"))["python_stages"] == 0
+
+
+def test_split_sentences(spark):
+    """Regex sentence segmentation: terminator runs, decimals kept
+    whole, closing quotes, no-terminator and empty texts."""
+    rows = [
+        (1, "First sentence. Second one! Is this third? Yes.",
+         ["First sentence.", "Second one!", "Is this third?", "Yes."]),
+        (2, "Pi is 3.14 and that is fine. Next sentence.",
+         ["Pi is 3.14 and that is fine.", "Next sentence."]),
+        (3, "no terminator here", ["no terminator here"]),
+        (4, "   ", []),
+        (5, 'He said "Go." Then left.', ['He said "Go."', "Then left."]),
+        (6, "Really?! Are you sure... Yes.",
+         ["Really?!", "Are you sure...", "Yes."]),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "id bigint, text string")
+    got = {r.id: list(r.s) for r in df.select(
+        "id", textops.split_sentences("text").alias("s")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
