@@ -2376,3 +2376,67 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return o.join(n, "id", "full_outer").select("id", verdict.alias("verdict"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    by: str | None = None,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — ``k`` rows (per ``by``
+    group) drawn with probability proportional to ``weight_col``, the
+    Efraimidis–Spirakis A-ES scheme: each row gets the key
+    ``ln(u)/w`` with ``u`` uniform from a salted md5 hash of the id,
+    and the top-k keys are the sample. One projection + one
+    limit-protected top-k — no iteration, no replacement bookkeeping,
+    and the draw is a pure function of (content, salt): deterministic
+    across partitionings and re-runs, re-rollable by salt (the
+    :func:`split_assign` discipline; quality-weighted subset selection
+    without materializing a shuffle of the corpus).
+
+    Rows with NULL or non-positive weights are excluded (zero weight =
+    zero inclusion probability — exactly what A-ES prescribes).
+    Returns the sampled rows with their ``__es_key`` dropped; ties
+    (identical hash AND weight) break on the id — fully deterministic.
+
+    Scale shape: the global form is TakeOrderedAndProject (k rows to
+    the driver's single task, never a full sort); the grouped form is
+    a WindowGroupLimit-protected rank — both the plan shapes the KMV
+    build pins."""
+    if k < 1:
+        raise DVConfigurationError("weighted_sample: k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    # u in (0, 1]: 15 md5 hex chars -> 60-bit uniform; +1 avoids ln(0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt),
+                                       F.col(id_col).cast("string"))),
+                        1, 15),
+            16, 10,
+        ).cast("double") + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    # maximize u^(1/w) == maximize ln(u)/w  (ln(u) <= 0)
+    key = F.log(u) / w
+    base = (
+        df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
+        .withColumn("__es_key", key)
+    )
+    if by is None:
+        out = base.orderBy(
+            F.col("__es_key").desc(), F.col(id_col).asc()
+        ).limit(int(k))
+    else:
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(by).orderBy(
+            F.col("__es_key").desc(), F.col(id_col).asc()
+        )
+        out = (
+            base.withColumn("__es_rank", F.row_number().over(win))
+            .filter(F.col("__es_rank") <= int(k))
+            .drop("__es_rank")
+        )
+    return out.drop("__es_key")

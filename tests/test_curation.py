@@ -1333,3 +1333,51 @@ def test_corpus_diff(spark):
     got2 = {r.id: r.verdict
             for r in corpus_diff(dup_old, new, "doc_id", "text").collect()}
     assert got2[1] == "removed"
+
+
+def test_weighted_sample(spark):
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    exact size, layout determinism, salt re-roll, zero/NULL weights
+    excluded, per-group form, and weight-proportional inclusion
+    measured across salts (a 10x-weighted row must appear far more
+    often than a 1x row)."""
+    from mallarddv_spark.operators.curation import weighted_sample
+
+    rows = [(i, 10.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    s1 = weighted_sample(df, "doc_id", "w", k=30)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert len(ids1) == 30
+    # layout determinism
+    ids2 = sorted(r.doc_id for r in weighted_sample(
+        df.repartition(7), "doc_id", "w", k=30).collect())
+    assert ids1 == ids2
+    # salt re-rolls
+    ids3 = sorted(r.doc_id for r in weighted_sample(
+        df, "doc_id", "w", k=30, salt="other").collect())
+    assert ids1 != ids3
+    # zero/NULL weights never sampled
+    bad = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, None), (4, -1.0)],
+        "doc_id bigint, w double")
+    got = [r.doc_id for r in weighted_sample(bad, "doc_id", "w", k=4).collect()]
+    assert got == [1]
+    # inclusion tracks weight: across 30 salts, heavy rows (10% of pop,
+    # 10x weight) should take a clear majority of a k=30 sample
+    heavy_share = []
+    for s in range(30):
+        samp = weighted_sample(df, "doc_id", "w", k=30, salt=f"s{s}")
+        heavy_share.append(
+            sum(1 for r in samp.collect() if r.doc_id < 20) / 30.0)
+    mean_share = sum(heavy_share) / len(heavy_share)
+    assert mean_share > 0.35, mean_share   # population share is 0.10
+    # grouped form: k per group
+    g = df.withColumn("grp", (F.col("doc_id") % 2).cast("string"))
+    per = weighted_sample(g, "doc_id", "w", k=5, by="grp")
+    counts = {r.grp: r.c for r in
+              per.groupBy("grp").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"0": 5, "1": 5}
+    import pytest as _pt
+    from mallarddv_spark.exceptions import DVConfigurationError as _E
+    with _pt.raises(_E, match="k must"):
+        weighted_sample(df, "doc_id", "w", k=0)
