@@ -92,6 +92,115 @@ def connected_components(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 40,
+    tol: float | None = 1e-6,
+    weight: str | None = None,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list → ``(node,
+    rank)`` with ranks summing to 1 — the web-graph quality signal
+    corpus curation pipelines weight crawl sources by (Page et al. 1999;
+    Common Crawl publishes exactly this shape as its host-level ranks).
+
+    Semantics match the standard formulation: every node (appearing as
+    source OR target) starts at ``1/N``; each step a node keeps
+    ``(1-damping)/N`` teleport mass plus ``damping`` times the sum of
+    neighbor contributions ``rank/out_degree`` (or weight-proportional
+    when ``weight`` names an edge-weight column); the mass of DANGLING
+    nodes (no out-links — uncrawled frontier pages) is redistributed
+    uniformly, so total rank stays exactly 1 and ranks are comparable
+    across iterations.
+
+    ``tol`` stops when the L1 delta between consecutive rank vectors
+    drops below it (raising :class:`DVETLError` if ``max_iter`` rounds
+    don't get there). ``tol=None`` runs EXACTLY ``max_iter`` rounds —
+    the deterministic fixed-step mode a closed-form SQL replay can
+    verify.
+
+    Scale shape: the edge table is normalized once (one groupBy on the
+    source key for degrees, one join back) and checkpointed; each round
+    is one shuffle join of edges against the rank vector plus one
+    map-side-combined groupBy on the target key — the rank vector is
+    (node, rank) longs/doubles, never the corpus. The only driver-side
+    values are one row per round (dangling mass + L1 delta, the same
+    metadata class as :func:`connected_components`' convergence count).
+    Lineage is cut per round with ``localCheckpoint``. Hot in-degree
+    keys (everyone links to the homepage) are absorbed by the partial
+    aggregation, not a window.
+    """
+    if not (0.0 <= damping < 1.0):
+        raise DVETLError(f"pagerank: damping must be in [0, 1), got {damping}")
+    ew = F.col(weight).cast("double") if weight is not None else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("esrc"), F.col(dst).alias("edst"), ew.alias("ew")
+    )
+    out_mass = e.groupBy("esrc").agg(F.sum("ew").alias("wtot"))
+    edges_w = (
+        e.join(out_mass, "esrc")
+        .select("esrc", "edst", (F.col("ew") / F.col("wtot")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("esrc").alias("node"))
+        .unionByName(e.select(F.col("edst").alias("node")))
+        .distinct()
+        .join(out_mass.select(F.col("esrc").alias("node"),
+                              F.lit(False).alias("dangling")),
+              "node", "left")
+        .select("node", F.coalesce("dangling", F.lit(True)).alias("dangling"))
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    ranks = nodes.select(
+        "node", "dangling",
+        F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev"),
+    ).localCheckpoint(eager=True)
+    for i in range(max_iter):
+        row = ranks.agg(
+            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)),
+            F.sum(F.abs(F.col("rank") - F.col("prev"))),
+        ).collect()[0]
+        dm, delta = float(row[0]), float(row[1])
+        if tol is not None and i > 0 and delta < tol:
+            return ranks.select("node", "rank")
+        contrib = (
+            edges_w.join(ranks.select(F.col("node").alias("esrc"), "rank"),
+                         "esrc")
+            .select(F.col("edst").alias("node"),
+                    (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        base = (1.0 - damping) / n + damping * dm / n
+        ranks = (
+            ranks.select("node", "dangling", F.col("rank").alias("prev"))
+            .join(contrib, "node", "left")
+            .select(
+                "node", "dangling", "prev",
+                (F.lit(base)
+                 + damping * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            )
+            .select("node", "dangling", "rank", "prev")
+            .localCheckpoint(eager=True)
+        )
+    if tol is not None:
+        delta = ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev")))
+        ).collect()[0][0]
+        if delta >= tol:
+            raise DVETLError(
+                f"pagerank did not converge in {max_iter} rounds "
+                f"(L1 delta {delta:.3e} >= tol {tol:.1e})"
+            )
+    return ranks.select("node", "rank")
+
+
 def dedup_assign(
     df: DataFrame,
     id_col: str,

@@ -1,12 +1,17 @@
-"""Connected components vs a pure-Python union-find oracle, and the
-pair-list → dedup-verdict composition."""
+"""Connected components vs a pure-Python union-find oracle, the
+pair-list → dedup-verdict composition, and PageRank vs a pure-Python
+power-iteration reference."""
 
 import random
 
 import pytest
 from pyspark.sql import functions as F
 
-from mallarddv_spark.operators.graph import connected_components, dedup_assign
+from mallarddv_spark.operators.graph import (
+    connected_components,
+    dedup_assign,
+    pagerank,
+)
 
 
 def _uf_components(edges, nodes):
@@ -67,6 +72,99 @@ def test_cc_nonconvergence_raises(spark):
     df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     with pytest.raises(DVETLError, match="converge"):
         connected_components(df, max_iter=2)
+
+
+def _py_pagerank(edges, damping=0.85, iters=200, weights=None):
+    """Standard power iteration with uniform dangling redistribution —
+    the textbook reference (Page et al. 1999), dependency-free."""
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for idx, (a, b) in enumerate(edges):
+        w = 1.0 if weights is None else weights[idx]
+        out.setdefault(a, {})
+        out[a][b] = out[a].get(b, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(rank[v] for v in nodes if v not in out)
+        nxt = {v: (1.0 - damping) / n + damping * dm / n for v in nodes}
+        for a, tgts in out.items():
+            tot = sum(tgts.values())
+            for b, w in tgts.items():
+                nxt[b] += damping * rank[a] * w / tot
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_python_reference_random_digraph(spark):
+    rnd = random.Random(23)
+    n = 40
+    edges = sorted(
+        {(rnd.randrange(n), rnd.randrange(n)) for _ in range(120)}
+    )
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(df, max_iter=30, tol=None).collect()}
+    exp = _py_pagerank(edges, iters=30)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_with_dangling_nodes_conserves_mass(spark):
+    # 0->1->2, 2 dangling; 3->0
+    edges = [(0, 1), (1, 2), (3, 0)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(df, tol=1e-12, max_iter=100).collect()}
+    exp = _py_pagerank(edges, iters=400)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_directed_cycle_is_uniform(spark):
+    n = 6
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(df, tol=1e-12, max_iter=100).collect()}
+    for v in range(n):
+        assert got[v] == pytest.approx(1.0 / n, abs=1e-10)
+
+
+def test_pagerank_weighted_edges(spark):
+    edges = [(0, 1), (0, 2), (2, 0), (1, 0)]
+    weights = [3.0, 1.0, 1.0, 1.0]
+    df = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in zip(edges, weights)],
+        ["src", "dst", "w"],
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, weight="w", tol=1e-12, max_iter=200).collect()
+    }
+    exp = _py_pagerank(edges, iters=400, weights=weights)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-9)
+    # node 1 gets 3x node 2's share of node 0's mass
+    assert got[1] > got[2]
+
+
+def test_pagerank_nonconvergence_raises(spark):
+    from mallarddv_spark.exceptions import DVETLError
+
+    edges = [(i, (i + 1) % 10) for i in range(10)] + [(0, 5), (7, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(DVETLError, match="converge"):
+        pagerank(df, tol=1e-15, max_iter=2)
+
+
+def test_pagerank_bad_damping_raises(spark):
+    from mallarddv_spark.exceptions import DVETLError
+
+    df = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    with pytest.raises(DVETLError, match="damping"):
+        pagerank(df, damping=1.0)
 
 
 def test_dedup_assign_composes_with_pairs(spark):
