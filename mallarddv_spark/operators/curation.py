@@ -16,9 +16,11 @@ broadcast so the 100 TB corpus side never moves.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
-from mallarddv_spark.exceptions import DVConfigurationError
+from mallarddv_spark.exceptions import DVConfigurationError, DVETLError
 from mallarddv_spark.operators.dedup import _shingles
 
 # ---------------------------------------------------------------------------
@@ -1023,6 +1025,270 @@ def load_nb_classifier(spark, path: str) -> dict:
     return {
         "model": spark.read.parquet(f"{path}/model"),
         "priors": spark.read.parquet(f"{path}/priors"),
+        "buckets": int(p.buckets),
+        "n_max": int(p.n_max),
+        "hash_mode": p.hash_mode,
+        "lowercase": bool(p.lowercase),
+    }
+
+
+def train_lr_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    buckets: int = 8192,
+    n_max: int = 2,
+    iters: int = 60,
+    lr: float = 1.0,
+    reg: float = 1e-4,
+    hash_mode: str = "xxhash64",
+    lowercase: bool = True,
+) -> dict:
+    """Binary logistic regression over hashed bag-of-n-grams features —
+    the TRAINED half of the fastText-style quality-filter pair (the
+    GPT-3 / CCNet / FineWeb-Edu "does this look like the reference
+    corpus" classifier; Brown et al. 2020 §A, Wenzek et al. 2020).
+    :func:`train_nb_classifier` is the closed-form generative sibling;
+    this is the discriminative one — same hashed feature space, directly
+    optimized decision boundary, calibrated sigmoid scores that
+    :func:`pareto_keep` can threshold stochastically.
+
+    ``label_col`` must be 0/1 (castable); NULL-label rows are ignored.
+    Training is full-batch ADAGRAD (Duchi et al. 2011) on L2-regularized
+    log-loss over per-document TF-NORMALIZED counts (``cnt/Σcnt`` —
+    bounds every feature in [0,1]); the per-bucket accumulated-square
+    preconditioner is what makes one global ``lr`` work across rare and
+    common n-gram buckets, the standard choice for sparse text features.
+    Deterministic: no sampling, no init randomness (weights start at 0),
+    so retraining on the same corpus reproduces the same model up to
+    float-sum order.
+
+    Returns ``{"weights": DF(bucket, w), "bias": float,
+    "loss_history": [per-iter mean log-loss], ...params}``.
+
+    Scale shape: features are built ONCE (one explode + one groupBy,
+    then checkpointed); each iteration is two shuffles on doc_id
+    (margin groupBy, error join-back) plus one bounded groupBy on
+    bucket (≤ ``buckets`` rows), with the weight vector riding a
+    broadcast both ways — the corpus itself never re-shuffles and no
+    driver-side loop touches data (the only collect is the one-row
+    (grad_bias, loss) pair per iteration, the same metadata class as
+    :func:`~mallarddv_spark.operators.graph.pagerank`'s convergence
+    row). fastText's own trainer is asynchronous SGD on one node;
+    full-batch GD is the order-free equivalent that distributes.
+    """
+    if buckets <= 0:
+        raise DVConfigurationError(
+            f"train_lr_classifier: buckets must be positive, got {buckets}"
+        )
+    if iters <= 0 or lr <= 0:
+        raise DVConfigurationError(
+            f"train_lr_classifier: iters and lr must be positive, "
+            f"got iters={iters} lr={lr}"
+        )
+    labeled = df.filter(F.col(label_col).isNotNull())
+    # hashed_ngram_features needs an id column; a row-content hash would
+    # collide on duplicate rows, so use monotonically_increasing_id,
+    # pinned by an eager checkpoint so every downstream pass sees the
+    # SAME assignment.
+    base = labeled.select(
+        F.monotonically_increasing_id().alias("__lrid"),
+        F.col(label_col).cast("double").alias("__y"),
+        F.col(text_col).alias("__txt"),
+    ).localCheckpoint(eager=True)
+    feats = (
+        hashed_ngram_features(
+            base, "__lrid", "__txt", buckets=buckets, n_max=n_max,
+            hash_mode=hash_mode, lowercase=lowercase,
+        )
+        .withColumnRenamed("doc_id", "__lrid")
+    )
+    tot = feats.groupBy("__lrid").agg(F.sum("cnt").alias("__tot"))
+    feats = (
+        feats.join(tot, "__lrid")
+        .select("__lrid", "bucket",
+                (F.col("cnt") / F.col("__tot")).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    docs = (
+        base.select("__lrid", "__y")
+        .join(feats.select("__lrid").distinct(), "__lrid")
+        .localCheckpoint(eager=True)
+    )
+    n = docs.count()
+    if n == 0:
+        raise DVETLError(
+            "train_lr_classifier: no labeled documents with features"
+        )
+    spark = df.sparkSession
+    weights = spark.range(buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.lit(0.0).alias("w"), F.lit(0.0).alias("gsq"),
+    ).localCheckpoint(eager=True)
+    bias = 0.0
+    bias_gsq = 0.0
+    eps = 1e-8
+    history: list[float] = []
+    for _ in range(iters):
+        margins = (
+            feats.join(F.broadcast(weights), "bucket")
+            .groupBy("__lrid")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("__s"))
+        )
+        errs = (
+            docs.join(margins, "__lrid", "left")
+            .select(
+                "__lrid", "__y",
+                (F.lit(1.0)
+                 / (F.lit(1.0)
+                    + F.exp(-(F.coalesce("__s", F.lit(0.0))
+                              + F.lit(bias))))).alias("__p"),
+            )
+            .select(
+                "__lrid",
+                (F.col("__p") - F.col("__y")).alias("__e"),
+                (-(F.col("__y")
+                   * F.log(F.greatest("__p", F.lit(1e-15))))
+                 - (F.lit(1.0) - F.col("__y"))
+                 * F.log(F.greatest(F.lit(1.0) - F.col("__p"),
+                                    F.lit(1e-15)))).alias("__l"),
+            )
+        )
+        # one pass computes both the bias gradient and the loss; the
+        # per-bucket gradient reuses the same error frame
+        errs = errs.localCheckpoint(eager=True)
+        row = errs.agg(F.avg("__e"), F.avg("__l")).collect()[0]
+        grad_b, loss = float(row[0]), float(row[1])
+        history.append(loss)
+        grad = (
+            feats.join(errs.select("__lrid", "__e"), "__lrid")
+            .groupBy("bucket")
+            .agg((F.sum(F.col("x") * F.col("__e")) / F.lit(float(n)))
+                 .alias("__g"))
+        )
+        gt = F.coalesce("__g", F.lit(0.0)) + F.lit(reg) * F.col("w")
+        weights = (
+            weights.join(grad, "bucket", "left")
+            .select(
+                "bucket",
+                (F.col("w")
+                 - F.lit(lr) * gt
+                 / F.sqrt(F.col("gsq") + gt * gt + F.lit(eps))).alias("w"),
+                (F.col("gsq") + gt * gt).alias("gsq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        bias_gsq += grad_b * grad_b
+        bias -= lr * grad_b / math.sqrt(bias_gsq + eps)
+    return {
+        "weights": weights.select("bucket", "w"),
+        "bias": bias,
+        "loss_history": history,
+        "buckets": buckets,
+        "n_max": n_max,
+        "hash_mode": hash_mode,
+        "lowercase": lowercase,
+    }
+
+
+def lr_classify(
+    df: DataFrame, id_col: str, text_col: str, model: dict
+) -> DataFrame:
+    """Score documents under a :func:`train_lr_classifier` model:
+    ``(doc_id, score, predicted)`` where ``score`` is the sigmoid
+    probability of the positive class and ``predicted = score > 0.5``.
+    Buckets outside the trained space contribute nothing; documents with
+    no features score the bias alone (the prior), matching the trainer's
+    empty-margin convention.
+
+    One explode + one groupBy per document plus a broadcast join of the
+    ≤ ``buckets``-row weight vector — whole-stage-codegen throughout.
+    """
+    feats = hashed_ngram_features(
+        df, id_col, text_col, buckets=model["buckets"],
+        n_max=model["n_max"], hash_mode=model["hash_mode"],
+        lowercase=model["lowercase"],
+    )
+    tot = feats.groupBy("doc_id").agg(F.sum("cnt").alias("__tot"))
+    margins = (
+        feats.join(tot, "doc_id")
+        .join(F.broadcast(model["weights"]), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") / F.col("__tot") * F.col("w")).alias("__s"))
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(margins, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.lit(1.0)
+             / (F.lit(1.0)
+                + F.exp(-(F.coalesce("__s", F.lit(0.0))
+                          + F.lit(float(model["bias"])))))).alias("score"),
+        )
+    )
+    return out.withColumn("predicted", F.col("score") > 0.5)
+
+
+def pareto_keep(
+    score_col: Column | str,
+    id_col: Column | str,
+    alpha: float = 9.0,
+    salt: str = "pareto",
+) -> Column:
+    """GPT-3's stochastic quality admission (Brown et al. 2020 §A) as a
+    deterministic boolean column: a document is kept when
+    ``pareto_draw(alpha) > 1 - score`` — high-scoring documents almost
+    always survive, low-scoring ones survive with heavy-tailed luck, so
+    the kept corpus stays diverse instead of collapsing onto the
+    classifier's mode.
+
+    The Lomax/Pareto draw is replayed deterministically from
+    ``md5(salt || id)`` (``u ∈ (0,1)``, draw ``= (1-u)^(-1/alpha) - 1``)
+    — re-running the filter reproduces the same verdicts, and different
+    ``salt`` values give independent resamples. Pure projection, no
+    shuffle, engine-portable.
+    """
+    if alpha <= 0:
+        raise DVConfigurationError(
+            f"pareto_keep: alpha must be positive, got {alpha}"
+        )
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), idc.cast("string"))),
+                           1, 15), 16, 10).cast("double")
+        / F.lit(float(16 ** 15))
+    )
+    draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return draw > (F.lit(1.0) - sc)
+
+
+def save_lr_classifier(model: dict, path: str) -> None:
+    """Persist a :func:`train_lr_classifier` model: ``{path}/weights``
+    parquet plus a one-row ``{path}/params`` parquet carrying the bias
+    and feature-space parameters (written LAST — the completeness-marker
+    convention shared with :func:`save_nb_classifier`)."""
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    model["weights"].write.mode("overwrite").parquet(f"{path}/weights")
+    spark = model["weights"].sparkSession
+    literal_frame(
+        spark,
+        [(float(model["bias"]), model["buckets"], model["n_max"],
+          model["hash_mode"], bool(model["lowercase"]))],
+        "bias double, buckets int, n_max int, hash_mode string, "
+        "lowercase boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_lr_classifier(spark, path: str) -> dict:
+    """Load a model persisted by :func:`save_lr_classifier`."""
+    p = spark.read.parquet(f"{path}/params").first()
+    return {
+        "weights": spark.read.parquet(f"{path}/weights"),
+        "bias": float(p.bias),
+        "loss_history": [],
         "buckets": int(p.buckets),
         "n_max": int(p.n_max),
         "hash_mode": p.hash_mode,
