@@ -284,3 +284,53 @@ def test_bloom_append_crash_midswap_heals(spark, tmp_path):
         ).alias("hit")
     )
     assert hit2.filter("NOT hit").count() == 0
+
+
+def test_bloom_semi_join_superset_and_leak_rate(spark):
+    big = spark.range(0, 6000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        (F.col("id") * 2).alias("payload"),
+    )
+    keys = spark.range(0, 1500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    got = B.bloom_semi_join(big, "k", keys, fpp=0.01)
+    exact = big.join(keys, "k", "left_semi")
+    # superset: every exact-match row survives, payload intact
+    assert got.join(exact, ["k", "payload"], "left_semi").count() == 1500
+    assert exact.join(got, ["k", "payload"], "left_semi").count() == 1500
+    # non-members leak at ~fpp: 4500 candidates at 1% -> ~45 expected
+    leaked = got.count() - 1500
+    assert 0 <= leaked < 200
+
+
+def test_bloom_semi_join_exact_mode_matches_left_semi(spark):
+    big = spark.range(0, 4000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    keys = spark.range(0, 1000).select(
+        F.concat(F.lit("k"), (F.col("id") * 3)).alias("kk")
+    )
+    got = B.bloom_semi_join(big, "k", keys, keys_col="kk", fpp=0.05,
+                            exact=True)
+    exact = big.join(keys.select(F.col("kk").alias("k")), "k", "left_semi")
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in exact.collect()
+    )
+
+
+def test_bloom_semi_join_null_keys_dropped(spark):
+    big = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "k string"
+    )
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    got = B.bloom_semi_join(big, "k", keys, fpp=0.01)
+    assert sorted(r.k for r in got.collect()) == ["a", "b"]
+
+
+def test_bloom_semi_join_probe_side_never_shuffles(spark):
+    big = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+    keys = spark.range(0, 10).select(F.col("id").cast("string").alias("k"))
+    plan = B.bloom_semi_join(big, "k", keys, fpp=0.01)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "SortMergeJoin" not in plan
