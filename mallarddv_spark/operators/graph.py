@@ -125,9 +125,11 @@ def pagerank(
     source key for degrees, one join back) and checkpointed; each round
     is one shuffle join of edges against the rank vector plus one
     map-side-combined groupBy on the target key — the rank vector is
-    (node, rank) longs/doubles, never the corpus. The only driver-side
-    values are one row per round (dangling mass + L1 delta, the same
-    metadata class as :func:`connected_components`' convergence count).
+    (node, rank) longs/doubles, never the corpus. The dangling mass
+    rides the round's own plan as a one-row broadcast, so exact-step
+    mode does ZERO driver round-trips; tol mode collects one L1-delta
+    row per round (the same metadata class as
+    :func:`connected_components`' convergence count).
     Lineage is cut per round with ``localCheckpoint``. Hot in-degree
     keys (everyone links to the homepage) are absorbed by the partial
     aggregation, not a window.
@@ -162,13 +164,20 @@ def pagerank(
         F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev"),
     ).localCheckpoint(eager=True)
     for i in range(max_iter):
-        row = ranks.agg(
-            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)),
-            F.sum(F.abs(F.col("rank") - F.col("prev"))),
-        ).collect()[0]
-        dm, delta = float(row[0]), float(row[1])
-        if tol is not None and i > 0 and delta < tol:
-            return ranks.select("node", "rank")
+        if tol is not None and i > 0:
+            delta = ranks.agg(
+                F.sum(F.abs(F.col("rank") - F.col("prev")))
+            ).collect()[0][0]
+            if float(delta) < tol:
+                return ranks.select("node", "rank")
+        # the dangling mass stays IN-PLAN (a one-row broadcast) — in
+        # exact-step mode the whole round is therefore a single job with
+        # no driver round-trip at all; tol mode adds only the one-row
+        # delta aggregate above
+        dmf = ranks.agg(
+            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0))
+            .alias("__dm")
+        )
         contrib = (
             edges_w.join(ranks.select(F.col("node").alias("esrc"), "rank"),
                          "esrc")
@@ -177,14 +186,16 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        base = (1.0 - damping) / n + damping * dm / n
         ranks = (
             ranks.select("node", "dangling", F.col("rank").alias("prev"))
             .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dmf))
             .select(
                 "node", "dangling", "prev",
-                (F.lit(base)
-                 + damping * F.coalesce("c", F.lit(0.0))).alias("rank"),
+                ((F.lit((1.0 - damping) / n)
+                  + (F.lit(damping) * F.col("__dm")) / F.lit(float(n)))
+                 + F.lit(damping)
+                 * F.coalesce("c", F.lit(0.0))).alias("rank"),
             )
             .select("node", "dangling", "rank", "prev")
             .localCheckpoint(eager=True)

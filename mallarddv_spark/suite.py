@@ -834,14 +834,22 @@ FROM r
 
 
 def q_dedup_cluster_assign(spark, sf):
-    """Distributed connected components over a duplicate-pair list →
-    per-document cluster verdicts (the step that turns near-dup PAIRS into
-    actual dedup decisions). Pairs here are CONSECUTIVE links within each
+    """Graph suite, two parts since round 10. `cluster` — distributed
+    connected components over a duplicate-pair list → per-document
+    cluster verdicts (the step that turns near-dup PAIRS into actual
+    dedup decisions). Pairs here are CONSECUTIVE links within each
     exact-duplicate group (a path graph, so the component must be
     recovered by iterative label propagation + pointer jumping, not a
     single join) — which makes the result exactly predictable in SQL:
-    cluster_id = min doc_id per content fingerprint."""
-    from mallarddv_spark.operators.graph import dedup_assign
+    cluster_id = min doc_id per content fingerprint. `pagerank` —
+    power-iteration PageRank in exact-step mode (5 rounds, tol=None)
+    over a deterministic synthetic link graph (each doc with
+    ``doc_id % 7 != 0`` links to three arithmetic targets; the % 7 docs
+    are dangling, exercising uniform dangling-mass redistribution) —
+    the oracle replays all five rounds as chained CTEs with the SAME
+    float op order (w = 1.0/deg once, then rank*w; base summed
+    left-associated), so values match on the round(rank*1000, 6) grid."""
+    from mallarddv_spark.operators.graph import dedup_assign, pagerank
 
     d = _t(spark, sf, "documents")
     grp = (
@@ -858,13 +866,87 @@ def q_dedup_cluster_assign(spark, sf):
             )
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
-    return dedup_assign(d, "doc_id", pairs)
+    cluster = dedup_assign(d, "doc_id", pairs).select(
+        F.lit("cluster").alias("part"), "id", "cluster_id", "keep",
+        *_nulls(("rankm", "double")),
+    )
+    n = d.count()
+    edges = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array(*[(F.col("doc_id") * 31 + j * 97) % n
+                          for j in (1, 2, 3)])
+            ).alias("dst"),
+        )
+        .filter((F.col("doc_id") % 7 != 0) & (F.col("dst") != F.col("doc_id")))
+        .select(F.col("doc_id").alias("src"), "dst")
+        .distinct()
+    )
+    pr = pagerank(edges, damping=0.85, max_iter=5, tol=None)
+    prp = pr.select(
+        F.lit("pagerank").alias("part"),
+        F.col("node").alias("id"),
+        *_nulls(("cluster_id", "bigint"), ("keep", "boolean")),
+        F.round(F.col("rank") * 1000, 6).alias("rankm"),
+    )
+    return cluster.unionByName(prp)
 
 
-O_DEDUP_CLUSTER = """
-SELECT doc_id AS id,
+def _o_pagerank_rounds(rounds: int = 5, damping: float = 0.85) -> str:
+    """Chained-CTE replay of :func:`pagerank`'s exact-step mode. Float op
+    order mirrors the operator exactly: per-edge weight is 1.0/deg
+    materialized ONCE, contributions are sum(rank * w), and each new
+    rank is ((1-d)/N + (d*dm)/N) + d*contrib with that associativity."""
+    ctes = [f"""
+nn AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+edges AS (
+    SELECT DISTINCT d.doc_id AS src,
+           (d.doc_id * 31 + t.j * 97) % (SELECT count(*) FROM documents) AS dst
+    FROM documents d, (VALUES (1), (2), (3)) AS t(j)
+    WHERE d.doc_id % 7 <> 0
+      AND (d.doc_id * 31 + t.j * 97) % (SELECT count(*) FROM documents)
+          <> d.doc_id
+),
+deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+ew AS (SELECT e.src, e.dst, 1.0 / g.deg AS w
+       FROM edges e JOIN deg g ON e.src = g.src),
+nd AS (
+    SELECT v.node, g.src IS NULL AS dangling
+    FROM (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges) v
+    LEFT JOIN deg g ON v.node = g.src
+),
+r0 AS (SELECT node, dangling, 1.0 / nn.nd AS rank FROM nd, nn)"""]
+    for t in range(rounds):
+        ctes.append(f"""
+r{t + 1} AS (
+    SELECT nd.node, nd.dangling,
+           (({1.0 - damping!r} / nn.nd) + ({damping!r} * dm.s) / nn.nd)
+           + {damping!r} * coalesce(c.c, 0.0) AS rank
+    FROM nd
+    CROSS JOIN nn
+    CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS s
+                FROM r{t} WHERE dangling) dm
+    LEFT JOIN (SELECT e.dst AS node, sum(r.rank * e.w) AS c
+               FROM ew e JOIN r{t} r ON e.src = r.node
+               GROUP BY e.dst) c
+    ON nd.node = c.node
+)""")
+    return ",".join(ctes) + f"""
+SELECT 'pagerank' AS part, node AS id,
+       CAST(NULL AS BIGINT) AS cluster_id, CAST(NULL AS BOOLEAN) AS keep,
+       round(rank * 1000, 6) AS rankm
+FROM r{rounds}"""
+
+
+O_DEDUP_CLUSTER = f"""
+WITH {_o_pagerank_rounds()}
+UNION ALL
+SELECT 'cluster' AS part, doc_id AS id,
        min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,
-       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep,
+       CAST(NULL AS DOUBLE) AS rankm
 FROM documents
 """
 
