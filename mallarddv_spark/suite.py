@@ -4223,19 +4223,24 @@ def q_text_curation_assign(spark, sf):
     is a one-row driver aggregate, metadata not data), plus the
     materialized epoch expansion (`curation.materialize_epochs` — full
     epochs repeat, the fractional remainder hash-samples one extra
-    copy; pure projection + bounded explode), and URL canonicalization
+    copy; pure projection + bounded explode), URL canonicalization
     + URL-level dedup verdicts (`curation.canonical_url`/`url_dedup` —
     scheme/host lowering, www/userinfo/default-port/fragment stripping,
     slash collapsing, tracking-param removal + param sort, groupBy
     min-id keep; URLs synthesized deterministically from doc_id/source
-    to cover every normalization axis), as one tagged union.
-    Parts: text_split_assign, text_stratified_sample,
+    to cover every normalization axis), and the GPT-3 Pareto quality
+    admission (`curation.pareto_keep`, Brown et al. 2020 §A — the
+    deterministic Lomax draw from md5(salt||id) vs 1-score, replayed
+    value-for-value in DuckDB via '0x'-hex casting; scores synthesized
+    as (doc_id%100)/99 to sweep the whole admission curve), as one
+    tagged union. Parts: text_split_assign, text_stratified_sample,
     text_cap_per_stratum, text_shuffle_order, srcstats, unimax,
-    epochs, urlnorm."""
+    epochs, urlnorm, pareto."""
     from mallarddv_spark.operators.curation import (
         cap_per_stratum,
         lang_token_counts,
         materialize_epochs,
+        pareto_keep,
         shuffle_order,
         source_stats,
         unimax_allocation,
@@ -4309,9 +4314,18 @@ def q_text_curation_assign(spark, sf):
         F.coalesce("canonical_url", F.lit("~none")).alias("label"),
         F.when(F.col("keep"), F.lit("1")).otherwise(F.lit("0")).alias("bucket"),
     )
+    pscore = (F.col("doc_id") % 100) / F.lit(99.0)
+    pk = pareto_keep(pscore, F.col("doc_id"), alpha=9.0, salt="pareto-v1")
+    pp = d.select(
+        F.lit("pareto").alias("part"),
+        "doc_id",
+        (F.col("doc_id") % 100).cast("string").alias("label"),
+        F.when(pk, F.lit("1")).otherwise(F.lit("0")).alias("bucket"),
+    )
     return (
         s.unionByName(t).unionByName(c).unionByName(o)
         .unionByName(ss).unionByName(um).unionByName(ep).unionByName(un)
+        .unionByName(pp)
     )
 
 
@@ -4526,6 +4540,18 @@ FROM (
               CASE WHEN q = '' THEN '' ELSE '?' || q END END AS c
   FROM up3
 ) uc
+UNION ALL
+SELECT 'pareto' AS part, doc_id,
+       cast(doc_id % 100 AS varchar) AS label,
+       CASE WHEN pow(1.0 - u, -0.1111111111111111) - 1.0
+                 > 1.0 - ((doc_id % 100) / 99.0)
+            THEN '1' ELSE '0' END AS bucket
+FROM (
+  SELECT doc_id,
+         cast(('0x' || substring(md5('pareto-v1' || cast(doc_id AS varchar)),
+                                 1, 15)) AS BIGINT)::DOUBLE
+         / 1152921504606846976.0 AS u
+  FROM documents) pu
 """
 )
 
