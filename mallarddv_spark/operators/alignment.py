@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from mallarddv_spark.exceptions import DVConfigurationError
 
-__all__ = ["margin_knn_pairs", "best_alignment"]
+__all__ = ["margin_knn_pairs", "best_alignment", "hard_negative_mine"]
 
 
 def margin_knn_pairs(
@@ -108,6 +108,118 @@ def margin_knn_pairs(
     if min_margin is not None:
         scored = scored.filter(F.col("margin") >= float(min_margin))
     return scored
+
+
+def hard_negative_mine(
+    pairs: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    knn=None,
+    fetch_k: int | None = None,
+    denoise_ratio: float | None = None,
+) -> DataFrame:
+    """DPR-style hard-negative mining (Karpukhin et al. 2020): for each
+    (query, positive) training pair, the ``k`` most similar corpus items
+    that are NOT among that query's positives — the negatives that
+    actually move a contrastive retriever, vs. random negatives a
+    BM25/in-batch scheme would sample. Returns ``(query_id, neg_id,
+    rank, cosine)``.
+
+    ``pairs`` is ``(query_id, pos_id)`` (a query may carry several
+    positives); ``queries``/``corpus`` hold embeddings under
+    ``id_col``/``vec_col``. ``knn`` is pluggable exactly as in
+    :func:`margin_knn_pairs` — exact brute force by default, any ANN
+    tier for corpus-scale mining. ``fetch_k`` is the over-fetch depth
+    before positives are dropped (default ``k`` + the max positives any
+    query carries, a one-row metadata aggregate).
+
+    ``denoise_ratio`` enables the RocketQA false-negative screen (Qu et
+    al. 2021): candidates scoring ≥ ``ratio`` × the query's weakest
+    positive cosine are discarded rather than mined — near-ties with a
+    real positive are more likely unlabeled positives than useful
+    negatives.
+
+    Scale shape: one kNN pass over queries that actually appear in
+    ``pairs``; everything after is result-set-sized (queries × fetch_k):
+    a broadcastable anti-join against the positive set, the optional
+    per-query positive-floor join (≤ one row per query), and a
+    WindowGroupLimit-protected top-k re-cut.
+    """
+    from pyspark.sql import Window
+
+    from mallarddv_spark.operators.similarity import (
+        _DOT,
+        _normed,
+        cosine_topk_bruteforce,
+    )
+
+    if int(k) < 1:
+        raise DVConfigurationError("hard_negative_mine: k must be >= 1")
+    if denoise_ratio is not None and not (0.0 < denoise_ratio <= 1.0):
+        raise DVConfigurationError(
+            "hard_negative_mine: denoise_ratio must be in (0, 1], "
+            f"got {denoise_ratio}"
+        )
+    knn = knn or cosine_topk_bruteforce
+    p = pairs.select(
+        F.col(pairs.columns[0]).alias("query_id"),
+        F.col(pairs.columns[1]).alias("pos_id"),
+    ).distinct()
+    if fetch_k is None:
+        mp = (
+            p.groupBy("query_id").count()
+            .agg(F.max("count")).collect()[0][0]
+        )
+        fetch_k = int(k) + int(mp or 0)
+    q_active = queries.join(
+        p.select(F.col("query_id").alias(id_col)).distinct(),
+        id_col, "left_semi",
+    )
+    cand = knn(q_active, corpus, id_col=id_col, vec_col=vec_col,
+               k=int(fetch_k))
+    cand = cand.join(
+        p.select("query_id", F.col("pos_id").alias("neighbor_id")),
+        ["query_id", "neighbor_id"], "left_anti",
+    )
+    if denoise_ratio is not None:
+        qv = _normed(q_active, id_col, vec_col, "query_id")
+        cv = _normed(corpus, id_col, vec_col, "pos_id")
+        pos_cos = (
+            p.join(qv, "query_id")
+            .join(
+                cv.withColumnRenamed("v", "pv").withColumnRenamed(
+                    "norm", "pn"
+                ),
+                "pos_id",
+            )
+            .select(
+                "query_id",
+                F.expr(
+                    f"round({_DOT.format(a='v', b='pv')} / (norm * pn), 6)"
+                ).alias("__pc"),
+            )
+            .groupBy("query_id")
+            .agg(F.min("__pc").alias("__floor"))
+        )
+        cand = cand.join(F.broadcast(pos_cos), "query_id").filter(
+            F.col("cosine") < F.lit(float(denoise_ratio)) * F.col("__floor")
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= int(k))
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("__r").alias("rank"),
+            "cosine",
+        )
+    )
 
 
 def best_alignment(pairs: DataFrame) -> DataFrame:

@@ -101,3 +101,131 @@ def test_guards_and_plan(spark):
     pairs = al.margin_knn_pairs(src, src, k=1, mutual=False)
     assert plan_report(pairs)["python_stages"] == 0
     assert plan_report(al.best_alignment(pairs))["python_stages"] == 0
+
+
+def _py_hard_negatives(vecs_q, vecs_c, pairs, k, denoise_ratio=None):
+    """Full-corpus reference: rank all non-positive corpus items per
+    query by round(cosine, 6) desc, id asc; optional RocketQA screen."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    pos_by_q = {}
+    for q, p in pairs:
+        pos_by_q.setdefault(q, set()).add(p)
+    out = {}
+    for q, qv in vecs_q.items():
+        if q not in pos_by_q:
+            continue
+        floor = min(cos(qv, vecs_c[p]) for p in pos_by_q[q])
+        cands = []
+        for c, cv in vecs_c.items():
+            if c in pos_by_q[q]:
+                continue
+            s = cos(qv, cv)
+            if denoise_ratio is not None and s >= denoise_ratio * floor:
+                continue
+            cands.append((c, s))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        out[q] = [(c, r + 1, s) for r, (c, s) in enumerate(cands[:k])]
+    return out
+
+
+def _rand_emb(rnd, dim=8):
+    return [rnd.uniform(-1, 1) for _ in range(dim)]
+
+
+def test_hard_negatives_match_reference(spark):
+    import random
+
+    rnd = random.Random(41)
+    vecs_q = {i: _rand_emb(rnd) for i in range(5)}
+    vecs_c = {100 + i: _rand_emb(rnd) for i in range(30)}
+    pairs = []
+    for q in range(4):  # query 4 has no pairs -> excluded entirely
+        for p in rnd.sample(sorted(vecs_c), rnd.randint(1, 3)):
+            pairs.append((q, p))
+    qdf = _vecs(spark, sorted(vecs_q.items()))
+    cdf = _vecs(spark, sorted(vecs_c.items()))
+    pdf = spark.createDataFrame(pairs, "query_id bigint, pos_id bigint")
+    got = al.hard_negative_mine(pdf, qdf, cdf, k=4)
+    exp = _py_hard_negatives(vecs_q, vecs_c, pairs, k=4)
+    got_by_q = {}
+    for r in got.collect():
+        got_by_q.setdefault(r.query_id, []).append(
+            (r.neg_id, r.rank, r.cosine)
+        )
+    for q in got_by_q:
+        got_by_q[q].sort(key=lambda t: t[1])
+    assert set(got_by_q) == set(exp)
+    for q in exp:
+        assert got_by_q[q] == [
+            (c, r, pytest.approx(s, abs=1e-9)) for c, r, s in exp[q]
+        ]
+        assert all(
+            (q, c) not in {(a, b) for a, b in pairs}
+            for c, _, _ in got_by_q[q]
+        )
+
+
+def test_hard_negatives_denoise_screen(spark):
+    import random
+
+    rnd = random.Random(17)
+    vecs_q = {i: _rand_emb(rnd) for i in range(3)}
+    vecs_c = {100 + i: _rand_emb(rnd) for i in range(25)}
+    # positives are perturbed copies of their query (floor ~= 1), and a
+    # planted near-duplicate of each positive must then be screened
+    pairs = [(q, 100 + q) for q in range(3)]
+    for q in range(3):
+        vecs_c[100 + q] = [x + rnd.uniform(-0.01, 0.01) for x in vecs_q[q]]
+        vecs_c[200 + q] = [x * 1.001 + 1e-4 for x in vecs_c[100 + q]]
+    qdf = _vecs(spark, sorted(vecs_q.items()))
+    cdf = _vecs(spark, sorted(vecs_c.items()))
+    pdf = spark.createDataFrame(pairs, "query_id bigint, pos_id bigint")
+    got = al.hard_negative_mine(
+        pdf, qdf, cdf, k=5, fetch_k=len(vecs_c), denoise_ratio=0.98
+    )
+    exp = _py_hard_negatives(vecs_q, vecs_c, pairs, k=5, denoise_ratio=0.98)
+    got_ids = {}
+    for r in got.collect():
+        got_ids.setdefault(r.query_id, []).append((r.neg_id, r.rank, r.cosine))
+    for q in got_ids:
+        got_ids[q].sort(key=lambda t: t[1])
+    assert set(got_ids) == set(exp)
+    for q in exp:
+        assert [c for c, _, _ in got_ids[q]] == [c for c, _, _ in exp[q]]
+        # the planted near-positive must have been screened out
+        assert 200 + q not in {c for c, _, _ in got_ids[q]}
+
+
+def test_hard_negatives_overfetch_covers_positive_heavy_queries(spark):
+    # one query whose 3 positives ARE its top-3 neighbors; default
+    # fetch_k = k + max_pos must still return k true negatives
+    base = [1.0, 0.0, 0.0, 0.0]
+    vecs_q = {0: base}
+    vecs_c = {}
+    for i in range(3):  # positives: nearly identical to the query
+        vecs_c[100 + i] = [1.0, 0.001 * (i + 1), 0.0, 0.0]
+    for i in range(6):  # negatives: farther away
+        vecs_c[200 + i] = [1.0, 0.2 + 0.05 * i, 0.1, 0.0]
+    pairs = [(0, 100), (0, 101), (0, 102)]
+    qdf = _vecs(spark, sorted(vecs_q.items()))
+    cdf = _vecs(spark, sorted(vecs_c.items()))
+    pdf = spark.createDataFrame(pairs, "query_id bigint, pos_id bigint")
+    got = al.hard_negative_mine(pdf, qdf, cdf, k=3)
+    rows = sorted(got.collect(), key=lambda r: r.rank)
+    assert [r.neg_id for r in rows] == [200, 201, 202]
+
+
+def test_hard_negatives_guards(spark):
+    src = _vecs(spark, [(1, [1.0, 0.0])])
+    pdf = spark.createDataFrame([(1, 1)], "query_id bigint, pos_id bigint")
+    with pytest.raises(DVConfigurationError, match="k must be"):
+        al.hard_negative_mine(pdf, src, src, k=0)
+    with pytest.raises(DVConfigurationError, match="denoise_ratio"):
+        al.hard_negative_mine(pdf, src, src, k=1, denoise_ratio=1.5)
