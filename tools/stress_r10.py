@@ -331,6 +331,149 @@ STAGES.update({
 })
 
 
+def stress_pagerank(spark):
+    """2M-edge web-ish graph over 200k nodes with a deliberate hot hub
+    (every 50th source ALSO links to node 0 — ~40k in-links) plus a
+    dangling tier (~1/7 of nodes): the skew shape that breaks
+    window-based rank accumulation; the groupBy contribution sum must
+    absorb it in the partial aggregate."""
+    from mallarddv_spark.operators.graph import pagerank
+
+    n = 200_000
+    base = spark.range(2_000_000).select(
+        (F.col("id") % n).alias("src"),
+        ((F.col("id") * 131 + 7) % n).alias("dst"),
+    )
+    hub = spark.range(0, n, 50).select(
+        F.col("id").alias("src"), F.lit(0).alias("dst")
+    )
+    edges = (
+        base.unionByName(hub)
+        .filter("src % 7 != 0 AND src != dst")
+        .distinct()
+    )
+    t0 = time.monotonic()
+    pr = pagerank(edges, max_iter=8, tol=None)
+    stats = pr.agg(
+        F.count("*"), F.sum("rank"), F.max("rank")
+    ).collect()[0]
+    top = pr.orderBy(F.desc("rank")).limit(1).collect()[0]
+    emit(op="pagerank_2m_edges_hub", sec=round(time.monotonic() - t0, 2),
+         nodes=int(stats[0]), total_rank=round(float(stats[1]), 9),
+         top_node=int(top.node), top_rank=round(float(top.rank), 6),
+         plan=plan_report(pr))
+    assert abs(float(stats[1]) - 1.0) < 1e-6
+    assert int(top.node) == 0  # the hub must dominate
+
+
+def stress_lr_classifier(spark):
+    """Train the Adagrad LR quality classifier on 50k labeled sf1 docs
+    (label = planted vocabulary class), score the full corpus, check
+    separation; the per-iteration shape must stay 2 shuffles + one
+    bounded bucket groupBy regardless of corpus size."""
+    from mallarddv_spark.operators.curation import (
+        lr_classify,
+        train_lr_classifier,
+    )
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    spam = (" click here buy now free winner prize casino cheap pills"
+            " unsubscribe offer limited deal act fast")
+    labeled = docs.select(
+        "doc_id", "text", (F.col("doc_id") % 2).alias("y"),
+        # make classes actually separable: odd docs get a spam sentence
+        F.when(
+            F.col("doc_id") % 2 == 1, F.concat("text", F.lit(spam))
+        ).otherwise(F.col("text")).alias("txt"),
+    )
+    t0 = time.monotonic()
+    model = train_lr_classifier(
+        labeled, "y", "txt", buckets=8192, iters=30, lr=3.0
+    )
+    train_sec = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    scored = lr_classify(labeled, "doc_id", "txt", model)
+    acc = scored.join(labeled, "doc_id").agg(
+        F.avg((F.col("predicted") == (F.col("y") == 1)).cast("double"))
+    ).collect()[0][0]
+    emit(op="lr_classifier_50k", train_sec=train_sec,
+         score_sec=round(time.monotonic() - t0, 2),
+         loss0=round(model["loss_history"][0], 4),
+         lossN=round(model["loss_history"][-1], 4),
+         acc=round(float(acc), 4))
+    assert acc > 0.99
+
+
+def stress_bloom_semi_join(spark):
+    """5M-row probe side reduced through a 500k-key bloom — the probe
+    side must show zero exchanges before the filter."""
+    from mallarddv_spark.functions.bloom import bloom_semi_join
+
+    big = spark.range(5_000_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("p")
+    )
+    keys = spark.range(500_000).select(
+        F.concat(F.lit("k"), F.col("id") * 7).alias("k")
+    )
+    t0 = time.monotonic()
+    out = bloom_semi_join(big, "k", keys, fpp=1e-3)
+    n = out.count()
+    sup_sec = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    n_exact = bloom_semi_join(big, "k", keys, fpp=1e-3, exact=True).count()
+    # true matches: every key k(7i), i < 500k, has 7i < 5M -> 500k rows
+    emit(op="bloom_semi_join_5m", superset_rows=n, exact_rows=n_exact,
+         superset_sec=sup_sec, exact_sec=round(time.monotonic() - t0, 2),
+         plan=plan_report(out))
+    assert n_exact == 500_000
+    assert n_exact <= n <= n_exact + int(4_500_000 * 1e-3 * 5)
+
+
+def stress_hard_negatives(spark):
+    """2k queries x 18k corpus hard-negative mining through the exact
+    brute kNN (broadcast-query regime) with denoising."""
+    from mallarddv_spark.operators.alignment import hard_negative_mine
+
+    emb = spark.read.parquet(f"{SF1}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter("vec_id >= 18000 AND vec_id < 20000").select(
+        (F.col("vec_id") - 18000).alias("vec_id"), "embedding"
+    )
+    # positives are perturbed copies of their query planted in the
+    # corpus (ids 0..1999), so denoise floors sit near 1 and the screen
+    # only rejects true near-positives — the realistic DPR shape
+    pert = queries.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> x + 1e-3 * ((i % 5) - 2))"
+        ).alias("embedding"),
+    )
+    corpus = emb.filter("vec_id >= 2000 AND vec_id < 18000").unionByName(pert)
+    pairs = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("vec_id").alias("pos_id")
+    )
+    t0 = time.monotonic()
+    out = hard_negative_mine(
+        pairs, queries, corpus, k=5, denoise_ratio=0.98
+    )
+    n = out.count()
+    per_q = out.groupBy("query_id").count().agg(
+        F.min("count"), F.max("count")
+    ).collect()[0]
+    emit(op="hard_negatives_2k_x_20k", sec=round(time.monotonic() - t0, 2),
+         rows=n, min_per_q=int(per_q[0]), max_per_q=int(per_q[1]),
+         plan=plan_report(out))
+    assert int(per_q[1]) <= 5
+
+
+STAGES.update({
+    "pagerank": stress_pagerank,
+    "lrcls": stress_lr_classifier,
+    "bloomsj": stress_bloom_semi_join,
+    "hardneg": stress_hard_negatives,
+})
+
 
 if __name__ == "__main__":
     main()
