@@ -100,6 +100,7 @@ def pagerank(
     max_iter: int = 40,
     tol: float | None = 1e-6,
     weight: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list → ``(node,
     rank)`` with ranks summing to 1 — the web-graph quality signal
@@ -120,6 +121,14 @@ def pagerank(
     don't get there). ``tol=None`` runs EXACTLY ``max_iter`` rounds —
     the deterministic fixed-step mode a closed-form SQL replay can
     verify.
+
+    ``seeds`` switches to PERSONALIZED PageRank / TrustRank (Gyöngyi et
+    al. 2004 — the spam-demotion form of the same signal): the teleport
+    and dangling mass flow to the seed set (first column of ``seeds``;
+    uniform over seeds present in the graph, others ignored) instead of
+    uniformly, so link farms unreachable from trusted seeds decay
+    toward zero rank no matter how densely they interlink. Iteration
+    starts at the teleport vector in this mode.
 
     Scale shape: the edge table is normalized once (one groupBy on the
     source key for degrees, one join back) and checkpointed; each round
@@ -159,9 +168,27 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
+    if seeds is not None:
+        seed_set = seeds.select(
+            F.col(seeds.columns[0]).alias("node")
+        ).distinct().join(nodes.select("node"), "node", "left_semi")
+        ns = seed_set.count()
+        if ns == 0:
+            raise DVETLError(
+                "pagerank: seeds contain no node present in the graph"
+            )
+        nodes = nodes.join(
+            seed_set.withColumn("__seed", F.lit(True)), "node", "left"
+        ).select(
+            "node", "dangling",
+            F.when(F.col("__seed"), F.lit(1.0 / ns))
+            .otherwise(F.lit(0.0)).alias("tele"),
+        ).localCheckpoint(eager=True)
+    else:
+        nodes = nodes.withColumn("tele", F.lit(1.0 / n))
     ranks = nodes.select(
-        "node", "dangling",
-        F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev"),
+        "node", "dangling", "tele",
+        F.col("tele").alias("rank"), F.col("tele").alias("prev"),
     ).localCheckpoint(eager=True)
     for i in range(max_iter):
         if tol is not None and i > 0:
@@ -186,18 +213,28 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
+        if seeds is None:
+            # float op order here is load-bearing: the gate oracle
+            # replays exactly (((1-d)/n + (d*dm)/n) + d*c)
+            new_rank = (
+                (F.lit((1.0 - damping) / n)
+                 + (F.lit(damping) * F.col("__dm")) / F.lit(float(n)))
+                + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+            )
+        else:
+            new_rank = (
+                (F.lit(1.0 - damping) * F.col("tele")
+                 + (F.lit(damping) * F.col("__dm")) * F.col("tele"))
+                + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+            )
         ranks = (
-            ranks.select("node", "dangling", F.col("rank").alias("prev"))
+            ranks.select("node", "dangling", "tele",
+                         F.col("rank").alias("prev"))
             .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dmf))
-            .select(
-                "node", "dangling", "prev",
-                ((F.lit((1.0 - damping) / n)
-                  + (F.lit(damping) * F.col("__dm")) / F.lit(float(n)))
-                 + F.lit(damping)
-                 * F.coalesce("c", F.lit(0.0))).alias("rank"),
-            )
-            .select("node", "dangling", "rank", "prev")
+            .select("node", "dangling", "tele", "prev",
+                    new_rank.alias("rank"))
+            .select("node", "dangling", "tele", "rank", "prev")
             .localCheckpoint(eager=True)
         )
     if tol is not None:

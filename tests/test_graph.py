@@ -74,9 +74,10 @@ def test_cc_nonconvergence_raises(spark):
         connected_components(df, max_iter=2)
 
 
-def _py_pagerank(edges, damping=0.85, iters=200, weights=None):
+def _py_pagerank(edges, damping=0.85, iters=200, weights=None, seeds=None):
     """Standard power iteration with uniform dangling redistribution —
-    the textbook reference (Page et al. 1999), dependency-free."""
+    the textbook reference (Page et al. 1999), dependency-free; a seed
+    set switches to the personalized/TrustRank teleport vector."""
     nodes = sorted({x for e in edges for x in e})
     n = len(nodes)
     out = {}
@@ -84,10 +85,18 @@ def _py_pagerank(edges, damping=0.85, iters=200, weights=None):
         w = 1.0 if weights is None else weights[idx]
         out.setdefault(a, {})
         out[a][b] = out[a].get(b, 0.0) + w
-    rank = {v: 1.0 / n for v in nodes}
+    if seeds is None:
+        tele = {v: 1.0 / n for v in nodes}
+    else:
+        s = sorted(set(seeds) & set(nodes))
+        tele = {v: (1.0 / len(s) if v in s else 0.0) for v in nodes}
+    rank = dict(tele)
     for _ in range(iters):
         dm = sum(rank[v] for v in nodes if v not in out)
-        nxt = {v: (1.0 - damping) / n + damping * dm / n for v in nodes}
+        nxt = {
+            v: (1.0 - damping) * tele[v] + damping * dm * tele[v]
+            for v in nodes
+        }
         for a, tgts in out.items():
             tot = sum(tgts.values())
             for b, w in tgts.items():
@@ -148,6 +157,46 @@ def test_pagerank_weighted_edges(spark):
         assert got[v] == pytest.approx(exp[v], abs=1e-9)
     # node 1 gets 3x node 2's share of node 0's mass
     assert got[1] > got[2]
+
+
+def test_pagerank_trustrank_seeds_demote_unreachable_spam(spark):
+    # trusted cluster 0-1-2 (seed 0) + a densely interlinked spam farm
+    # 10..13 with a link INTO the trusted cluster but none back
+    edges = [(0, 1), (1, 2), (2, 0)]
+    edges += [(a, b) for a in range(10, 14) for b in range(10, 14) if a != b]
+    edges += [(10, 0)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, tol=1e-12, max_iter=200, seeds=seeds).collect()
+    }
+    exp = _py_pagerank(edges, iters=500, seeds=[0])
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the farm holds no teleport mass and is unreachable from the seed:
+    # its rank decays to ~0 despite maximal interlinking
+    assert max(got[v] for v in range(10, 14)) < 1e-9
+    assert got[0] > 0.3
+
+
+def test_pagerank_seeds_ignore_foreign_ids_and_guard_empty(spark):
+    from mallarddv_spark.exceptions import DVETLError
+
+    edges = [(0, 1), (1, 0)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (999,)], ["node"])
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, tol=1e-12, max_iter=250, seeds=seeds).collect()
+    }
+    exp = _py_pagerank(edges, iters=400, seeds=[0, 999])
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-9)
+    only_foreign = spark.createDataFrame([(999,)], ["node"])
+    with pytest.raises(DVETLError, match="seeds"):
+        pagerank(df, seeds=only_foreign)
 
 
 def test_pagerank_nonconvergence_raises(spark):
