@@ -47,6 +47,7 @@ from mallarddv_spark.exceptions import DVConfigurationError
 
 __all__ = [
     "unigram_seed_vocab",
+    "add_byte_pieces",
     "unigram_encode_words",
     "unigram_encode",
     "unigram_em_round",
@@ -149,11 +150,46 @@ def _viterbi_expr(word_col: str, unk: str) -> str:
     )
 
 
+def add_byte_pieces(vocab: DataFrame, logp: float = -20.0) -> DataFrame:
+    """Extend a ``(piece, logp)`` vocabulary with the 256 byte pieces
+    ``<0x00>``..``<0xFF>`` (SentencePiece's ``--byte_fallback``
+    inventory) at a floor log-prob, skipping any already present —
+    making the vocabulary CLOSED: with
+    ``unigram_encode(byte_fallback=True)`` every emitted token is then
+    a vocabulary member, the fixed-id-space contract an embedding
+    matrix needs."""
+    spark = vocab.sparkSession
+    bytes_df = spark.range(256).select(
+        F.concat(
+            F.lit("<0x"),
+            F.lpad(F.upper(F.hex(F.col("id"))), 2, "0"),
+            F.lit(">"),
+        ).alias("piece"),
+        F.lit(float(logp)).alias("logp"),
+    )
+    fresh = bytes_df.join(vocab.select("piece"), "piece", "left_anti")
+    return vocab.unionByName(fresh)
+
+
+#: byte-fallback rewrite of a Viterbi pieces array: pieces the
+#: vocabulary map knows pass through; anything else (exactly the
+#: unk-floored single characters) is replaced by its UTF-8 bytes as
+#: <0xNN> tokens. substr/length operate on BINARY after encode().
+_BYTE_FALLBACK = (
+    "flatten(transform({pieces}, p -> "
+    "CASE WHEN element_at(__vmap, p) IS NOT NULL THEN array(p) "
+    "ELSE transform(sequence(1, length(encode(p, 'utf-8'))), i -> "
+    "concat('<0x', lpad(upper(hex(substr(encode(p, 'utf-8'), i, 1))), "
+    "2, '0'), '>')) END))"
+)
+
+
 def unigram_encode_words(
     words: DataFrame,
     vocab: DataFrame,
     word_col: str = "word",
     unk_logp: float | None = -20.0,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Viterbi-segment a table of distinct words under a ``(piece,
     logp)`` vocabulary: ``({word_col}, pieces array<string>, score)``
@@ -164,6 +200,15 @@ def unigram_encode_words(
     piece sequence covers gets ``pieces = NULL, score = NULL`` (the
     caller decides — drop, quarantine, or re-seed the vocabulary).
 
+    ``byte_fallback`` (SentencePiece's ``--byte_fallback``; the
+    Llama-tokenizer convention) rewrites each out-of-vocabulary piece —
+    exactly the unk-floored single characters — into its UTF-8 bytes as
+    ``<0xNN>`` tokens, so the output token inventory is CLOSED over
+    ``vocab`` ∪ :func:`add_byte_pieces` and decoding is lossless.
+    Scores are unchanged (the floored char's ``unk_logp`` already
+    priced the span); requires the unk floor, so combining it with
+    ``unk_logp=None`` raises.
+
     The whole lattice runs in ONE expression per word: the vocabulary
     broadcasts as a single ``map<piece, logp>`` cell (fine to ~10^5–10^6
     pieces — megabytes; beyond that, shard the encode by piece-length
@@ -171,6 +216,11 @@ def unigram_encode_words(
     zero Python, zero per-word jobs, cost ∝ vocabulary of the corpus,
     not the corpus. Ties prefer the longer piece, then the leftmost
     split — fully deterministic."""
+    if byte_fallback and unk_logp is None:
+        raise DVConfigurationError(
+            "unigram_encode_words: byte_fallback needs the unk floor "
+            "(unk_logp=None segments unknown chars to NULL, not bytes)"
+        )
     unk = "cast(null as double)" if unk_logp is None else repr(float(unk_logp))
     vmap = vocab.agg(
         F.map_from_entries(
@@ -191,6 +241,8 @@ def unigram_encode_words(
         f"ELSE st END).ps"
     )
     final = f"element_at(__alphas, length({word_col}) + 1).s"
+    if byte_fallback:
+        bt = _BYTE_FALLBACK.format(pieces=f"({bt})")
     return (
         words.select(word_col)
         .filter(F.length(word_col) > 0)
@@ -216,6 +268,7 @@ def unigram_encode(
     vocab: DataFrame,
     lowercase: bool = True,
     unk_logp: float = -20.0,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Tokenize a corpus under a unigram-LM vocabulary:
     ``(id, n_words, n_tokens, logprob, tokens)`` — the
@@ -244,7 +297,8 @@ def unigram_encode(
         .filter(F.col("word") != "")
     )
     seg = unigram_encode_words(
-        stream.select("word").distinct(), vocab, unk_logp=float(unk_logp)
+        stream.select("word").distinct(), vocab,
+        unk_logp=float(unk_logp), byte_fallback=byte_fallback,
     )
     return (
         stream.join(seg, "word")

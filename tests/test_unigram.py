@@ -404,3 +404,81 @@ def test_save_load_roundtrip(spark, tmp_path):
     shutil.rmtree(f"{path}/params")
     with pytest.raises(Exception):
         ug.load_unigram(spark, path)
+
+
+def test_byte_fallback_encodes_oov_chars_as_utf8_bytes(spark):
+    vocab = _vocab(spark, {"he": -1.0, "llo": -1.2, "h": -3.0, "e": -3.0,
+                           "l": -3.0, "o": -3.0})
+    words = spark.createDataFrame(
+        [("hello",), ("héllo",), ("héé",), ("日x",)], ["word"]
+    )
+    got = {
+        r.word: (r.pieces, r.score)
+        for r in ug.unigram_encode_words(
+            words, vocab, byte_fallback=True
+        ).collect()
+    }
+
+    def bf(ch):
+        return [f"<0x{b:02X}>" for b in ch.encode("utf-8")]
+
+    # known pieces untouched
+    assert got["hello"][0] == ["he", "llo"]
+    # é is OOV -> 2 UTF-8 byte tokens; neighbours still segment normally
+    assert got["héllo"][0] == ["h"] + bf("é") + ["llo"]
+    assert got["héé"][0] == ["h"] + bf("é") + bf("é")
+    # 3-byte CJK char -> 3 byte tokens
+    assert got["日x"][0] == bf("日") + bf("x")  # x is OOV here too
+    # scores unchanged vs the non-fallback encode (bytes are a surface
+    # rewrite of the floored char, not a rescoring)
+    plain = {
+        r.word: r.score
+        for r in ug.unigram_encode_words(words, vocab).collect()
+    }
+    for w in got:
+        assert got[w][1] == plain[w]
+
+
+def test_byte_fallback_closed_vocab_and_lossless_decode(spark):
+    corpus = spark.createDataFrame(
+        [(1, "naïve café day"), (2, "日本語 test")], ["doc_id", "text"]
+    )
+    vocab = _vocab(spark, {"na": -1.0, "ve": -1.1, "caf": -1.2, "day": -1.0,
+                           "test": -1.0, "a": -2.0, "e": -2.0, "t": -2.0,
+                           "s": -2.0, "d": -2.0, "y": -2.0})
+    full = ug.add_byte_pieces(vocab, logp=-19.0)
+    assert full.count() == vocab.count() + 256
+    # idempotent: re-adding skips existing byte pieces
+    assert ug.add_byte_pieces(full).count() == full.count()
+    enc = ug.unigram_encode(
+        corpus, "doc_id", "text", full, byte_fallback=True
+    )
+    rows = {r.doc_id: r for r in enc.collect()}
+    vocab_set = {r.piece for r in full.collect()}
+    for r in rows.values():
+        assert set(r.tokens) <= vocab_set, set(r.tokens) - vocab_set
+    # lossless: byte tokens decode back to the original words
+    def decode(tokens):
+        out, buf = [], b""
+        for t in tokens:
+            if t.startswith("<0x") and t.endswith(">") and len(t) == 6:
+                buf += bytes([int(t[3:5], 16)])
+            else:
+                out.append(buf.decode("utf-8"))
+                buf = b""
+                out.append(t)
+        if buf:
+            out.append(buf.decode("utf-8"))
+        return "".join(x for x in out if x)
+
+    assert decode(rows[1].tokens) == "naïvecaféday"
+    assert decode(rows[2].tokens) == "日本語test"
+
+
+def test_byte_fallback_requires_unk_floor(spark):
+    vocab = _vocab(spark, {"a": -1.0})
+    words = spark.createDataFrame([("a",)], ["word"])
+    with pytest.raises(DVConfigurationError, match="byte_fallback"):
+        ug.unigram_encode_words(
+            words, vocab, unk_logp=None, byte_fallback=True
+        )
