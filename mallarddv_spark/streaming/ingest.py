@@ -219,6 +219,9 @@ def neardup_stream_processor(
     quality_model_path: str | None = None,
     quality_keep_labels: list[str] | None = None,
     quality_table: str | None = None,
+    lr_model_path: str | None = None,
+    lr_min_score: float = 0.5,
+    lr_quality_table: str | None = None,
     bm25_index_path: str | None = None,
     compact_every_n_batches: int | None = None,
     vocab_hll_path: str | None = None,
@@ -260,7 +263,13 @@ def neardup_stream_processor(
        score. Documents with no features (empty text) have no prediction
        and PASS — no evidence is not negative evidence. The model grid
        rides a broadcast; no added corpus shuffle beyond the doc-keyed
-       score aggregations,
+       score aggregations. ``lr_model_path`` (a model persisted by
+       ``curation.save_lr_classifier``) attaches the TRAINED sigmoid
+       sibling instead/as well: documents scoring below ``lr_min_score``
+       are dropped (rejects optionally recorded to ``lr_quality_table``
+       with their score). Unlike the NB screen, every document gets a
+       score — an empty document scores the model's bias prior, so the
+       trained base rate decides it rather than a blanket pass,
     6. final survivors append to ``sink_table`` first, then to the
        indexes — so later batches dedup against them without recomputing
        a single history signature. With ``bm25_index_path`` set (an
@@ -499,6 +508,25 @@ def neardup_stream_processor(
                 _refresh_after_batch_write(spark, quality_table)
             fresh = fresh.join(
                 rejects.select(F.col("doc_id").alias(id_col)),
+                id_col, "left_anti",
+            ).localCheckpoint(eager=True)
+        if lr_model_path is not None:
+            from mallarddv_spark.operators.curation import (
+                load_lr_classifier,
+                lr_classify,
+            )
+
+            lrm = load_lr_classifier(spark, lr_model_path)
+            lr_rejects = lr_classify(fresh, id_col, text_col, lrm).filter(
+                F.col("score") < F.lit(float(lr_min_score))
+            )
+            if lr_quality_table is not None:
+                lr_rejects.withColumn(
+                    "batch_id", F.lit(batch_id)
+                ).write.mode("append").saveAsTable(lr_quality_table)
+                _refresh_after_batch_write(spark, lr_quality_table)
+            fresh = fresh.join(
+                lr_rejects.select(F.col("doc_id").alias(id_col)),
                 id_col, "left_anti",
             ).localCheckpoint(eager=True)
         if not fresh.isEmpty():

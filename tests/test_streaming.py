@@ -942,3 +942,63 @@ def test_neardup_stream_url_store_heals_torn_compact(spark, tmp_path):
                     for r in spark.read.parquet(urls_path).collect())
     assert stored == ["https://h.com/a", "https://h.com/b"]
     spark.sql("DROP TABLE IF EXISTS default.uh_sink")
+
+
+def test_neardup_stream_lr_quality_gate(spark, tmp_path):
+    """The crawl processor's trained-LR quality screen: a stored
+    logistic-regression model scores each batch; documents below
+    lr_min_score are dropped at ingest and recorded with their score."""
+    from pyspark.sql import Row
+    from mallarddv_spark.operators import dedup
+    from mallarddv_spark.operators.curation import (
+        save_lr_classifier,
+        train_lr_classifier,
+    )
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, y=1,
+             text="insightful thorough analysis prose reasoning " * 3)
+         for i in range(12)]
+        + [Row(doc_id=100 + i, y=0,
+               text="buy cheap pills casino winner click " * 3)
+           for i in range(12)]
+    )
+    model = train_lr_classifier(train, "y", "text", buckets=512, iters=25)
+    model_path = str(tmp_path / "lr_model")
+    save_lr_classifier(model, model_path)
+
+    seed = spark.createDataFrame(
+        [Row(doc_id=1, text="completely unrelated seed document content")]
+    )
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(seed, index_path, num_perm=32, bands=8,
+                              shingle_size=3)
+    spark.sql("DROP TABLE IF EXISTS default.lrq_sink")
+    spark.sql("DROP TABLE IF EXISTS default.lrq_rejects")
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=500, text="thorough insightful reasoning and analysis"),
+         Row(doc_id=501, text="casino winner buy cheap pills now")]
+    )
+    src = str(tmp_path / "crawl")
+    batch.coalesce(1).write.parquet(f"{src}/f1")
+    process = ingest.neardup_stream_processor(
+        index_path, "default.lrq_sink", threshold=0.9,
+        lr_model_path=model_path,
+        lr_min_score=0.5,
+        lr_quality_table="default.lrq_rejects",
+    )
+    q = ingest.stream_files_to_staging(
+        spark, f"{src}/*", batch.schema, str(tmp_path / "ck"),
+        process, file_format="parquet",
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+
+    sink_ids = {r.doc_id for r in spark.table("default.lrq_sink").collect()}
+    rejects = {r.doc_id: r
+               for r in spark.table("default.lrq_rejects").collect()}
+    assert sink_ids == {500}
+    assert 501 in rejects and rejects[501].score < 0.5
+    spark.sql("DROP TABLE IF EXISTS default.lrq_sink")
+    spark.sql("DROP TABLE IF EXISTS default.lrq_rejects")
