@@ -13,7 +13,10 @@ same code runs over a 100 TB corpus):
 2. clean      — corpus-level boilerplate line removal (CCNet-style)
 3. quality    — Gopher/C4-style threshold filter, then the HOST screen
                 (per-source profile; whole sources below the bar drop
-                — the C4-blocklist / RefinedWeb per-domain discipline)
+                — the C4-blocklist / RefinedWeb per-domain discipline),
+                a seeded host-TrustRank pass over the inter-host link
+                graph, and a trained Adagrad LR quality classifier
+                scored with GPT-3's Pareto stochastic admission
 4. dedup      — exact + MinHash-LSH near-dup, connected-components
                 cluster verdicts (keep one doc per near-dup cluster),
                 then a containment pass dropping fragments included in
@@ -137,6 +140,53 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     ).drop("mean_quality", "short_frac").cache()
     nh = kept_q.count()
     print(f"-- host screen: {nq} -> {nh} docs --")
+
+    # 3c. host PageRank: a TrustRank pass over the inter-host link graph
+    # (synthesized here from doc-id arithmetic; a real crawl extracts it
+    # from hrefs). Seeded at the host with the most docs — hosts
+    # unreachable from trusted seeds decay toward zero rank, the signal
+    # a pipeline weights or drops crawl sources by.
+    hosts = kept_q.groupBy("source").count()
+    hlinks = (
+        kept_q.select(
+            "source",
+            F.concat(F.lit("src"),
+                     (F.abs(F.xxhash64("doc_id")) % 20)
+                     .cast("string")).alias("dst"),
+        )
+        .filter(F.col("source") != F.col("dst"))
+        .distinct()
+    )
+    seed_host = hosts.orderBy(F.desc("count"), "source").limit(1).select(
+        F.col("source").alias("node")
+    )
+    hranks = graph.pagerank(
+        hlinks, src="source", dst="dst", tol=1e-8, max_iter=150,
+        seeds=seed_host,
+    )
+    print("-- host TrustRank (seeded at the largest host) --")
+    hranks.orderBy(F.desc("rank")).show(5)
+
+    # 3d. trained quality classifier: an Adagrad LR model over hashed
+    # n-grams (the fastText/GPT-3 shape) fit on weak labels — here the
+    # rule-based screen's own verdicts on a labeled slice — then scored
+    # over everything with the GPT-3 Pareto stochastic admission, which
+    # keeps high scorers almost surely and low scorers with
+    # heavy-tailed luck (corpus stays diverse).
+    weak = docs.select(
+        "doc_id", "text",
+        (F.length("text") > 120).cast("int").alias("y"),
+    )
+    lr_model = curation.train_lr_classifier(
+        weak, "y", "text", buckets=2048, iters=15
+    )
+    scored = curation.lr_classify(kept_q, "doc_id", "text", lr_model)
+    admitted = scored.filter(
+        curation.pareto_keep("score", "doc_id", alpha=9.0)
+    )
+    print(f"-- LR quality screen: loss {lr_model['loss_history'][0]:.3f}"
+          f" -> {lr_model['loss_history'][-1]:.3f};"
+          f" pareto admits {admitted.count()}/{scored.count()} --")
 
     # 4. near-dup dedup: LSH pairs -> connected components -> keep one per
     # cluster
