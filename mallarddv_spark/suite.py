@@ -5928,16 +5928,68 @@ WHERE margin >= 1.05
 """
 
 
+def q_similarity_hardneg(spark, sf):
+    """DPR hard-negative mining (Karpukhin et al. 2020): top-3
+    most-similar NON-POSITIVE corpus items per (query, positive) pair.
+    One arithmetic positive per query, so the operator's default
+    over-fetch (k + max positives = 4) provably equals the oracle's
+    full-corpus ranking with the positive excluded — at most one
+    positive can displace a candidate from the top-4."""
+    from mallarddv_spark.operators.alignment import hard_negative_mine
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter("vec_id < 30")
+    corpus = e.filter("vec_id >= 30 AND vec_id < 330")
+    pairs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        (F.lit(30) + (F.col("vec_id") * 13) % 300).alias("pos_id"),
+    )
+    return hard_negative_mine(
+        pairs, queries, corpus, id_col="vec_id", vec_col="embedding", k=3
+    )
+
+
+O_SIM_HARDNEG = """
+WITH hn_e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings
+),
+hn_q AS (SELECT * FROM hn_e WHERE vec_id < 30),
+hn_c AS (SELECT * FROM hn_e WHERE vec_id >= 30 AND vec_id < 330),
+hn_p AS (SELECT vec_id AS query_id, 30 + (vec_id * 13) % 300 AS pos_id
+         FROM hn_e WHERE vec_id < 30),
+hn_all AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cosine
+    FROM hn_q q, hn_c c
+),
+hn_x AS (
+    SELECT a.* FROM hn_all a
+    WHERE NOT EXISTS (SELECT 1 FROM hn_p p
+                      WHERE p.query_id = a.query_id
+                        AND p.pos_id = a.neighbor_id)
+)
+SELECT query_id, neg_id, rank, cosine FROM (
+    SELECT query_id, neighbor_id AS neg_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM hn_x) x
+WHERE rank <= 3
+"""
+
+
 def q_similarity_suite(spark, sf):
     """Embedding-similarity suite: brute-force cosine top-k (queries ×
     candidates), the above-threshold all-pairs variant, the
     int8-quantized top-k probe, the deterministic-codebook PQ ADC
     top-k (`pqadc` — its `cosine` slot carries the ADC squared distance),
-    and mutual-kNN ratio-margin alignment mining (`margin` — its
-    `cosine` slot carries the margin) as one tagged union. Parts:
+    mutual-kNN ratio-margin alignment mining (`margin` — its
+    `cosine` slot carries the margin), and DPR hard-negative mining
+    (`hardneg`) as one tagged union. Parts:
     similarity_topk, similarity_pairs, similarity_quantized_topk, plus
-    the pqadc and margin parts oracled by O_SIM_PQADC /
-    O_SIM_MARGIN."""
+    the pqadc, margin, and hardneg parts oracled by O_SIM_PQADC /
+    O_SIM_MARGIN / O_SIM_HARDNEG."""
     tk = q_similarity_topk(spark, sf).select(
         F.lit("topk").alias("part"),
         F.col("query_id").alias("id_a"),
@@ -5980,9 +6032,16 @@ def q_similarity_suite(spark, sf):
         *_nulls(("rank", "bigint")),
         F.col("margin").alias("cosine"),
     )
+    hn = q_similarity_hardneg(spark, sf).select(
+        F.lit("hardneg").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("neg_id").alias("id_b"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("cosine"),
+    )
     return (
         tk.unionByName(pr).unionByName(qt).unionByName(pq)
-        .unionByName(ivfpq).unionByName(mg)
+        .unionByName(ivfpq).unionByName(mg).unionByName(hn)
     )
 
 
@@ -5999,7 +6058,9 @@ O_SIMILARITY_SUITE = (
     + O_SIM_IVFPQADC
     + ") ipq\nUNION ALL\nSELECT 'margin', src_id, tgt_id, cast(NULL as bigint), margin\nFROM ("
     + O_SIM_MARGIN
-    + ") mg"
+    + ") mg\nUNION ALL\nSELECT 'hardneg', query_id, neg_id, rank, cosine\nFROM ("
+    + O_SIM_HARDNEG
+    + ") hn"
 )
 
 

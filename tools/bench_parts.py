@@ -18,7 +18,7 @@ from mallarddv_spark.suite import REGISTRY  # noqa: E402
 
 PARTS = {
     "text_contamination_suite": ["decontaminate", "bloomdecon", "pii"],
-    "similarity_suite": ["topk", "pairs", "qtopk", "pqadc", "ivfpqadc", "margin"],
+    "similarity_suite": ["topk", "pairs", "qtopk", "pqadc", "ivfpqadc", "margin", "hardneg"],
     "text_chunking_winnow": ["chunk", "winnow", "linededup", "substr", "htmltext"],
     "asof_purchase_click": ["asof", "range", "overlap"],
     "sql_subquery_suite": ["set_ops", "exists", "percentile"],
