@@ -16,9 +16,19 @@ driver row.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["recall_at_k", "reciprocal_rank", "ndcg_at_k", "tokenizer_stats"]
+from mallarddv_spark.exceptions import DVConfigurationError
+
+__all__ = [
+    "recall_at_k",
+    "reciprocal_rank",
+    "ndcg_at_k",
+    "tokenizer_stats",
+    "bootstrap_ci",
+]
 
 
 def recall_at_k(
@@ -260,4 +270,92 @@ def tokenizer_stats(
             F.sum("__unk").cast("double")
             / F.sum("n_tokens").cast("double"), 6
         ).alias("unk_rate"),
+    )
+
+
+def _poisson1_case(u_sql: str, max_k: int = 8) -> str:
+    """CASE expression drawing Poisson(1) by inverse CDF from a uniform
+    ``u_sql`` — thresholds are Python-computed double literals, so the
+    draw replays identically in any engine given the same uniform."""
+    cum, acc = [], 0.0
+    for k in range(max_k):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cum.append((k, acc))
+    branches = " ".join(
+        f"WHEN {u_sql} < {thr!r} THEN {k}" for k, thr in cum
+    )
+    return f"CASE {branches} ELSE {max_k} END"
+
+
+def bootstrap_ci(
+    per_query: DataFrame,
+    value_col: str,
+    id_col: str,
+    B: int = 1000,
+    level: float = 0.95,
+    salt: str = "boot-v1",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean of a per-query
+    metric (recall, MRR, nDCG — any ``(id, value)`` eval frame): is the
+    recall difference between two ANN configurations real, or noise from
+    this particular query sample? Returns ONE row
+    ``(n, mean, lo, hi, level, b)``.
+
+    The Poisson(1) bootstrap (Chamandy et al. 2012 — "Estimating
+    uncertainty for massive data streams", the standard distributed
+    form) replaces multinomial resampling with an independent
+    Poisson(1) weight per (replicate, row): each replicate's statistic
+    is the weighted mean, and the CI is the (1±level)/2 percentile pair
+    over the ``B`` replicate means. Weights are drawn DETERMINISTICALLY
+    from ``md5(salt ‖ b ‖ id)`` through a Python-literal inverse-CDF
+    CASE — re-running reproduces the same interval, and ``salt``
+    re-rolls it.
+
+    Scale shape: eval frames are queries × 1 rows (small by this
+    module's contract), and the explode to B·n (replicate, row) pairs
+    stays result-set-sized; one groupBy(replicate) with map-side
+    combine, then an exact percentile over the B replicate means (B
+    rows). Empty replicates (all weights 0 — probability e^{-n} per
+    replicate) are dropped.
+    """
+    if B < 10:
+        raise DVConfigurationError(f"bootstrap_ci: B must be >= 10, got {B}")
+    if not (0.0 < level < 1.0):
+        raise DVConfigurationError(
+            f"bootstrap_ci: level must be in (0, 1), got {level}"
+        )
+    u = (
+        "conv(substring(md5(concat('{salt}', '|', cast(__b as string), '|', "
+        "cast(__bid as string))), 1, 15), 16, 10) / 1152921504606846976.0"
+    ).format(salt=salt)
+    w = _poisson1_case(f"({u})")
+    base = per_query.select(
+        F.col(id_col).alias("__bid"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    reps = (
+        base.select(
+            "__bid", "__v",
+            F.explode(F.expr(f"sequence(1, {int(B)})")).alias("__b"),
+        )
+        .withColumn("__w", F.expr(w))
+        .groupBy("__b")
+        .agg(
+            (F.sum(F.col("__w") * F.col("__v"))
+             / F.sum("__w")).alias("__m")
+        )
+        .filter(F.col("__m").isNotNull())
+    )
+    alpha = (1.0 - level) / 2.0
+    stats = per_query.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg(F.col(value_col).cast("double")), 6).alias("mean"),
+    )
+    ci = reps.agg(
+        F.round(F.expr(f"percentile(__m, {alpha!r})"), 6).alias("lo"),
+        F.round(F.expr(f"percentile(__m, {1.0 - alpha!r})"), 6).alias("hi"),
+        F.count("*").cast("bigint").alias("b"),
+    )
+    return stats.crossJoin(ci).select(
+        "n", "mean", "lo", "hi", F.lit(float(level)).alias("level"), "b"
     )

@@ -5,6 +5,7 @@ queries counted as zero, MRR semantics, result-set-sized plans."""
 import pytest
 from pyspark.sql import Row, functions as F
 
+from mallarddv_spark.operators import evaluation
 from mallarddv_spark.operators.evaluation import (
     ndcg_at_k,
     recall_at_k,
@@ -206,3 +207,104 @@ def test_tokenizer_stats_across_the_triad(spark):
     assert few.unk_rate is None and many.unk_rate is None
     assert few.fertility >= many.fertility >= 1.0
     assert many.chars_per_token >= few.chars_per_token
+
+
+def _py_bootstrap(values, B, level, salt="boot-v1"):
+    """Reference Poisson bootstrap replaying the exact hash->uniform->
+    inverse-CDF draw chain of bootstrap_ci."""
+    import hashlib
+    import math as m
+
+    cum, acc = [], 0.0
+    for k in range(8):
+        acc += m.exp(-1.0) / m.factorial(k)
+        cum.append((k, acc))
+
+    def pois(b, rid):
+        h = hashlib.md5(f"{salt}|{b}|{rid}".encode()).hexdigest()[:15]
+        u = int(h, 16) / float(16 ** 15)
+        for k, thr in cum:
+            if u < thr:
+                return k
+        return 8
+
+    means = []
+    for b in range(1, B + 1):
+        num = den = 0.0
+        for rid, v in values:
+            w = pois(b, rid)
+            num += w * v
+            den += w
+        if den > 0:
+            means.append(num / den)
+    means.sort()
+    alpha = (1.0 - level) / 2.0
+
+    def pct(p):
+        # Spark/DuckDB percentile(): linear interpolation on sorted data
+        idx = p * (len(means) - 1)
+        lo_i, frac = int(idx), idx - int(idx)
+        if lo_i + 1 < len(means):
+            return means[lo_i] + frac * (means[lo_i + 1] - means[lo_i])
+        return means[lo_i]
+
+    return round(pct(alpha), 6), round(pct(1.0 - alpha), 6), len(means)
+
+
+def test_bootstrap_ci_matches_python_reference(spark):
+    import random
+
+    rnd = random.Random(5)
+    rows = [(i, round(rnd.uniform(0.2, 0.9), 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "query_id int, recall double")
+    got = evaluation.bootstrap_ci(
+        df, "recall", "query_id", B=200, level=0.9
+    ).collect()[0]
+    lo, hi, b = _py_bootstrap(rows, B=200, level=0.9)
+    assert got.n == 40
+    assert got.b == b
+    assert got.lo == pytest.approx(lo, abs=2e-6)
+    assert got.hi == pytest.approx(hi, abs=2e-6)
+    assert got.lo <= got.mean <= got.hi
+    assert got.level == 0.9
+
+
+def test_bootstrap_ci_narrows_with_sample_size(spark):
+    import random
+
+    rnd = random.Random(9)
+    small = spark.createDataFrame(
+        [(i, rnd.gauss(0.5, 0.1)) for i in range(20)],
+        "query_id int, v double",
+    )
+    rnd = random.Random(9)
+    big = spark.createDataFrame(
+        [(i, rnd.gauss(0.5, 0.1)) for i in range(500)],
+        "query_id int, v double",
+    )
+    a = evaluation.bootstrap_ci(small, "v", "query_id", B=200).collect()[0]
+    c = evaluation.bootstrap_ci(big, "v", "query_id", B=200).collect()[0]
+    assert (c.hi - c.lo) < (a.hi - a.lo)
+
+
+def test_bootstrap_ci_deterministic_and_salt_rerolls(spark):
+    df = spark.createDataFrame(
+        [(i, 0.1 * (i % 10)) for i in range(30)], "query_id int, v double"
+    )
+    a = evaluation.bootstrap_ci(df, "v", "query_id", B=100).collect()[0]
+    b = evaluation.bootstrap_ci(df, "v", "query_id", B=100).collect()[0]
+    assert (a.lo, a.hi) == (b.lo, b.hi)
+    c = evaluation.bootstrap_ci(
+        df, "v", "query_id", B=100, salt="other"
+    ).collect()[0]
+    assert (c.lo, c.hi) != (a.lo, a.hi)
+
+
+def test_bootstrap_ci_guards(spark):
+    from mallarddv_spark.exceptions import DVConfigurationError
+
+    df = spark.createDataFrame([(1, 0.5)], "query_id int, v double")
+    with pytest.raises(DVConfigurationError, match="B must be"):
+        evaluation.bootstrap_ci(df, "v", "query_id", B=5)
+    with pytest.raises(DVConfigurationError, match="level"):
+        evaluation.bootstrap_ci(df, "v", "query_id", level=1.5)
