@@ -101,6 +101,7 @@ def pagerank(
     tol: float | None = 1e-6,
     weight: str | None = None,
     seeds: DataFrame | None = None,
+    checkpoint_every: int | None = 1,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list → ``(node,
     rank)`` with ranks summing to 1 — the web-graph quality signal
@@ -129,6 +130,15 @@ def pagerank(
     uniformly, so link farms unreachable from trusted seeds decay
     toward zero rank no matter how densely they interlink. Iteration
     starts at the teleport vector in this mode.
+
+    ``checkpoint_every`` (exact-step mode only; tol mode materializes
+    every round anyway for its delta) controls the lineage-cut cadence:
+    1 (default) checkpoints each round — the right call at scale, where
+    re-execution is expensive; ``None`` builds ALL rounds as one lazy
+    plan, evaluated in a single job — faster for small graphs / few
+    rounds, but the plan references each prior round twice (rank join +
+    dangling aggregate), so uncheckpointed depth doubles the logical
+    tree per round: keep ``max_iter`` ≲ 8 in that mode.
 
     Scale shape: the edge table is normalized once (one groupBy on the
     source key for degrees, one join back) and checkpointed; each round
@@ -235,8 +245,11 @@ def pagerank(
             .select("node", "dangling", "tele", "prev",
                     new_rank.alias("rank"))
             .select("node", "dangling", "tele", "rank", "prev")
-            .localCheckpoint(eager=True)
         )
+        if tol is not None or (
+            checkpoint_every and (i + 1) % checkpoint_every == 0
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
     if tol is not None:
         delta = ranks.agg(
             F.sum(F.abs(F.col("rank") - F.col("prev")))

@@ -237,3 +237,16 @@ def test_dedup_assign_composes_with_pairs(spark):
         "left_semi",
     )
     assert kept.count() == 5
+
+
+def test_pagerank_lazy_exact_mode_matches_checkpointed(spark):
+    """checkpoint_every=None builds all exact-step rounds as one lazy
+    plan; the math must be identical to the per-round-checkpoint path."""
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (3, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r.node: r.rank
+         for r in pagerank(df, max_iter=6, tol=None).collect()}
+    b = {r.node: r.rank
+         for r in pagerank(df, max_iter=6, tol=None,
+                           checkpoint_every=None).collect()}
+    assert a == b
