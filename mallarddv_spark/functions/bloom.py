@@ -212,7 +212,15 @@ def bloom_semi_join(
     ``expected_items`` skips the sizing count when the key cardinality
     is already known (e.g. from a manifest).
     """
-    bloom = build_bloom(keys, keys_col or value_col, fpp, expected_items)
+    # Materialize the one-row filter ONCE: without the checkpoint the
+    # expensive fold-over-all-keys plan would execute twice — once for the
+    # geometry .first() below and again under the broadcast crossJoin —
+    # and at the advertised 10^9-key scale that doubles the build cost.
+    # The checkpointed frame is one row of bits + geometry, so the
+    # materialization itself is free.
+    bloom = build_bloom(
+        keys, keys_col or value_col, fpp, expected_items
+    ).localCheckpoint(eager=True)
     geo = bloom.select("m", "n_hashes").first()
     m, n_hashes = int(geo.m), int(geo.n_hashes)
     survivors = (

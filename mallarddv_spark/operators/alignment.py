@@ -140,7 +140,16 @@ def hard_negative_mine(
     al. 2021): candidates scoring ≥ ``ratio`` × the query's weakest
     positive cosine are discarded rather than mined — near-ties with a
     real positive are more likely unlabeled positives than useful
-    negatives.
+    negatives. The screen assumes positives score HIGH: for a query
+    whose weakest positive cosine is ≤ 0 the threshold would be
+    nonsensical (it would discard nearly everything), so the screen is
+    DISABLED for that query and all its candidates stay eligible.
+    Mining is a single pass over the fetched pool — there is no
+    backfill: candidates the screen removes are not replaced from
+    beyond ``fetch_k``, so a heavily-screened query can return fewer
+    than ``k`` negatives. To compensate, the DEFAULT over-fetch doubles
+    to ``2*k`` + max-positives when ``denoise_ratio`` is set; pass an
+    explicit ``fetch_k`` to widen further.
 
     Scale shape: one kNN pass over queries that actually appear in
     ``pairs``; everything after is result-set-sized (queries × fetch_k):
@@ -173,7 +182,10 @@ def hard_negative_mine(
             p.groupBy("query_id").count()
             .agg(F.max("count")).collect()[0][0]
         )
-        fetch_k = int(k) + int(mp or 0)
+        # denoise removes candidates WITHOUT backfill — over-fetch twice
+        # as deep so a screened query can still fill its k slots
+        base = 2 * int(k) if denoise_ratio is not None else int(k)
+        fetch_k = base + int(mp or 0)
     q_active = queries.join(
         p.select(F.col("query_id").alias(id_col)).distinct(),
         id_col, "left_semi",
@@ -204,8 +216,14 @@ def hard_negative_mine(
             .groupBy("query_id")
             .agg(F.min("__pc").alias("__floor"))
         )
+        # floor ≤ 0 → the query's positives don't score high, the
+        # RocketQA assumption doesn't hold — skip the screen for it
         cand = cand.join(F.broadcast(pos_cos), "query_id").filter(
-            F.col("cosine") < F.lit(float(denoise_ratio)) * F.col("__floor")
+            (F.col("__floor") <= 0)
+            | (
+                F.col("cosine")
+                < F.lit(float(denoise_ratio)) * F.col("__floor")
+            )
         )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

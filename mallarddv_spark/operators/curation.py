@@ -1064,7 +1064,11 @@ def train_lr_classifier(
     float-sum order.
 
     Returns ``{"weights": DF(bucket, w), "bias": float,
-    "loss_history": [per-iter mean log-loss], ...params}``.
+    "loss_history": [mean log-loss], ...params}``. ``loss_history`` has
+    ``iters + 1`` entries: entry ``i`` is the loss of the model BEFORE
+    iteration ``i``'s update, and the last entry is the loss of the
+    returned weights (one extra no-update evaluation pass after the
+    loop), so ``loss_history[-1]`` measures the model you actually get.
 
     Scale shape: features are built ONCE (one explode + one groupBy,
     then checkpointed); each iteration is two shuffles on doc_id
@@ -1129,7 +1133,11 @@ def train_lr_classifier(
     bias_gsq = 0.0
     eps = 1e-8
     history: list[float] = []
-    for _ in range(iters):
+    # iters+1 passes: pass i records the loss of the model BEFORE
+    # iteration i's update, and the final pass records the loss of the
+    # RETURNED weights without updating — so loss_history[-1] measures
+    # the model callers actually get, not the one a step behind it
+    for _it in range(iters + 1):
         margins = (
             feats.join(F.broadcast(weights), "bucket")
             .groupBy("__lrid")
@@ -1160,6 +1168,8 @@ def train_lr_classifier(
         row = errs.agg(F.avg("__e"), F.avg("__l")).collect()[0]
         grad_b, loss = float(row[0]), float(row[1])
         history.append(loss)
+        if _it == iters:
+            break
         grad = (
             feats.join(errs.select("__lrid", "__e"), "__lrid")
             .groupBy("bucket")

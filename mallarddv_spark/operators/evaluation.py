@@ -299,7 +299,10 @@ def bootstrap_ci(
     metric (recall, MRR, nDCG — any ``(id, value)`` eval frame): is the
     recall difference between two ANN configurations real, or noise from
     this particular query sample? Returns ONE row
-    ``(n, mean, lo, hi, level, b)``.
+    ``(n, mean, lo, hi, level, b)``. Rows whose metric value is NULL
+    are excluded up front — from ``n``, ``mean``, and the replicate
+    weights alike — so a partially-NULL metric column yields the CI of
+    its observed values, not a downward-biased one.
 
     The Poisson(1) bootstrap (Chamandy et al. 2012 — "Estimating
     uncertainty for massive data streams", the standard distributed
@@ -329,7 +332,12 @@ def bootstrap_ci(
         "cast(__bid as string))), 1, 15), 16, 10) / 1152921504606846976.0"
     ).format(salt=salt)
     w = _poisson1_case(f"({u})")
-    base = per_query.select(
+    # NULL metric values are excluded EVERYWHERE (n, mean, and the
+    # replicate weights alike) — without the up-front filter a NULL row
+    # would add weight to each replicate's denominator sum(__w) while
+    # contributing nothing to the numerator, biasing every replicate
+    # mean (and the interval) downward
+    base = per_query.filter(F.col(value_col).isNotNull()).select(
         F.col(id_col).alias("__bid"),
         F.col(value_col).cast("double").alias("__v"),
     )
@@ -347,9 +355,9 @@ def bootstrap_ci(
         .filter(F.col("__m").isNotNull())
     )
     alpha = (1.0 - level) / 2.0
-    stats = per_query.agg(
+    stats = base.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.round(F.avg(F.col(value_col).cast("double")), 6).alias("mean"),
+        F.round(F.avg("__v"), 6).alias("mean"),
     )
     ci = reps.agg(
         F.round(F.expr(f"percentile(__m, {alpha!r})"), 6).alias("lo"),

@@ -56,6 +56,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parquet_rows(sf_dir: str, name: str) -> int:
+    """Row count straight from parquet footers, driver-side — no Spark
+    job. Used where a gate query needs a table's cardinality as a PLAN
+    PARAMETER (e.g. the synthetic pagerank graph modulus): a full
+    `df.count()` job per gate invocation just to read a constant is
+    avoidable overhead at every SF."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    return sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects. Read nanos as long and truncate to micros —
@@ -870,7 +890,7 @@ def q_dedup_cluster_assign(spark, sf):
         F.lit("cluster").alias("part"), "id", "cluster_id", "keep",
         *_nulls(("rankm", "double")),
     )
-    n = d.count()
+    n = _parquet_rows(sf, "documents")
     edges = (
         d.select(
             "doc_id",
@@ -883,7 +903,13 @@ def q_dedup_cluster_assign(spark, sf):
         .select(F.col("doc_id").alias("src"), "dst")
         .distinct()
     )
-    pr = pagerank(edges, damping=0.85, max_iter=5, tol=None)
+    # checkpoint_every=None: 5 rounds over a ≤50k-node synthetic graph —
+    # one lazy plan, one job. Per-round eager checkpointing is the 10^9-node
+    # long-chain mode, pure fixed overhead here (lazy-vs-checkpointed
+    # identity is pinned in tests/test_graph.py).
+    pr = pagerank(
+        edges, damping=0.85, max_iter=5, tol=None, checkpoint_every=None
+    )
     prp = pr.select(
         F.lit("pagerank").alias("part"),
         F.col("node").alias("id"),
@@ -899,7 +925,6 @@ def _o_pagerank_rounds(rounds: int = 5, damping: float = 0.85) -> str:
     materialized ONCE, contributions are sum(rank * w), and each new
     rank is ((1-d)/N + (d*dm)/N) + d*contrib with that associativity."""
     ctes = [f"""
-nn AS (SELECT count(*)::DOUBLE AS nd FROM documents),
 edges AS (
     SELECT DISTINCT d.doc_id AS src,
            (d.doc_id * 31 + t.j * 97) % (SELECT count(*) FROM documents) AS dst
@@ -917,6 +942,7 @@ nd AS (
           UNION SELECT dst FROM edges) v
     LEFT JOIN deg g ON v.node = g.src
 ),
+nn AS (SELECT count(*)::DOUBLE AS nd FROM nd),
 r0 AS (SELECT node, dangling, 1.0 / nn.nd AS rank FROM nd, nn)"""]
     for t in range(rounds):
         ctes.append(f"""

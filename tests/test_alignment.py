@@ -105,7 +105,9 @@ def test_guards_and_plan(spark):
 
 def _py_hard_negatives(vecs_q, vecs_c, pairs, k, denoise_ratio=None):
     """Full-corpus reference: rank all non-positive corpus items per
-    query by round(cosine, 6) desc, id asc; optional RocketQA screen."""
+    query by round(cosine, 6) desc, id asc; optional RocketQA screen
+    (disabled per-query when the weakest positive cosine is <= 0,
+    matching the operator's floor guard)."""
     import math
 
     def cos(a, b):
@@ -127,7 +129,11 @@ def _py_hard_negatives(vecs_q, vecs_c, pairs, k, denoise_ratio=None):
             if c in pos_by_q[q]:
                 continue
             s = cos(qv, cv)
-            if denoise_ratio is not None and s >= denoise_ratio * floor:
+            if (
+                denoise_ratio is not None
+                and floor > 0
+                and s >= denoise_ratio * floor
+            ):
                 continue
             cands.append((c, s))
         cands.sort(key=lambda t: (-t[1], t[0]))
@@ -201,6 +207,52 @@ def test_hard_negatives_denoise_screen(spark):
         assert [c for c, _, _ in got_ids[q]] == [c for c, _, _ in exp[q]]
         # the planted near-positive must have been screened out
         assert 200 + q not in {c for c, _, _ in got_ids[q]}
+
+
+def test_hard_negatives_denoise_negative_floor_disables_screen(spark):
+    # query 0's only positive points AWAY from it (floor < 0): the
+    # RocketQA assumption fails, so the screen must be a no-op for it —
+    # without the guard, threshold = ratio * floor < 0 would discard
+    # nearly every candidate
+    vecs_q = {0: [1.0, 0.0, 0.0]}
+    vecs_c = {
+        100: [-1.0, 0.1, 0.0],  # the (bad) positive, cosine ~ -0.995
+        200: [0.9, 0.1, 0.0],
+        201: [0.8, 0.3, 0.0],
+        202: [0.1, 0.9, 0.0],
+    }
+    pairs = [(0, 100)]
+    qdf = _vecs(spark, sorted(vecs_q.items()))
+    cdf = _vecs(spark, sorted(vecs_c.items()))
+    pdf = spark.createDataFrame(pairs, "query_id bigint, pos_id bigint")
+    got = al.hard_negative_mine(
+        pdf, qdf, cdf, k=3, fetch_k=len(vecs_c), denoise_ratio=0.9
+    )
+    rows = sorted(got.collect(), key=lambda r: r.rank)
+    assert [r.neg_id for r in rows] == [200, 201, 202]
+    exp = _py_hard_negatives(vecs_q, vecs_c, pairs, k=3, denoise_ratio=0.9)
+    assert [c for c, _, _ in exp[0]] == [200, 201, 202]
+
+
+def test_hard_negatives_denoise_widens_default_overfetch(spark):
+    # 3 planted near-positives occupy the slots right after the positive
+    # and get screened; with the narrow fetch_k = k + max_pos = 4 the
+    # true negatives ranked 5..7 would never be fetched and the query
+    # would come back EMPTY — the widened 2k + max_pos = 7 default
+    # fills all k slots
+    vecs_q = {0: [1.0, 0.0, 0.0, 0.0]}
+    vecs_c = {100: [1.0, 0.001, 0.0, 0.0]}  # the positive
+    for i in range(3):  # near-duplicates of the positive (screened)
+        vecs_c[150 + i] = [1.0, 0.002 + 0.0001 * i, 0.0, 0.0]
+    for i in range(3):  # true negatives, farther away
+        vecs_c[200 + i] = [1.0, 0.3 + 0.05 * i, 0.1, 0.0]
+    pairs = [(0, 100)]
+    qdf = _vecs(spark, sorted(vecs_q.items()))
+    cdf = _vecs(spark, sorted(vecs_c.items()))
+    pdf = spark.createDataFrame(pairs, "query_id bigint, pos_id bigint")
+    got = al.hard_negative_mine(pdf, qdf, cdf, k=3, denoise_ratio=0.98)
+    rows = sorted(got.collect(), key=lambda r: r.rank)
+    assert [r.neg_id for r in rows] == [200, 201, 202]
 
 
 def test_hard_negatives_overfetch_covers_positive_heavy_queries(spark):

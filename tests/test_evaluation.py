@@ -269,6 +269,23 @@ def test_bootstrap_ci_matches_python_reference(spark):
     assert got.level == 0.9
 
 
+def test_bootstrap_ci_null_values_fully_excluded(spark):
+    # NULL metric rows must not appear in n, mean, or the replicate
+    # weights: the interval over (values + NULLs) equals the interval
+    # over the non-null values alone
+    import random
+
+    rnd = random.Random(13)
+    vals = [(i, round(rnd.uniform(0.3, 0.8), 3)) for i in range(30)]
+    with_nulls = vals + [(100 + i, None) for i in range(10)]
+    clean = spark.createDataFrame(vals, "query_id int, v double")
+    dirty = spark.createDataFrame(with_nulls, "query_id int, v double")
+    a = evaluation.bootstrap_ci(clean, "v", "query_id", B=150).collect()[0]
+    b = evaluation.bootstrap_ci(dirty, "v", "query_id", B=150).collect()[0]
+    assert b.n == 30
+    assert (b.mean, b.lo, b.hi, b.b) == (a.mean, a.lo, a.hi, a.b)
+
+
 def test_bootstrap_ci_narrows_with_sample_size(spark):
     import random
 

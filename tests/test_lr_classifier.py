@@ -103,6 +103,37 @@ def test_lr_matches_pure_python_gd(spark):
         assert got[bk] == pytest.approx(w_exp[bk], abs=1e-9)
 
 
+def test_lr_loss_history_final_entry_measures_returned_model(spark):
+    # loss_history has iters+1 entries and the LAST one is the log-loss
+    # of the RETURNED weights: replay it from the model itself
+    buckets, iters = 64, 5
+    df = spark.createDataFrame(_corpus(40, 21), ["doc_id", "text", "y"])
+    model = train_lr_classifier(df, "y", "text", buckets=buckets,
+                                iters=iters, lr=1.5)
+    assert len(model["loss_history"]) == iters + 1
+    feats = hashed_ngram_features(df, "doc_id", "text", buckets=buckets)
+    tot = {r.doc_id: r.t for r in
+           feats.groupBy("doc_id").agg(F.sum("cnt").alias("t")).collect()}
+    w = {r.bucket: r.w for r in model["weights"].collect()}
+    labels = {r.doc_id: float(r.y)
+              for r in df.select("doc_id", "y").collect()
+              if r.doc_id in tot}
+    margins = {d: model["bias"] for d in labels}
+    for r in feats.collect():
+        if r.doc_id in margins:
+            margins[r.doc_id] += w.get(r.bucket, 0.0) * (
+                r.cnt / tot[r.doc_id]
+            )
+    losses = []
+    for d, y in labels.items():
+        p = 1.0 / (1.0 + math.exp(-margins[d]))
+        p = min(max(p, 1e-15), 1.0 - 1e-15)
+        losses.append(-(y * math.log(p) + (1.0 - y) * math.log(1.0 - p)))
+    assert model["loss_history"][-1] == pytest.approx(
+        sum(losses) / len(losses), abs=1e-9
+    )
+
+
 def test_lr_save_load_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(_corpus(60, 11), ["doc_id", "text", "y"])
     model = train_lr_classifier(df, "y", "text", buckets=256, iters=20)
