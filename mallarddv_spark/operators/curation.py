@@ -1306,6 +1306,363 @@ def load_lr_classifier(spark, path: str) -> dict:
     }
 
 
+def train_softmax_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    buckets: int = 8192,
+    n_max: int = 2,
+    iters: int = 60,
+    lr: float = 1.0,
+    reg: float = 1e-4,
+    hash_mode: str = "xxhash64",
+    lowercase: bool = True,
+) -> dict:
+    """Multiclass (softmax) logistic regression over hashed
+    bag-of-n-grams — the K-class generalization of
+    :func:`train_lr_classifier`, and the trained form of the fastText /
+    CCNet language-ID stage (Joulin et al. 2017, Wenzek et al. 2020):
+    corpus pipelines route documents per-language off exactly this
+    classifier shape, where :func:`~mallarddv_spark.operators.textops.
+    lang_guess`'s marker-word vote is only a heuristic stand-in.
+
+    ``label_col`` holds arbitrary string (or castable) class labels;
+    NULL-label rows are ignored. Classes are the sorted distinct labels
+    (collected once — K is metadata-sized). Training is full-batch
+    ADAGRAD on L2-regularized cross-entropy over per-document
+    TF-normalized counts, identical math to the binary trainer with the
+    sigmoid replaced by a per-document softmax (max-shifted for
+    overflow safety; the shift cancels exactly, so it does not perturb
+    the optimization). Deterministic zero init, no sampling.
+
+    Returns ``{"weights": DF(bucket, cls, w), "classes": [label...],
+    "biases": [float per class], "loss_history": [...], ...params}``.
+    ``loss_history`` follows the binary trainer's convention: ``iters +
+    1`` entries, the last measuring the returned weights.
+
+    Scale shape: features build ONCE (explode + groupBy, checkpointed).
+    Each iteration: one broadcast join of the ``buckets × K``-row weight
+    table, a groupBy on (doc, cls), ONE groupBy on doc that folds the
+    K per-class margins into an array and computes the whole softmax
+    inside Catalyst array expressions (sorted by class index, so the
+    float reduction order is deterministic), then one bounded
+    groupBy(bucket, cls). The per-iteration driver traffic is K rows
+    (bias gradients + loss parts) — same metadata class as the binary
+    trainer's one-row collect. The corpus never re-shuffles.
+    """
+    if buckets <= 0:
+        raise DVConfigurationError(
+            f"train_softmax_classifier: buckets must be positive, "
+            f"got {buckets}"
+        )
+    if iters <= 0 or lr <= 0:
+        raise DVConfigurationError(
+            f"train_softmax_classifier: iters and lr must be positive, "
+            f"got iters={iters} lr={lr}"
+        )
+    labeled = df.filter(F.col(label_col).isNotNull())
+    classes = sorted(
+        r[0]
+        for r in labeled.select(
+            F.col(label_col).cast("string")
+        ).distinct().collect()
+    )
+    k_cls = len(classes)
+    if k_cls < 2:
+        raise DVConfigurationError(
+            f"train_softmax_classifier: need >= 2 distinct labels, "
+            f"got {k_cls}"
+        )
+    cls_idx = F.lit(None)
+    for i, c in enumerate(classes):
+        cls_idx = F.when(
+            F.col(label_col).cast("string") == c, F.lit(i)
+        ).otherwise(cls_idx)
+    base = labeled.select(
+        F.monotonically_increasing_id().alias("__smid"),
+        cls_idx.cast("int").alias("__y"),
+        F.col(text_col).alias("__txt"),
+    ).localCheckpoint(eager=True)
+    feats = (
+        hashed_ngram_features(
+            base, "__smid", "__txt", buckets=buckets, n_max=n_max,
+            hash_mode=hash_mode, lowercase=lowercase,
+        )
+        .withColumnRenamed("doc_id", "__smid")
+    )
+    tot = feats.groupBy("__smid").agg(F.sum("cnt").alias("__tot"))
+    feats = (
+        feats.join(tot, "__smid")
+        .select("__smid", "bucket",
+                (F.col("cnt") / F.col("__tot")).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    docs = (
+        base.select("__smid", "__y")
+        .join(feats.select("__smid").distinct(), "__smid")
+        .localCheckpoint(eager=True)
+    )
+    n = docs.count()
+    if n == 0:
+        raise DVETLError(
+            "train_softmax_classifier: no labeled documents with features"
+        )
+    spark = df.sparkSession
+    weights = (
+        spark.range(buckets)
+        .crossJoin(spark.range(k_cls).select(
+            F.col("id").cast("int").alias("cls")))
+        .select(
+            F.col("id").cast("int").alias("bucket"), "cls",
+            F.lit(0.0).alias("w"), F.lit(0.0).alias("gsq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    biases = [0.0] * k_cls
+    bias_gsq = [0.0] * k_cls
+    eps = 1e-8
+    history: list[float] = []
+    # same iters+1 convention as the binary trainer: the final pass
+    # evaluates the returned weights without updating
+    for _it in range(iters + 1):
+        bias_arr = F.array(*[F.lit(b) for b in biases])
+        margins = (
+            feats.join(F.broadcast(weights.select("bucket", "cls", "w")),
+                       "bucket")
+            .groupBy("__smid", "cls")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("__s"))
+            .select(
+                "__smid", "cls",
+                (F.col("__s")
+                 + F.element_at(bias_arr, F.col("cls") + 1)).alias("__s"),
+            )
+        )
+        # fold the K margins into ONE row per doc; softmax entirely in
+        # array expressions. sort_array orders struct(cls, s) by cls, so
+        # the z reduction order is deterministic (classes ascending).
+        probs = (
+            margins.groupBy("__smid")
+            .agg(F.sort_array(
+                F.collect_list(F.struct("cls", "__s"))).alias("__cs"))
+            .select(
+                "__smid",
+                F.expr(
+                    "transform(__cs, t -> struct(t.cls AS cls, "
+                    "exp(t.__s - array_max(transform(__cs, u -> u.__s))) "
+                    "/ aggregate(__cs, 0.0d, (acc, u) -> acc + "
+                    "exp(u.__s - array_max(transform(__cs, v -> v.__s))))"
+                    " AS p))"
+                ).alias("__ps"),
+            )
+            .select("__smid", F.explode("__ps").alias("__pc"))
+            .select("__smid", F.col("__pc.cls").alias("cls"),
+                    F.col("__pc.p").alias("__p"))
+        )
+        errs = (
+            probs.join(docs, "__smid")
+            .select(
+                "__smid", "cls",
+                (F.col("__p")
+                 - (F.col("cls") == F.col("__y")).cast("double"))
+                .alias("__e"),
+                F.when(
+                    F.col("cls") == F.col("__y"),
+                    -F.log(F.greatest("__p", F.lit(1e-15))),
+                ).otherwise(F.lit(0.0)).alias("__l"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        stat = {
+            r.cls: (float(r.gb), float(r.lp))
+            for r in errs.groupBy("cls").agg(
+                F.avg("__e").alias("gb"), F.sum("__l").alias("lp")
+            ).collect()
+        }
+        history.append(sum(lp for _, lp in stat.values()) / n)
+        if _it == iters:
+            break
+        grad = (
+            feats.join(errs.select("__smid", "cls", "__e"), "__smid")
+            .groupBy("bucket", "cls")
+            .agg((F.sum(F.col("x") * F.col("__e")) / F.lit(float(n)))
+                 .alias("__g"))
+        )
+        gt = F.coalesce("__g", F.lit(0.0)) + F.lit(reg) * F.col("w")
+        weights = (
+            weights.join(grad, ["bucket", "cls"], "left")
+            .select(
+                "bucket", "cls",
+                (F.col("w")
+                 - F.lit(lr) * gt
+                 / F.sqrt(F.col("gsq") + gt * gt + F.lit(eps))).alias("w"),
+                (F.col("gsq") + gt * gt).alias("gsq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        for c in range(k_cls):
+            gb = stat.get(c, (0.0, 0.0))[0]
+            bias_gsq[c] += gb * gb
+            biases[c] -= lr * gb / math.sqrt(bias_gsq[c] + eps)
+    return {
+        "weights": weights.select("bucket", "cls", "w"),
+        "classes": classes,
+        "biases": biases,
+        "loss_history": history,
+        "buckets": buckets,
+        "n_max": n_max,
+        "hash_mode": hash_mode,
+        "lowercase": lowercase,
+    }
+
+
+def softmax_classify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: dict,
+    return_probs: bool = False,
+) -> DataFrame:
+    """Score documents under a :func:`train_softmax_classifier` model:
+    ``(doc_id, label, score)`` where ``label`` is the argmax class name
+    and ``score`` its softmax probability (ties break toward the lower
+    class index, i.e. lexicographically-first label). With
+    ``return_probs=True`` a ``probs`` column (array<double>, indexed by
+    the model's ``classes`` order) is appended. Documents with no
+    features score the bias prior alone, matching the trainer's
+    convention.
+
+    One explode + one groupBy per document plus a broadcast join of the
+    ``buckets × K``-row weight table; the softmax and the argmax both
+    run inside Catalyst array expressions — whole-stage-codegen, no
+    Python stage.
+    """
+    classes = list(model["classes"])
+    biases = [float(b) for b in model["biases"]]
+    bias_arr = F.array(*[F.lit(b) for b in biases])
+    name_arr = F.array(*[F.lit(c) for c in classes])
+    feats = hashed_ngram_features(
+        df, id_col, text_col, buckets=model["buckets"],
+        n_max=model["n_max"], hash_mode=model["hash_mode"],
+        lowercase=model["lowercase"],
+    )
+    tot = feats.groupBy("doc_id").agg(F.sum("cnt").alias("__tot"))
+    margins = (
+        feats.join(tot, "doc_id")
+        .join(F.broadcast(model["weights"]), "bucket")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum(F.col("cnt") / F.col("__tot") * F.col("w"))
+             .alias("__s"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(
+            F.collect_list(F.struct("cls", "__s"))).alias("__cs"))
+        # re-key margins by class INDEX into a dense array (missing
+        # classes cannot occur: every bucket row joins all K classes)
+        .select(
+            "doc_id",
+            F.expr("transform(__cs, t -> t.__s)").alias("__m"),
+        )
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(margins, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("__m"),
+                F.array(*[F.lit(0.0)] * len(classes)),
+            ).alias("__m"),
+        )
+        .select(
+            "doc_id",
+            F.zip_with("__m", bias_arr, lambda s, b: s + b).alias("__z"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "__z",
+                lambda s: F.exp(s - F.array_max("__z")),
+            ).alias("__e"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "__e",
+                lambda e: e
+                / F.aggregate(
+                    "__e", F.lit(0.0), lambda acc, x: acc + x
+                ),
+            ).alias("__p"),
+        )
+    )
+    best = F.expr(
+        "array_position(__p, array_max(__p))"
+    ).cast("int") - 1
+    out = out.select(
+        "doc_id",
+        F.element_at(name_arr, best + 1).alias("label"),
+        F.element_at("__p", best + 1).alias("score"),
+        *(["__p"] if return_probs else []),
+    )
+    if return_probs:
+        out = out.withColumnRenamed("__p", "probs")
+    return out
+
+
+def lang_classify(
+    df: DataFrame, id_col: str, text_col: str, model: dict
+) -> DataFrame:
+    """Trained language identification: score documents under a
+    :func:`train_softmax_classifier` model fit on language-labeled text
+    → ``(doc_id, lang, lang_score)`` — the CCNet / fastText-langid
+    pipeline stage (Wenzek et al. 2020 use exactly a fastText softmax
+    classifier here), replacing the
+    :func:`~mallarddv_spark.operators.textops.lang_guess` marker-word
+    heuristic with a model that learns from evidence beyond stopwords.
+    Thin rename over :func:`softmax_classify`; plug the result into
+    :func:`~mallarddv_spark.operators.textops.text_profile` via its
+    ``lang_model`` parameter."""
+    return softmax_classify(df, id_col, text_col, model).select(
+        "doc_id",
+        F.col("label").alias("lang"),
+        F.col("score").alias("lang_score"),
+    )
+
+
+def save_softmax_classifier(model: dict, path: str) -> None:
+    """Persist a :func:`train_softmax_classifier` model:
+    ``{path}/weights`` parquet plus a one-row ``{path}/params`` parquet
+    (classes + biases as arrays, written LAST — the completeness-marker
+    convention of :func:`save_lr_classifier`)."""
+    from mallarddv_spark.functions.litframe import literal_frame
+
+    model["weights"].write.mode("overwrite").parquet(f"{path}/weights")
+    spark = model["weights"].sparkSession
+    literal_frame(
+        spark,
+        [(list(model["classes"]),
+          [float(b) for b in model["biases"]],
+          model["buckets"], model["n_max"], model["hash_mode"],
+          bool(model["lowercase"]))],
+        "classes array<string>, biases array<double>, buckets int, "
+        "n_max int, hash_mode string, lowercase boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_softmax_classifier(spark, path: str) -> dict:
+    """Load a model persisted by :func:`save_softmax_classifier`."""
+    p = spark.read.parquet(f"{path}/params").first()
+    return {
+        "weights": spark.read.parquet(f"{path}/weights"),
+        "classes": list(p.classes),
+        "biases": [float(b) for b in p.biases],
+        "loss_history": [],
+        "buckets": int(p.buckets),
+        "n_max": int(p.n_max),
+        "hash_mode": p.hash_mode,
+        "lowercase": bool(p.lowercase),
+    }
+
+
 # ---------------------------------------------------------------------------
 # winnowing, incremental dedup, BPE-ish tokenization
 # ---------------------------------------------------------------------------

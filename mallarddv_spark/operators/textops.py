@@ -124,6 +124,7 @@ def text_profile(
     with_repetition: bool = False,
     top_ns: tuple = (2, 3, 4),
     dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+    lang_model: dict | None = None,
 ) -> DataFrame:
     """One-pass per-document profile: everything a curation pipeline filters
     on, computed in a single projection (one scan, no shuffle).
@@ -135,6 +136,16 @@ def text_profile(
     ``with_repetition`` appends the Gopher repetition battery
     (:func:`repetition_profile`'s signal columns) to the SAME projection —
     no self-join, still one scan.
+
+    ``lang_model`` (a :func:`~mallarddv_spark.operators.curation.
+    train_softmax_classifier` model fit on language-labeled text)
+    replaces the marker-word ``lang_guess`` vote with the TRAINED
+    prediction — the CCNet/fastText pipeline shape. This is the one
+    option that breaks the single-projection guarantee: it adds the
+    classifier's explode + groupBy pass and a join back on ``id_col``
+    (co-partitioned with the profile's scan when the source is bucketed
+    on the id). The column name stays ``lang_guess`` so downstream
+    filters are oblivious to which identifier produced it.
     """
     toks = F.col("__toks")
     n_tokens = F.size(toks)
@@ -187,7 +198,22 @@ def text_profile(
             "__lines", F.split(trimmed, "\n")
         )
         cols.extend(repetition_columns(top_ns, dup_ns))
-    return base.select(*cols)
+    prof = base.select(*cols)
+    if lang_model is not None:
+        from mallarddv_spark.operators.curation import lang_classify
+
+        trained = lang_classify(df, id_col, text_col, lang_model).select(
+            F.col("doc_id").alias(id_col), "lang"
+        )
+        prof = (
+            prof.drop("lang_guess")
+            .join(trained, id_col, "left")
+            .withColumn(
+                "lang_guess", F.coalesce("lang", F.lit("unknown"))
+            )
+            .drop("lang")
+        )
+    return prof
 
 
 # ---------------------------------------------------------------------------
