@@ -37,13 +37,60 @@ from pyspark.sql import DataFrame, functions as F
 from mallarddv_spark.exceptions import DVConfigurationError
 
 __all__ = [
-    "word_frequencies", "train_bpe", "bpe_encode_words", "bpe_encode",
-    "save_bpe", "load_bpe",
+    "word_frequencies", "byte_word_frequencies", "train_bpe",
+    "bpe_encode_words", "bpe_encode", "save_bpe", "load_bpe",
+    "decode_byte_tokens", "GPT2_PRETOKEN_RE",
 ]
 
 # end-of-word marker: distinguishes "low</w>" (word-final) from "low" as
 # a prefix of "lower" — the standard Sennrich formulation
 EOW = "▁"
+
+#: the GPT-2 pre-tokenization regex (Radford et al. 2019 — published
+#: with the GPT-2 encoder; the pattern every byte-level BPE stack uses):
+#: common English contractions, then letter runs / digit runs /
+#: punctuation runs each with an OPTIONAL LEADING SPACE (the leading
+#: space is part of the token — it replaces the end-of-word marker),
+#: then trailing/interior whitespace runs. Java regex syntax (Spark's
+#: engine); \p{L}/\p{N} are the Unicode letter/number classes.
+GPT2_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def _bytes_to_unicode() -> list[str]:
+    """The GPT-2 byte→printable-unicode alphabet: the 188 printable
+    single-byte chars map to themselves, the rest (controls, space,
+    0xAD, high bytes) shift to U+0100.. so every byte is a VISIBLE,
+    non-whitespace symbol — merges can then span spaces and any UTF-8
+    fragment without tokenizer-side escaping."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(0xA1, 0xAD)) + list(range(0xAE, 0x100)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    mapping = dict(zip(bs, cs))
+    return [chr(mapping[b]) for b in range(256)]
+
+
+#: index = byte value, element = its alphabet character
+BYTE_CHARS: list[str] = _bytes_to_unicode()
+_BYTE_INV = {c: i for i, c in enumerate(BYTE_CHARS)}
+
+
+def decode_byte_tokens(tokens) -> str:
+    """Driver-side inverse of the byte-level alphabet: concatenate the
+    tokens, map each character back to its byte, decode UTF-8 — the
+    losslessness check (and the detokenizer for inspection/debug; bulk
+    decode belongs downstream in the consumer that owns the bytes)."""
+    data = bytes(_BYTE_INV[ch] for tok in tokens for ch in tok)
+    return data.decode("utf-8")
 
 
 def word_frequencies(
@@ -59,6 +106,47 @@ def word_frequencies(
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+def byte_word_frequencies(
+    df: DataFrame, text_col: str = "text", lowercase: bool = False
+) -> DataFrame:
+    """The ONE corpus pass for byte-level mode: GPT-2 pre-tokens and
+    their counts ``(word, cnt)``. Unlike :func:`word_frequencies`,
+    whitespace is NOT a separator here — a pre-token may carry its
+    leading space, and whitespace runs are tokens themselves, so the
+    concatenation of a document's pre-tokens reproduces the document
+    byte-for-byte (the losslessness that makes byte-level BPE the
+    dominant LLM tokenizer base). Case is preserved by default (the
+    GPT-2 convention)."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    return (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(t, F.lit(GPT2_PRETOKEN_RE), F.lit(0))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _byte_symbols(word_col: str = "word"):
+    # UTF-8 bytes of the pre-token, each mapped through the GPT-2
+    # alphabet: "ab" -> ["a", "b"], " a" -> ["Ġ", "a"]. Pure Catalyst:
+    # encode once, then per-byte hex -> int -> alphabet lookup.
+    barr = F.array(*[F.lit(c) for c in BYTE_CHARS])
+    b = F.encode(F.col(word_col), "UTF-8")
+    return F.transform(
+        F.sequence(F.lit(1), F.length(b)),
+        lambda i: F.element_at(
+            barr,
+            F.conv(F.hex(F.substr(b, i, F.lit(1))), 16, 10).cast("int")
+            + F.lit(1),
+        ),
     )
 
 
@@ -156,11 +244,29 @@ def train_bpe(
     checkpoint_every: int = 8,
     merge_batch: int = 64,
     exact_rank: bool = True,
+    byte_level: bool = False,
 ) -> dict:
     """Learn ``num_merges`` BPE merges from a corpus. Returns
-    ``{"merges": [(a, b), ...] in rank order, "lowercase": bool}``;
-    training stops early when no adjacent pair reaches
-    ``min_pair_count`` (merging singletons memorizes the corpus).
+    ``{"merges": [(a, b), ...] in rank order, "lowercase": bool,
+    "byte_level": bool}``; training stops early when no adjacent pair
+    reaches ``min_pair_count`` (merging singletons memorizes the
+    corpus).
+
+    ``byte_level=True`` switches to the GPT-2 formulation (Radford et
+    al. 2019): text splits on :data:`GPT2_PRETOKEN_RE` (contractions,
+    space-prefixed letter/digit/punctuation runs, whitespace runs)
+    instead of whitespace words, each pre-token becomes its UTF-8 BYTE
+    sequence through the printable :data:`BYTE_CHARS` alphabet, and
+    there is NO end-of-word marker — the leading space inside tokens
+    carries the word boundary. Consequences: any byte sequence encodes
+    losslessly (no OOV, no reserved characters — the ``▁`` restriction
+    below does not apply in this mode), case is meaningful (pass
+    ``lowercase=False``, the GPT-2 convention and this mode's sensible
+    default — the parameter is honored either way), and the learned
+    vocabulary differs from whitespace-mode BPE on the same corpus
+    because spaces participate in merges. The merge loop, batching
+    modes, and determinism guarantees are IDENTICAL — only the initial
+    symbol table changes.
 
     Determinism: the argmax pair breaks count ties on (a, b)
     lexicographically — a pure function of the corpus content (in both
@@ -202,9 +308,12 @@ def train_bpe(
         raise DVConfigurationError("train_bpe: num_merges must be >= 1")
     if merge_batch < 1:
         raise DVConfigurationError("train_bpe: merge_batch must be >= 1")
+    freq = (byte_word_frequencies if byte_level else word_frequencies)(
+        df, text_col, lowercase
+    )
+    init = _byte_symbols() if byte_level else _initial_symbols()
     words = (
-        word_frequencies(df, text_col, lowercase)
-        .select("cnt", _initial_symbols().alias("syms"))
+        freq.select("cnt", init.alias("syms"))
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str]] = []
@@ -245,14 +354,21 @@ def train_bpe(
         if since_ckpt >= checkpoint_every:
             words = words.localCheckpoint(eager=True)
             since_ckpt = 0
-    return {"merges": merges, "lowercase": lowercase}
+    return {
+        "merges": merges,
+        "lowercase": lowercase,
+        "byte_level": bool(byte_level),
+    }
 
 
 def bpe_encode_words(words: DataFrame, bpe: dict, word_col: str = "word",
                      checkpoint_every: int = 8) -> DataFrame:
     """Replay the learned merges, in rank order, over a table of distinct
-    words: ``(word, tokens array<string>)``. Cost ∝ vocabulary."""
-    out = words.select(word_col, _initial_symbols(word_col).alias("tokens"))
+    words (or byte-level pre-tokens, per the model's ``byte_level``
+    flag): ``(word, tokens array<string>)``. Cost ∝ vocabulary."""
+    init = (_byte_symbols(word_col) if bpe.get("byte_level")
+            else _initial_symbols(word_col))
+    out = words.select(word_col, init.alias("tokens"))
     for i, (a, b) in enumerate(bpe["merges"]):
         out = out.select(
             word_col,
@@ -279,18 +395,26 @@ def save_bpe(spark, bpe: dict, path: str) -> None:
         "overwrite"
     ).parquet(f"{path}/merges")
     literal_frame(
-        spark, [(bool(bpe.get("lowercase", True)),)], "lowercase boolean"
+        spark,
+        [(bool(bpe.get("lowercase", True)), bool(bpe.get("byte_level")))],
+        "lowercase boolean, byte_level boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def load_bpe(spark, path: str) -> dict:
-    """Load a model persisted by :func:`save_bpe`."""
+    """Load a model persisted by :func:`save_bpe`. Models written before
+    the byte-level mode existed lack the ``byte_level`` column and load
+    as whitespace-mode (the only mode they could have been)."""
     p = spark.read.parquet(f"{path}/params").first()
     merges = [
         (r.a, r.b)
         for r in spark.read.parquet(f"{path}/merges").orderBy("rank").collect()
     ]
-    return {"merges": merges, "lowercase": bool(p.lowercase)}
+    return {
+        "merges": merges,
+        "lowercase": bool(p.lowercase),
+        "byte_level": bool(getattr(p, "byte_level", False)),
+    }
 
 
 def bpe_encode(
@@ -310,16 +434,37 @@ def bpe_encode(
 
     Documents with no tokens (empty/whitespace text) have no row in the
     output — the same no-evidence convention as
-    ``textops.score_bigram_logprob``.
+    ``textops.score_bigram_logprob``. Byte-level models pre-tokenize
+    with :data:`GPT2_PRETOKEN_RE` instead of whitespace, keep case and
+    whitespace tokens, and the concatenated token sequence round-trips
+    to the original text byte-for-byte through
+    :func:`decode_byte_tokens` (whitespace-only documents DO produce a
+    row here — whitespace is evidence in this mode).
     """
-    t = F.trim(F.col(text_col))
-    if bpe.get("lowercase", True):
-        t = F.lower(t)
-    stream = (
-        df.select(F.col(id_col), F.posexplode(F.split(t, r"\s+")))
-        .withColumnRenamed("col", "word")
-        .filter(F.col("word") != "")
-    )
+    if bpe.get("byte_level"):
+        t = F.col(text_col)
+        if bpe.get("lowercase", True):
+            t = F.lower(t)
+        stream = (
+            df.select(
+                F.col(id_col),
+                F.posexplode(
+                    F.regexp_extract_all(
+                        t, F.lit(GPT2_PRETOKEN_RE), F.lit(0)
+                    )
+                ),
+            )
+            .withColumnRenamed("col", "word")
+        )
+    else:
+        t = F.trim(F.col(text_col))
+        if bpe.get("lowercase", True):
+            t = F.lower(t)
+        stream = (
+            df.select(F.col(id_col), F.posexplode(F.split(t, r"\s+")))
+            .withColumnRenamed("col", "word")
+            .filter(F.col("word") != "")
+        )
     vocab = bpe_encode_words(stream.select("word").distinct(), bpe)
     return (
         stream.join(vocab, "word")

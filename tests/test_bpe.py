@@ -225,3 +225,141 @@ def test_approx_batching_valid_tokenizer(spark, docs):
     n_apx = bpe_encode(slice_, "doc_id", "text", approx).agg(
         {"n_tokens": "sum"}).first()[0]
     assert n_apx <= n_seq * 1.10, (n_apx, n_seq)
+
+
+# --- byte-level (GPT-2) mode ---
+
+def _py_bytes_to_unicode():
+    # independent re-derivation of the GPT-2 alphabet (Radford et al.
+    # 2019 encoder): printable bytes map to themselves, the rest shift
+    # to 256+
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(0xA1, 0xAD)) + list(range(0xAE, 0x100)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+# ASCII-equivalent of GPT2_PRETOKEN_RE for the pure-Python reference
+# (Python re lacks \p{L}; on ASCII-only corpora the classes coincide)
+_PY_GPT2_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def _py_train_bytes(texts, num_merges, min_pair_count=2):
+    b2u = _py_bytes_to_unicode()
+    words = Counter()
+    for t in texts:
+        for w in _PY_GPT2_RE.findall(t):
+            words[w] += 1
+    vocab = {w: [b2u[b] for b in w.encode("utf-8")] for w in words}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += words[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_pair_count:
+            break
+        merges.append(best)
+        vocab = {w: _py_merge(s, *best) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def test_byte_chars_pin_gpt2_alphabet():
+    from mallarddv_spark.operators.bpe import BYTE_CHARS
+
+    b2u = _py_bytes_to_unicode()
+    assert len(BYTE_CHARS) == 256
+    assert len(set(BYTE_CHARS)) == 256
+    for b in range(256):
+        assert BYTE_CHARS[b] == b2u[b]
+    # printables map to themselves; space maps to the famous Ġ
+    assert BYTE_CHARS[ord("a")] == "a"
+    assert BYTE_CHARS[ord(" ")] == "Ġ"
+
+
+def test_byte_level_train_matches_python_reference(spark, docs):
+    """30 byte-level merges learned from the real corpus equal the
+    pure-Python GPT-2 reference exactly, rank for rank (the corpus is
+    ASCII, where the Java and Python pre-tokenizers coincide)."""
+    sample = docs.filter("doc_id < 120")
+    texts = [r.text for r in sample.select("text").collect()]
+    assert all(t == t.encode("ascii", "ignore").decode() for t in texts)
+    want_merges, _ = _py_train_bytes(texts, 30)
+    got = train_bpe(sample, "text", num_merges=30,
+                    byte_level=True, lowercase=False)
+    assert got["byte_level"] is True
+    assert got["merges"] == want_merges
+
+
+def test_byte_level_roundtrip_lossless_unicode(spark):
+    from mallarddv_spark.operators.bpe import decode_byte_tokens
+
+    texts = [
+        "Hello  world!\n\tIt's mixed:  café — naïve",
+        "emoji \U0001f600\U0001f680 and CJK 漢字 ok",
+        "  leading and trailing  ",
+        "▁10% of ▁markers are fine here",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    bpe = train_bpe(df, "text", num_merges=15, byte_level=True,
+                    lowercase=False, min_pair_count=2)
+    enc = {r.doc_id: r.tokens
+           for r in bpe_encode(df, "doc_id", "text", bpe).collect()}
+    for i, t in enumerate(texts):
+        assert decode_byte_tokens(enc[i]) == t
+
+
+def test_byte_level_persisted_model_parity(spark, docs, tmp_path):
+    from mallarddv_spark.operators.bpe import load_bpe, save_bpe
+
+    bpe = train_bpe(docs, "text", num_merges=12, byte_level=True,
+                    lowercase=False)
+    p = str(tmp_path / "bpe_bytes")
+    save_bpe(spark, bpe, p)
+    stored = load_bpe(spark, p)
+    assert stored == bpe
+    a = bpe_encode(docs.filter("doc_id < 10"), "doc_id", "text", bpe)
+    b = bpe_encode(docs.filter("doc_id < 10"), "doc_id", "text", stored)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_byte_level_legacy_params_load_whitespace_mode(spark, tmp_path):
+    """Models persisted before byte_level existed (params lacks the
+    column) must load as whitespace-mode."""
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.bpe import load_bpe
+
+    p = str(tmp_path / "bpe_old")
+    literal_frame(
+        spark, [(0, "a", "b")], "rank int, a string, b string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/merges")
+    literal_frame(
+        spark, [(True,)], "lowercase boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/params")
+    m = load_bpe(spark, p)
+    assert m["byte_level"] is False
+    assert m["merges"] == [("a", "b")]
+
+
+def test_byte_level_encode_plan_no_python(spark, docs):
+    from mallarddv_spark.plans.audit import plan_report
+
+    bpe = train_bpe(docs, "text", num_merges=8, byte_level=True,
+                    lowercase=False)
+    rep = plan_report(bpe_encode(docs, "doc_id", "text", bpe))
+    assert rep["python_stages"] == 0
+    assert rep["nested_loop_joins"] == 0
