@@ -2465,7 +2465,10 @@ def q_sql_approx_aggregates(spark, sf):
     deterministic for fixed data+parameters (both sketches are
     deterministic in Spark), and the tolerances carry wide margins over
     the sketches' guarantees (HLL rsd=5%; quantile rank error n/10000),
-    so the DuckDB oracle reproduces the whole row in closed form."""
+    so the DuckDB oracle reproduces the whole row in closed form. The
+    engine-OWNED sketches (HLL, histogram, KMV, and — since round 11 —
+    the merging t-digest over l_quantity) additionally emit their
+    estimate VALUES, each replayed exactly, not just verdict-checked."""
     li = _t(spark, sf, "lineitem")
     q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000)
     # the DISTINCT aggregate runs in its OWN pass, joined back on the
@@ -2566,6 +2569,33 @@ def q_sql_approx_aggregates(spark, sf):
     kmv_q = sk.kmv_quantiles(kmv_sk, [0.5], by=["l_returnflag"]).select(
         "l_returnflag", F.col("est").alias("own_kmv_p50")
     )
+    # ...and the engine-owned merging T-DIGEST (functions/tdigest.py),
+    # completing the sketch family's gate coverage: ONE global digest
+    # over l_quantity at delta=10000. l_quantity has ~50 distinct values
+    # each carrying ~2% of the weight, while a 10k-delta cluster may
+    # hold at most ~2W/10000 = 0.02% mid-stream — so the compress walk
+    # provably emits every distinct value as its own centroid (the
+    # MERGE branch never fires at any SF) and the digest's centroid set
+    # equals the exact (value, count) table. That makes the quantile
+    # interpolation (midpoint rank walk + linear interpolation, clamped
+    # to the exact min/max) fully closed-form in SQL — the VALUES
+    # replay, not just a tolerance verdict. The merge branch itself is
+    # differential-tested in tests/test_tdigest.py (it cannot be
+    # SQL-replayed: the compress fold is inherently sequential).
+    from mallarddv_spark.functions.tdigest import (
+        tdigest_build,
+        tdigest_quantiles,
+    )
+
+    td_c, td_p = tdigest_build(li, "l_quantity", delta=10_000)
+    td = tdigest_quantiles(td_c, td_p, [0.5, 0.95]).groupBy().agg(
+        F.round(
+            F.max(F.when(F.col("p") == 0.5, F.col("est"))), 6
+        ).alias("own_td_p50"),
+        F.round(
+            F.max(F.when(F.col("p") == 0.95, F.col("est"))), 6
+        ).alias("own_td_p95"),
+    )
     agg = (
         sketches.join(F.broadcast(exact_cd), "l_returnflag")
         .join(F.broadcast(exact_pct), "l_returnflag")
@@ -2573,6 +2603,7 @@ def q_sql_approx_aggregates(spark, sf):
         .join(F.broadcast(hist), "l_returnflag")
         .join(F.broadcast(kmv), "l_returnflag")
         .join(F.broadcast(kmv_q), "l_returnflag")
+        .crossJoin(F.broadcast(td))
     )
     return agg.select(
         "l_returnflag",
@@ -2586,6 +2617,8 @@ def q_sql_approx_aggregates(spark, sf):
         "hist_p95",
         "own_kmv_est",
         "own_kmv_p50",
+        "own_td_p50",
+        "own_td_p95",
         (
             F.abs(F.col("own_kmv_est") - F.col("exact_orders"))
             <= F.col("exact_orders") * F.lit(0.10)
@@ -2733,6 +2766,52 @@ kq AS (
   SELECT l_returnflag, round(cast(val as double), 6) AS kmv_p50
   FROM kvr WHERE vr = greatest(1, cast(ceil(0.5 * kn) as bigint))
 ),
+td_pts AS (
+  SELECT cast(l_quantity as double) AS v,
+         cast(count(*) as double) AS w
+  FROM lineitem WHERE l_quantity IS NOT NULL
+  GROUP BY 1
+),
+td_tot AS (SELECT sum(w) AS tw, min(v) AS lo, max(v) AS hi FROM td_pts),
+td_mid AS (
+  SELECT v, sum(w) OVER (ORDER BY v, w
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - w / 2.0 AS mid
+  FROM td_pts
+),
+td_q(p) AS (VALUES (cast(0.5 as double)), (cast(0.95 as double))),
+td_lo AS (
+  SELECT q.p, max_by(m.v, m.mid) AS lo_val, max(m.mid) AS lo_mid
+  FROM td_q q JOIN td_mid m
+    ON m.mid <= q.p * (SELECT tw FROM td_tot)
+  GROUP BY q.p
+),
+td_hi AS (
+  SELECT q.p, min_by(m.v, m.mid) AS hi_val, min(m.mid) AS hi_mid
+  FROM td_q q JOIN td_mid m
+    ON m.mid > q.p * (SELECT tw FROM td_tot)
+  GROUP BY q.p
+),
+td_est AS (
+  SELECT q.p,
+    round(least(greatest(
+      coalesce(l.lo_val, t.lo)
+      + (coalesce(h.hi_val, t.hi) - coalesce(l.lo_val, t.lo))
+        * CASE WHEN coalesce(h.hi_mid, t.tw) > coalesce(l.lo_mid, 0.0)
+               THEN (q.p * t.tw - coalesce(l.lo_mid, 0.0))
+                    / (coalesce(h.hi_mid, t.tw) - coalesce(l.lo_mid, 0.0))
+               ELSE 0.0 END,
+      t.lo), t.hi), 6) AS est
+  FROM td_q q
+  CROSS JOIN td_tot t
+  LEFT JOIN td_lo l ON l.p = q.p
+  LEFT JOIN td_hi h ON h.p = q.p
+),
+td_pv AS (
+  SELECT max(CASE WHEN p = 0.5 THEN est END) AS own_td_p50,
+         max(CASE WHEN p = 0.95 THEN est END) AS own_td_p95
+  FROM td_est
+),
 base AS (
   SELECT l_returnflag,
          count(*) AS n,
@@ -2749,6 +2828,8 @@ SELECT b.l_returnflag, b.n, b.exact_orders, b.p50_exact, b.p95_exact,
        v.hist_p95,
        e.kmv_est AS own_kmv_est,
        q.kmv_p50 AS own_kmv_p50,
+       td.own_td_p50,
+       td.own_td_p95,
        abs(e.kmv_est - b.exact_orders) <= b.exact_orders * 0.10
            AS own_kmv_within_10pct,
        TRUE AS hll_within_15pct,
@@ -2764,6 +2845,7 @@ FROM base b JOIN hest h USING (l_returnflag)
 JOIN hpv v USING (l_returnflag)
 JOIN kest e USING (l_returnflag)
 JOIN kq q USING (l_returnflag)
+CROSS JOIN td_pv td
 """
 
 
@@ -4258,13 +4340,21 @@ def q_text_curation_assign(spark, sf):
     admission (`curation.pareto_keep`, Brown et al. 2020 §A — the
     deterministic Lomax draw from md5(salt||id) vs 1-score, replayed
     value-for-value in DuckDB via '0x'-hex casting; scores synthesized
-    as (doc_id%100)/99 to sweep the whole admission curve), as one
-    tagged union. Parts: text_split_assign, text_stratified_sample,
+    as (doc_id%100)/99 to sweep the whole admission curve), and the
+    trained-classifier SCORING hop (`curation.lr_classify` under a
+    FIXED literal weight vector — training is iterative and
+    differential-tested in pytest, but scoring a saved model is one
+    explode + groupBy + broadcast join and fully SQL-expressible: the
+    oracle rebuilds the md5-hashed 1..2-gram tf vector, replays the
+    closed-form weights w(b) = ((b*37) % 201 - 100)/100 and the
+    sigmoid, and compares on the 1e-6 integer grid), as one tagged
+    union. Parts: text_split_assign, text_stratified_sample,
     text_cap_per_stratum, text_shuffle_order, srcstats, unimax,
-    epochs, urlnorm, pareto."""
+    epochs, urlnorm, pareto, lrscore."""
     from mallarddv_spark.operators.curation import (
         cap_per_stratum,
         lang_token_counts,
+        lr_classify,
         materialize_epochs,
         pareto_keep,
         shuffle_order,
@@ -4348,10 +4438,29 @@ def q_text_curation_assign(spark, sf):
         (F.col("doc_id") % 100).cast("string").alias("label"),
         F.when(pk, F.lit("1")).otherwise(F.lit("0")).alias("bucket"),
     )
+    # lrscore: score every document under a FIXED literal LR model —
+    # the closed-form weights make the scoring hop (not the training)
+    # the thing under test, exactly replayable in SQL
+    lw = spark.range(1024).select(
+        F.col("id").cast("int").alias("bucket"),
+        (((F.col("id") * 37) % 201 - 100) / F.lit(100.0)).alias("w"),
+    )
+    lmodel = {
+        "weights": lw, "bias": 0.25, "buckets": 1024,
+        "n_max": 2, "hash_mode": "md5", "lowercase": True,
+    }
+    lp = lr_classify(d, "doc_id", "text", lmodel).select(
+        F.lit("lrscore").alias("part"),
+        "doc_id",
+        F.when(F.col("predicted"), F.lit("1")).otherwise(F.lit("0"))
+        .alias("label"),
+        F.round(F.col("score") * 1e6).cast("bigint").cast("string")
+        .alias("bucket"),
+    )
     return (
         s.unionByName(t).unionByName(c).unionByName(o)
         .unionByName(ss).unionByName(um).unionByName(ep).unionByName(un)
-        .unionByName(pp)
+        .unionByName(pp).unionByName(lp)
     )
 
 
@@ -4578,6 +4687,39 @@ FROM (
                                  1, 15)) AS BIGINT)::DOUBLE
          / 1152921504606846976.0 AS u
   FROM documents) pu
+UNION ALL
+SELECT 'lrscore' AS part, doc_id,
+       CASE WHEN score > 0.5 THEN '1' ELSE '0' END AS label,
+       cast(cast(round(score * 1e6) AS bigint) AS varchar) AS bucket
+FROM (
+  WITH lr_toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+  ),
+  lr_grams AS (
+    SELECT doc_id, w AS g FROM (
+      SELECT doc_id, unnest(t) AS w FROM lr_toks) WHERE g <> ''
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+    FROM lr_toks, unnest(generate_series(1, len(t) - 1)) u(i)
+  ),
+  lr_fcnt AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(g),1,15))::BIGINT) % 1024 AS b,
+           count(*) AS cnt
+    FROM lr_grams GROUP BY 1, 2
+  ),
+  lr_tot AS (SELECT doc_id, sum(cnt) AS tt FROM lr_fcnt GROUP BY 1),
+  lr_marg AS (
+    SELECT f.doc_id,
+           sum((cast(f.cnt AS DOUBLE) / t.tt)
+               * (((f.b * 37) % 201 - 100) / 100.0)) AS s
+    FROM lr_fcnt f JOIN lr_tot t USING (doc_id) GROUP BY 1
+  )
+  SELECT d.doc_id,
+         1.0 / (1.0 + exp(-(coalesce(m.s, 0.0) + 0.25))) AS score
+  FROM documents d LEFT JOIN lr_marg m USING (doc_id)
+) lsc
 """
 )
 

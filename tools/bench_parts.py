@@ -27,7 +27,7 @@ PARTS = {
     "dedup_cluster_assign": ["cluster", "pagerank"],
     "text_frequency_suite": ["vocab", "rarity", "bigramlm", "knlm", "dsir", "nbcls", "bm25", "bm25store", "hybrid", "rrf", "cmfreq", "pplbucket"],
     "text_pack_sequences": ["pack", "shards"],
-    "text_curation_assign": ["split", "sample", "cap", "order", "srcstats", "unimax", "epochs", "urlnorm", "pareto"],
+    "text_curation_assign": ["split", "sample", "cap", "order", "srcstats", "unimax", "epochs", "urlnorm", "pareto", "lrscore"],
 }
 
 
