@@ -123,6 +123,18 @@ def pagerank(
     the deterministic fixed-step mode a closed-form SQL replay can
     verify.
 
+    Numerical scope of that guarantee: the per-round FORMULA applies
+    its float ops in a pinned order, but the contribution sum inside
+    ``groupBy(node).agg(sum)`` reduces in partition-dependent order —
+    at 10^9 nodes with heavy-tailed in-degree (every page links to the
+    homepage) two layouts can differ in the low-order bits of a hub's
+    rank. Exact-step mode is therefore oracle-exact only on a ROUNDED
+    grid (the gate compares at 1e-6 of rank·1000), while the rank
+    ORDERING — what crawl-prioritization and corpus-weighting actually
+    consume — is layout-stable (pinned by
+    ``test_pagerank_rank_order_stable_across_partition_layouts`` on a
+    hub-heavy graph across three layouts).
+
     ``seeds`` switches to PERSONALIZED PageRank / TrustRank (Gyöngyi et
     al. 2004 — the spam-demotion form of the same signal): the teleport
     and dangling mass flow to the seed set (first column of ``seeds``;

@@ -250,3 +250,35 @@ def test_pagerank_lazy_exact_mode_matches_checkpointed(spark):
          for r in pagerank(df, max_iter=6, tol=None,
                            checkpoint_every=None).collect()}
     assert a == b
+
+
+def test_pagerank_rank_order_stable_across_partition_layouts(spark):
+    """At web scale the per-round groupBy(node).agg(sum) reduces floats
+    in a partition-dependent order, so rank VALUES are only guaranteed
+    on the rounded grid — but the rank ORDERING (what curation
+    pipelines consume) must not depend on layout. Heavy-tailed
+    in-degree graph (everyone links to a small hub set), three layouts."""
+    rnd = random.Random(41)
+    n = 3000
+    edges = []
+    for s in range(n):
+        # hub-heavy: ~half of all links land on nodes 0..9
+        for _ in range(3):
+            d = rnd.randrange(10) if rnd.random() < 0.5 else rnd.randrange(n)
+            if d != s:
+                edges.append((s, d))
+    edges = sorted(set(edges))
+    base = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rankings = []
+    for layout in (base.coalesce(1), base.repartition(7),
+                   base.repartition(32, "dst")):
+        pr = pagerank(layout, damping=0.85, max_iter=6, tol=None,
+                      checkpoint_every=None)
+        rows = pr.orderBy(F.desc("rank"), F.asc("node")).collect()
+        rankings.append([r.node for r in rows])
+        # mass conservation regardless of layout
+        total = sum(r.rank for r in rows)
+        assert total == pytest.approx(1.0, abs=1e-9)
+    assert rankings[0] == rankings[1] == rankings[2]
+    # the hubs must dominate the top ranks
+    assert set(range(10)) <= set(rankings[0][:20])
