@@ -69,6 +69,33 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         3, truncate=False
     )
 
+    # 1a. trained language-ID (the CCNet/fastText stage): a softmax
+    # classifier over hashed n-grams, trained on the corpus's own
+    # labels, replaces the marker-word vote in the SAME profile column
+    lang_model = curation.train_softmax_classifier(
+        docs, "lang", "text", buckets=2048, iters=15, lr=2.0
+    )
+    trained_prof = textops.text_profile(
+        docs, "doc_id", "text", lang_model=lang_model
+    )
+    agree = (
+        trained_prof.select("doc_id", "lang_guess")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(F.avg((F.col("lang") == F.col("lang_guess"))
+                      .cast("double")))
+        .first()[0]
+    )
+    maj = (
+        docs.groupBy("lang").count().agg(F.max("count")).first()[0] / n0
+    )
+    # the synthetic corpus's lang labels are text-INDEPENDENT, so the
+    # achievable ceiling here is the majority share — the planted-corpus
+    # >=99% accuracy check lives in tests/test_softmax_classifier.py
+    print(f"-- trained lang-ID: {len(lang_model['classes'])} classes,"
+          f" final loss {lang_model['loss_history'][-1]:.3f},"
+          f" label agreement {agree:.3f}"
+          f" (majority baseline {maj:.3f}; labels are synthetic) --")
+
     # 1b. URL gate: the cheapest dedup a crawl has — canonicalize and
     # keep one doc per address BEFORE any content work (the synthetic
     # corpus carries no URLs, so the demo synthesizes a realistic mess:
@@ -272,6 +299,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print(f"-- tokenize: {len(bpe['merges'])} BPE merges, "
           f"first 5 = {bpe['merges'][:5]} --")
+
+    # 7a. byte-level (GPT-2) variant on the same corpus: space-carrying
+    # tokens, no OOV, lossless byte round-trip
+    bl = bpe_ops.train_bpe(survivors, "text", num_merges=30,
+                           byte_level=True, lowercase=False,
+                           exact_rank=False)
+    probe = survivors.select("doc_id", "text").first()
+    sample = bpe_ops.bpe_encode(
+        survivors.filter(F.col("doc_id") == probe.doc_id),
+        "doc_id", "text", bl,
+    ).first()
+    rt_ok = bpe_ops.decode_byte_tokens(sample.tokens) == probe.text
+    print(f"-- byte-level BPE: first 5 merges = {bl['merges'][:5]}, "
+          f"sample doc {sample.n_tokens} tokens, "
+          f"byte round-trip {'ok' if rt_ok else 'FAILED'} --")
 
     # 7b. bake-off: WordPiece trained on the same corpus, both scored
     # by tokenizer_stats — the numbers a pipeline picks a vocabulary by

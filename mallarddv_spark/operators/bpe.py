@@ -39,7 +39,8 @@ from mallarddv_spark.exceptions import DVConfigurationError
 __all__ = [
     "word_frequencies", "byte_word_frequencies", "train_bpe",
     "bpe_encode_words", "bpe_encode", "save_bpe", "load_bpe",
-    "decode_byte_tokens", "GPT2_PRETOKEN_RE",
+    "decode_byte_tokens", "export_gpt2_files", "load_gpt2_files",
+    "GPT2_PRETOKEN_RE",
 ]
 
 # end-of-word marker: distinguishes "low</w>" (word-final) from "low" as
@@ -479,3 +480,92 @@ def bpe_encode(
             ).alias("tokens"),
         )
     )
+
+
+def export_gpt2_files(bpe: dict, path: str, specials: list[str] | None = None) -> None:
+    """Write a byte-level model as the published GPT-2 tokenizer file
+    pair — ``{path}/merges.txt`` (``#version: 0.2`` header, one
+    ``a b`` line per merge in rank order) and ``{path}/vocab.json``
+    (token → id: the 256-character byte alphabet first, then each
+    merge's product in rank order, then ``specials``, e.g.
+    ``["<|endoftext|>"]``) — the interop surface every byte-level BPE
+    stack reads (HF tokenizers' ``BPE.from_file`` consumes exactly this
+    pair; GPT-2's own release is 256 bytes + 50 000 merges + 1
+    special). The ARPA-export precedent: driver-streamed text, the
+    artifacts are vocabulary-sized by construction.
+
+    Whitespace-mode models are rejected: the format encodes tokens as
+    space-separated pairs, which is only unambiguous over the byte
+    alphabet (where a literal space can never appear inside a token).
+    """
+    import json as _json
+    import os as _os
+
+    if not bpe.get("byte_level"):
+        raise DVConfigurationError(
+            "export_gpt2_files: the GPT-2 file pair is defined for "
+            "byte-level models only (merges.txt is space-delimited; "
+            "whitespace-mode symbols may contain the end-of-word "
+            "marker semantics it cannot express) — train with "
+            "byte_level=True"
+        )
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "merges.txt"), "w",
+              encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in bpe["merges"]:
+            f.write(f"{a} {b}\n")
+    vocab: dict[str, int] = {}
+    for ch in BYTE_CHARS:
+        vocab[ch] = len(vocab)
+    for a, b in bpe["merges"]:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    for s in specials or []:
+        if s not in vocab:
+            vocab[s] = len(vocab)
+    with open(_os.path.join(path, "vocab.json"), "w",
+              encoding="utf-8") as f:
+        _json.dump(vocab, f, ensure_ascii=False)
+
+
+def load_gpt2_files(path: str) -> dict:
+    """Read a GPT-2 ``merges.txt``/``vocab.json`` pair back into a model
+    dict (``byte_level=True, lowercase=False`` — the conventions the
+    format implies). Works on externally-produced pairs too (the import
+    half of the interop loop, like ``textops.load_arpa``): the vocab is
+    checked to contain the byte alphabet and every merge product, so a
+    truncated or mismatched pair fails loudly instead of mis-encoding.
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "merges.txt"), encoding="utf-8") as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    merges: list[tuple[str, str]] = []
+    for ln in lines:
+        if not ln or ln.startswith("#"):
+            continue
+        parts = ln.split(" ")
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            raise DVConfigurationError(
+                f"load_gpt2_files: malformed merges.txt line {ln!r}"
+            )
+        merges.append((parts[0], parts[1]))
+    with open(_os.path.join(path, "vocab.json"), encoding="utf-8") as f:
+        vocab = _json.load(f)
+    missing = [c for c in BYTE_CHARS if c not in vocab]
+    if missing:
+        raise DVConfigurationError(
+            f"load_gpt2_files: vocab.json lacks {len(missing)} byte-"
+            f"alphabet entries (first: {missing[0]!r}) — not a "
+            f"byte-level vocabulary"
+        )
+    bad = [(a, b) for a, b in merges if a + b not in vocab]
+    if bad:
+        raise DVConfigurationError(
+            f"load_gpt2_files: {len(bad)} merge product(s) absent from "
+            f"vocab.json (first: {bad[0]!r}) — the pair is inconsistent"
+        )
+    return {"merges": merges, "lowercase": False, "byte_level": True}

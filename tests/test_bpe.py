@@ -363,3 +363,55 @@ def test_byte_level_encode_plan_no_python(spark, docs):
     rep = plan_report(bpe_encode(docs, "doc_id", "text", bpe))
     assert rep["python_stages"] == 0
     assert rep["nested_loop_joins"] == 0
+
+
+def test_gpt2_file_pair_roundtrip(spark, docs, tmp_path):
+    from mallarddv_spark.operators.bpe import (
+        export_gpt2_files,
+        load_gpt2_files,
+    )
+
+    bpe = train_bpe(docs, "text", num_merges=15, byte_level=True,
+                    lowercase=False)
+    p = str(tmp_path / "gpt2")
+    export_gpt2_files(bpe, p, specials=["<|endoftext|>"])
+    # file shapes: header line, one line per merge; vocab ids contiguous
+    lines = open(f"{p}/merges.txt", encoding="utf-8").read().splitlines()
+    assert lines[0] == "#version: 0.2"
+    assert len(lines) == 1 + len(bpe["merges"])
+    import json
+
+    vocab = json.load(open(f"{p}/vocab.json", encoding="utf-8"))
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    assert vocab["<|endoftext|>"] == len(vocab) - 1
+    loaded = load_gpt2_files(p)
+    assert loaded["merges"] == bpe["merges"]
+    assert loaded["byte_level"] is True and loaded["lowercase"] is False
+    a = bpe_encode(docs.filter("doc_id < 8"), "doc_id", "text", bpe)
+    b = bpe_encode(docs.filter("doc_id < 8"), "doc_id", "text", loaded)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_gpt2_files_guards(spark, docs, tmp_path):
+    from mallarddv_spark.operators.bpe import (
+        export_gpt2_files,
+        load_gpt2_files,
+    )
+
+    ws = train_bpe(docs, "text", num_merges=5)
+    with pytest.raises(DVConfigurationError, match="byte-level"):
+        export_gpt2_files(ws, str(tmp_path / "nope"))
+    # inconsistent pair: merge product missing from vocab
+    p = str(tmp_path / "badpair")
+    bl = train_bpe(docs, "text", num_merges=5, byte_level=True,
+                   lowercase=False)
+    export_gpt2_files(bl, p)
+    import json
+
+    vocab = json.load(open(f"{p}/vocab.json", encoding="utf-8"))
+    a, b = bl["merges"][0]
+    del vocab[a + b]
+    json.dump(vocab, open(f"{p}/vocab.json", "w", encoding="utf-8"),
+              ensure_ascii=False)
+    with pytest.raises(DVConfigurationError, match="inconsistent"):
+        load_gpt2_files(p)
