@@ -4152,7 +4152,14 @@ def q_text_doc_stats(spark, sf):
     text_bpe_tokens; plus the Unicode-script profile columns
     (`textops.script_profile` over a snippet + injected non-Latin
     suffix — the Java-vs-RE2 script-class parity is what the hash
-    verifies; all four dominant classes exercised)."""
+    verifies; all four dominant classes exercised); plus the TRAINED
+    language-ID scoring hop (`curation.lang_classify` under a FIXED
+    literal 3-class softmax model, w(b,c) = ((b·(17+c)) % 101 − 50)/100
+    over the md5-hashed 512-bucket 1..2-gram space — the oracle replays
+    the tf vector, the three margins, the max-shifted softmax in class
+    order, and the first-max argmax; score on the 1e-6 integer grid.
+    Training is iterative (pytest differential); this gates the
+    SCORING path, the softmax sibling of `lrscore`)."""
     from mallarddv_spark.operators.curation import bpe_token_count
 
     d = _t(spark, sf, "documents")
@@ -4196,7 +4203,38 @@ def q_text_doc_stats(spark, sf):
         F.md5(F.concat_ws(" ", F.sort_array(toks))).alias("sorted_fp"),
         bpe.alias("n_bpe_tokens"),
         F.round(bpe / F.size(toks), 6).alias("bpe_ratio"),
-    ).join(_script_cols(d), "doc_id")
+    ).join(_script_cols(d), "doc_id").join(_trained_lang_cols(spark, d),
+                                           "doc_id")
+
+
+def _trained_lang_cols(spark, d):
+    """Trained-lang columns under a fixed literal softmax model (see
+    q_text_doc_stats docstring): ``(doc_id, lang_trained,
+    lang_trained_s6)``."""
+    from mallarddv_spark.operators.curation import lang_classify
+
+    weights = (
+        spark.range(512).select(F.col("id").cast("int").alias("bucket"))
+        .crossJoin(
+            spark.range(3).select(F.col("id").cast("int").alias("cls"))
+        )
+        .select(
+            "bucket", "cls",
+            ((((F.col("bucket") * (17 + F.col("cls"))) % 101) - 50)
+             / F.lit(100.0)).alias("w"),
+        )
+    )
+    sm = {
+        "weights": weights, "classes": ["de", "en", "fr"],
+        "biases": [0.1, -0.05, 0.0], "buckets": 512, "n_max": 2,
+        "hash_mode": "md5", "lowercase": True,
+    }
+    return lang_classify(d, "doc_id", "text", sm).select(
+        "doc_id",
+        F.col("lang").alias("lang_trained"),
+        F.round(F.col("lang_score") * 1e6).cast("bigint")
+        .alias("lang_trained_s6"),
+    )
 
 
 # Unicode injection for the script-profile columns — the synthetic
@@ -4292,7 +4330,62 @@ def _o_text_doc_stats() -> str:
         )
         + f",\n       {dom} AS dominant_script"
     )
+    # trained-lang softmax replay (fixed literal model — see the query
+    # docstring): tf vector over md5 512-bucket 1..2-grams, per-class
+    # margin sums, max-shifted softmax in class order, first-max argmax
+    sm_sql = r"""
+  WITH sm_toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+  ),
+  sm_grams AS (
+    SELECT doc_id, w AS g FROM (
+      SELECT doc_id, unnest(t) AS w FROM sm_toks) WHERE g <> ''
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+    FROM sm_toks, unnest(generate_series(1, len(t) - 1)) u(i)
+  ),
+  sm_fcnt AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(g),1,15))::BIGINT) % 512 AS b,
+           count(*) AS cnt
+    FROM sm_grams GROUP BY 1, 2
+  ),
+  sm_tot AS (SELECT doc_id, sum(cnt) AS tt FROM sm_fcnt GROUP BY 1),
+  sm_marg AS (
+    SELECT f.doc_id,
+      sum((cast(f.cnt AS DOUBLE) / t.tt)
+          * (((f.b * 17) % 101 - 50) / 100.0)) AS s0,
+      sum((cast(f.cnt AS DOUBLE) / t.tt)
+          * (((f.b * 18) % 101 - 50) / 100.0)) AS s1,
+      sum((cast(f.cnt AS DOUBLE) / t.tt)
+          * (((f.b * 19) % 101 - 50) / 100.0)) AS s2
+    FROM sm_fcnt f JOIN sm_tot t USING (doc_id) GROUP BY 1
+  ),
+  sm_sc AS (
+    SELECT d.doc_id,
+           coalesce(m.s0, 0.0) + 0.1 AS t0,
+           coalesce(m.s1, 0.0) + -0.05 AS t1,
+           coalesce(m.s2, 0.0) + 0.0 AS t2
+    FROM documents d LEFT JOIN sm_marg m USING (doc_id)
+  ),
+  sm_e AS (
+    SELECT doc_id,
+           exp(t0 - greatest(t0, t1, t2)) AS e0,
+           exp(t1 - greatest(t0, t1, t2)) AS e1,
+           exp(t2 - greatest(t0, t1, t2)) AS e2
+    FROM sm_sc
+  )
+  SELECT doc_id,
+         CASE WHEN e0 >= e1 AND e0 >= e2 THEN 'de'
+              WHEN e1 >= e2 THEN 'en' ELSE 'fr' END AS lang_trained,
+         cast(round(greatest(e0, e1, e2) / (e0 + e1 + e2) * 1e6)
+              AS BIGINT) AS lang_trained_s6
+  FROM sm_e
+"""
     return rf"""
+SELECT __base.*, __sm.lang_trained, __sm.lang_trained_s6
+FROM (
 SELECT doc_id,
        len({toks}) AS n_tokens,
        len(list_distinct({toks})) AS n_unique_tokens,
@@ -4311,6 +4404,8 @@ SELECT doc_id,
        round(cast({bpe} as double) / len({toks}), 6) AS bpe_ratio,
        {script_cols}
 FROM (SELECT *, {synth} AS text2 FROM documents) d2
+) __base
+JOIN ({sm_sql}) __sm USING (doc_id)
 """
 
 
