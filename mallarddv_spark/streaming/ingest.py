@@ -222,6 +222,9 @@ def neardup_stream_processor(
     lr_model_path: str | None = None,
     lr_min_score: float = 0.5,
     lr_quality_table: str | None = None,
+    lang_model_path: str | None = None,
+    lang_keep: list[str] | None = None,
+    lang_table: str | None = None,
     bm25_index_path: str | None = None,
     compact_every_n_batches: int | None = None,
     vocab_hll_path: str | None = None,
@@ -269,7 +272,16 @@ def neardup_stream_processor(
        are dropped (rejects optionally recorded to ``lr_quality_table``
        with their score). Unlike the NB screen, every document gets a
        score — an empty document scores the model's bias prior, so the
-       trained base rate decides it rather than a blanket pass,
+       trained base rate decides it rather than a blanket pass.
+       ``lang_model_path`` (a model persisted by
+       ``curation.save_softmax_classifier``) adds the trained
+       LANGUAGE screen — the CCNet routing stage at ingest: each
+       survivor is classified and only documents whose predicted
+       language is in ``lang_keep`` pass (rejects optionally recorded
+       to ``lang_table`` with their predicted language and score; a
+       featureless document is assigned the bias-prior language, the
+       LR-screen convention). The buckets×K weight table rides a
+       broadcast; the softmax/argmax run in-plan,
     6. final survivors append to ``sink_table`` first, then to the
        indexes — so later batches dedup against them without recomputing
        a single history signature. With ``bm25_index_path`` set (an
@@ -377,11 +389,15 @@ def neardup_stream_processor(
     """
 
     if quality_model_path is not None and not quality_keep_labels:
-        from mallarddv_spark.exceptions import DVConfigurationError
-
         raise DVConfigurationError(
             "neardup_stream_processor: quality_model_path requires "
             "non-empty quality_keep_labels"
+        )
+    if lang_model_path is not None and not lang_keep:
+        raise DVConfigurationError(
+            "neardup_stream_processor: lang_model_path requires a "
+            "non-empty lang_keep list — a language screen with no "
+            "admitted languages drops everything"
         )
 
     def process(batch_df, batch_id: int) -> None:
@@ -527,6 +543,32 @@ def neardup_stream_processor(
                 _refresh_after_batch_write(spark, lr_quality_table)
             fresh = fresh.join(
                 lr_rejects.select(F.col("doc_id").alias(id_col)),
+                id_col, "left_anti",
+            ).localCheckpoint(eager=True)
+        if lang_model_path is not None:
+            from mallarddv_spark.operators.curation import (
+                lang_classify,
+                load_softmax_classifier,
+            )
+
+            smm = load_softmax_classifier(spark, lang_model_path)
+            unknown = [c for c in lang_keep if c not in smm["classes"]]
+            if unknown:
+                raise DVConfigurationError(
+                    f"neardup_stream_processor: lang_keep entries "
+                    f"{unknown} are not classes of the stored model "
+                    f"({smm['classes']})"
+                )
+            lang_rejects = lang_classify(
+                fresh, id_col, text_col, smm
+            ).filter(~F.col("lang").isin([str(c) for c in lang_keep]))
+            if lang_table is not None:
+                lang_rejects.withColumn(
+                    "batch_id", F.lit(batch_id)
+                ).write.mode("append").saveAsTable(lang_table)
+                _refresh_after_batch_write(spark, lang_table)
+            fresh = fresh.join(
+                lang_rejects.select(F.col("doc_id").alias(id_col)),
                 id_col, "left_anti",
             ).localCheckpoint(eager=True)
         if not fresh.isEmpty():

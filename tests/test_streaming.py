@@ -1002,3 +1002,73 @@ def test_neardup_stream_lr_quality_gate(spark, tmp_path):
     assert 501 in rejects and rejects[501].score < 0.5
     spark.sql("DROP TABLE IF EXISTS default.lrq_sink")
     spark.sql("DROP TABLE IF EXISTS default.lrq_rejects")
+
+
+def test_neardup_stream_language_gate(spark, tmp_path):
+    """The crawl processor's trained language screen (the CCNet routing
+    stage): a stored softmax model classifies each batch; documents
+    whose predicted language is not in lang_keep are dropped at ingest
+    and recorded with language + score."""
+    from pyspark.sql import Row
+    from mallarddv_spark.exceptions import DVConfigurationError
+    from mallarddv_spark.operators import dedup
+    from mallarddv_spark.operators.curation import (
+        save_softmax_classifier,
+        train_softmax_classifier,
+    )
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, lang="en",
+             text="the house and the water with work time " * 3)
+         for i in range(12)]
+        + [Row(doc_id=100 + i, lang="de",
+               text="der haus und das wasser mit arbeit zeit " * 3)
+           for i in range(12)]
+    )
+    model = train_softmax_classifier(
+        train, "lang", "text", buckets=512, iters=25, lr=2.0
+    )
+    model_path = str(tmp_path / "sm_model")
+    save_softmax_classifier(model, model_path)
+
+    seed = spark.createDataFrame(
+        [Row(doc_id=1, text="completely unrelated seed document content")]
+    )
+    index_path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(seed, index_path, num_perm=32, bands=8,
+                              shingle_size=3)
+    spark.sql("DROP TABLE IF EXISTS default.lng_sink")
+    spark.sql("DROP TABLE IF EXISTS default.lng_rejects")
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=500, text="the house and the water with time"),
+         Row(doc_id=501, text="der haus und das wasser mit zeit")]
+    )
+    src = str(tmp_path / "crawl")
+    batch.coalesce(1).write.parquet(f"{src}/f1")
+    process = ingest.neardup_stream_processor(
+        index_path, "default.lng_sink", threshold=0.9,
+        lang_model_path=model_path,
+        lang_keep=["en"],
+        lang_table="default.lng_rejects",
+    )
+    q = ingest.stream_files_to_staging(
+        spark, f"{src}/*", batch.schema, str(tmp_path / "ck"),
+        process, file_format="parquet",
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+
+    sink_ids = {r.doc_id for r in spark.table("default.lng_sink").collect()}
+    rejects = {r.doc_id: r
+               for r in spark.table("default.lng_rejects").collect()}
+    assert sink_ids == {500}
+    assert 501 in rejects and rejects[501].lang == "de"
+    assert rejects[501].lang_score > 0.5
+    spark.sql("DROP TABLE IF EXISTS default.lng_sink")
+    spark.sql("DROP TABLE IF EXISTS default.lng_rejects")
+    # construction-time guard: a screen with no admitted languages
+    with pytest.raises(DVConfigurationError, match="lang_keep"):
+        ingest.neardup_stream_processor(
+            index_path, "default.lng_sink", lang_model_path=model_path
+        )
