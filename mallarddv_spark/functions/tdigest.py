@@ -158,11 +158,16 @@ def tdigest_build(
     )
     # NaN weights must be rejected explicitly — Spark orders NaN above
     # every number, so `NaN > 0` alone would admit them into the sums
+    # materialize the (value, weight) table once: both the stats row
+    # below and the stage-2 compress consume it, and without the cut
+    # each would re-run the corpus scan + groupBy. The checkpoint is
+    # distinct-values-sized — exactly the table stage 2 buckets anyway.
     vw = (
         df.filter(v.isNotNull() & ~F.isnan(v) & ~F.isnan(w) & (w > 0))
         .select(v.alias("v"), w.alias("w"))
         .groupBy("v")
         .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
     )
     stats = vw.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"),

@@ -147,10 +147,14 @@ def pagerank(
     every round anyway for its delta) controls the lineage-cut cadence:
     1 (default) checkpoints each round — the right call at scale, where
     re-execution is expensive; ``None`` builds ALL rounds as one lazy
-    plan, evaluated in a single job — faster for small graphs / few
-    rounds, but the plan references each prior round twice (rank join +
-    dangling aggregate), so uncheckpointed depth doubles the logical
-    tree per round: keep ``max_iter`` ≲ 8 in that mode.
+    plan, but the plan references each prior round twice (rank join +
+    dangling aggregate), and the dangling aggregate rides a BROADCAST
+    whose subtree shares nothing with the main tree — so uncheckpointed
+    depth re-executes prior rounds, compounding per round. Measured on
+    the 5-round sf0.1 gate graph (5 000 nodes, warm fresh-JVM):
+    ``1`` → 4.2 s, ``5`` → 6.5 s, ``None`` → 5.3–7.2 s — the default
+    wins even on small graphs once rounds ≥ ~4; ``None`` is only for
+    1–3 round runs where five checkpoint jobs dominate.
 
     Scale shape: the edge table is normalized once (one groupBy on the
     source key for degrees, one join back) and checkpointed; each round

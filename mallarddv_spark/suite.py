@@ -903,13 +903,14 @@ def q_dedup_cluster_assign(spark, sf):
         .select(F.col("doc_id").alias("src"), "dst")
         .distinct()
     )
-    # checkpoint_every=None: 5 rounds over a ≤50k-node synthetic graph —
-    # one lazy plan, one job. Per-round eager checkpointing is the 10^9-node
-    # long-chain mode, pure fixed overhead here (lazy-vs-checkpointed
-    # identity is pinned in tests/test_graph.py).
-    pr = pagerank(
-        edges, damping=0.85, max_iter=5, tol=None, checkpoint_every=None
-    )
+    # checkpoint_every=1 (the default) is the MEASURED fastest cadence
+    # for this gate: r11 timed the query warm in fresh JVMs at sf0.1 —
+    # ck=1: 4.2 s, ck=5: 6.5 s, ck=None: 5.3–7.2 s. The lazy plan is
+    # NOT cheaper here because each round's dangling-mass aggregate
+    # rides a broadcast whose subtree re-executes the entire prior
+    # lineage (no cross-subtree reuse), compounding per round; the
+    # per-round cut pays 5 small jobs but evaluates each round once.
+    pr = pagerank(edges, damping=0.85, max_iter=5, tol=None)
     prp = pr.select(
         F.lit("pagerank").alias("part"),
         F.col("node").alias("id"),
