@@ -415,3 +415,72 @@ def test_gpt2_files_guards(spark, docs, tmp_path):
               ensure_ascii=False)
     with pytest.raises(DVConfigurationError, match="inconsistent"):
         load_gpt2_files(p)
+
+
+# --- fold replay (single-pass encode for realistic vocab sizes) ---
+
+def test_fold_replay_identical_to_sequential(spark, docs):
+    """The single-expression best-rank-pair replay must produce
+    token-for-token identical output to the rank-order sequential
+    replay — both whitespace and byte-level modes, real corpus."""
+    from mallarddv_spark.operators.bpe import (
+        byte_word_frequencies,
+        word_frequencies,
+    )
+
+    for bl in (False, True):
+        m = train_bpe(docs, "text", num_merges=60, byte_level=bl,
+                      lowercase=not bl)
+        wf = (byte_word_frequencies(docs, "text", False) if bl
+              else word_frequencies(docs, "text", True)).select("word")
+        a = {r.word: tuple(r.tokens)
+             for r in bpe_encode_words(wf, m, replay="sequential").collect()}
+        b = {r.word: tuple(r.tokens)
+             for r in bpe_encode_words(wf, m, replay="fold").collect()}
+        assert a == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_fold_replay_property_matches_sequential(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    m = train_bpe(df, "text", num_merges=12, min_pair_count=2)
+    if not m["merges"]:
+        return
+    words = df.selectExpr(
+        "explode(split(trim(lower(text)), '\\\\s+')) AS word"
+    ).filter("word <> ''").distinct()
+    a = {r.word: tuple(r.tokens)
+         for r in bpe_encode_words(words, m, replay="sequential").collect()}
+    b = {r.word: tuple(r.tokens)
+         for r in bpe_encode_words(words, m, replay="fold").collect()}
+    assert a == b
+
+
+def test_fold_replay_guard_and_auto(spark, docs):
+    from mallarddv_spark.operators.bpe import word_frequencies
+
+    m = train_bpe(docs, "text", num_merges=5)
+    wf = word_frequencies(docs, "text", True).select("word").limit(5)
+    with pytest.raises(DVConfigurationError, match="replay"):
+        bpe_encode_words(wf, m, replay="nope")
+    # auto at tiny merge counts = sequential; both shapes still agree
+    a = sorted(map(tuple, bpe_encode_words(wf, m).collect()))
+    b = sorted(map(tuple, bpe_encode_words(wf, m, replay="fold").collect()))
+    assert a == b
+
+
+def test_fold_replay_plan_no_python_no_per_merge_passes(spark, docs):
+    from mallarddv_spark.plans.audit import plan_report
+
+    m = train_bpe(docs, "text", num_merges=60, byte_level=True,
+                  lowercase=False)
+    enc = bpe_encode(docs, "doc_id", "text", m)
+    rep = plan_report(enc)
+    assert rep["python_stages"] == 0
+    # the fold path is ONE projection over the distinct-word table: the
+    # plan must not contain a chain of per-merge projections
+    plan = enc._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(sequence") <= 4
