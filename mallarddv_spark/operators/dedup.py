@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from mallarddv_spark.exceptions import DVConfigurationError
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -137,12 +139,60 @@ def minhash_signatures(
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
+def optimal_lsh_params(
+    num_perm: int,
+    threshold: float,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """The standard LSH banding optimizer (the published datasketch /
+    Leskovec-Rajaraman-Ullman procedure): over every ``(bands, rows)``
+    with ``bands·rows ≤ num_perm``, numerically integrate the S-curve
+    ``P(candidate | J=s) = 1-(1-s^rows)^bands`` to get the false-positive
+    mass below ``threshold`` and the false-negative mass above it, and
+    return the ``(bands, rows_per_band)`` minimizing their weighted sum.
+    Driver-side arithmetic over ≤ num_perm² cells — microseconds; use it
+    to pick ``bands`` instead of guessing (or pass ``bands="auto"`` to
+    :func:`minhash_lsh_pairs`). Lower thresholds want more bands / fewer
+    rows; weight ``fn_weight`` up when recall matters more than candidate
+    volume (dedup usually does)."""
+    if not 0.0 < threshold < 1.0:
+        raise DVConfigurationError(
+            f"optimal_lsh_params: threshold must be in (0, 1), "
+            f"got {threshold}"
+        )
+    if fp_weight < 0 or fn_weight < 0 or fp_weight + fn_weight <= 0:
+        raise DVConfigurationError(
+            "optimal_lsh_params: weights must be non-negative and not "
+            "both zero"
+        )
+    steps = 200
+    best = None
+    for b in range(1, int(num_perm) + 1):
+        max_r = int(num_perm) // b
+        for r in range(1, max_r + 1):
+            fp = 0.0
+            dx = threshold / steps
+            for i in range(steps):
+                s = (i + 0.5) * dx
+                fp += (1.0 - (1.0 - s ** r) ** b) * dx
+            fn = 0.0
+            dx = (1.0 - threshold) / steps
+            for i in range(steps):
+                s = threshold + (i + 0.5) * dx
+                fn += (1.0 - (1.0 - (1.0 - s ** r) ** b)) * dx
+            err = fp_weight * fp + fn_weight * fn
+            if best is None or err < best[0]:
+                best = (err, b, r)
+    return best[1], best[2]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | str = 16,
     shingle_size: int = 3,
     threshold: float = 0.7,
     max_shingle_df: int | None = None,
@@ -153,11 +203,23 @@ def minhash_lsh_pairs(
     Pipeline: signatures → per-band bucket hash → self-join *within*
     (band, bucket) → distinct candidate pairs → exact Jaccard rerank on the
     candidates only. Signature agreement ≈ Jaccard, so with r rows/band the
-    capture probability is 1-(1-t^r)^bands — tune bands/num_perm for recall.
+    capture probability is 1-(1-t^r)^bands — tune bands/num_perm for recall,
+    or pass ``bands="auto"`` to let :func:`optimal_lsh_params` pick the
+    banding that minimizes the balanced FP+FN mass for this threshold
+    (only the first ``bands·rows`` of the ``num_perm`` signature slots are
+    then consumed — the optimizer may leave a remainder unused).
     ``hash_mode='md5'`` makes the candidate generation engine-portable (see
     :func:`minhash_signatures`). Returns (doc_a, doc_b, jaccard).
     """
-    rows_per_band = num_perm // bands
+    if bands == "auto":
+        bands, rows_per_band = optimal_lsh_params(num_perm, threshold)
+    elif isinstance(bands, str):
+        raise DVConfigurationError(
+            f"minhash_lsh_pairs: bands must be an int or 'auto', "
+            f"got {bands!r}"
+        )
+    else:
+        rows_per_band = num_perm // bands
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm, shingle_size, max_shingle_df, hash_mode
     )

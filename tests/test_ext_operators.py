@@ -1962,3 +1962,57 @@ def test_split_sentences(spark):
         "id", textops.split_sentences("text").alias("s")).collect()}
     for i, _, want in rows:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_optimal_lsh_params_known_points(spark):
+    """Pin the banding optimizer against the published S-curve math:
+    the returned (b, r) must beat every neighboring banding on the
+    integrated weighted error, and track the threshold direction
+    (higher threshold -> more rows per band / fewer bands)."""
+    import math
+
+    def err(b, r, t, steps=400):
+        fp = sum((1.0 - (1.0 - ((i + 0.5) * t / steps) ** r) ** b)
+                 * t / steps for i in range(steps))
+        fn = sum((1.0 - (1.0 - (1.0 - (t + (i + 0.5) * (1 - t) / steps)
+                                ** r) ** b))
+                 * (1 - t) / steps for i in range(steps))
+        return 0.5 * fp + 0.5 * fn
+
+    for num_perm, t in ((64, 0.5), (64, 0.8), (128, 0.7)):
+        b, r = dedup.optimal_lsh_params(num_perm, t)
+        assert b * r <= num_perm
+        e0 = err(b, r, t)
+        for db, dr in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            b2, r2 = b + db, r + dr
+            if b2 < 1 or r2 < 1 or b2 * r2 > num_perm:
+                continue
+            assert e0 <= err(b2, r2, t) + 1e-12
+    b_lo, r_lo = dedup.optimal_lsh_params(64, 0.3)
+    b_hi, r_hi = dedup.optimal_lsh_params(64, 0.9)
+    assert r_lo < r_hi and b_lo > b_hi
+    # recall weighting pushes toward more bands (higher capture)
+    b_bal, _ = dedup.optimal_lsh_params(64, 0.7, 0.5, 0.5)
+    b_rec, _ = dedup.optimal_lsh_params(64, 0.7, 0.1, 0.9)
+    assert b_rec >= b_bal
+    with pytest.raises(DVConfigurationError, match="threshold"):
+        dedup.optimal_lsh_params(64, 1.5)
+    with pytest.raises(DVConfigurationError, match="weights"):
+        dedup.optimal_lsh_params(64, 0.5, 0.0, 0.0)
+
+
+def test_minhash_lsh_pairs_auto_bands(spark, dup_docs):
+    got = dedup.minhash_lsh_pairs(
+        dup_docs, "doc_id", "text", num_perm=64, bands="auto",
+        threshold=0.7,
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+    explicit = dedup.minhash_lsh_pairs(
+        dup_docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.7,
+    )
+    exp_pairs = {(r.doc_a, r.doc_b) for r in explicit.collect()}
+    # the exact-Jaccard rerank makes both bandings converge on the
+    # same true pairs for this planted fixture
+    assert pairs == exp_pairs
+    with pytest.raises(DVConfigurationError, match="bands"):
+        dedup.minhash_lsh_pairs(dup_docs, "doc_id", "text", bands="nope")
