@@ -40,7 +40,7 @@ __all__ = [
     "word_frequencies", "byte_word_frequencies", "train_bpe",
     "bpe_encode_words", "bpe_encode", "save_bpe", "load_bpe",
     "decode_byte_tokens", "export_gpt2_files", "load_gpt2_files",
-    "GPT2_PRETOKEN_RE",
+    "bpe_vocab", "tokens_to_ids", "GPT2_PRETOKEN_RE",
 ]
 
 # end-of-word marker: distinguishes "low</w>" (word-final) from "low" as
@@ -663,3 +663,82 @@ def load_gpt2_files(path: str) -> dict:
             f"vocab.json (first: {bad[0]!r}) — the pair is inconsistent"
         )
     return {"merges": merges, "lowercase": False, "byte_level": True}
+
+
+def bpe_vocab(bpe: dict, specials: list[str] | None = None) -> dict:
+    """The model's token → id table as a plain dict, in the exact order
+    :func:`export_gpt2_files` writes (byte-level: 256-char alphabet
+    first, then merge products in rank order, then ``specials``;
+    whitespace mode: single characters + EOW-suffixed characters occur
+    only through their merge products, so the table is alphabet-free —
+    products in rank order, then specials). Use with
+    :func:`tokens_to_ids` to turn encoded token arrays into the id
+    arrays a training pipeline actually shards."""
+    vocab: dict[str, int] = {}
+    if bpe.get("byte_level"):
+        for ch in BYTE_CHARS:
+            vocab[ch] = len(vocab)
+    else:
+        # whitespace mode has no closed alphabet (any unicode char can
+        # appear); seed with the symbols the merges reference so every
+        # merge product resolves, then products in rank order
+        for a, b in bpe["merges"]:
+            for s in (a, b):
+                if s not in vocab and (a + b) != s:
+                    vocab.setdefault(s, len(vocab))
+    for a, b in bpe["merges"]:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    for s in specials or []:
+        if s not in vocab:
+            vocab[s] = len(vocab)
+    return vocab
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    tokens_col: str,
+    vocab: dict,
+    unk_id: int | None = None,
+    out_col: str = "ids",
+) -> DataFrame:
+    """Map an encoded ``array<string>`` token column to ``array<int>``
+    ids under a ``{token: id}`` vocabulary — the last hop before
+    id-shard materialization. The vocabulary rides ONE broadcast map
+    cell (the fold-replay/unigram pattern); the lookup is a pure
+    projection, no shuffle.
+
+    Byte-level models are CLOSED over :func:`bpe_vocab` by
+    construction, so every token resolves; for open vocabularies
+    (whitespace mode over unseen corpora), ``unk_id`` substitutes for
+    unknown tokens — with ``unk_id=None`` an unknown token yields a
+    NULL element, which downstream asserts can catch loudly instead of
+    training on silently-wrong ids."""
+    spark = df.sparkSession
+    rows = [(k, int(v)) for k, v in vocab.items()]
+    vmap = spark.createDataFrame(
+        rows or [(None, None)], "k string, v int"
+    ).filter(F.col("k").isNotNull()).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("k", "v"))
+        ).alias("__vmap")
+    )
+    fallback = (
+        F.lit(None).cast("int") if unk_id is None
+        else F.lit(int(unk_id))
+    )
+    out = (
+        df.crossJoin(F.broadcast(vmap))
+        .withColumn(
+            out_col,
+            F.transform(
+                tokens_col,
+                lambda t: F.coalesce(
+                    F.element_at("__vmap", t), fallback
+                ),
+            ),
+        )
+        .drop("__vmap")
+    )
+    return out

@@ -484,3 +484,44 @@ def test_fold_replay_plan_no_python_no_per_merge_passes(spark, docs):
     # plan must not contain a chain of per-merge projections
     plan = enc._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("aggregate(sequence") <= 4
+
+
+def test_tokens_to_ids_closed_roundtrip_and_unk(spark, docs):
+    from mallarddv_spark.operators.bpe import (
+        bpe_vocab,
+        decode_byte_tokens,
+        tokens_to_ids,
+    )
+
+    m = train_bpe(docs, "text", num_merges=40, byte_level=True,
+                  lowercase=False)
+    vocab = bpe_vocab(m, specials=["<|endoftext|>"])
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    enc = bpe_encode(docs.filter("doc_id < 20"), "doc_id", "text", m)
+    ids = tokens_to_ids(enc, "tokens", vocab)
+    inv = {v: k for k, v in vocab.items()}
+    rows = ids.collect()
+    assert rows
+    for r in rows:
+        # byte-level vocab is CLOSED: no NULL ids, and mapping back
+        # through the inverse reproduces the token sequence + text
+        assert all(i is not None for i in r.ids)
+        toks = [inv[i] for i in r.ids]
+        assert toks == list(r.tokens)
+    # open-vocab path: an unknown token NULLs (loud) or takes unk_id
+    probe = spark.createDataFrame(
+        [(1, ["nope-token"])], "doc_id bigint, tokens array<string>"
+    )
+    got = tokens_to_ids(probe, "tokens", vocab).collect()[0]
+    assert got.ids == [None]
+    got2 = tokens_to_ids(probe, "tokens", vocab, unk_id=0).collect()[0]
+    assert got2.ids == [0]
+    # gpt2 vocab.json agreement: same table as the exported file
+    import json as _json
+    import tempfile
+
+    from mallarddv_spark.operators.bpe import export_gpt2_files
+
+    d = tempfile.mkdtemp()
+    export_gpt2_files(m, d, specials=["<|endoftext|>"])
+    assert _json.load(open(f"{d}/vocab.json", encoding="utf-8")) == vocab
