@@ -344,13 +344,38 @@ def train_bpe(
         picker = _safe_merge_batch if exact_rank else _greedy_merge_batch
         batch = picker(top, want, min_pair_count)
         merges.extend(batch)
-        for a, b in batch:
-            words = words.select(
-                "cnt",
-                F.lit(a).alias("__ma"),
-                F.lit(b).alias("__mb"),
-                "syms",
-            ).select("cnt", _merge_expr("syms", "__ma", "__mb").alias("syms"))
+        if len(batch) >= 4:
+            # apply the whole batch in ONE single-pass greedy fold:
+            # accepted pairs are pairwise non-interacting (disjoint
+            # symbols AND products — the picker's used-set guard), so
+            # (a) per-pair applications commute and (b) no application
+            # can create a new occurrence of another batch pair (new
+            # adjacencies always involve the product, which is not a
+            # symbol of any other batch pair) — one left-to-right walk
+            # merging any (last, x) present in the batch map is
+            # therefore EXACTLY the chained per-merge replay. Measured:
+            # the chained form and the rank-fold fixpoint form both
+            # evaluate ~10-16 s per round on a 65k-pre-token table
+            # (interpreted higher-order folds); the single pass does
+            # one membership lookup per symbol.
+            mmap = _rank_map_cell(words.sparkSession, batch)
+            words = (
+                words.crossJoin(F.broadcast(mmap))
+                .select(
+                    "cnt",
+                    F.expr(_batch_merge_expr("syms")).alias("syms"),
+                )
+            )
+        else:
+            for a, b in batch:
+                words = words.select(
+                    "cnt",
+                    F.lit(a).alias("__ma"),
+                    F.lit(b).alias("__mb"),
+                    "syms",
+                ).select(
+                    "cnt", _merge_expr("syms", "__ma", "__mb").alias("syms")
+                )
         since_ckpt += len(batch)
         if since_ckpt >= checkpoint_every:
             words = words.localCheckpoint(eager=True)
@@ -360,6 +385,39 @@ def train_bpe(
         "lowercase": lowercase,
         "byte_level": bool(byte_level),
     }
+
+
+def _rank_map_cell(spark, merges):
+    """One-row ``map<struct<a,b>, rank>`` cell over a merge list — the
+    broadcast side of the fold replay (struct keys: no separator-char
+    assumption on symbol contents)."""
+    return spark.createDataFrame(
+        [(a, b, i) for i, (a, b) in enumerate(merges)]
+        or [(None, None, None)],
+        "a string, b string, r int",
+    ).filter(F.col("a").isNotNull()).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.expr("struct(named_struct('a', a, 'b', b), r)")
+            )
+        ).alias("__mmap")
+    )
+
+
+def _batch_merge_expr(sym_col: str) -> str:
+    """Single greedy left-to-right pass applying EVERY pair present in
+    the in-scope ``__mmap`` cell (membership only — ranks unused):
+    valid ONLY for pairwise non-interacting pair sets (the trainer's
+    batch guarantee); interacting sets need the rank-ordered fixpoint
+    of :func:`_fold_replay_expr`."""
+    return (
+        f"aggregate({sym_col}, cast(array() as array<string>), "
+        f"(acc, x) -> IF(size(acc) > 0 AND element_at(__mmap, "
+        f"named_struct('a', element_at(acc, -1), 'b', x)) IS NOT NULL, "
+        f"concat(slice(acc, 1, size(acc) - 1), "
+        f"array(concat(element_at(acc, -1), x))), "
+        f"concat(acc, array(x))))"
+    )
 
 
 def _fold_replay_expr(sym_col: str) -> str:
@@ -376,11 +434,12 @@ def _fold_replay_expr(sym_col: str) -> str:
     At most ``size-1`` merges apply per word, so an outer fold of
     ``size`` steps reaches the fixpoint; each step past it is the
     identity."""
-    # ranks of the size-1 adjacent pairs (NULL where not a merge)
+    # ranks of the size-1 adjacent pairs (NULL where not a merge);
+    # struct keys, so symbols containing ANY character are unambiguous
     pr = (
         f"transform(sequence(1, size(st) - 1), j -> "
-        f"element_at(__mmap, concat(element_at(st, j), chr(0), "
-        f"element_at(st, j + 1))))"
+        f"element_at(__mmap, named_struct('a', element_at(st, j), "
+        f"'b', element_at(st, j + 1))))"
     )
     # one-element array as a let-binding: bj = 1-based index of the
     # best-ranked pair (NULL when no pair is in the table)
@@ -444,16 +503,7 @@ def bpe_encode_words(words: DataFrame, bpe: dict, word_col: str = "word",
     if replay == "auto":
         replay = "fold" if len(bpe["merges"]) >= 48 else "sequential"
     if replay == "fold":
-        spark = words.sparkSession
-        pairs = [(a + "\x00" + b, i) for i, (a, b) in
-                 enumerate(bpe["merges"])]
-        mmap = spark.createDataFrame(
-            pairs or [(None, None)], "k string, r int"
-        ).filter(F.col("k").isNotNull()).agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("k", "r"))
-            ).alias("__mmap")
-        )
+        mmap = _rank_map_cell(words.sparkSession, bpe["merges"])
         return (
             words.select(word_col)
             .crossJoin(F.broadcast(mmap))
