@@ -27,7 +27,15 @@ def materialize(df) -> int:
     return 0
 
 
+LOAD1_START = None
+
+
 def main() -> None:
+    global LOAD1_START
+    try:
+        LOAD1_START = round(os.getloadavg()[0], 2)
+    except OSError:
+        LOAD1_START = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="mallarddv_spark-bench")
@@ -86,6 +94,14 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # host-load context rides along so any recorded snapshot carries
+    # its own noise-band evidence (NOTES.md documents runs drifting
+    # +5-20% uniformly under hypervisor steal; load1 at start/end is
+    # the cheapest witness a reader can check a record against)
+    try:
+        load1_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1_end = None
     print(
         json.dumps(
             {
@@ -94,6 +110,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load1_start": LOAD1_START,
+                "load1_end": load1_end,
             }
         )
     )
