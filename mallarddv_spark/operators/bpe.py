@@ -484,11 +484,15 @@ def bpe_encode_words(words: DataFrame, bpe: dict, word_col: str = "word",
       rank table rides a single broadcast ``map<pair, rank>`` cell
       (the unigram-lattice pattern) and an in-expression loop merges
       the best-ranked pair until fixpoint — one pass over the word
-      table regardless of merge count, O(len²·lookup) per word inside
-      codegen. The production path for real vocabularies: measured
-      436 s → 23.8 s (18×) encoding the same 50k-doc corpus under
-      1 000 merges, byte-identical token output (13 372 560 tokens
-      both ways).
+      table regardless of merge count, O(len²·lookup) per word. The
+      production path for real vocabularies: measured 436 s → 23.8 s
+      (18×) encoding the same 50k-doc corpus under 1 000 merges,
+      byte-identical token output (13 372 560 tokens both ways).
+      The per-word cost is quadratic in pre-token length (the unigram
+      lattice's cost note applies): a pathological 4 000-char base64
+      blob measures ~1.5 s standalone — tolerable, because the GPT-2
+      pre-tokenizer already splits most blobs into letter/digit runs;
+      quality-filter truly adversarial corpora first.
     * ``"auto"`` (default) — ``fold`` at ≥ 48 merges, else
       ``sequential`` (at tiny merge counts the map-cell aggregate job
       costs more than the handful of passes it saves).

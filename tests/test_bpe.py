@@ -525,3 +525,27 @@ def test_tokens_to_ids_closed_roundtrip_and_unk(spark, docs):
     d = tempfile.mkdtemp()
     export_gpt2_files(m, d, specials=["<|endoftext|>"])
     assert _json.load(open(f"{d}/vocab.json", encoding="utf-8")) == vocab
+
+
+def test_fold_replay_pathological_long_pretoken(spark):
+    """A 2000-char base64-ish blob (one giant letter/digit-run
+    pre-token) must encode losslessly in bounded time — the O(len²)
+    fold-cost regression pin."""
+    import random
+
+    from mallarddv_spark.operators.bpe import decode_byte_tokens
+
+    rnd = random.Random(3)
+    blob = "".join(
+        rnd.choice("ABCDEFGHIJKLMNOPabcdef0123456789")
+        for _ in range(2000)
+    )
+    docs = spark.createDataFrame(
+        [(0, "the low bar and the lower bar " * 10), (1, blob)],
+        ["doc_id", "text"],
+    )
+    m = train_bpe(docs, "text", num_merges=60, byte_level=True,
+                  lowercase=False, min_pair_count=2)
+    enc = {r.doc_id: r.tokens
+           for r in bpe_encode(docs, "doc_id", "text", m).collect()}
+    assert decode_byte_tokens(enc[1]) == blob
