@@ -53,9 +53,15 @@ EOW = "▁"
 #: punctuation runs each with an OPTIONAL LEADING SPACE (the leading
 #: space is part of the token — it replaces the end-of-word marker),
 #: then trailing/interior whitespace runs. Java regex syntax (Spark's
-#: engine); \p{L}/\p{N} are the Unicode letter/number classes.
+#: engine); the leading ``(?U)`` turns on UNICODE_CHARACTER_CLASS so
+#: ``\s`` matches Unicode whitespace (NBSP, ideographic space) exactly
+#: like the published Python-``regex`` pattern — without it Java's
+#: ``\s`` is ASCII-only and such characters would fall into the
+#: punctuation-run alternative, diverging from HF consumers of an
+#: exported model. \p{L}/\p{N} are the Unicode letter/number classes
+#: in both engines.
 GPT2_PRETOKEN_RE = (
-    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"(?U)'s|'t|'re|'ve|'m|'ll|'d"
     r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
     r"|\s+(?!\S)|\s+"
 )
@@ -240,7 +246,7 @@ def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 50,
-    lowercase: bool = True,
+    lowercase: bool | None = None,
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
     merge_batch: int = 64,
@@ -261,9 +267,12 @@ def train_bpe(
     there is NO end-of-word marker — the leading space inside tokens
     carries the word boundary. Consequences: any byte sequence encodes
     losslessly (no OOV, no reserved characters — the ``▁`` restriction
-    below does not apply in this mode), case is meaningful (pass
-    ``lowercase=False``, the GPT-2 convention and this mode's sensible
-    default — the parameter is honored either way), and the learned
+    below does not apply in this mode), case is meaningful
+    (``lowercase`` DEFAULTS to ``False`` here — the GPT-2 convention,
+    and the only setting :func:`export_gpt2_files` accepts, since the
+    file pair has no field for the flag; pass ``lowercase=True``
+    explicitly if you want a case-folded byte model and don't need the
+    export path), and the learned
     vocabulary differs from whitespace-mode BPE on the same corpus
     because spaces participate in merges. The merge loop, batching
     modes, and determinism guarantees are IDENTICAL — only the initial
@@ -309,6 +318,11 @@ def train_bpe(
         raise DVConfigurationError("train_bpe: num_merges must be >= 1")
     if merge_batch < 1:
         raise DVConfigurationError("train_bpe: merge_batch must be >= 1")
+    if lowercase is None:
+        # mode default: whitespace BPE case-folds (the Sennrich-era
+        # convention), byte-level does not (the GPT-2 convention, and
+        # the only flag value the exported file pair can express)
+        lowercase = not byte_level
     freq = (byte_word_frequencies if byte_level else word_frequencies)(
         df, text_col, lowercase
     )
@@ -423,7 +437,9 @@ def _batch_merge_expr(sym_col: str) -> str:
 def _fold_replay_expr(sym_col: str) -> str:
     """The whole merge replay as ONE expression over a symbol array,
     with the rank table in scope as a ``__mmap`` map cell (key =
-    ``a ‖ chr(0) ‖ b``, value = rank): repeatedly find the best-ranked
+    ``struct(a, b)``, value = rank — struct keys, so symbols containing
+    ANY character are unambiguous with no separator assumption):
+    repeatedly find the best-ranked
     adjacent pair present and merge ALL its occurrences greedily
     left-to-right, until no pair is in the table — the iterative form
     every production tokenizer uses, provably identical to rank-order
@@ -645,6 +661,11 @@ def export_gpt2_files(bpe: dict, path: str, specials: list[str] | None = None) -
     Whitespace-mode models are rejected: the format encodes tokens as
     space-separated pairs, which is only unambiguous over the byte
     alphabet (where a literal space can never appear inside a token).
+    ``lowercase=True`` models are rejected too: the file pair has no
+    field for the flag and :func:`load_gpt2_files` (like every external
+    consumer) assumes ``lowercase=False``, so exporting a case-folded
+    model would silently change its tokenization after the round-trip
+    and break the byte-for-byte decode guarantee.
     """
     import json as _json
     import os as _os
@@ -656,6 +677,14 @@ def export_gpt2_files(bpe: dict, path: str, specials: list[str] | None = None) -
             "whitespace-mode symbols may contain the end-of-word "
             "marker semantics it cannot express) — train with "
             "byte_level=True"
+        )
+    if bpe.get("lowercase"):
+        raise DVConfigurationError(
+            "export_gpt2_files: the GPT-2 file pair carries no "
+            "lowercase flag and importers assume lowercase=False — "
+            "exporting a lowercase=True model would silently change "
+            "its tokenization after import. Train with "
+            "lowercase=False (the byte-level default)"
         )
     _os.makedirs(path, exist_ok=True)
     with open(_os.path.join(path, "merges.txt"), "w",
@@ -723,10 +752,10 @@ def bpe_vocab(bpe: dict, specials: list[str] | None = None) -> dict:
     """The model's token → id table as a plain dict, in the exact order
     :func:`export_gpt2_files` writes (byte-level: 256-char alphabet
     first, then merge products in rank order, then ``specials``;
-    whitespace mode: single characters + EOW-suffixed characters occur
-    only through their merge products, so the table is alphabet-free —
-    products in rank order, then specials). Use with
-    :func:`tokens_to_ids` to turn encoded token arrays into the id
+    whitespace mode: base symbols the merges reference — components
+    that are not themselves a product of an earlier merge — in first-
+    occurrence order, then products in rank order, then specials). Use
+    with :func:`tokens_to_ids` to turn encoded token arrays into the id
     arrays a training pipeline actually shards."""
     vocab: dict[str, int] = {}
     if bpe.get("byte_level"):
@@ -734,11 +763,14 @@ def bpe_vocab(bpe: dict, specials: list[str] | None = None) -> dict:
             vocab[ch] = len(vocab)
     else:
         # whitespace mode has no closed alphabet (any unicode char can
-        # appear); seed with the symbols the merges reference so every
-        # merge product resolves, then products in rank order
+        # appear); seed with the BASE symbols the merges reference
+        # (skipping components that are products of earlier merges —
+        # those get their id in the rank-order products loop below),
+        # so every merge product resolves
+        products = {a + b for a, b in bpe["merges"]}
         for a, b in bpe["merges"]:
             for s in (a, b):
-                if s not in vocab and (a + b) != s:
+                if s not in products:
                     vocab.setdefault(s, len(vocab))
     for a, b in bpe["merges"]:
         tok = a + b

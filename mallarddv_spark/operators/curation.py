@@ -1080,6 +1080,13 @@ def train_lr_classifier(
     :func:`~mallarddv_spark.operators.graph.pagerank`'s convergence
     row). fastText's own trainer is asynchronous SGD on one node;
     full-batch GD is the order-free equivalent that distributes.
+
+    Ceiling: FULL-BATCH means every iteration re-scans the checkpointed
+    feature table — total cost = ``iters`` × one pass over the labeled
+    set. Right-sized for the realistic regime (labeled sets are curated
+    subsets; sf1 evidence: 50k docs × 30 iters in 85 s), wrong for a
+    100 TB labeled corpus: sample the training subset first, then score
+    the full corpus with :func:`lr_classify` (a single pass).
     """
     if buckets <= 0:
         raise DVConfigurationError(
@@ -1349,6 +1356,16 @@ def train_softmax_classifier(
     groupBy(bucket, cls). The per-iteration driver traffic is K rows
     (bias gradients + loss parts) — same metadata class as the binary
     trainer's one-row collect. The corpus never re-shuffles.
+
+    Ceiling: training is FULL-BATCH — every iteration re-scans the
+    checkpointed feature table, so total cost = ``iters`` × one pass
+    over the labeled set. That is the right trade for the realistic
+    regime (labeled training sets are curated subsets — thousands to
+    low millions of docs; sf1 evidence: 50k docs × 25 iters in 109 s),
+    but do NOT point it at a 100 TB labeled corpus: sample a training
+    subset first (``df.sample`` or :func:`weighted_sample`), then score
+    the full corpus with :func:`softmax_classify`, which IS a single
+    corpus pass.
     """
     if buckets <= 0:
         raise DVConfigurationError(

@@ -4549,7 +4549,9 @@ def q_text_curation_assign(spark, sf):
     # (and the md5 gram space is already exercised corpus-wide by the
     # lang_trained columns of text_doc_stats); the explode is the part's
     # whole cost, so the cut halves it — measured 2.15 s -> ~1.1 s at
-    # sf0.1
+    # sf0.1. Input trims are a LAST RESORT governed by the policy in
+    # COVERAGE.md ("Gate-input-trim policy"): allowed only with a
+    # corpus-wide-gated twin of the same machinery, documented here.
     lp = lr_classify(
         d.filter(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", "text", lmodel
     ).select(

@@ -417,6 +417,51 @@ def test_gpt2_files_guards(spark, docs, tmp_path):
         load_gpt2_files(p)
 
 
+def test_byte_level_lowercase_default_and_export_guard(spark, docs, tmp_path):
+    """byte_level=True defaults lowercase=False (the GPT-2 convention
+    and the only flag the file pair can carry); a lowercase=True byte
+    model is rejected at export because importers assume False and the
+    round-trip would silently change tokenization (ADVICE r11)."""
+    from mallarddv_spark.operators.bpe import export_gpt2_files
+
+    bl = train_bpe(docs, "text", num_merges=5, byte_level=True)
+    assert bl["lowercase"] is False
+    # whitespace mode keeps its case-folding default
+    ws = train_bpe(docs, "text", num_merges=5)
+    assert ws["lowercase"] is True
+    folded = train_bpe(docs, "text", num_merges=5, byte_level=True,
+                       lowercase=True)
+    with pytest.raises(DVConfigurationError, match="lowercase"):
+        export_gpt2_files(folded, str(tmp_path / "nolower"))
+
+
+def test_gpt2_pretoken_unicode_whitespace(spark):
+    """(?U) makes Java's \\s match Unicode whitespace, so NBSP and
+    ideographic space pre-tokenize as whitespace runs exactly like the
+    published Python-regex GPT-2 pattern (ADVICE r11) — and encoding
+    stays lossless either way."""
+    from pyspark.sql import functions as F
+    from mallarddv_spark.operators.bpe import (
+        GPT2_PRETOKEN_RE, bpe_encode, decode_byte_tokens,
+    )
+
+    text = "a\u00a0b\u3000c"  # NBSP + ideographic space
+    toks = (
+        spark.range(1)
+        .select(F.regexp_extract_all(F.lit(text),
+                                     F.lit(GPT2_PRETOKEN_RE), F.lit(0))
+                .alias("t"))
+        .collect()[0].t
+    )
+    # the published behavior: each gap is its own whitespace run
+    assert toks == ["a", "\u00a0", "b", "\u3000", "c"]
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    bpe = train_bpe(df, "text", num_merges=1, byte_level=True,
+                    min_pair_count=1)
+    enc = bpe_encode(df, "doc_id", "text", bpe).collect()[0].tokens
+    assert decode_byte_tokens(enc) == text
+
+
 # --- fold replay (single-pass encode for realistic vocab sizes) ---
 
 def test_fold_replay_identical_to_sequential(spark, docs):
