@@ -4160,7 +4160,18 @@ def q_text_doc_stats(spark, sf):
     the tf vector, the three margins, the max-shifted softmax in class
     order, and the first-max argmax; score on the 1e-6 integer grid.
     Training is iterative (pytest differential); this gates the
-    SCORING path, the softmax sibling of `lrscore`)."""
+    SCORING path, the softmax sibling of `lrscore`); plus the tokenizer
+    ENCODE hop (`bpe_enc_n`/`bpe_enc_fp`: `bpe.bpe_encode` under the
+    FIXED literal 12-merge whitespace-mode list `_BPE_GATE_MERGES` —
+    the oracle replays each merge in rank order as a TWO-PASS
+    boundary-delimited `replace()` over a chr(31)-joined symbol string,
+    exact for a≠b merges because greedy left-to-right merging of a≠b
+    pairs merges every adjacent occurrence and pass-1-skipped
+    occurrences are never adjacent, so pass 2 catches them all; the
+    fingerprint md5s the full flattened token sequence, so token
+    CONTENT and ORDER are value-verified, not just counts — closing the
+    last fixed-model scoring surface that was pytest-only, per the
+    r11 verdict's lrscore/lang_trained recipe)."""
     from mallarddv_spark.operators.curation import bpe_token_count
 
     d = _t(spark, sf, "documents")
@@ -4204,8 +4215,47 @@ def q_text_doc_stats(spark, sf):
         F.md5(F.concat_ws(" ", F.sort_array(toks))).alias("sorted_fp"),
         bpe.alias("n_bpe_tokens"),
         F.round(bpe / F.size(toks), 6).alias("bpe_ratio"),
-    ).join(_script_cols(d), "doc_id").join(_trained_lang_cols(spark, d),
-                                           "doc_id")
+    ).join(_script_cols(d), "doc_id").join(
+        _trained_lang_cols(spark, d), "doc_id"
+    ).join(_bpe_enc_cols(d), "doc_id")
+
+
+# Fixed literal merge list for the tokenizer-ENCODE gate columns of
+# text_doc_stats: 12 whitespace-mode merges over common English
+# fragments (EOW = '▁' rides the last char, the Sennrich formulation).
+# Every merge has a != b — the property that makes greedy left-to-right
+# replay equal "merge every adjacent occurrence", which the DuckDB
+# oracle's two-pass replace chain replays exactly. Products only feed
+# LATER-ranked merges, so the list is also fold-replay-safe.
+_BPE_GATE_MERGES = [
+    ("t", "h"), ("th", "e▁"), ("a", "n"), ("an", "d▁"),
+    ("i", "n"), ("e", "r"), ("o", "n"), ("t", "o▁"),
+    ("e", "r▁"), ("in", "g▁"), ("o", "f▁"), ("s", "t"),
+]
+
+
+def _bpe_enc_cols(d):
+    """Tokenizer-encode columns under the fixed literal model:
+    ``(doc_id, bpe_enc_n, bpe_enc_fp)`` — total token count and an md5
+    over the space-joined flattened token sequence (tokens never
+    contain spaces in whitespace mode, so the join is unambiguous).
+    LEFT join keeps zero-word docs (bpe_encode drops them) at n=0 with
+    the empty-string fingerprint, mirrored in the oracle."""
+    from mallarddv_spark.operators.bpe import bpe_encode
+
+    model = {
+        "merges": list(_BPE_GATE_MERGES),
+        "lowercase": True, "byte_level": False,
+    }
+    enc = bpe_encode(d, "doc_id", "text", model)
+    return d.select("doc_id").join(enc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+        .alias("bpe_enc_n"),
+        F.md5(F.concat_ws(" ", F.coalesce(
+            F.col("tokens"), F.array().cast("array<string>")
+        ))).alias("bpe_enc_fp"),
+    )
 
 
 def _trained_lang_cols(spark, d):
@@ -4384,8 +4434,44 @@ def _o_text_doc_stats() -> str:
               AS BIGINT) AS lang_trained_s6
   FROM sm_e
 """
+    # tokenizer-encode replay (fixed literal merge list — see the query
+    # docstring): per word, symbols ride a chr(31)-delimited string
+    # (last char carries the EOW '▁'); each merge in rank order applies
+    # as a TWO-PASS replace of U‖a‖U‖b‖U with U‖ab‖U (pass 1 may skip
+    # an occurrence whose leading U a preceding match consumed; skipped
+    # occurrences are never adjacent, so pass 2 is exhaustive — exact
+    # greedy left-to-right semantics for a != b merges)
+    u = "chr(31)"
+    be_expr = f"{u} || array_to_string(string_split(w, ''), {u}) || '▁' || {u}"
+    for a, b in _BPE_GATE_MERGES:
+        pat = f"{u} || '{a}' || {u} || '{b}' || {u}"
+        rep = f"{u} || '{a}{b}' || {u}"
+        be_expr = f"replace(replace({be_expr}, {pat}, {rep}), {pat}, {rep})"
+    be_sql = rf"""
+  WITH be_w AS (
+    SELECT doc_id, i AS pos, t[i] AS w
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents), unnest(generate_series(1, len(t))) u(i)
+  ),
+  be_t AS (
+    SELECT doc_id, pos,
+           list_filter(string_split({be_expr}, {u}), x -> x <> '') AS toks
+    FROM be_w
+  ),
+  be_d AS (
+    SELECT doc_id, flatten(list(toks ORDER BY pos)) AS ft
+    FROM be_t GROUP BY doc_id
+  )
+  SELECT d.doc_id,
+         coalesce(len(b.ft), 0)::BIGINT AS bpe_enc_n,
+         md5(coalesce(array_to_string(b.ft, ' '), '')) AS bpe_enc_fp
+  FROM documents d LEFT JOIN be_d b USING (doc_id)
+"""
     return rf"""
-SELECT __base.*, __sm.lang_trained, __sm.lang_trained_s6
+SELECT __base.*, __sm.lang_trained, __sm.lang_trained_s6,
+       __be.bpe_enc_n, __be.bpe_enc_fp
 FROM (
 SELECT doc_id,
        len({toks}) AS n_tokens,
@@ -4407,6 +4493,7 @@ SELECT doc_id,
 FROM (SELECT *, {synth} AS text2 FROM documents) d2
 ) __base
 JOIN ({sm_sql}) __sm USING (doc_id)
+JOIN ({be_sql}) __be USING (doc_id)
 """
 
 
