@@ -1298,9 +1298,10 @@ def split_sentences(text: Column | str) -> Column:
 def pack_bins_ffd(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str | None = None,
     token_budget: int = 2048,
     n_shards: int | None = None,
+    length_col: str | None = None,
 ) -> DataFrame:
     """Whole-document bin packing under a token budget by first-fit
     DECREASING — the padding-minimizing packing for training WITHOUT
@@ -1320,34 +1321,57 @@ def pack_bins_ffd(
     :func:`pack_sequences` discipline — deterministic because both
     the shard hash and the in-shard (len DESC, id) order are functions
     of content). Each shard's pack is ONE fold expression over its
-    collected doc list — O(docs × bins) per shard with the bin-load
-    array copied per step, so SIZE SHARDS to ~10³–10⁴ docs each
-    (n_shards ≈ corpus/5k; the same per-task array contract as the
-    t-digest build buckets). Padding fraction is then
+    collected doc list; the bin-load scan is O(docs × bins) and the
+    per-step state clone adds O(docs²) int copies per shard, so SIZE
+    SHARDS to ~10³ docs each (n_shards ≈ corpus/2k — measured ~2 s per
+    5k-doc shard, quadratic beyond; the same per-task array contract
+    as the t-digest build buckets). Shard folds run one per task (the
+    explicit repartition below pins that — AQE would otherwise
+    coalesce the tiny aggregate output into one partition and
+    serialize every shard). Padding fraction is then
     ``1 − Σ tokens / (bins × budget)`` per shard, measurable from the
-    output."""
+    output.
+
+    ``length_col`` supplies a precomputed length instead of the
+    whitespace ``token_count(text_col)`` — the pretraining shape, where
+    the budget is in ENCODED TOKEN IDS (``size(ids)`` after
+    ``bpe_encode`` + ``tokens_to_ids``), not whitespace words; a
+    whitespace count under-fills bins by exactly the tokenizer's
+    fertility ratio. Exactly one of ``text_col``/``length_col`` must be
+    given."""
     spark = df.sparkSession
     if int(token_budget) < 1:
         raise DVConfigurationError("pack_bins_ffd: token_budget must be >= 1")
+    if (text_col is None) == (length_col is None):
+        raise DVConfigurationError(
+            "pack_bins_ffd: pass exactly one of text_col (whitespace "
+            "count) or length_col (precomputed, e.g. size(ids))"
+        )
     if n_shards is None:
         n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     b = int(token_budget)
     base = df.select(
         F.col(id_col).cast("bigint").alias("id"),
-        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        (F.col(length_col) if length_col is not None
+         else token_count(F.col(text_col)))
+        .cast("bigint").alias("n_tokens"),
         F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(int(n_shards)))
         .cast("int")
         .alias("shard_id"),
     )
     # sort key: length DESC then id ASC — encode as struct(-len, id);
     # ids are cast to bigint (numeric-id contract, pinned by the fold
-    # state type)
+    # state type). The explicit repartition pins ONE task per shard
+    # hash bucket: without it AQE coalesces the tiny (n_shards-row)
+    # aggregate output into a single partition and every shard's fold
+    # runs SERIALLY on one core (measured: 10 shards of 5k docs
+    # serialized >7 min; parallel they are seconds each).
     docs = base.groupBy("shard_id").agg(
         F.array_sort(
             F.collect_list(F.struct((-F.col("n_tokens")).alias("nl"),
                                     F.col("id")))
         ).alias("ds")
-    )
+    ).repartition(int(n_shards), "shard_id")
     # first-fit index over the bin-load array (1-based; 0 = no fit).
     # Spark's sequence(1, 0) DESCENDS, so an empty bin list must
     # short-circuit before the scan
@@ -1356,23 +1380,36 @@ def pack_bins_ffd(
         f"aggregate(sequence(1, size(st.bins)), 0, (f, j) -> "
         f"IF(f = 0 AND element_at(st.bins, j) - x.nl <= {b}, j, f)))"
     )
+    # the fold state appends the chosen bin INDEX per doc (ds order) —
+    # a plain int array, not (id, bin) structs: the per-step array
+    # clone makes the walk O(docs²) in element copies per shard, and
+    # int copies keep the constant small (struct elements measured
+    # ~10× slower at 5k-doc shards). ds[i] ↔ asg[i] positionally, so
+    # the ids zip back after the fold.
     place_existing = (
         f"struct(transform(st.bins, (ld, i) -> "
         f"IF(i = {fit} - 1, ld - x.nl, ld)) as bins, "
-        f"st.asg || array(struct(x.id as id, {fit} - 1 as bin)) as asg)"
+        f"st.asg || array({fit} - 1) as asg)"
     )
     place_new = (
         "struct(st.bins || array(-x.nl) as bins, "
-        "st.asg || array(struct(x.id as id, size(st.bins) as bin)) as asg)"
+        "st.asg || array(size(st.bins)) as asg)"
     )
     walk = (
         f"aggregate(ds, struct(cast(array() as array<bigint>) as bins, "
-        f"cast(array() as array<struct<id: bigint, bin: int>>) as asg), "
+        f"cast(array() as array<int>) as asg), "
         f"(st, x) -> IF({fit} = 0, {place_new}, {place_existing}))"
     )
     return (
-        docs.withColumn("__st", F.expr(walk))
-        .select("shard_id", F.explode("__st.asg").alias("a"))
+        docs.withColumn("__asg", F.expr(f"({walk}).asg"))
+        .select(
+            "shard_id",
+            F.explode(F.expr(
+                "transform(sequence(1, size(ds)), i -> "
+                "struct(element_at(ds, i).id as id, "
+                "element_at(__asg, i) as bin))"
+            )).alias("a"),
+        )
         .select(
             F.col("a.id").alias("id"),
             "shard_id",

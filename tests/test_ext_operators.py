@@ -1751,6 +1751,37 @@ def test_pack_bins_ffd_matches_python_reference(spark):
         textops.pack_bins_ffd(big, "doc_id", "text", token_budget=0)
 
 
+def test_pack_bins_ffd_length_col(spark):
+    """length_col packs on a precomputed length (the pretraining shape:
+    budget in encoded token ids) — identical assignment to packing a
+    synthetic text with that many whitespace words; exactly-one-of
+    guard on text_col/length_col."""
+    import random
+
+    rng = random.Random(23)
+    lens = [(i, rng.randint(1, 900)) for i in range(200)]
+    with_text = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(n))) for i, n in lens],
+        ["doc_id", "text"],
+    )
+    with_len = spark.createDataFrame(lens, ["doc_id", "n_ids"])
+    B, SHARDS = 1024, 4
+    a = {r.id: (r.shard_id, r.bin_id, r.n_tokens, r.oversize)
+         for r in textops.pack_bins_ffd(
+             with_text, "doc_id", "text",
+             token_budget=B, n_shards=SHARDS).collect()}
+    b = {r.id: (r.shard_id, r.bin_id, r.n_tokens, r.oversize)
+         for r in textops.pack_bins_ffd(
+             with_len, "doc_id", length_col="n_ids",
+             token_budget=B, n_shards=SHARDS).collect()}
+    assert a == b
+    with pytest.raises(DVConfigurationError, match="exactly one"):
+        textops.pack_bins_ffd(with_text, "doc_id", "text",
+                              length_col="text")
+    with pytest.raises(DVConfigurationError, match="exactly one"):
+        textops.pack_bins_ffd(with_len, "doc_id")
+
+
 def test_export_arpa_backoff_evaluator_reproduces_scorer(spark, tmp_path):
     """export_arpa: a STANDARD ARPA backoff evaluator (pure Python,
     stored-prob lookup + bow-chain fallback + <unk>) over the exported
