@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from mallarddv_spark.exceptions import DVConfigurationError
+from mallarddv_spark.exceptions import DVConfigurationError, DVETLError
 
 WS = r"\s+"
 
@@ -443,9 +443,17 @@ def write_training_shards(
             for r in stats
         ],
     }
+    _write_manifest(spark, path, manifest)
+    return manifest
+
+
+def _write_manifest(spark, path: str, manifest: dict) -> None:
+    """Write ``{path}/manifest.json`` through the Hadoop FS API so it
+    lands next to the data on whatever filesystem the path points at.
+    Callers write it LAST: its presence certifies a complete write."""
+    import json
+
     payload = json.dumps(manifest, indent=2)
-    # write through the Hadoop FS API so the manifest lands next to the
-    # data on whatever filesystem the path points at
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest.json")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -454,6 +462,121 @@ def write_training_shards(
         stream.write(bytearray(payload.encode("utf-8")))
     finally:
         stream.close()
+
+
+def write_packed_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    ids_col: str = "ids",
+    token_budget: int = 2048,
+    n_shards: int | None = None,
+    file_format: str = "parquet",
+) -> dict:
+    """Materialize an FFD-packed TOKEN-ID corpus — the last hop of the
+    pretraining pipeline (encode → ``bpe.tokens_to_ids`` → here):
+    :func:`pack_bins_ffd` assigns whole documents to bins with the
+    budget measured in ENCODED IDS (``size(ids_col)`` — what the
+    trainer's context window actually holds; a whitespace budget
+    under-fills by the tokenizer's fertility), then rows land as
+    ``shard_id=<i>/*`` ordered ``(bin_id, id)`` with the id arrays
+    intact, plus a ``manifest.json`` written LAST whose stats come from
+    READING THE SHARDS BACK — ``total_ids`` certifies token
+    conservation against the encoder's own count, the invariant that
+    catches any drop/dup between the stages (the
+    :func:`write_training_shards` certify-by-read-back discipline;
+    ``oversize`` documents — longer than the budget — keep their flag
+    so the trainer can truncate or re-chunk them explicitly).
+
+    NULL id elements are REJECTED before anything is written: an open
+    vocabulary leaked an unknown token and training on silently-wrong
+    ids is the one unrecoverable outcome (pass ``unk_id`` to
+    :func:`~mallarddv_spark.operators.bpe.tokens_to_ids` upstream if
+    unknowns are expected).
+
+    Scale shape: one pack (see :func:`pack_bins_ffd`'s shard contract),
+    one join back on the id key, one hash-partitioned shuffle + ordered
+    write; the manifest aggregate re-scans only shard-level stats."""
+    import json  # noqa: F401  (parity with write_training_shards)
+
+    if file_format not in ("parquet", "jsonl"):
+        raise DVConfigurationError(
+            f"write_packed_shards: unknown file_format {file_format!r} "
+            "(parquet | jsonl)"
+        )
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(ids_col).alias("ids"),
+        F.size(ids_col).cast("bigint").alias("n_ids"),
+    )
+    n_null = base.filter(
+        F.col("ids").isNull() | F.exists("ids", lambda x: x.isNull())
+    ).count()
+    if n_null:
+        raise DVETLError(
+            f"write_packed_shards: {n_null} documents carry NULL id "
+            "elements — resolve unknown tokens upstream (tokens_to_ids "
+            "unk_id) before materializing trainer shards"
+        )
+    assign = pack_bins_ffd(
+        base, "id", length_col="n_ids",
+        token_budget=token_budget, n_shards=n_shards,
+    )
+    out = (
+        base.select("id", "ids").join(assign, "id")
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "bin_id", "id")
+        .select("id", "ids", "n_tokens", "shard_id", "bin_id", "oversize")
+    )
+    if file_format == "jsonl":
+        out.write.mode("errorifexists").option(
+            "compression", "gzip"
+        ).partitionBy("shard_id").json(f"{path}/data")
+        written = spark.read.schema(out.drop("shard_id").schema).json(
+            f"{path}/data"
+        )
+    else:
+        out.write.mode("errorifexists").partitionBy("shard_id").parquet(
+            f"{path}/data"
+        )
+        written = spark.read.parquet(f"{path}/data")
+    stats = (
+        written.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("ids")).alias("n_ids"),
+            F.countDistinct("bin_id").alias("n_bins"),
+            F.sum(F.col("oversize").cast("int")).alias("n_oversize"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    total_ids = int(sum(r.n_ids for r in stats))
+    total_bins = int(sum(r.n_bins for r in stats))
+    manifest = {
+        "token_budget": int(token_budget),
+        "file_format": file_format,
+        "n_shards": len(stats),
+        "total_docs": int(sum(r.n_docs for r in stats)),
+        "total_ids": total_ids,
+        "total_bins": total_bins,
+        "total_oversize": int(sum(r.n_oversize for r in stats)),
+        "padding_frac": round(
+            1.0 - total_ids / (total_bins * int(token_budget)), 6
+        ) if total_bins else 0.0,
+        "shards": [
+            {
+                "shard_id": int(r.shard_id),
+                "n_docs": int(r.n_docs),
+                "n_ids": int(r.n_ids),
+                "n_bins": int(r.n_bins),
+                "n_oversize": int(r.n_oversize),
+            }
+            for r in stats
+        ],
+    }
+    _write_manifest(spark, path, manifest)
     return manifest
 
 

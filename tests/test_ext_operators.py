@@ -752,6 +752,67 @@ def test_write_training_shards(spark, tmp_path):
         )
 
 
+def test_write_packed_shards_conserves_ids(spark, tmp_path):
+    """FFD id-shard materialization: total_ids in the manifest equals
+    the input's Σ size(ids) exactly (token conservation), no
+    non-oversize bin exceeds the budget, in-shard order is (bin, id),
+    NULL id elements are rejected before any write, and a second write
+    refuses to clobber."""
+    import json
+    import os
+    import random
+
+    import pytest
+
+    from mallarddv_spark.exceptions import DVETLError
+    from mallarddv_spark.operators.textops import write_packed_shards
+
+    rng = random.Random(41)
+    rows = [(i, [rng.randint(0, 999) for _ in range(rng.randint(1, 500))])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, ids array<int>")
+    want_ids = sum(len(v) for _, v in rows)
+    path = str(tmp_path / "packed")
+    manifest = write_packed_shards(
+        df, path, "doc_id", "ids", token_budget=256, n_shards=4
+    )
+    assert manifest["total_docs"] == 300
+    assert manifest["total_ids"] == want_ids
+    disk = json.loads(open(f"{path}/manifest.json").read())
+    assert disk == manifest
+    assert os.path.exists(f"{path}/manifest.json")
+
+    data = spark.read.parquet(f"{path}/data")
+    assert data.count() == 300
+    assert int(data.agg(F.sum(F.size("ids"))).first()[0]) == want_ids
+    # no non-oversize bin over budget; oversize bins hold one doc
+    loads = data.groupBy("shard_id", "bin_id").agg(
+        F.sum(F.size("ids")).alias("load"),
+        F.count("*").alias("members"),
+        F.max("oversize").alias("ov"),
+    ).collect()
+    for r in loads:
+        assert r.load <= 256 or (r.ov and r.members == 1)
+    # in-shard physical order is (bin_id, id)
+    import pyarrow.parquet as pq
+    import glob
+    for f in glob.glob(f"{path}/data/shard_id=*/*.parquet"):
+        t = pq.read_table(f, columns=["bin_id", "id"]).to_pylist()
+        keys = [(r["bin_id"], r["id"]) for r in t]
+        assert keys == sorted(keys), f
+
+    with pytest.raises(Exception):
+        write_packed_shards(df, path, "doc_id", "ids",
+                            token_budget=256, n_shards=4)
+    # NULL id elements rejected loudly, nothing written
+    bad = spark.createDataFrame(
+        [(1, [1, None, 3])], "doc_id bigint, ids array<int>"
+    )
+    with pytest.raises(DVETLError, match="NULL id"):
+        write_packed_shards(bad, str(tmp_path / "bad"), "doc_id", "ids")
+    assert not os.path.exists(str(tmp_path / "bad" / "data"))
+
+
 # --- exact-substring dedup -------------------------------------------------
 
 

@@ -16,12 +16,13 @@ Stages:
   so the ``pretrain`` stage can reuse it.
 * ``pretrain`` — the END-TO-END pretraining materialization path
   (r11 verdict #3): encode (fold replay) → ``bpe_vocab`` +
-  ``tokens_to_ids`` → ``pack_bins_ffd`` with the budget in ENCODED
-  IDS (``length_col``) → id shards written parquet, partitioned by
-  shard and ordered (bin_id, id). Invariants: Σ ids across written
-  shards == Σ encoded tokens (token conservation), zero NULL ids
-  (closed byte-level vocab), every doc in exactly one bin, no
-  non-oversize bin over budget. Per-stage timings + padding fraction.
+  ``tokens_to_ids`` → ``textops.write_packed_shards`` (FFD pack with
+  the budget in ENCODED IDS + manifest-certified id shards).
+  Invariants, re-derived from the bytes on disk independently of the
+  manifest: Σ ids across written shards == Σ encoded tokens (token
+  conservation), zero NULL ids (closed byte-level vocab), every doc
+  in exactly one bin, no non-oversize bin over budget. Per-stage
+  timings + padding fraction.
 * ``ccnet`` — the CCNet composition (Wenzek et al. 2020; r11 verdict
   #4): trained softmax language-ID routes a 4-language planted corpus,
   each language trains its OWN order-3 Kneser-Ney LM on its routed
@@ -126,15 +127,15 @@ def stress_bigbpe4k(spark):
 
 
 def stress_pretrain(spark):
-    """docs → tokens → ids → FFD bins → id shards, one measured
-    pipeline. The budget is in IDS (length_col) — a whitespace budget
+    """docs → tokens → ids → write_packed_shards (FFD bins + manifest),
+    one measured pipeline. The budget is in IDS — a whitespace budget
     would under-fill bins by the tokenizer's fertility ratio. The
-    invariant Σ ids(shards on disk) == Σ tokens(encode) catches every
-    drop/dup between the four stages."""
+    invariant Σ ids(shards on disk) == Σ tokens(encode) ==
+    manifest.total_ids catches every drop/dup between the stages."""
     from mallarddv_spark.operators.bpe import (
         bpe_encode, bpe_vocab, load_bpe, tokens_to_ids, train_bpe,
     )
-    from mallarddv_spark.operators.textops import pack_bins_ffd
+    from mallarddv_spark.operators.textops import write_packed_shards
 
     docs = _zipf_docs(spark)
     for cand in (f"{ZIPF}/bpe4k", f"{ZIPF}/bpe1k"):
@@ -170,25 +171,18 @@ def stress_pretrain(spark):
     emit(op="pretrain_progress", stage="ids", **timings)
 
     t0 = time.monotonic()
-    pack = pack_bins_ffd(ids, "doc_id", length_col="n_ids",
-                         token_budget=budget, n_shards=n_shards)
-    out = (
-        ids.withColumnRenamed("doc_id", "id").join(pack, "id")
-        .repartition("shard_id")
-        .sortWithinPartitions("shard_id", "bin_id", "id")
-        .select("id", "ids", "n_ids", "shard_id", "bin_id", "oversize")
-    )
     shard_path = f"{ZIPF}/idshards"
     shutil.rmtree(shard_path, ignore_errors=True)
-    out.write.mode("errorifexists").partitionBy("shard_id").parquet(
-        shard_path
+    manifest = write_packed_shards(
+        ids, shard_path, "doc_id", "ids",
+        token_budget=budget, n_shards=n_shards,
     )
     timings["pack_write_sec"] = round(time.monotonic() - t0, 2)
     emit(op="pretrain_progress", stage="pack_write", **timings)
 
-    # invariants from the BYTES ON DISK, never the plan
+    # invariants from the BYTES ON DISK, independently of the manifest
     t0 = time.monotonic()
-    written = spark.read.parquet(shard_path)
+    written = spark.read.parquet(f"{shard_path}/data")
     inv = written.agg(
         F.count("*").alias("docs"),
         F.sum(F.size("ids")).alias("ids_total"),
@@ -196,25 +190,27 @@ def stress_pretrain(spark):
     ).collect()[0]
     over = (
         written.groupBy("shard_id", "bin_id")
-        .agg(F.sum("n_ids").alias("load"), F.max("oversize").alias("ov"),
+        .agg(F.sum(F.size("ids")).alias("load"),
+             F.max("oversize").alias("ov"),
              F.count("*").alias("members"))
     )
     bad_bins = over.filter(
         (F.col("load") > budget) & ~(F.col("ov") & (F.col("members") == 1))
     ).count()
-    n_bins = over.count()
-    pad = 1.0 - inv.ids_total / (n_bins * budget)
     timings["verify_sec"] = round(time.monotonic() - t0, 2)
 
     emit(op="pretrain_pipeline", model=model_src,
          merges=len(model["merges"]), vocab=len(vocab),
          docs=int(inv.docs), distinct_docs=int(inv.distinct_docs),
          tokens_encoded=total_tokens, ids_on_disk=int(inv.ids_total),
-         null_id_docs=null_ids, bins=n_bins, budget=budget,
+         manifest_ids=manifest["total_ids"], null_id_docs=null_ids,
+         bins=manifest["total_bins"], budget=budget,
          shards=n_shards, bad_bins=bad_bins,
-         padding_frac=round(pad, 4), **timings)
+         padding_frac=manifest["padding_frac"], **timings)
     assert null_ids == 0, "closed byte-level vocab must resolve every token"
-    assert int(inv.ids_total) == total_tokens, "token conservation"
+    assert int(inv.ids_total) == total_tokens == manifest["total_ids"], (
+        "token conservation"
+    )
     assert int(inv.docs) == int(inv.distinct_docs) == docs.count()
     assert bad_bins == 0
 
