@@ -561,7 +561,8 @@ def save_bpe(spark, bpe: dict, path: str) -> None:
     ).parquet(f"{path}/merges")
     literal_frame(
         spark,
-        [(bool(bpe.get("lowercase", True)), bool(bpe.get("byte_level")))],
+        [(bool(bpe.get("lowercase", not bpe.get("byte_level"))),
+          bool(bpe.get("byte_level")))],
         "lowercase boolean, byte_level boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
@@ -604,11 +605,17 @@ def bpe_encode(
     whitespace tokens, and the concatenated token sequence round-trips
     to the original text byte-for-byte through
     :func:`decode_byte_tokens` (whitespace-only documents DO produce a
-    row here — whitespace is evidence in this mode).
+    row here — whitespace is evidence in this mode). The byte-for-byte
+    guarantee assumes the mode's ``lowercase=False`` convention: a
+    byte model explicitly trained with ``lowercase=True`` decodes to
+    the case-FOLDED text, and :func:`export_gpt2_files` rejects such
+    models outright.
     """
     if bpe.get("byte_level"):
         t = F.col(text_col)
-        if bpe.get("lowercase", True):
+        # a missing flag follows the MODE convention (byte level does
+        # not case-fold), matching train_bpe's lowercase=None default
+        if bpe.get("lowercase", False):
             t = F.lower(t)
         stream = (
             df.select(

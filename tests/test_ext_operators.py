@@ -811,6 +811,12 @@ def test_write_packed_shards_conserves_ids(spark, tmp_path):
     with pytest.raises(DVETLError, match="NULL id"):
         write_packed_shards(bad, str(tmp_path / "bad"), "doc_id", "ids")
     assert not os.path.exists(str(tmp_path / "bad" / "data"))
+    # jsonl interchange mode conserves ids through the gzip round-trip
+    mj = write_packed_shards(
+        df, str(tmp_path / "pj"), "doc_id", "ids",
+        token_budget=256, n_shards=4, file_format="jsonl",
+    )
+    assert mj["total_ids"] == want_ids and mj["total_docs"] == 300
 
 
 # --- exact-substring dedup -------------------------------------------------
