@@ -553,9 +553,14 @@ def save_bpe(spark, bpe: dict, path: str) -> None:
     NB classifier and the training-shard manifest)."""
     from mallarddv_spark.functions.litframe import literal_frame
 
+    # createDataFrame, NOT literal_frame: the merge table is
+    # vocabulary-sized (a realistic model is thousands of rows — a 4096-
+    # merge save measured >14 min of DRIVER-side Catalyst analysis as
+    # literals, vs ~1 s here; litframe's own docstring scopes it to
+    # tens of rows)
     rows = [(i, a, b) for i, (a, b) in enumerate(bpe["merges"])]
-    literal_frame(
-        spark, rows or [(None, None, None)], "rank int, a string, b string"
+    spark.createDataFrame(
+        rows or [(None, None, None)], "rank int, a string, b string"
     ).filter(F.col("rank").isNotNull()).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/merges")

@@ -322,9 +322,12 @@ def save_wordpiece(spark, model: dict, path: str) -> None:
     convention)."""
     from mallarddv_spark.functions.litframe import literal_frame
 
+    # createDataFrame, NOT literal_frame: the vocab is vocabulary-sized
+    # (a realistic model is tens of thousands of rows; literal analysis
+    # is quadratic driver-side — the save_bpe lesson)
     rows = [(i, p) for i, p in enumerate(model["vocab"])]
-    literal_frame(
-        spark, rows or [(None, None)], "rank int, piece string"
+    spark.createDataFrame(
+        rows or [(None, None)], "rank int, piece string"
     ).filter(F.col("rank").isNotNull()).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/vocab")
