@@ -4171,7 +4171,17 @@ def q_text_doc_stats(spark, sf):
     fingerprint md5s the full flattened token sequence, so token
     CONTENT and ORDER are value-verified, not just counts — closing the
     last fixed-model scoring surface that was pytest-only, per the
-    r11 verdict's lrscore/lang_trained recipe)."""
+    r11 verdict's lrscore/lang_trained recipe); plus the WORDPIECE
+    encode hop (`wp_enc_n`/`wp_enc_unk`/`wp_enc_fp`:
+    `wordpiece.wordpiece_encode` under the FIXED literal vocabulary
+    `_WP_GATE_VOCAB` — BERT greedy longest-match-first with `##`
+    continuations; the oracle replays the matcher as a RECURSIVE CTE
+    over the corpus's DISTINCT words (each step consumes the longest
+    vocab prefix via list_max over matching lengths, `best = 0` marks
+    the word [UNK] — exactly the engine's no-cover semantics), then
+    joins back through the per-doc word stream; the vocabulary omits
+    the letters j and q so their words exercise the [UNK] path
+    non-vacuously)."""
     from mallarddv_spark.operators.curation import bpe_token_count
 
     d = _t(spark, sf, "documents")
@@ -4217,7 +4227,7 @@ def q_text_doc_stats(spark, sf):
         F.round(bpe / F.size(toks), 6).alias("bpe_ratio"),
     ).join(_script_cols(d), "doc_id").join(
         _trained_lang_cols(spark, d), "doc_id"
-    ).join(_bpe_enc_cols(d), "doc_id")
+    ).join(_bpe_enc_cols(d), "doc_id").join(_wp_enc_cols(d), "doc_id")
 
 
 # Fixed literal merge list for the tokenizer-ENCODE gate columns of
@@ -4232,6 +4242,40 @@ _BPE_GATE_MERGES = [
     ("i", "n"), ("e", "r"), ("o", "n"), ("t", "o▁"),
     ("e", "r▁"), ("in", "g▁"), ("o", "f▁"), ("s", "t"),
 ]
+
+
+# Fixed literal WordPiece vocabulary for the wp_enc_* gate columns of
+# text_doc_stats: every corpus letter EXCEPT j and q (raw + ##
+# continuation — their words exercise the [UNK] path), plus multi-char
+# pieces so greedy longest-match is non-trivial.
+_WP_GATE_VOCAB = (
+    [c for c in "abcdefghiklmnoprstuvwy"]
+    + ["##" + c for c in "abcdefghiklmnoprstuvwy"]
+    + ["th", "##he", "the", "an", "##nd", "in", "##ng", "er",
+       "##er", "on", "st", "##ti", "re", "##ed"]
+)
+
+
+def _wp_enc_cols(d):
+    """WordPiece-encode columns under the fixed literal vocabulary:
+    ``(doc_id, wp_enc_n, wp_enc_unk, wp_enc_fp)`` — token count, [UNK]
+    count, and an md5 over the space-joined flattened token sequence
+    (pieces never contain spaces). LEFT join keeps zero-word docs at
+    n=0, mirrored in the oracle."""
+    from mallarddv_spark.operators.wordpiece import wordpiece_encode
+
+    model = {"vocab": list(_WP_GATE_VOCAB), "lowercase": True}
+    enc = wordpiece_encode(d, "doc_id", "text", model)
+    return d.select("doc_id").join(enc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+        .alias("wp_enc_n"),
+        F.coalesce(F.col("n_unk"), F.lit(0)).cast("bigint")
+        .alias("wp_enc_unk"),
+        F.md5(F.concat_ws(" ", F.coalesce(
+            F.col("tokens"), F.array().cast("array<string>")
+        ))).alias("wp_enc_fp"),
+    )
 
 
 def _bpe_enc_cols(d):
@@ -4469,9 +4513,61 @@ def _o_text_doc_stats() -> str:
          md5(coalesce(array_to_string(b.ft, ' '), '')) AS bpe_enc_fp
   FROM documents d LEFT JOIN be_d b USING (doc_id)
 """
+    # WordPiece-encode replay (fixed literal vocab — see the query
+    # docstring): a RECURSIVE CTE over the corpus's DISTINCT words
+    # (mirroring the engine, which segments distinct words and joins
+    # back) — each step appends the LONGEST vocab piece matching at
+    # the cursor (## continuation off word start); best = 0 means no
+    # cover → the whole word is [UNK], the BERT semantics
+    wp_vl = "[" + ", ".join("'" + p + "'" for p in _WP_GATE_VOCAB) + "]"
+    wp_sql = rf"""
+  WITH RECURSIVE wp_words AS (
+    SELECT DISTINCT w FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents) WHERE w <> ''
+  ),
+  wp(w, p, toks, bad) AS (
+    SELECT w, 0, []::varchar[], len(w) > 100 FROM wp_words
+    UNION ALL
+    SELECT w, p + best, CASE WHEN best > 0 THEN list_append(toks,
+             CASE WHEN p = 0 THEN substr(w, 1, best)
+                  ELSE '##' || substr(w, p + 1, best) END) ELSE toks END,
+           best = 0
+    FROM (
+      SELECT w, p, toks,
+             coalesce(list_max(list_filter(
+               generate_series(1, len(w) - p), l -> list_contains({wp_vl},
+                 CASE WHEN p = 0 THEN substr(w, 1, l)
+                      ELSE '##' || substr(w, p + 1, l) END))), 0) AS best
+      FROM wp WHERE NOT bad AND p < len(w)
+    )
+  ),
+  wp_seg AS (
+    SELECT w, CASE WHEN bad THEN ['[UNK]'] ELSE toks END AS toks
+    FROM wp WHERE bad OR p = len(w)
+  ),
+  wp_stream AS (
+    SELECT doc_id, i AS pos, t[i] AS w
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents), unnest(generate_series(1, len(t))) u(i)
+  ),
+  wp_doc AS (
+    SELECT doc_id, flatten(list(toks ORDER BY pos)) AS ft
+    FROM wp_stream JOIN wp_seg USING (w) GROUP BY doc_id
+  )
+  SELECT d.doc_id,
+         coalesce(len(b.ft), 0)::BIGINT AS wp_enc_n,
+         coalesce(len(list_filter(b.ft, x -> x = '[UNK]')), 0)::BIGINT
+           AS wp_enc_unk,
+         md5(coalesce(array_to_string(b.ft, ' '), '')) AS wp_enc_fp
+  FROM documents d LEFT JOIN wp_doc b USING (doc_id)
+"""
     return rf"""
 SELECT __base.*, __sm.lang_trained, __sm.lang_trained_s6,
-       __be.bpe_enc_n, __be.bpe_enc_fp
+       __be.bpe_enc_n, __be.bpe_enc_fp,
+       __wp.wp_enc_n, __wp.wp_enc_unk, __wp.wp_enc_fp
 FROM (
 SELECT doc_id,
        len({toks}) AS n_tokens,
@@ -4494,6 +4590,7 @@ FROM (SELECT *, {synth} AS text2 FROM documents) d2
 ) __base
 JOIN ({sm_sql}) __sm USING (doc_id)
 JOIN ({be_sql}) __be USING (doc_id)
+JOIN ({wp_sql}) __wp USING (doc_id)
 """
 
 
