@@ -4181,7 +4181,21 @@ def q_text_doc_stats(spark, sf):
     the word [UNK] — exactly the engine's no-cover semantics), then
     joins back through the per-doc word stream; the vocabulary omits
     the letters j and q so their words exercise the [UNK] path
-    non-vacuously)."""
+    non-vacuously); plus the UNIGRAM (Viterbi) encode hop
+    (`un_enc_n`/`un_enc_lp6`/`un_enc_fp`: `unigram.unigram_encode`
+    under the FIXED literal `(piece, logp)` vocabulary
+    `_UN_GATE_PIECES` — every logp a multiple of 1/64, so all DP sums
+    are dyadic rationals with ≤6 decimal places: exactly representable
+    in double, every round/1e10/1e6 grid hop is EXACT, and float
+    comparisons agree bit-for-bit across engines; the oracle replays
+    the lattice as a RECURSIVE CTE over distinct words carrying the
+    full alpha array per step, with the engine's first-max-ascending
+    tie-break (longer piece, then leftmost — exercised by 'an' at
+    -5.0 exactly tying a+n) mapped to a sentinel-seeded list_reduce
+    with strict >, then a second recursive CTE walks the backpointers;
+    v and k are left out of the vocabulary so their words price
+    through the -20.0 unk floor. With this, all THREE tokenizer
+    encode hops — BPE, WordPiece, unigram — are oracle-gated)."""
     from mallarddv_spark.operators.curation import bpe_token_count
 
     d = _t(spark, sf, "documents")
@@ -4227,7 +4241,9 @@ def q_text_doc_stats(spark, sf):
         F.round(bpe / F.size(toks), 6).alias("bpe_ratio"),
     ).join(_script_cols(d), "doc_id").join(
         _trained_lang_cols(spark, d), "doc_id"
-    ).join(_bpe_enc_cols(d), "doc_id").join(_wp_enc_cols(d), "doc_id")
+    ).join(_bpe_enc_cols(d), "doc_id").join(
+        _wp_enc_cols(d), "doc_id"
+    ).join(_un_enc_cols(spark, d), "doc_id")
 
 
 # Fixed literal merge list for the tokenizer-ENCODE gate columns of
@@ -4242,6 +4258,49 @@ _BPE_GATE_MERGES = [
     ("i", "n"), ("e", "r"), ("o", "n"), ("t", "o▁"),
     ("e", "r▁"), ("in", "g▁"), ("o", "f▁"), ("s", "t"),
 ]
+
+
+# Fixed literal unigram (piece, logp) vocabulary for the un_enc_* gate
+# columns of text_doc_stats. EVERY logp is a multiple of 1/64 — dyadic
+# rationals whose sums stay ≤6-decimal-exact doubles, making the
+# Viterbi DP, its tie comparisons, and all grid hops bit-identical
+# across Spark and DuckDB. 'an' at -5.0 exactly ties a+n (the
+# longer-piece tie-break is exercised, not assumed); v and k are
+# absent so their words price through the -20.0 unk floor.
+_UN_GATE_PIECES = {
+    **{c: -2.5 for c in "abcdefghijlmnopqrstuwy"},
+    "th": -4.0, "he": -4.5, "the": -8.25, "an": -5.0, "nd": -4.75,
+    "in": -4.25, "ng": -4.75, "er": -4.25, "on": -4.5, "st": -4.25,
+    "re": -4.5, "ed": -4.75,
+}
+_UN_GATE_UNK = -20.0
+
+
+def _un_enc_cols(spark, d):
+    """Unigram-Viterbi-encode columns under the fixed literal
+    vocabulary: ``(doc_id, un_enc_n, un_enc_lp6, un_enc_fp)`` — token
+    count, the doc's Viterbi log-prob on the 1e-6 integer grid (exact:
+    dyadic scores), and an md5 over the space-joined flattened token
+    sequence. LEFT join keeps zero-word docs at n=0/lp=0."""
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.unigram import unigram_encode
+
+    vocab = literal_frame(
+        spark, [(p, lp) for p, lp in _UN_GATE_PIECES.items()],
+        "piece string, logp double",
+    )
+    enc = unigram_encode(d, "doc_id", "text", vocab,
+                         unk_logp=_UN_GATE_UNK)
+    return d.select("doc_id").join(enc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+        .alias("un_enc_n"),
+        F.coalesce(F.round(F.col("logprob") * 1e6).cast("bigint"),
+                   F.lit(0)).alias("un_enc_lp6"),
+        F.md5(F.concat_ws(" ", F.coalesce(
+            F.col("tokens"), F.array().cast("array<string>")
+        ))).alias("un_enc_fp"),
+    )
 
 
 # Fixed literal WordPiece vocabulary for the wp_enc_* gate columns of
@@ -4564,10 +4623,81 @@ def _o_text_doc_stats() -> str:
          md5(coalesce(array_to_string(b.ft, ' '), '')) AS wp_enc_fp
   FROM documents d LEFT JOIN wp_doc b USING (doc_id)
 """
+    # unigram Viterbi replay (fixed literal dyadic-logp vocab — see the
+    # query docstring): recursive CTE carries the FULL alpha array per
+    # step; candidates at prefix jj scan i ascending through a
+    # sentinel-seeded list_reduce with strict > (the engine's first-max
+    # tie-break: longer piece, then leftmost); a second recursive CTE
+    # walks the backpointers. All arithmetic is dyadic → bit-exact.
+    un_lp = ("CASE substr(w, i + 1, jj - i) "
+             + " ".join(f"WHEN '{p}' THEN CAST({lp} AS DOUBLE)"
+                        for p, lp in _UN_GATE_PIECES.items())
+             + f" ELSE CASE WHEN jj - i = 1 THEN "
+               f"CAST({_UN_GATE_UNK} AS DOUBLE) END END")
+    un_sql = rf"""
+  WITH RECURSIVE un_words AS (
+    SELECT DISTINCT w FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents) WHERE w <> ''
+  ),
+  una(w, j, alphas) AS (
+    SELECT w, 0, [{{'s': CAST(0.0 AS DOUBLE), 'b': -1}}] FROM un_words
+    UNION ALL
+    SELECT w, jj,
+           list_append(alphas, (
+             SELECT best FROM (
+               SELECT list_reduce(
+                 list_prepend({{'s': CAST(-1e30 AS DOUBLE), 'b': -1}},
+                   list_transform(generate_series(0, jj - 1), i ->
+                     CASE WHEN alphas[i + 1].s > CAST(-1e29 AS DOUBLE)
+                               AND ({un_lp}) IS NOT NULL
+                          THEN {{'s': alphas[i + 1].s + ({un_lp}),
+                                'b': i}}
+                          ELSE {{'s': CAST(-1e30 AS DOUBLE), 'b': -1}}
+                          END)),
+                 (acc, c) -> CASE WHEN c.s > acc.s THEN c ELSE acc END)
+                 AS best
+             )
+           ))
+    FROM (SELECT w, j + 1 AS jj, alphas FROM una WHERE j < len(w))
+  ),
+  unb(w, pos, ps, alphas) AS (
+    SELECT w, len(w), []::varchar[], alphas FROM una WHERE j = len(w)
+    UNION ALL
+    SELECT w, alphas[pos + 1].b,
+           list_prepend(substr(w, alphas[pos + 1].b + 1,
+                               pos - alphas[pos + 1].b), ps),
+           alphas
+    FROM unb WHERE pos > 0
+  ),
+  un_seg AS (
+    SELECT w, ps, round(alphas[len(w) + 1].s, 6) AS score
+    FROM unb WHERE pos = 0
+  ),
+  un_stream AS (
+    SELECT doc_id, i AS pos, t[i] AS w
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents), unnest(generate_series(1, len(t))) u(i)
+  ),
+  un_doc AS (
+    SELECT doc_id,
+           flatten(list(ps ORDER BY pos)) AS ft,
+           round(sum(CAST(round(score * 1e10) AS BIGINT)) / 1e10, 6) AS lp
+    FROM un_stream JOIN un_seg USING (w) GROUP BY doc_id
+  )
+  SELECT d.doc_id,
+         coalesce(len(b.ft), 0)::BIGINT AS un_enc_n,
+         coalesce(CAST(round(b.lp * 1e6) AS BIGINT), 0) AS un_enc_lp6,
+         md5(coalesce(array_to_string(b.ft, ' '), '')) AS un_enc_fp
+  FROM documents d LEFT JOIN un_doc b USING (doc_id)
+"""
     return rf"""
 SELECT __base.*, __sm.lang_trained, __sm.lang_trained_s6,
        __be.bpe_enc_n, __be.bpe_enc_fp,
-       __wp.wp_enc_n, __wp.wp_enc_unk, __wp.wp_enc_fp
+       __wp.wp_enc_n, __wp.wp_enc_unk, __wp.wp_enc_fp,
+       __un.un_enc_n, __un.un_enc_lp6, __un.un_enc_fp
 FROM (
 SELECT doc_id,
        len({toks}) AS n_tokens,
@@ -4591,6 +4721,7 @@ FROM (SELECT *, {synth} AS text2 FROM documents) d2
 JOIN ({sm_sql}) __sm USING (doc_id)
 JOIN ({be_sql}) __be USING (doc_id)
 JOIN ({wp_sql}) __wp USING (doc_id)
+JOIN ({un_sql}) __un USING (doc_id)
 """
 
 
