@@ -3812,6 +3812,71 @@ FROM br WHERE rnk <= 20
 """
 
 
+# Graded qrels for the evalmetrics part: each query's distinctive term;
+# rel = min(3, occurrences of that term in the doc) — text-derived,
+# closed-form in SQL, and correlated with BM25 so nDCG is strictly
+# inside (0, 1) rather than a vacuous constant.
+_EVAL_QREL_TERMS = [("q_hash", "hash"), ("q_sort", "sort"),
+                    ("q_dup", "dup")]
+
+
+def q_text_eval_metrics(spark, sf):
+    """Retrieval-eval metrics over the BM25 run (`operators/evaluation`:
+    recall_at_k / reciprocal_rank / ndcg_at_k) against deterministic
+    graded qrels — the first oracle gate for the evaluation tier. The
+    nDCG gain terms snap to the 1e-10 integer grid before the bigint
+    sum (the operator's own discipline), dcg/idcg ride the 1e6 grid in
+    the part payload, and ranks/counts are integers — so all three
+    metrics replay closed-form in DuckDB over the same BM25 replay the
+    `bm25` part already proves."""
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.evaluation import (
+        ndcg_at_k, recall_at_k, reciprocal_rank,
+    )
+    from mallarddv_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    queries = literal_frame(
+        spark, _BM25_QUERIES, "query_id string, query string"
+    )
+    run = bm25_topk(docs, queries, k=20).select(
+        "query_id", F.col("doc_id").alias("neighbor_id"), "rnk"
+    )
+    qt = literal_frame(
+        spark, _EVAL_QREL_TERMS, "query_id string, term string"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), _WS)).alias("w"),
+    ).filter(F.col("w") != "")
+    truth = (
+        toks.join(qt, toks.w == qt.term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.least(F.count("*"), F.lit(3)).cast("double").alias("rel"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), "rel")
+    )
+    rec = recall_at_k(
+        run, truth.select("query_id", "neighbor_id"), k=None
+    ).select(
+        F.lit("recall").alias("metric"), "query_id",
+        F.col("n_exact").alias("n1"), F.col("n_hit").alias("n2"),
+        F.col("recall").alias("d1"),
+    )
+    rr = reciprocal_rank(run, truth, rank_col="rnk").select(
+        F.lit("rr").alias("metric"), "query_id",
+        F.col("first_rank").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("rr").alias("d1"),
+    )
+    nd = ndcg_at_k(run, truth, rel_col="rel", rank_col="rnk", k=10).select(
+        F.lit("ndcg").alias("metric"), "query_id",
+        F.round(F.col("dcg") * 1e6).cast("bigint").alias("n1"),
+        F.round(F.col("idcg") * 1e6).cast("bigint").alias("n2"),
+        F.col("ndcg").alias("d1"),
+    )
+    return rec.unionByName(rr).unionByName(nd)
+
+
 def q_text_pplbucket(spark, sf):
     """CCNet head/middle/tail split (`operators/textops.
     perplexity_buckets`, Wenzek et al. 2020) over the bigram-LM scores
@@ -5524,7 +5589,10 @@ def q_text_frequency_suite(spark, sf):
     composition, value-exact in the oracle), rrf (reciprocal-rank
     fusion of the BM25 and cosine runs — rank-only blending on the
     integer grid), cmfreq (count-min token frequencies next to exact
-    counts — integer state, byte-exact replay), pplbucket."""
+    counts — integer state, byte-exact replay), pplbucket, evalmetrics
+    (recall@/MRR/nDCG@10 of the BM25 run against deterministic graded
+    qrels — the evaluation tier's first oracle gate; see
+    q_text_eval_metrics)."""
     v = q_text_vocab_topk(spark, sf).select(
         F.lit("vocab").alias("part"),
         F.col("rnk").alias("id"),
@@ -5621,10 +5689,16 @@ def q_text_frequency_suite(spark, sf):
         F.col("n_bigrams").alias("n2"),
         F.col("avg_logprob").alias("d1"),
     )
+    em = q_text_eval_metrics(spark, sf).select(
+        F.lit("evalmetrics").alias("part"),
+        *_nulls(("id", "bigint")),
+        F.concat_ws(":", "metric", "query_id").alias("term"),
+        "n1", "n2", "d1",
+    )
     return (
         v.unionByName(r).unionByName(lm).unionByName(kn).unionByName(ds)
         .unionByName(nc).unionByName(bm).unionByName(bs).unionByName(hy)
-        .unionByName(rf).unionByName(cm).unionByName(pb)
+        .unionByName(rf).unionByName(cm).unionByName(pb).unionByName(em)
     )
 
 
@@ -5669,7 +5743,77 @@ O_TEXT_FREQUENCY = (
     + ") cm\nUNION ALL\nSELECT 'pplbucket' AS part, id, lang_bucket AS term,"
     " ppl_bucket AS n1, n_bigrams AS n2, avg_logprob AS d1\nFROM ("
     + O_TEXT_PPLBUCKET
-    + ") pb"
+    + ") pb\nUNION ALL\nSELECT 'evalmetrics' AS part,"
+    " cast(NULL as bigint) AS id, metric || ':' || query_id AS term,"
+    " n1, n2, d1\nFROM ("
+    + r"""
+WITH em_run AS (""" + O_TEXT_BM25 + r"""),
+em_truth AS (
+  SELECT qt.query_id, s.doc_id,
+         CAST(least(count(*), 3) AS DOUBLE) AS rel
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                     '\s+'),
+                      x -> x <> '')) AS w
+        FROM documents) s
+  JOIN (VALUES ('q_hash', 'hash'), ('q_sort', 'sort'),
+               ('q_dup', 'dup')) qt(query_id, term)
+    ON s.w = qt.term
+  GROUP BY qt.query_id, s.doc_id
+),
+em_q AS (SELECT DISTINCT query_id FROM em_truth),
+em_hits AS (
+  SELECT r.query_id, r.doc_id, r.rnk, t.rel
+  FROM em_run r JOIN em_truth t USING (query_id, doc_id)
+),
+em_rec AS (
+  SELECT t.query_id, count(*)::BIGINT AS n_exact,
+         count(r.doc_id)::BIGINT AS n_hit
+  FROM em_truth t
+  LEFT JOIN em_run r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+  GROUP BY t.query_id
+),
+em_rr AS (
+  SELECT q.query_id, min(h.rnk)::BIGINT AS first_rank
+  FROM em_q q LEFT JOIN em_hits h USING (query_id)
+  GROUP BY q.query_id
+),
+em_dcg AS (
+  SELECT query_id,
+         sum(CAST(round(1e10 * (pow(2.0, rel) - 1.0)
+                        / log2(rnk + 1.0)) AS BIGINT)) AS dcg10
+  FROM em_hits WHERE rnk <= 10 GROUP BY query_id
+),
+em_idcg AS (
+  SELECT query_id,
+         sum(CAST(round(1e10 * (pow(2.0, rel) - 1.0)
+                        / log2(irnk + 1.0)) AS BIGINT)) AS idcg10
+  FROM (SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id) AS irnk
+        FROM em_truth)
+  WHERE irnk <= 10 GROUP BY query_id
+)
+SELECT 'recall' AS metric, query_id, n_exact AS n1, n_hit AS n2,
+       round(n_hit::DOUBLE / n_exact, 6) AS d1
+FROM em_rec
+UNION ALL
+SELECT 'rr', query_id, first_rank, CAST(NULL AS BIGINT),
+       round(coalesce(1.0 / first_rank, 0.0), 6)
+FROM em_rr
+UNION ALL
+SELECT 'ndcg', q.query_id,
+       CAST(round(round(coalesce(d.dcg10, 0) / 1e10, 6) * 1e6)
+            AS BIGINT),
+       CAST(round(round(coalesce(i.idcg10, 0) / 1e10, 6) * 1e6)
+            AS BIGINT),
+       round(CASE WHEN coalesce(i.idcg10, 0) > 0
+                  THEN coalesce(d.dcg10, 0)::DOUBLE / i.idcg10
+                  ELSE 0.0 END, 6)
+FROM em_q q
+LEFT JOIN em_dcg d USING (query_id)
+LEFT JOIN em_idcg i USING (query_id)
+""" + ") em"
 )
 
 
