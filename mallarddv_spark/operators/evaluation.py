@@ -341,6 +341,10 @@ def bootstrap_ci(
         F.col(id_col).alias("__bid"),
         F.col(value_col).cast("double").alias("__v"),
     )
+    # empty replicates (all weights 0 — probability e^{-n}, certain to
+    # occur at small n with B in the hundreds) are dropped BEFORE the
+    # division: dividing first raises DIVIDE_BY_ZERO under ANSI mode
+    # (regression-pinned at n=3)
     reps = (
         base.select(
             "__bid", "__v",
@@ -349,10 +353,11 @@ def bootstrap_ci(
         .withColumn("__w", F.expr(w))
         .groupBy("__b")
         .agg(
-            (F.sum(F.col("__w") * F.col("__v"))
-             / F.sum("__w")).alias("__m")
+            F.sum(F.col("__w") * F.col("__v")).alias("__num"),
+            F.sum("__w").alias("__den"),
         )
-        .filter(F.col("__m").isNotNull())
+        .filter(F.col("__den") > 0)
+        .select("__b", (F.col("__num") / F.col("__den")).alias("__m"))
     )
     alpha = (1.0 - level) / 2.0
     stats = base.agg(

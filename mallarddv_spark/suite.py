@@ -3831,7 +3831,7 @@ def q_text_eval_metrics(spark, sf):
     `bm25` part already proves."""
     from mallarddv_spark.functions.litframe import literal_frame
     from mallarddv_spark.operators.evaluation import (
-        ndcg_at_k, recall_at_k, reciprocal_rank,
+        bootstrap_ci, ndcg_at_k, recall_at_k, reciprocal_rank,
     )
     from mallarddv_spark.operators.retrieval import bm25_topk
 
@@ -3868,13 +3868,29 @@ def q_text_eval_metrics(spark, sf):
         F.lit(None).cast("bigint").alias("n2"),
         F.col("rr").alias("d1"),
     )
-    nd = ndcg_at_k(run, truth, rel_col="rel", rank_col="rnk", k=10).select(
+    ndf = ndcg_at_k(run, truth, rel_col="rel", rank_col="rnk", k=10)
+    nd = ndf.select(
         F.lit("ndcg").alias("metric"), "query_id",
         F.round(F.col("dcg") * 1e6).cast("bigint").alias("n1"),
         F.round(F.col("idcg") * 1e6).cast("bigint").alias("n2"),
         F.col("ndcg").alias("d1"),
     )
-    return rec.unionByName(rr).unionByName(nd)
+    # Poisson-bootstrap CI of the mean nDCG (evaluation.bootstrap_ci):
+    # the md5 weight chain, the empty-replicate drop (b < B — the count
+    # itself verifies the drop), and the exact percentile pair all
+    # replay closed-form in DuckDB (prototype-matched including b)
+    ci = bootstrap_ci(ndf.select("query_id", "ndcg"), "ndcg",
+                      "query_id", B=200, level=0.9, salt="gate-v1")
+    ci_rows = None
+    for name, col in (("ci_lo", "lo"), ("ci_hi", "hi"),
+                      ("ci_mean", "mean")):
+        row = ci.select(
+            F.lit(name).alias("metric"), F.lit("ndcg").alias("query_id"),
+            F.col("n").alias("n1"), F.col("b").alias("n2"),
+            F.col(col).alias("d1"),
+        )
+        ci_rows = row if ci_rows is None else ci_rows.unionByName(row)
+    return rec.unionByName(rr).unionByName(nd).unionByName(ci_rows)
 
 
 def q_text_pplbucket(spark, sf):
@@ -5702,6 +5718,29 @@ def q_text_frequency_suite(spark, sf):
     )
 
 
+def _boot_w_sql() -> str:
+    """DuckDB replay of evaluation.bootstrap_ci's Poisson(1) weight:
+    the SAME Python-computed inverse-CDF thresholds the operator embeds
+    (identical doubles → identical comparisons), over the '0x'-hex
+    uniform on the 2^60 grid (the pareto-part precedent; Spark's conv()
+    and the ::BIGINT cast parse the same 15 hex chars to the same
+    integer)."""
+    import math as _math
+
+    u = ("(('0x' || substring(md5('gate-v1' || '|' || "
+         "CAST(r.b AS VARCHAR) || '|' || query_id), 1, 15))::BIGINT"
+         " / 1152921504606846976.0)")
+    cum, acc = [], 0.0
+    for k in range(8):
+        acc += _math.exp(-1.0) / _math.factorial(k)
+        cum.append((k, acc))
+    branches = " ".join(f"WHEN {u} < {thr!r} THEN {k}" for k, thr in cum)
+    return f"CASE {branches} ELSE 8 END"
+
+
+_BOOT_W_SQL = _boot_w_sql()
+
+
 O_TEXT_FREQUENCY = (
     "SELECT 'vocab' AS part, rnk AS id, word AS term, tf AS n1, df AS n2,"
     " cast(NULL as double) AS d1\nFROM ("
@@ -5813,6 +5852,40 @@ SELECT 'ndcg', q.query_id,
 FROM em_q q
 LEFT JOIN em_dcg d USING (query_id)
 LEFT JOIN em_idcg i USING (query_id)
+UNION ALL
+SELECT metric, 'ndcg', n1, n2, d1 FROM (
+  WITH em_nd AS (
+    SELECT q.query_id,
+           round(CASE WHEN coalesce(i.idcg10, 0) > 0
+                      THEN coalesce(d.dcg10, 0)::DOUBLE / i.idcg10
+                      ELSE 0.0 END, 6) AS v
+    FROM em_q q
+    LEFT JOIN em_dcg d USING (query_id)
+    LEFT JOIN em_idcg i USING (query_id)
+  ),
+  em_reps AS (
+    SELECT b, sum(w * v) AS num, sum(w) AS den FROM (
+      SELECT v, r.b, """ + _BOOT_W_SQL + r""" AS w
+      FROM em_nd, unnest(generate_series(1, 200)) r(b)
+    ) GROUP BY b
+  ),
+  em_good AS (
+    SELECT num / den AS m FROM em_reps WHERE den > 0
+  ),
+  em_ci AS (
+    SELECT (SELECT count(*) FROM em_nd)::BIGINT AS n,
+           round((SELECT avg(v) FROM em_nd), 6) AS mean,
+           round(quantile_cont(m, 0.05), 6) AS lo,
+           round(quantile_cont(m, 0.95), 6) AS hi,
+           count(*)::BIGINT AS b
+    FROM em_good
+  )
+  SELECT 'ci_lo' AS metric, n AS n1, b AS n2, lo AS d1 FROM em_ci
+  UNION ALL
+  SELECT 'ci_hi', n, b, hi FROM em_ci
+  UNION ALL
+  SELECT 'ci_mean', n, b, mean FROM em_ci
+)
 """ + ") em"
 )
 

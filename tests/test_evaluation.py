@@ -317,6 +317,21 @@ def test_bootstrap_ci_deterministic_and_salt_rerolls(spark):
     assert (c.lo, c.hi) != (a.lo, a.hi)
 
 
+def test_bootstrap_ci_small_n_empty_replicates(spark):
+    """At n=3 an all-zero-weight replicate occurs with probability
+    e^-3 ≈ 5% per replicate — near-certain somewhere in B=300.
+    Regression: the division once ran BEFORE the empty-replicate drop
+    and raised DIVIDE_BY_ZERO under ANSI mode; now empty replicates
+    are filtered first and their absence shows in b < B."""
+    df = spark.createDataFrame(
+        [("a", 0.8), ("b", 0.9), ("c", 1.0)], "query_id string, v double"
+    )
+    r = evaluation.bootstrap_ci(df, "v", "query_id", B=300).collect()[0]
+    assert r.n == 3
+    assert r.b < 300  # some replicates were empty and dropped
+    assert 0.8 <= r.lo <= r.hi <= 1.0
+
+
 def test_bootstrap_ci_guards(spark):
     from mallarddv_spark.exceptions import DVConfigurationError
 
