@@ -3839,9 +3839,13 @@ def q_text_eval_metrics(spark, sf):
     queries = literal_frame(
         spark, _BM25_QUERIES, "query_id string, query string"
     )
+    # run and truth are result-set-sized (queries × 20 / qrel pairs);
+    # the eager checkpoints keep the BM25 and qrel subtrees from
+    # re-executing once per metric branch (measured: the un-pinned
+    # plan replicated the BM25 subtree ~6× and cost 3.3 s)
     run = bm25_topk(docs, queries, k=20).select(
         "query_id", F.col("doc_id").alias("neighbor_id"), "rnk"
-    )
+    ).localCheckpoint(eager=True)
     qt = literal_frame(
         spark, _EVAL_QREL_TERMS, "query_id string, term string"
     )
@@ -3854,7 +3858,7 @@ def q_text_eval_metrics(spark, sf):
         .groupBy("query_id", "doc_id")
         .agg(F.least(F.count("*"), F.lit(3)).cast("double").alias("rel"))
         .select("query_id", F.col("doc_id").alias("neighbor_id"), "rel")
-    )
+    ).localCheckpoint(eager=True)
     rec = recall_at_k(
         run, truth.select("query_id", "neighbor_id"), k=None
     ).select(
@@ -3881,15 +3885,20 @@ def q_text_eval_metrics(spark, sf):
     # replay closed-form in DuckDB (prototype-matched including b)
     ci = bootstrap_ci(ndf.select("query_id", "ndcg"), "ndcg",
                       "query_id", B=200, level=0.9, salt="gate-v1")
-    ci_rows = None
-    for name, col in (("ci_lo", "lo"), ("ci_hi", "hi"),
-                      ("ci_mean", "mean")):
-        row = ci.select(
-            F.lit(name).alias("metric"), F.lit("ndcg").alias("query_id"),
-            F.col("n").alias("n1"), F.col("b").alias("n2"),
-            F.col(col).alias("d1"),
-        )
-        ci_rows = row if ci_rows is None else ci_rows.unionByName(row)
+    # one in-plan explode, not three unioned selects — unioning would
+    # embed (and execute) the whole CI subtree three times
+    ci_rows = ci.select(
+        F.explode(F.array(
+            F.struct(F.lit("ci_lo").alias("m"), F.col("lo").alias("v")),
+            F.struct(F.lit("ci_hi").alias("m"), F.col("hi").alias("v")),
+            F.struct(F.lit("ci_mean").alias("m"),
+                     F.col("mean").alias("v")),
+        )).alias("e"),
+        F.col("n").alias("n1"), F.col("b").alias("n2"),
+    ).select(
+        F.col("e.m").alias("metric"), F.lit("ndcg").alias("query_id"),
+        "n1", "n2", F.col("e.v").alias("d1"),
+    )
     return rec.unionByName(rr).unionByName(nd).unionByName(ci_rows)
 
 
@@ -4225,10 +4234,17 @@ def _nulls(*specs):
 
 
 def q_text_doc_stats(spark, sf):
-    """Per-document text statistics in ONE scan + projection (the natural
-    production shape — five separate passes over a 100 TB corpus would scan
-    it five times): whitespace + BPE-style token counts, quality heuristics,
-    language-ID votes, and both content fingerprints.
+    """Per-document text statistics: the BASE columns (token counts,
+    quality heuristics, language-ID votes, both fingerprints) ride ONE
+    scan + projection — the natural production shape; five separate
+    passes over a 100 TB corpus would scan it five times. The
+    ORACLE-GATE columns joined on afterwards (script profile, trained
+    language scoring, and the three tokenizer encode hops) each pay
+    their own operator's pass by design — the gate drives the PUBLIC
+    operators unmodified rather than hand-fusing their internals, and
+    each added pass is distinct-words/vocabulary-bounded after its
+    first explode. A production pipeline wanting single-scan fusion
+    composes the underlying Column expressions directly.
 
     Parts: text_token_count, text_quality, text_langid, text_fingerprint,
     text_bpe_tokens; plus the Unicode-script profile columns

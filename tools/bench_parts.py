@@ -25,7 +25,7 @@ PARTS = {
     "adv_ann_suite": ["lsh", "ivf", "ivfpqstore"],
     "dedup_ngram_jaccard": ["jaccard", "contain"],
     "dedup_cluster_assign": ["cluster", "pagerank"],
-    "text_frequency_suite": ["vocab", "rarity", "bigramlm", "knlm", "dsir", "nbcls", "bm25", "bm25store", "hybrid", "rrf", "cmfreq", "pplbucket"],
+    "text_frequency_suite": ["vocab", "rarity", "bigramlm", "knlm", "dsir", "nbcls", "bm25", "bm25store", "hybrid", "rrf", "cmfreq", "pplbucket", "evalmetrics"],
     "text_pack_sequences": ["pack", "shards"],
     "text_curation_assign": ["split", "sample", "cap", "order", "srcstats", "unimax", "epochs", "urlnorm", "pareto", "lrscore"],
 }
