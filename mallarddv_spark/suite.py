@@ -4436,18 +4436,30 @@ def _wp_enc_cols(d):
 
 def _bpe_enc_cols(d):
     """Tokenizer-encode columns under the fixed literal model:
-    ``(doc_id, bpe_enc_n, bpe_enc_fp)`` — total token count and an md5
-    over the space-joined flattened token sequence (tokens never
-    contain spaces in whitespace mode, so the join is unambiguous).
-    LEFT join keeps zero-word docs (bpe_encode drops them) at n=0 with
-    the empty-string fingerprint, mirrored in the oracle."""
-    from mallarddv_spark.operators.bpe import bpe_encode
+    ``(doc_id, bpe_enc_n, bpe_enc_fp, bpe_enc_idsum)`` — total token
+    count, an md5 over the space-joined flattened token sequence
+    (tokens never contain spaces in whitespace mode, so the join is
+    unambiguous), and the SUM of the document's token IDS under
+    ``bpe_vocab(model)`` + ``tokens_to_ids(unk_id=-1)`` — gating the
+    pretraining pipeline's id-materialization hop (the oracle derives
+    the same token → id table from the same fixed merge list, so a
+    drifting vocab-id order or a broken map lookup breaks the sum;
+    the whitespace-mode vocab is open, so out-of-vocab single chars
+    exercise the unk_id substitution on both sides). LEFT join keeps
+    zero-word docs (bpe_encode drops them) at n=0/idsum=0 with the
+    empty-string fingerprint, mirrored in the oracle."""
+    from mallarddv_spark.operators.bpe import (
+        bpe_encode, bpe_vocab, tokens_to_ids,
+    )
 
     model = {
         "merges": list(_BPE_GATE_MERGES),
         "lowercase": True, "byte_level": False,
     }
-    enc = bpe_encode(d, "doc_id", "text", model)
+    enc = tokens_to_ids(
+        bpe_encode(d, "doc_id", "text", model), "tokens",
+        bpe_vocab(model), unk_id=-1,
+    )
     return d.select("doc_id").join(enc, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
@@ -4455,6 +4467,11 @@ def _bpe_enc_cols(d):
         F.md5(F.concat_ws(" ", F.coalesce(
             F.col("tokens"), F.array().cast("array<string>")
         ))).alias("bpe_enc_fp"),
+        F.coalesce(
+            F.aggregate("ids", F.lit(0).cast("bigint"),
+                        lambda a, x: a + x.cast("bigint")),
+            F.lit(0).cast("bigint"),
+        ).alias("bpe_enc_idsum"),
     )
 
 
@@ -4647,6 +4664,17 @@ def _o_text_doc_stats() -> str:
         pat = f"{u} || '{a}' || {u} || '{b}' || {u}"
         rep = f"{u} || '{a}{b}' || {u}"
         be_expr = f"replace(replace({be_expr}, {pat}, {rep}), {pat}, {rep})"
+    # token → id from the ENGINE's own vocab derivation over the same
+    # fixed merge list (bpe_vocab is pure driver-side Python on literal
+    # metadata); unknown tokens take -1, the gate's unk_id
+    from mallarddv_spark.operators.bpe import bpe_vocab as _bpe_vocab
+
+    _gate_vocab = _bpe_vocab(
+        {"merges": list(_BPE_GATE_MERGES), "byte_level": False}
+    )
+    be_id_case = ("CASE t " + " ".join(
+        f"WHEN '{tok}' THEN {i}" for tok, i in _gate_vocab.items()
+    ) + " ELSE -1 END")
     be_sql = rf"""
   WITH be_w AS (
     SELECT doc_id, i AS pos, t[i] AS w
@@ -4666,7 +4694,9 @@ def _o_text_doc_stats() -> str:
   )
   SELECT d.doc_id,
          coalesce(len(b.ft), 0)::BIGINT AS bpe_enc_n,
-         md5(coalesce(array_to_string(b.ft, ' '), '')) AS bpe_enc_fp
+         md5(coalesce(array_to_string(b.ft, ' '), '')) AS bpe_enc_fp,
+         coalesce(list_sum(list_transform(b.ft, t -> {be_id_case})),
+                  0)::BIGINT AS bpe_enc_idsum
   FROM documents d LEFT JOIN be_d b USING (doc_id)
 """
     # WordPiece-encode replay (fixed literal vocab — see the query
@@ -4792,7 +4822,7 @@ def _o_text_doc_stats() -> str:
 """
     return rf"""
 SELECT __base.*, __sm.lang_trained, __sm.lang_trained_s6,
-       __be.bpe_enc_n, __be.bpe_enc_fp,
+       __be.bpe_enc_n, __be.bpe_enc_fp, __be.bpe_enc_idsum,
        __wp.wp_enc_n, __wp.wp_enc_unk, __wp.wp_enc_fp,
        __un.un_enc_n, __un.un_enc_lp6, __un.un_enc_fp
 FROM (
