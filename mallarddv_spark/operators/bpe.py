@@ -588,11 +588,41 @@ def load_bpe(spark, path: str) -> dict:
     }
 
 
+def whitespace_word_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """The shared pre-encode corpus shape: ``(id, pos, word)`` — one
+    ``posexplode`` of the whitespace-split (optionally case-folded)
+    text, empty words dropped. All three whitespace-mode tokenizer
+    encoders (:func:`bpe_encode`, :func:`wordpiece_encode
+    <mallarddv_spark.operators.wordpiece.wordpiece_encode>`,
+    :func:`unigram_encode
+    <mallarddv_spark.operators.unigram.unigram_encode>`) derive exactly
+    this frame; build it ONCE and pass it via their ``stream``
+    parameter to encode the same corpus under several tokenizers for a
+    single corpus explode — at 100 TB the explode (a full scan +
+    shuffle-feeding projection) is the dominant shared cost, and N
+    tokenizers otherwise pay it N times. Persist or localCheckpoint the
+    shared frame so the plans do not re-derive it per consumer."""
+    t = F.trim(F.col(text_col))
+    if lowercase:
+        t = F.lower(t)
+    return (
+        df.select(F.col(id_col), F.posexplode(F.split(t, r"\s+")))
+        .withColumnRenamed("col", "word")
+        .filter(F.col("word") != "")
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     id_col: str,
     text_col: str,
     bpe: dict,
+    stream: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize a corpus under a trained BPE model:
     ``(id, n_words, n_tokens, tokens)`` with ``tokens`` the per-document
@@ -615,7 +645,18 @@ def bpe_encode(
     byte model explicitly trained with ``lowercase=True`` decodes to
     the case-FOLDED text, and :func:`export_gpt2_files` rejects such
     models outright.
+
+    ``stream`` (whitespace mode only) supplies a pre-built
+    ``(id, pos, word)`` frame from :func:`whitespace_word_stream` built
+    with the MODEL'S case convention — the multi-tokenizer fusion path
+    (one corpus explode shared across encoders). Byte-level models
+    pre-tokenize differently and reject it.
     """
+    if stream is not None and bpe.get("byte_level"):
+        raise DVConfigurationError(
+            "bpe_encode: stream= is whitespace-mode only — byte-level "
+            "models pre-tokenize with GPT2_PRETOKEN_RE, not whitespace"
+        )
     if bpe.get("byte_level"):
         t = F.col(text_col)
         # a missing flag follows the MODE convention (byte level does
@@ -633,14 +674,9 @@ def bpe_encode(
             )
             .withColumnRenamed("col", "word")
         )
-    else:
-        t = F.trim(F.col(text_col))
-        if bpe.get("lowercase", True):
-            t = F.lower(t)
-        stream = (
-            df.select(F.col(id_col), F.posexplode(F.split(t, r"\s+")))
-            .withColumnRenamed("col", "word")
-            .filter(F.col("word") != "")
+    elif stream is None:
+        stream = whitespace_word_stream(
+            df, id_col, text_col, lowercase=bpe.get("lowercase", True)
         )
     vocab = bpe_encode_words(stream.select("word").distinct(), bpe)
     return (
@@ -792,6 +828,38 @@ def bpe_vocab(bpe: dict, specials: list[str] | None = None) -> dict:
         if s not in vocab:
             vocab[s] = len(vocab)
     return vocab
+
+
+#: Version of the whitespace-mode id-ORDER convention implemented by
+#: :func:`bpe_vocab`. v2 (2026-08): components that are themselves
+#: products of earlier merges take rank-order product ids instead of
+#: seed ids (e.g. merges [(t,h),(th,e)] number {t:0,h:1,e:2,th:3,the:4},
+#: not {t:0,h:1,th:2,e:3,the:4}). Id corpora materialized under v1
+#: tables are NOT readable with v2 tables — record
+#: :func:`vocab_fingerprint` output (which carries this version) in
+#: every shard manifest so the mix is refused, not silently garbled.
+VOCAB_ORDER_VERSION = 2
+
+
+def vocab_fingerprint(vocab: dict) -> dict:
+    """Provenance cell for an id-shard manifest: the token → id table's
+    size, :data:`VOCAB_ORDER_VERSION`, and an ORDER-SENSITIVE md5 over
+    the id-ordered token list (two tables with the same tokens but a
+    different numbering fingerprint differently — exactly the drift
+    that silently garbles a materialized id corpus). Pass the result as
+    ``meta`` to :func:`~mallarddv_spark.operators.textops.
+    write_packed_shards`; a trainer-side reader compares it against the
+    fingerprint of the vocabulary it is about to decode with."""
+    import hashlib
+
+    toks = [t for t, _ in sorted(vocab.items(), key=lambda kv: kv[1])]
+    return {
+        "vocab_size": len(vocab),
+        "vocab_order_version": int(VOCAB_ORDER_VERSION),
+        "vocab_md5": hashlib.md5(
+            "\x1f".join(toks).encode("utf-8")
+        ).hexdigest(),
+    }
 
 
 def tokens_to_ids(

@@ -472,6 +472,7 @@ def write_packed_shards(
     token_budget: int = 2048,
     n_shards: int | None = None,
     file_format: str = "parquet",
+    meta: dict | None = None,
 ) -> dict:
     """Materialize an FFD-packed TOKEN-ID corpus — the last hop of the
     pretraining pipeline (encode → ``bpe.tokens_to_ids`` → here):
@@ -492,12 +493,28 @@ def write_packed_shards(
     vocabulary leaked an unknown token and training on silently-wrong
     ids is the one unrecoverable outcome (pass ``unk_id`` to
     :func:`~mallarddv_spark.operators.bpe.tokens_to_ids` upstream if
-    unknowns are expected).
+    unknowns are expected). The guard rides the input's SINGLE
+    materialization pass — an in-plan ``raise_error`` naming the first
+    offending document, not a separate validation scan of the corpus.
 
-    Scale shape: one pack (see :func:`pack_bins_ffd`'s shard contract),
-    one join back on the id key, one hash-partitioned shuffle + ordered
-    write; the manifest aggregate re-scans only shard-level stats."""
+    ``meta`` is recorded verbatim in the manifest — pass the encoding
+    provenance a reader needs to refuse mixing incompatible corpora,
+    e.g. :func:`~mallarddv_spark.operators.bpe.vocab_fingerprint` of
+    the id table the shards were materialized under (the id↔token
+    mapping lives outside the shards, so nothing else ties them to a
+    vocabulary; a renumbered vocab silently garbles every shard).
+
+    Scale shape: the input is persisted (memory-then-disk) for the
+    duration of the materialization, so the upstream lineage — usually
+    a full tokenizer encode — executes ONCE, not once per consumer
+    (pack aggregate, join-back, write); the executor spill space this
+    holds is the same order as the output being written. Then one pack
+    (see :func:`pack_bins_ffd`'s shard contract), one join back on the
+    id key, one hash-partitioned shuffle + ordered write; the manifest
+    aggregate re-scans only shard-level stats."""
     import json  # noqa: F401  (parity with write_training_shards)
+
+    from pyspark import StorageLevel
 
     if file_format not in ("parquet", "jsonl"):
         raise DVConfigurationError(
@@ -505,53 +522,68 @@ def write_packed_shards(
             "(parquet | jsonl)"
         )
     spark = df.sparkSession
+    # the NULL guard is fused into n_ids: caching materializes every
+    # column, so the count below both populates the cache and raises on
+    # the first NULL id — zero extra corpus passes, nothing written yet
+    _GUARD = "write_packed_shards: NULL id elements in document "
     base = df.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(ids_col).alias("ids"),
-        F.size(ids_col).cast("bigint").alias("n_ids"),
-    )
-    n_null = base.filter(
-        F.col("ids").isNull() | F.exists("ids", lambda x: x.isNull())
-    ).count()
-    if n_null:
-        raise DVETLError(
-            f"write_packed_shards: {n_null} documents carry NULL id "
-            "elements — resolve unknown tokens upstream (tokens_to_ids "
-            "unk_id) before materializing trainer shards"
+        F.when(
+            F.col(ids_col).isNull()
+            | F.exists(ids_col, lambda x: x.isNull()),
+            F.raise_error(F.concat(
+                F.lit(_GUARD), F.col(id_col).cast("string"),
+                F.lit(" — resolve unknown tokens upstream "
+                      "(tokens_to_ids unk_id) before materializing "
+                      "trainer shards"),
+            )),
+        ).otherwise(F.size(ids_col)).cast("bigint").alias("n_ids"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        try:
+            base.count()
+        except Exception as e:
+            lines = [ln for ln in str(e).splitlines() if _GUARD in ln]
+            if lines:
+                raise DVETLError(lines[0].strip()) from e
+            raise
+        assign = pack_bins_ffd(
+            base, "id", length_col="n_ids",
+            token_budget=token_budget, n_shards=n_shards,
         )
-    assign = pack_bins_ffd(
-        base, "id", length_col="n_ids",
-        token_budget=token_budget, n_shards=n_shards,
-    )
-    out = (
-        base.select("id", "ids").join(assign, "id")
-        .repartition("shard_id")
-        .sortWithinPartitions("shard_id", "bin_id", "id")
-        .select("id", "ids", "n_tokens", "shard_id", "bin_id", "oversize")
-    )
-    if file_format == "jsonl":
-        out.write.mode("errorifexists").option(
-            "compression", "gzip"
-        ).partitionBy("shard_id").json(f"{path}/data")
-        written = spark.read.schema(out.drop("shard_id").schema).json(
-            f"{path}/data"
+        out = (
+            base.select("id", "ids").join(assign, "id")
+            .repartition("shard_id")
+            .sortWithinPartitions("shard_id", "bin_id", "id")
+            .select("id", "ids", "n_tokens", "shard_id", "bin_id",
+                    "oversize")
         )
-    else:
-        out.write.mode("errorifexists").partitionBy("shard_id").parquet(
-            f"{path}/data"
+        if file_format == "jsonl":
+            out.write.mode("errorifexists").option(
+                "compression", "gzip"
+            ).partitionBy("shard_id").json(f"{path}/data")
+            written = spark.read.schema(out.drop("shard_id").schema).json(
+                f"{path}/data"
+            )
+        else:
+            out.write.mode("errorifexists").partitionBy(
+                "shard_id"
+            ).parquet(f"{path}/data")
+            written = spark.read.parquet(f"{path}/data")
+        stats = (
+            written.groupBy("shard_id")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.size("ids")).alias("n_ids"),
+                F.countDistinct("bin_id").alias("n_bins"),
+                F.sum(F.col("oversize").cast("int")).alias("n_oversize"),
+            )
+            .orderBy("shard_id")
+            .collect()
         )
-        written = spark.read.parquet(f"{path}/data")
-    stats = (
-        written.groupBy("shard_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.size("ids")).alias("n_ids"),
-            F.countDistinct("bin_id").alias("n_bins"),
-            F.sum(F.col("oversize").cast("int")).alias("n_oversize"),
-        )
-        .orderBy("shard_id")
-        .collect()
-    )
+    finally:
+        base.unpersist()
     total_ids = int(sum(r.n_ids for r in stats))
     total_bins = int(sum(r.n_bins for r in stats))
     manifest = {
@@ -576,6 +608,8 @@ def write_packed_shards(
             for r in stats
         ],
     }
+    if meta is not None:
+        manifest["meta"] = dict(meta)
     _write_manifest(spark, path, manifest)
     return manifest
 
@@ -1515,18 +1549,27 @@ def pack_bins_ffd(
     # ~10× slower at 5k-doc shards). ds[i] ↔ asg[i] positionally, so
     # the ids zip back after the fold.
     place_existing = (
-        f"struct(transform(st.bins, (ld, i) -> "
-        f"IF(i = {fit} - 1, ld - x.nl, ld)) as bins, "
-        f"st.asg || array({fit} - 1) as asg)"
+        "struct(transform(st.bins, (ld, i) -> "
+        "IF(i = fv - 1, ld - x.nl, ld)) as bins, "
+        "st.asg || array(fv - 1) as asg)"
     )
     place_new = (
         "struct(st.bins || array(-x.nl) as bins, "
         "st.asg || array(size(st.bins)) as asg)"
     )
+    # bind the O(bins) first-fit scan ONCE per fold step: SQL lambdas
+    # have no `let`, so a single-element transform scopes the scan
+    # result as `fv` — interpreted-lambda mode would otherwise
+    # re-evaluate {fit} up to 3× per doc (the IF condition plus both
+    # sites in place_existing), tripling the per-shard budget constant
+    step = (
+        f"element_at(transform(array({fit}), fv -> "
+        f"IF(fv = 0, {place_new}, {place_existing})), 1)"
+    )
     walk = (
         f"aggregate(ds, struct(cast(array() as array<bigint>) as bins, "
         f"cast(array() as array<int>) as asg), "
-        f"(st, x) -> IF({fit} = 0, {place_new}, {place_existing}))"
+        f"(st, x) -> {step})"
     )
     return (
         docs.withColumn("__asg", F.expr(f"({walk}).asg"))

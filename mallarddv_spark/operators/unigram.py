@@ -269,6 +269,7 @@ def unigram_encode(
     lowercase: bool = True,
     unk_logp: float = -20.0,
     byte_fallback: bool = False,
+    stream: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize a corpus under a unigram-LM vocabulary:
     ``(id, n_words, n_tokens, logprob, tokens)`` — the
@@ -287,15 +288,19 @@ def unigram_encode(
     base64 blobs, minified code — a 10k-char token costs 10^8 lookups).
     Run :func:`textops.quality_filter` / the Gopher repetition battery
     first, or pre-split such tokens — the standard corpus-cleaning
-    order, which is why this operator does not silently truncate."""
-    t = F.trim(F.col(text_col))
-    if lowercase:
-        t = F.lower(t)
-    stream = (
-        df.select(F.col(id_col), F.posexplode(F.split(t, r"\s+")))
-        .withColumnRenamed("col", "word")
-        .filter(F.col("word") != "")
-    )
+    order, which is why this operator does not silently truncate.
+
+    ``stream`` supplies a pre-built ``(id, pos, word)`` frame from
+    :func:`~mallarddv_spark.operators.bpe.whitespace_word_stream` built
+    with the same case convention as ``lowercase`` — the
+    multi-tokenizer fusion path (one corpus explode shared across
+    encoders)."""
+    if stream is None:
+        from mallarddv_spark.operators.bpe import whitespace_word_stream
+
+        stream = whitespace_word_stream(
+            df, id_col, text_col, lowercase=lowercase
+        )
     seg = unigram_encode_words(
         stream.select("word").distinct(), vocab,
         unk_logp=float(unk_logp), byte_fallback=byte_fallback,

@@ -273,6 +273,7 @@ def wordpiece_encode(
     text_col: str,
     model: dict,
     max_input_chars_per_word: int = 100,
+    stream: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize a corpus under a trained WordPiece model:
     ``(id, n_words, n_tokens, n_unk, tokens)`` — the
@@ -284,15 +285,19 @@ def wordpiece_encode(
     corpus pays one posexplode + one join against that word→tokens map
     (AQE broadcasts it when vocabulary-small). Documents with no
     tokens have no row — the module's no-evidence convention.
+
+    ``stream`` supplies a pre-built ``(id, pos, word)`` frame from
+    :func:`~mallarddv_spark.operators.bpe.whitespace_word_stream` built
+    with the MODEL'S case convention — the multi-tokenizer fusion path
+    (one corpus explode shared across encoders).
     """
-    t = F.trim(F.col(text_col))
-    if model.get("lowercase", True):
-        t = F.lower(t)
-    stream = (
-        df.select(F.col(id_col), F.posexplode(F.split(t, r"\s+")))
-        .withColumnRenamed("col", "word")
-        .filter(F.col("word") != "")
-    )
+    if stream is None:
+        from mallarddv_spark.operators.bpe import whitespace_word_stream
+
+        stream = whitespace_word_stream(
+            df, id_col, text_col,
+            lowercase=model.get("lowercase", True),
+        )
     seg = wordpiece_encode_words(
         stream.select("word").distinct(), model,
         max_input_chars_per_word=max_input_chars_per_word,

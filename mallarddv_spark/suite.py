@@ -4243,7 +4243,10 @@ def q_text_doc_stats(spark, sf):
     their own operator's pass by design — the gate drives the PUBLIC
     operators unmodified rather than hand-fusing their internals, and
     each added pass is distinct-words/vocabulary-bounded after its
-    first explode. A production pipeline wanting single-scan fusion
+    first explode. The three encode gates share ONE checkpointed word
+    stream through the encoders' public ``stream=`` parameter (the
+    multi-tokenizer fusion path — the corpus explode is paid once, not
+    per tokenizer). A production pipeline wanting single-scan fusion
     composes the underlying Column expressions directly.
 
     Parts: text_token_count, text_quality, text_langid, text_fingerprint,
@@ -4292,7 +4295,14 @@ def q_text_doc_stats(spark, sf):
     with strict >, then a second recursive CTE walks the backpointers;
     v and k are left out of the vocabulary so their words price
     through the -20.0 unk floor. With this, all THREE tokenizer
-    encode hops — BPE, WordPiece, unigram — are oracle-gated)."""
+    encode hops — BPE, WordPiece, unigram — are oracle-gated); plus
+    the BYTE-LEVEL (GPT-2-mode) encode hop (`ble_enc_n`/`ble_enc_fp`:
+    `bpe.bpe_encode` with ``byte_level=True`` under the FIXED literal
+    8-merge list `_BLE_GATE_MERGES`, driven on printable-ASCII-
+    restricted text — see `_ble_enc_cols` for why that domain makes
+    the RE2 replay of the GPT-2 pre-tokenizer and the char-wise
+    symbol replay exact — closing the last encode MODE that was
+    pytest-only: the `export_gpt2_files` interop path rests on it)."""
     from mallarddv_spark.operators.curation import bpe_token_count
 
     d = _t(spark, sf, "documents")
@@ -4311,6 +4321,17 @@ def q_text_doc_stats(spark, sf):
     )
     norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "))
     bpe = bpe_token_count("text").cast("bigint")
+    # ONE word stream shared by all three tokenizer encode gates (their
+    # models all case-fold, so one lowercase stream serves BPE,
+    # WordPiece and unigram alike) — the encoders' public `stream=`
+    # fusion path; the eager checkpoint keeps the corpus explode from
+    # re-deriving once per gate subtree (measured: 3 redundant cold
+    # passes cost ~3-4 s of the suite's 7.4 s cold time)
+    from mallarddv_spark.operators.bpe import whitespace_word_stream
+
+    enc_stream = whitespace_word_stream(
+        d, "doc_id", "text", lowercase=True
+    ).localCheckpoint(eager=True)
     return d.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -4338,9 +4359,11 @@ def q_text_doc_stats(spark, sf):
         F.round(bpe / F.size(toks), 6).alias("bpe_ratio"),
     ).join(_script_cols(d), "doc_id").join(
         _trained_lang_cols(spark, d), "doc_id"
-    ).join(_bpe_enc_cols(d), "doc_id").join(
-        _wp_enc_cols(d), "doc_id"
-    ).join(_un_enc_cols(spark, d), "doc_id")
+    ).join(_bpe_enc_cols(d, enc_stream), "doc_id").join(
+        _wp_enc_cols(d, enc_stream), "doc_id"
+    ).join(_un_enc_cols(spark, d, enc_stream), "doc_id").join(
+        _ble_enc_cols(d), "doc_id"
+    )
 
 
 # Fixed literal merge list for the tokenizer-ENCODE gate columns of
@@ -4355,6 +4378,61 @@ _BPE_GATE_MERGES = [
     ("i", "n"), ("e", "r"), ("o", "n"), ("t", "o▁"),
     ("e", "r▁"), ("in", "g▁"), ("o", "f▁"), ("s", "t"),
 ]
+
+
+# Fixed literal merge list for the BYTE-LEVEL (GPT-2-mode) encode gate
+# columns of text_doc_stats: 8 merges over the byte→unicode alphabet
+# (Ġ = the GPT-2 image of the space byte — byte-level merges cross the
+# space/letter boundary, which is the mode's defining behavior). Every
+# merge has a != b (two-pass-replace replayable, same argument as
+# _BPE_GATE_MERGES) and products only feed LATER-ranked merges
+# (fold-replay-safe).
+_BLE_GATE_MERGES = [
+    ("Ġ", "t"), ("h", "e"), ("Ġ", "a"), ("i", "n"),
+    ("r", "e"), ("Ġt", "he"), ("o", "n"), ("Ġa", "n"),
+]
+
+
+def _ble_enc_cols(d):
+    """BYTE-LEVEL (GPT-2-mode) encode columns under the fixed literal
+    merge list: ``(doc_id, ble_enc_n, ble_enc_fp)`` — token count and
+    an md5 over the space-joined flattened token sequence (byte-level
+    tokens never contain a raw space: the space byte maps to Ġ before
+    any merge, so the join is unambiguous).
+
+    The gate drives the engine on text restricted to PRINTABLE ASCII
+    with single interior spaces (``[^ -~]`` stripped, runs collapsed,
+    trimmed): on that domain (a) every byte is one character and the
+    GPT-2 byte→unicode map is the identity except space→Ġ, so the
+    DuckDB oracle can replay symbols as characters, and (b) the
+    published pre-tokenizer's ``\\s+(?!\\S)`` lookahead branch — which
+    RE2 cannot express — never fires (every space directly precedes a
+    non-space and is absorbed by the letter/digit/punct alternatives'
+    optional leading space), so a lookahead-free RE2 pattern matches
+    the engine's Java regex token-for-token. Non-ASCII byte mapping
+    and multi-byte sequences stay covered by the pure-Python encode
+    differentials and the GPT-2 file-pair round-trip (pytest)."""
+    from mallarddv_spark.operators.bpe import bpe_encode
+
+    cleaned = d.select(
+        "doc_id",
+        F.trim(F.regexp_replace(
+            F.regexp_replace("text", "[^ -~]", ""), " +", " "
+        )).alias("text"),
+    )
+    model = {
+        "merges": list(_BLE_GATE_MERGES),
+        "byte_level": True, "lowercase": False,
+    }
+    enc = bpe_encode(cleaned, "doc_id", "text", model)
+    return d.select("doc_id").join(enc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+        .alias("ble_enc_n"),
+        F.md5(F.concat_ws(" ", F.coalesce(
+            F.col("tokens"), F.array().cast("array<string>")
+        ))).alias("ble_enc_fp"),
+    )
 
 
 # Fixed literal unigram (piece, logp) vocabulary for the un_enc_* gate
@@ -4373,7 +4451,7 @@ _UN_GATE_PIECES = {
 _UN_GATE_UNK = -20.0
 
 
-def _un_enc_cols(spark, d):
+def _un_enc_cols(spark, d, stream=None):
     """Unigram-Viterbi-encode columns under the fixed literal
     vocabulary: ``(doc_id, un_enc_n, un_enc_lp6, un_enc_fp)`` — token
     count, the doc's Viterbi log-prob on the 1e-6 integer grid (exact:
@@ -4387,7 +4465,7 @@ def _un_enc_cols(spark, d):
         "piece string, logp double",
     )
     enc = unigram_encode(d, "doc_id", "text", vocab,
-                         unk_logp=_UN_GATE_UNK)
+                         unk_logp=_UN_GATE_UNK, stream=stream)
     return d.select("doc_id").join(enc, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
@@ -4412,7 +4490,7 @@ _WP_GATE_VOCAB = (
 )
 
 
-def _wp_enc_cols(d):
+def _wp_enc_cols(d, stream=None):
     """WordPiece-encode columns under the fixed literal vocabulary:
     ``(doc_id, wp_enc_n, wp_enc_unk, wp_enc_fp)`` — token count, [UNK]
     count, and an md5 over the space-joined flattened token sequence
@@ -4421,7 +4499,7 @@ def _wp_enc_cols(d):
     from mallarddv_spark.operators.wordpiece import wordpiece_encode
 
     model = {"vocab": list(_WP_GATE_VOCAB), "lowercase": True}
-    enc = wordpiece_encode(d, "doc_id", "text", model)
+    enc = wordpiece_encode(d, "doc_id", "text", model, stream=stream)
     return d.select("doc_id").join(enc, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
@@ -4434,7 +4512,7 @@ def _wp_enc_cols(d):
     )
 
 
-def _bpe_enc_cols(d):
+def _bpe_enc_cols(d, stream=None):
     """Tokenizer-encode columns under the fixed literal model:
     ``(doc_id, bpe_enc_n, bpe_enc_fp, bpe_enc_idsum)`` — total token
     count, an md5 over the space-joined flattened token sequence
@@ -4457,7 +4535,7 @@ def _bpe_enc_cols(d):
         "lowercase": True, "byte_level": False,
     }
     enc = tokens_to_ids(
-        bpe_encode(d, "doc_id", "text", model), "tokens",
+        bpe_encode(d, "doc_id", "text", model, stream=stream), "tokens",
         bpe_vocab(model), unk_id=-1,
     )
     return d.select("doc_id").join(enc, "doc_id", "left").select(
@@ -4820,11 +4898,56 @@ def _o_text_doc_stats() -> str:
          md5(coalesce(array_to_string(b.ft, ' '), '')) AS un_enc_fp
   FROM documents d LEFT JOIN un_doc b USING (doc_id)
 """
+    # BYTE-LEVEL (GPT-2-mode) encode replay — see _ble_enc_cols: the
+    # engine runs on printable-ASCII-restricted text (single interior
+    # spaces), the domain where (a) byte→unicode is identity except
+    # space→Ġ, so symbols replay as characters, and (b) the published
+    # pre-tokenizer's \s+(?!\S) lookahead branch never fires, so this
+    # lookahead-free RE2 pattern matches the engine's Java regex
+    # token-for-token. Merges replay as the same two-pass replace chain
+    # as be_sql (a != b throughout). No EOW marker in byte mode — the
+    # leading Ġ plays that role.
+    ub = "chr(31)"
+    ble_expr = (
+        f"{ub} || array_to_string(string_split("
+        f"replace(w, ' ', 'Ġ'), ''), {ub}) || {ub}"
+    )
+    for a, b in _BLE_GATE_MERGES:
+        pat = f"{ub} || '{a}' || {ub} || '{b}' || {ub}"
+        rep = f"{ub} || '{a}{b}' || {ub}"
+        ble_expr = f"replace(replace({ble_expr}, {pat}, {rep}), {pat}, {rep})"
+    ble_pre = r"''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+    ble_sql = rf"""
+  WITH ble_w AS (
+    SELECT doc_id, i AS pos, t[i] AS w
+    FROM (SELECT doc_id,
+                 regexp_extract_all(
+                   trim(regexp_replace(regexp_replace(text, '[^ -~]', '',
+                                                      'g'),
+                                       ' +', ' ', 'g')),
+                   '{ble_pre}') AS t
+          FROM documents), unnest(generate_series(1, len(t))) u(i)
+  ),
+  ble_t AS (
+    SELECT doc_id, pos,
+           list_filter(string_split({ble_expr}, {ub}), x -> x <> '') AS toks
+    FROM ble_w
+  ),
+  ble_d AS (
+    SELECT doc_id, flatten(list(toks ORDER BY pos)) AS ft
+    FROM ble_t GROUP BY doc_id
+  )
+  SELECT d.doc_id,
+         coalesce(len(b.ft), 0)::BIGINT AS ble_enc_n,
+         md5(coalesce(array_to_string(b.ft, ' '), '')) AS ble_enc_fp
+  FROM documents d LEFT JOIN ble_d b USING (doc_id)
+"""
     return rf"""
 SELECT __base.*, __sm.lang_trained, __sm.lang_trained_s6,
        __be.bpe_enc_n, __be.bpe_enc_fp, __be.bpe_enc_idsum,
        __wp.wp_enc_n, __wp.wp_enc_unk, __wp.wp_enc_fp,
-       __un.un_enc_n, __un.un_enc_lp6, __un.un_enc_fp
+       __un.un_enc_n, __un.un_enc_lp6, __un.un_enc_fp,
+       __ble.ble_enc_n, __ble.ble_enc_fp
 FROM (
 SELECT doc_id,
        len({toks}) AS n_tokens,
@@ -4849,6 +4972,7 @@ JOIN ({sm_sql}) __sm USING (doc_id)
 JOIN ({be_sql}) __be USING (doc_id)
 JOIN ({wp_sql}) __wp USING (doc_id)
 JOIN ({un_sql}) __un USING (doc_id)
+JOIN ({ble_sql}) __ble USING (doc_id)
 """
 
 
@@ -5921,8 +6045,8 @@ SELECT metric, 'ndcg', n1, n2, d1 FROM (
   em_ci AS (
     SELECT (SELECT count(*) FROM em_nd)::BIGINT AS n,
            round((SELECT avg(v) FROM em_nd), 6) AS mean,
-           round(quantile_cont(m, 0.05), 6) AS lo,
-           round(quantile_cont(m, 0.95), 6) AS hi,
+           round(quantile_cont(m, """ + repr((1.0 - 0.9) / 2.0) + r"""), 6) AS lo,
+           round(quantile_cont(m, """ + repr(1.0 - (1.0 - 0.9) / 2.0) + r"""), 6) AS hi,
            count(*)::BIGINT AS b
     FROM em_good
   )

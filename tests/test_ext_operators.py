@@ -819,6 +819,40 @@ def test_write_packed_shards_conserves_ids(spark, tmp_path):
     assert mj["total_ids"] == want_ids and mj["total_docs"] == 300
 
 
+def test_write_packed_shards_meta_and_vocab_fingerprint(spark, tmp_path):
+    """The manifest records caller-supplied provenance verbatim, and
+    bpe.vocab_fingerprint is ORDER-sensitive: same tokens, different
+    numbering → different md5 (the r12 vocab renumbering would have
+    been caught by exactly this marker)."""
+    import json
+
+    from mallarddv_spark.operators.bpe import (
+        VOCAB_ORDER_VERSION, bpe_vocab, vocab_fingerprint,
+    )
+    from mallarddv_spark.operators.textops import write_packed_shards
+
+    model = {"merges": [("t", "h"), ("th", "e")], "byte_level": False}
+    v = bpe_vocab(model)
+    fp = vocab_fingerprint(v)
+    assert fp["vocab_size"] == len(v)
+    assert fp["vocab_order_version"] == VOCAB_ORDER_VERSION
+    # order sensitivity: swap two ids, keep the token set
+    swapped = dict(v)
+    (a, b) = list(swapped)[:2]
+    swapped[a], swapped[b] = swapped[b], swapped[a]
+    assert vocab_fingerprint(swapped)["vocab_md5"] != fp["vocab_md5"]
+    # meta rides the manifest to disk verbatim
+    df = spark.createDataFrame(
+        [(1, [0, 1, 2]), (2, [3, 4])], "doc_id bigint, ids array<int>"
+    )
+    path = str(tmp_path / "pm")
+    manifest = write_packed_shards(
+        df, path, "doc_id", "ids", token_budget=8, n_shards=2, meta=fp,
+    )
+    assert manifest["meta"] == fp
+    assert json.loads(open(f"{path}/manifest.json").read())["meta"] == fp
+
+
 # --- exact-substring dedup -------------------------------------------------
 
 
