@@ -614,6 +614,101 @@ def write_packed_shards(
     return manifest
 
 
+def read_packed_shards(
+    spark,
+    path: str,
+    expected_vocab: dict | None = None,
+    verify_totals: bool = True,
+) -> DataFrame:
+    """Trainer-side reader for a :func:`write_packed_shards` directory —
+    the half of the provenance contract that makes the manifest worth
+    writing. Refuses to hand out data unless:
+
+    * ``manifest.json`` exists (it is written LAST, so its presence
+      certifies a complete write — a crashed materialization leaves a
+      directory this reader rejects);
+    * with ``expected_vocab``: the manifest's ``meta`` provenance cell
+      matches :func:`~mallarddv_spark.operators.bpe.vocab_fingerprint`
+      of the token → id table the caller is about to decode with — an
+      id corpus under a renumbered or resized vocabulary is refused
+      loudly instead of silently garbling every training batch (a
+      manifest WITHOUT provenance also fails this check: pass
+      ``expected_vocab=None`` to explicitly opt out);
+    * with ``verify_totals`` (default): one aggregate over the shards
+      re-derives doc and id totals from the BYTES ON DISK and compares
+      them to the manifest — the certify-by-read-back discipline,
+      applied at read time against rot/truncation.
+
+    Returns the shard frame ``(id, ids, n_tokens, shard_id, bin_id,
+    oversize)``. Scale shape: the checks cost one manifest read plus
+    (optionally) one aggregate-only scan; the returned frame is the
+    plain partitioned source, so shard-pruned reads
+    (``WHERE shard_id = k``) stay partition-pruned."""
+    import json
+
+    mp_path = f"{path}/manifest.json"
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(mp_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        raise DVETLError(
+            f"read_packed_shards: no manifest at {mp_path} — the "
+            "manifest is written last, so this directory is incomplete "
+            "or not a packed-shard directory"
+        )
+    stream = fs.open(p)
+    try:
+        # commons-io rides Spark's classpath; py4j passes byte buffers
+        # by value, so a Python-side read loop cannot fill one
+        payload = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    manifest = json.loads(payload)
+    if expected_vocab is not None:
+        from mallarddv_spark.operators.bpe import vocab_fingerprint
+
+        want = vocab_fingerprint(expected_vocab)
+        got = manifest.get("meta") or {}
+        mismatched = {
+            k: (got.get(k), want[k])
+            for k in ("vocab_size", "vocab_order_version", "vocab_md5")
+            if got.get(k) != want[k]
+        }
+        if mismatched:
+            raise DVETLError(
+                "read_packed_shards: vocabulary provenance mismatch — "
+                "these id shards were not materialized under the "
+                f"supplied vocabulary ({mismatched}; manifest meta: "
+                f"{got or 'ABSENT'}). Decoding would silently garble "
+                "every batch; re-materialize or load the original vocab"
+            )
+    if manifest.get("file_format") == "jsonl":
+        df = spark.read.schema(
+            "id bigint, ids array<bigint>, n_tokens bigint, "
+            "bin_id bigint, oversize boolean"
+        ).json(f"{path}/data")
+    else:
+        df = spark.read.parquet(f"{path}/data")
+    if verify_totals:
+        got_tot = df.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size("ids")).alias("ids"),
+        ).collect()[0]
+        if (int(got_tot.docs) != manifest["total_docs"]
+                or int(got_tot.ids) != manifest["total_ids"]):
+            raise DVETLError(
+                "read_packed_shards: on-disk totals diverge from the "
+                f"manifest (disk docs={int(got_tot.docs)} "
+                f"ids={int(got_tot.ids)} vs manifest "
+                f"docs={manifest['total_docs']} "
+                f"ids={manifest['total_ids']}) — the directory was "
+                "modified after certification"
+            )
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Repetition signals (Gopher §A1.1, Rae et al. 2021) — single projection
 # ---------------------------------------------------------------------------

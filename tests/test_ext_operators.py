@@ -853,6 +853,69 @@ def test_write_packed_shards_meta_and_vocab_fingerprint(spark, tmp_path):
     assert json.loads(open(f"{path}/manifest.json").read())["meta"] == fp
 
 
+def test_read_packed_shards_provenance_contract(spark, tmp_path):
+    """The reader half of the shard-provenance contract: matching vocab
+    reads; renumbered vocab refused; provenance-free manifest refused
+    when a vocab is supplied; missing manifest refused; post-write
+    tampering caught by the totals check; jsonl mode reads back."""
+    import glob
+    import os
+
+    import pytest
+
+    from mallarddv_spark.exceptions import DVETLError
+    from mallarddv_spark.operators.bpe import bpe_vocab, vocab_fingerprint
+    from mallarddv_spark.operators.textops import (
+        read_packed_shards, write_packed_shards,
+    )
+
+    model = {"merges": [("t", "h"), ("th", "e")], "byte_level": False}
+    v = bpe_vocab(model)
+    df = spark.createDataFrame(
+        [(i, list(range(i % 7 + 1))) for i in range(40)],
+        "doc_id bigint, ids array<int>",
+    )
+    path = str(tmp_path / "rp")
+    write_packed_shards(df, path, "doc_id", "ids", token_budget=16,
+                        n_shards=2, meta=vocab_fingerprint(v))
+    out = read_packed_shards(spark, path, expected_vocab=v)
+    assert out.count() == 40
+    assert int(out.agg(F.sum(F.size("ids"))).first()[0]) == sum(
+        i % 7 + 1 for i in range(40)
+    )
+    # renumbered vocab → refused
+    swapped = dict(v)
+    (a, b) = list(swapped)[:2]
+    swapped[a], swapped[b] = swapped[b], swapped[a]
+    with pytest.raises(DVETLError, match="provenance mismatch"):
+        read_packed_shards(spark, path, expected_vocab=swapped)
+    # provenance-free manifest + expected_vocab → refused
+    bare = str(tmp_path / "rp_bare")
+    write_packed_shards(df, bare, "doc_id", "ids", token_budget=16,
+                        n_shards=2)
+    with pytest.raises(DVETLError, match="provenance mismatch"):
+        read_packed_shards(spark, bare, expected_vocab=v)
+    assert read_packed_shards(spark, bare).count() == 40  # opt-out reads
+    # missing manifest → refused
+    with pytest.raises(DVETLError, match="no manifest"):
+        read_packed_shards(spark, str(tmp_path / "nowhere"))
+    # tampering: drop one shard file → totals check trips
+    victim = sorted(glob.glob(f"{bare}/data/shard_id=*/*.parquet"))[0]
+    os.remove(victim)
+    with pytest.raises(DVETLError, match="diverge from the manifest"):
+        read_packed_shards(spark, bare)
+    # jsonl interchange mode round-trips through the reader
+    pj = str(tmp_path / "rp_j")
+    write_packed_shards(df, pj, "doc_id", "ids", token_budget=16,
+                        n_shards=2, file_format="jsonl",
+                        meta=vocab_fingerprint(v))
+    jout = read_packed_shards(spark, pj, expected_vocab=v)
+    assert jout.count() == 40
+    assert int(jout.agg(F.sum(F.size("ids"))).first()[0]) == sum(
+        i % 7 + 1 for i in range(40)
+    )
+
+
 # --- exact-substring dedup -------------------------------------------------
 
 

@@ -24,8 +24,15 @@ Stages:
   budget 2048): the before/after timing for the once-per-step
   first-fit binding (r12 verdict #4; r12 recorded 48 s with the fit
   expression interpolated 3× into the fold).
+* ``fusion`` — the multi-tokenizer stream-fusion feature at scale:
+  encode 200k Zipf docs under all THREE whitespace tokenizers (BPE,
+  WordPiece, unigram), once with each encoder deriving its own word
+  stream (three corpus explodes) and once through the shared
+  ``whitespace_word_stream`` + ``stream=`` path (one explode,
+  checkpointed). Token counts must be identical; the timing delta is
+  the feature's value.
 
-Usage: python tools/stress_r13.py [pretrain1m packbench]
+Usage: python tools/stress_r13.py [pretrain1m packbench fusion]
 """
 from __future__ import annotations
 
@@ -121,9 +128,16 @@ def stress_pretrain1m(spark):
     timings["pack_write_sec"] = round(time.monotonic() - t0, 2)
     emit(op="pretrain1m_progress", stage="pack_write", **timings)
 
-    # invariants from the BYTES ON DISK, independently of the manifest
+    # invariants from the BYTES ON DISK, independently of the manifest;
+    # entry is through read_packed_shards, so the provenance contract
+    # (manifest presence, vocab fingerprint, totals-vs-disk) is also
+    # exercised at this scale (reader added after the recorded 1M run,
+    # whose verify read the parquet directly — same bytes, same checks
+    # plus the fingerprint gate)
     t0 = time.monotonic()
-    written = spark.read.parquet(f"{shard_path}/data")
+    from mallarddv_spark.operators.textops import read_packed_shards
+
+    written = read_packed_shards(spark, shard_path, expected_vocab=vocab)
     inv = written.agg(
         F.count("*").alias("docs"),
         F.sum(F.size("ids")).alias("ids_total"),
@@ -190,9 +204,75 @@ def stress_packbench(spark):
     assert int(agg.oversize) == 0
 
 
+def stress_fusion(spark):
+    """Three tokenizers over 200k docs: separate streams (each encoder
+    pays its own corpus explode + distinct) vs ONE shared checkpointed
+    stream. Same models both ways; per-encoder token sums must match
+    exactly — only the corpus-pass count differs."""
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.bpe import (
+        bpe_encode, whitespace_word_stream,
+    )
+    from mallarddv_spark.operators.unigram import unigram_encode
+    from mallarddv_spark.operators.wordpiece import wordpiece_encode
+
+    corpus = (
+        _corpus_1m(spark).filter("doc_id < 200000")
+        .localCheckpoint(eager=True)
+    )
+    bpe_model = {
+        "merges": [("t", "h"), ("th", "e▁"), ("a", "n"), ("i", "n"),
+                   ("e", "r"), ("o", "n"), ("s", "t"), ("r", "e")],
+        "lowercase": True, "byte_level": False,
+    }
+    wp_model = {
+        "vocab": ([c for c in "abcdefghijklmnopqrstuvwxyz"]
+                  + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"]
+                  + ["th", "##he", "an", "##nd", "in", "##ng", "er",
+                     "st", "re", "##ed"]),
+        "lowercase": True,
+    }
+    un_vocab = literal_frame(
+        spark,
+        [(c, -2.5) for c in "abcdefghijklmnopqrstuvwxyz0123456789'.,"]
+        + [("th", -4.0), ("he", -4.5), ("an", -5.0), ("in", -4.25),
+           ("er", -4.25), ("st", -4.25), ("re", -4.5), ("ed", -4.75)],
+        "piece string, logp double",
+    )
+
+    def run(stream):
+        sums = []
+        for enc in (
+            bpe_encode(corpus, "doc_id", "text", bpe_model,
+                       stream=stream),
+            wordpiece_encode(corpus, "doc_id", "text", wp_model,
+                             stream=stream),
+            unigram_encode(corpus, "doc_id", "text", un_vocab,
+                           unk_logp=-20.0, stream=stream),
+        ):
+            sums.append(int(enc.agg(F.sum("n_tokens")).collect()[0][0]))
+        return sums
+
+    t0 = time.monotonic()
+    separate = run(None)
+    sep_sec = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    shared_stream = whitespace_word_stream(
+        corpus, "doc_id", "text", lowercase=True
+    ).localCheckpoint(eager=True)
+    shared = run(shared_stream)
+    fus_sec = round(time.monotonic() - t0, 2)
+    emit(op="fusion_3tokenizers_200k", separate_sec=sep_sec,
+         fused_sec=fus_sec,
+         speedup=round(sep_sec / fus_sec, 2) if fus_sec else None,
+         token_sums=separate, sums_identical=separate == shared)
+    assert separate == shared, "fusion must not change any token count"
+
+
 STAGES = {
     "pretrain1m": stress_pretrain1m,
     "packbench": stress_packbench,
+    "fusion": stress_fusion,
 }
 
 
