@@ -4411,13 +4411,21 @@ def _ble_enc_cols(d):
     optional leading space), so a lookahead-free RE2 pattern matches
     the engine's Java regex token-for-token. Non-ASCII byte mapping
     and multi-byte sequences stay covered by the pure-Python encode
-    differentials and the GPT-2 file-pair round-trip (pytest)."""
+    differentials and the GPT-2 file-pair round-trip (pytest).
+
+    Like the script-profile gate, this drives a 600-char SNIPPET per
+    document (both engines `substr` before cleaning — chars, 1-based,
+    identical semantics): the gate verifies the encode machinery, and
+    a snippet exercises every code path (contractions, digit runs,
+    punctuation runs, cross-space merges) at a fraction of the
+    per-round cost."""
     from mallarddv_spark.operators.bpe import bpe_encode
 
     cleaned = d.select(
         "doc_id",
         F.trim(F.regexp_replace(
-            F.regexp_replace("text", "[^ -~]", ""), " +", " "
+            F.regexp_replace(F.substring("text", 1, 600), "[^ -~]", ""),
+            " +", " "
         )).alias("text"),
     )
     model = {
@@ -4922,8 +4930,8 @@ def _o_text_doc_stats() -> str:
     SELECT doc_id, i AS pos, t[i] AS w
     FROM (SELECT doc_id,
                  regexp_extract_all(
-                   trim(regexp_replace(regexp_replace(text, '[^ -~]', '',
-                                                      'g'),
+                   trim(regexp_replace(regexp_replace(substr(text, 1, 600),
+                                                      '[^ -~]', '', 'g'),
                                        ' +', ' ', 'g')),
                    '{ble_pre}') AS t
           FROM documents), unnest(generate_series(1, len(t))) u(i)
