@@ -40,7 +40,8 @@ __all__ = [
     "word_frequencies", "byte_word_frequencies", "train_bpe",
     "bpe_encode_words", "bpe_encode", "save_bpe", "load_bpe",
     "decode_byte_tokens", "export_gpt2_files", "load_gpt2_files",
-    "bpe_vocab", "tokens_to_ids", "GPT2_PRETOKEN_RE",
+    "bpe_vocab", "tokens_to_ids", "ids_to_tokens", "GPT2_PRETOKEN_RE",
+    "whitespace_word_stream", "vocab_fingerprint", "VOCAB_ORDER_VERSION",
 ]
 
 # end-of-word marker: distinguishes "low</w>" (word-final) from "low" as
@@ -908,3 +909,45 @@ def tokens_to_ids(
         .drop("__vmap")
     )
     return out
+
+
+def ids_to_tokens(
+    df: DataFrame,
+    ids_col: str,
+    vocab: dict,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Inverse of :func:`tokens_to_ids` — map an ``array<int>`` id
+    column back to ``array<string>`` tokens under the same
+    ``{token: id}`` vocabulary: the trainer-side spot-check path
+    (read a :func:`~mallarddv_spark.operators.textops.
+    read_packed_shards` frame, decode a probe of documents, compare
+    against the source corpus — for byte-level models the
+    concatenation then round-trips through :func:`decode_byte_tokens`
+    byte-for-byte). The inverse table rides ONE broadcast map cell;
+    the lookup is a pure projection, no shuffle.
+
+    An id with no vocabulary entry (or a ``tokens_to_ids`` ``unk_id``
+    placeholder, which by construction names no token) maps to a NULL
+    element — loud under a downstream ``exists(isNull)`` assert, never
+    a silently-wrong token."""
+    spark = df.sparkSession
+    rows = [(int(v), k) for k, v in vocab.items()]
+    vmap = spark.createDataFrame(
+        rows or [(None, None)], "v int, k string"
+    ).filter(F.col("v").isNotNull()).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("v", "k"))
+        ).alias("__ivmap")
+    )
+    return (
+        df.crossJoin(F.broadcast(vmap))
+        .withColumn(
+            out_col,
+            F.transform(
+                ids_col,
+                lambda i: F.element_at("__ivmap", i.cast("int")),
+            ),
+        )
+        .drop("__ivmap")
+    )

@@ -572,6 +572,44 @@ def test_tokens_to_ids_closed_roundtrip_and_unk(spark, docs):
     assert _json.load(open(f"{d}/vocab.json", encoding="utf-8")) == vocab
 
 
+def test_ids_to_tokens_inverse_and_byte_roundtrip(spark, docs):
+    """ids_to_tokens inverts tokens_to_ids in-engine: closed byte-level
+    vocab round-trips tokens → ids → tokens exactly and the decoded
+    concatenation reproduces the source text; unknown ids (including a
+    tokens_to_ids unk_id placeholder) come back as NULL elements."""
+    from mallarddv_spark.operators.bpe import (
+        bpe_vocab,
+        decode_byte_tokens,
+        ids_to_tokens,
+        tokens_to_ids,
+    )
+
+    m = train_bpe(docs, "text", num_merges=40, byte_level=True,
+                  lowercase=False)
+    vocab = bpe_vocab(m, specials=["<|endoftext|>"])
+    sl = docs.filter("doc_id < 20")
+    enc = bpe_encode(sl, "doc_id", "text", m)
+    back = ids_to_tokens(
+        tokens_to_ids(enc, "tokens", vocab).select("doc_id", "tokens",
+                                                   "ids"),
+        "ids", vocab, out_col="tokens2",
+    )
+    orig = {r.doc_id: r.text for r in sl.collect()}
+    rows = back.collect()
+    assert rows
+    for r in rows:
+        assert list(r.tokens2) == list(r.tokens)
+        assert decode_byte_tokens(r.tokens2) == orig[r.doc_id]
+    # unknown id and unk_id placeholder → NULL element, loudly
+    probe = spark.createDataFrame(
+        [(1, [0, len(vocab) + 7, -1])], "doc_id bigint, ids array<int>"
+    )
+    got = ids_to_tokens(probe, "ids", vocab).collect()[0]
+    inv = {v: k for k, v in vocab.items()}
+    assert got.tokens[0] == inv[0]
+    assert got.tokens[1] is None and got.tokens[2] is None
+
+
 def test_fold_replay_pathological_long_pretoken(spark):
     """A 2000-char base64-ish blob (one giant letter/digit-run
     pre-token) must encode losslessly in bounded time — the O(len²)

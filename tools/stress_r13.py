@@ -154,6 +154,22 @@ def stress_pretrain1m(spark):
                 & ~(F.col("ov") & (F.col("members") == 1)))
         .count()
     )
+    # decode probe: bytes on disk → ids_to_tokens → decode_byte_tokens
+    # must reproduce the SOURCE text exactly (byte-level lossless
+    # round-trip, end to end through the shard files)
+    from mallarddv_spark.operators.bpe import (
+        decode_byte_tokens, ids_to_tokens,
+    )
+
+    probe = {
+        r.id: r.tokens for r in ids_to_tokens(
+            written.filter("id % 50000 = 0"), "ids", vocab
+        ).collect()
+    }
+    src = {r.doc_id: r.text
+           for r in corpus.filter("doc_id % 50000 = 0").collect()}
+    bad_decode = [i for i, toks in probe.items()
+                  if decode_byte_tokens(toks) != src[i]]
     timings["verify_sec"] = round(time.monotonic() - t0, 2)
 
     emit(op="pretrain1m_pipeline", model=model_src,
@@ -164,7 +180,9 @@ def stress_pretrain1m(spark):
          null_id_docs=int(inv.null_docs),
          bins=manifest["total_bins"], budget=budget, shards=n_shards,
          bad_bins=bad_bins, padding_frac=manifest["padding_frac"],
-         manifest_meta=manifest.get("meta"), **timings)
+         manifest_meta=manifest.get("meta"),
+         decode_probe=len(probe), decode_bad=len(bad_decode), **timings)
+    assert not bad_decode, "shard → ids → tokens → text must be lossless"
     assert int(inv.null_docs) == 0
     assert int(inv.ids_total) == total_tokens == manifest["total_ids"], (
         "token conservation"
