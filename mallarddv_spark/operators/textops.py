@@ -1547,6 +1547,138 @@ def split_sentences(text: Column | str) -> Column:
     return F.filter(parts, lambda x: F.trim(x) != "")
 
 
+def packing_plan_report(
+    df: DataFrame,
+    ids_col: str | None = None,
+    length_col: str | None = None,
+    token_budget: int = 2048,
+    fold_ops_per_shard: int = 1_000_000,
+) -> dict:
+    """Pre-pack sizing audit — operationalizes :func:`pack_bins_ffd`'s
+    documented ``docs × bins ≲ 10⁶`` per-shard rule BEFORE paying for a
+    pack of the full corpus: one aggregate-only pass over the lengths
+    (``size(ids_col)`` or a precomputed ``length_col``) returns
+
+    * ``docs`` / ``tokens`` / length quantiles (p50/p90/p99/max,
+      ``percentile_approx``) / ``mean_len``,
+    * ``oversize`` — documents longer than the budget (each will take a
+      bin of its own; truncate or re-chunk them upstream),
+    * ``min_bins`` — the ⌈Σ tokens / budget⌉ packing lower bound, and
+      ``min_padding_frac`` — the padding even a perfect pack cannot
+      beat, given the oversize docs' dedicated bins,
+    * ``recommended_n_shards`` — the smallest shard count keeping the
+      per-shard FFD fold inside ``fold_ops_per_shard`` first-fit
+      lambda evaluations (docs/shard × bins/shard, bins estimated from
+      the mean-length fill rate), clamped to ≥ 1. Feed it straight to
+      :func:`pack_bins_ffd` / :func:`write_packed_shards`.
+
+    The report is driver-side metadata (one row); the corpus is
+    scanned once and never collected."""
+    if int(token_budget) < 1:
+        raise DVConfigurationError(
+            "packing_plan_report: token_budget must be >= 1"
+        )
+    if (ids_col is None) == (length_col is None):
+        raise DVConfigurationError(
+            "packing_plan_report: pass exactly one of ids_col or "
+            "length_col"
+        )
+    b = int(token_budget)
+    ln = (F.size(ids_col) if ids_col is not None
+          else F.col(length_col)).cast("bigint")
+    r = df.select(ln.alias("__l")).agg(
+        F.count("*").alias("docs"),
+        F.sum("__l").alias("tokens"),
+        F.expr("percentile_approx(__l, array(0.5, 0.9, 0.99), 10000)")
+        .alias("q"),
+        F.max("__l").alias("max_len"),
+        F.sum((F.col("__l") > b).cast("long")).alias("oversize"),
+        F.sum(F.when(F.col("__l") > b, F.col("__l"))).alias("over_toks"),
+    ).collect()[0]
+    docs, tokens = int(r.docs), int(r.tokens or 0)
+    oversize = int(r.oversize or 0)
+    over_toks = int(r.over_toks or 0)
+    # packing lower bound: every oversize doc takes its own bin; the
+    # rest cannot beat ceil(tokens / budget)
+    rest_bins = -(-(tokens - over_toks) // b) if tokens > over_toks else 0
+    min_bins = oversize + rest_bins
+    mean_len = (tokens / docs) if docs else 0.0
+    # expected bins per doc ≈ mean_len / budget (fill-rate estimate);
+    # fold ops per shard ≈ (docs/n) × (bins/n) = docs² × mean_len /
+    # (budget × n²)  →  n ≥ sqrt(docs² × mean_len / (budget × cap))
+    import math
+
+    n_rec = 1
+    if docs and mean_len:
+        n_rec = max(1, math.ceil(math.sqrt(
+            docs * docs * mean_len / (b * float(fold_ops_per_shard))
+        )))
+    return {
+        "docs": docs,
+        "tokens": tokens,
+        "token_budget": b,
+        "len_p50": int(r.q[0]) if r.q else 0,
+        "len_p90": int(r.q[1]) if r.q else 0,
+        "len_p99": int(r.q[2]) if r.q else 0,
+        "max_len": int(r.max_len or 0),
+        "mean_len": round(mean_len, 2),
+        "oversize": oversize,
+        "min_bins": int(min_bins),
+        # capacity of an oversize bin is its own doc's length (it holds
+        # MORE than the budget), so the unbeatable-padding bound
+        # measures against rest_bins × budget + oversize tokens
+        "min_padding_frac": round(
+            1.0 - tokens / (rest_bins * b + over_toks), 6
+        ) if (rest_bins or over_toks) else 0.0,
+        "recommended_n_shards": int(n_rec),
+        "fold_ops_per_shard": int(fold_ops_per_shard),
+    }
+
+
+def token_id_histogram(
+    df: DataFrame,
+    ids_col: str = "ids",
+    vocab: dict | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Token-id frequency audit over an encoded/packed corpus —
+    ``(id, cnt)`` plus the token string when ``vocab`` is supplied
+    (broadcast inverse map; ids outside it — including a
+    ``tokens_to_ids`` ``unk_id`` placeholder — get a NULL ``token``,
+    so ``WHERE token IS NULL`` is exactly the unknown-rate probe a
+    trainer runs before launch). ``top_k`` keeps the most frequent ids
+    (ties broken by id for determinism).
+
+    Scale shape: one explode + one map-side-combined groupBy on the id
+    key (cardinality ≤ vocabulary size, so the result is
+    vocabulary-bounded regardless of corpus size); no collect."""
+    out = (
+        df.select(F.explode(ids_col).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if vocab is not None:
+        spark = df.sparkSession
+        rows = [(int(v), k) for k, v in vocab.items()]
+        vmap = spark.createDataFrame(
+            rows or [(None, None)], "v int, k string"
+        ).filter(F.col("v").isNotNull()).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("v", "k"))
+            ).alias("__ivmap")
+        )
+        out = (
+            out.crossJoin(F.broadcast(vmap))
+            .withColumn(
+                "token", F.element_at("__ivmap", F.col("id").cast("int"))
+            )
+            .drop("__ivmap")
+        )
+    if top_k is not None:
+        out = out.orderBy(F.desc("cnt"), F.asc("id")).limit(int(top_k))
+    return out
+
+
 def pack_bins_ffd(
     df: DataFrame,
     id_col: str,

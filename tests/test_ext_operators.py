@@ -916,6 +916,66 @@ def test_read_packed_shards_provenance_contract(spark, tmp_path):
     )
 
 
+def test_packing_plan_report_sizing_rule(spark):
+    """The pre-pack audit: exact counts/bounds on a known corpus, the
+    docs×bins recommendation respects the fold-ops cap, and the
+    min-padding bound is consistent with an actual FFD pack."""
+    import pytest
+
+    from mallarddv_spark.exceptions import DVConfigurationError
+    from mallarddv_spark.operators.textops import (
+        pack_bins_ffd, packing_plan_report,
+    )
+
+    rows = [(i, [0] * (50 + (i * 37) % 200)) for i in range(1000)]
+    rows.append((1000, [0] * 999))  # one oversize doc (budget 256)
+    df = spark.createDataFrame(rows, "doc_id bigint, ids array<int>")
+    rep = packing_plan_report(df, ids_col="ids", token_budget=256)
+    want_tokens = sum(len(v) for _, v in rows)
+    assert rep["docs"] == 1001 and rep["tokens"] == want_tokens
+    assert rep["oversize"] == 1 and rep["max_len"] == 999
+    # lower bound: oversize bin + ceil(rest / budget)
+    rest = want_tokens - 999
+    assert rep["min_bins"] == 1 + -(-rest // 256)
+    assert 0.0 <= rep["min_padding_frac"] < 1.0
+    # the recommendation keeps docs/shard x bins/shard under the cap
+    n = rep["recommended_n_shards"]
+    docs_ps = rep["docs"] / n
+    bins_ps = docs_ps * rep["mean_len"] / 256
+    assert docs_ps * bins_ps <= rep["fold_ops_per_shard"] * 1.05
+    # a real pack at the recommended shard count can't beat min_bins
+    got_bins = pack_bins_ffd(
+        df.selectExpr("doc_id", "size(ids) as n_ids"), "doc_id",
+        length_col="n_ids", token_budget=256, n_shards=n,
+    ).select("shard_id", "bin_id").distinct().count()
+    assert got_bins >= rep["min_bins"]
+    with pytest.raises(DVConfigurationError):
+        packing_plan_report(df, ids_col="ids", length_col="x")
+    with pytest.raises(DVConfigurationError):
+        packing_plan_report(df)
+
+
+def test_token_id_histogram_counts_and_unknowns(spark):
+    """Exact id counts, vocab join with NULL for unknown/unk_id
+    placeholders, deterministic top_k cut."""
+    from mallarddv_spark.operators.textops import token_id_histogram
+
+    df = spark.createDataFrame(
+        [(1, [0, 0, 1, 2]), (2, [0, 1, -1]), (3, [7])],
+        "doc_id bigint, ids array<int>",
+    )
+    vocab = {"a": 0, "b": 1, "c": 2}
+    h = {r.id: (r.cnt, r.token)
+         for r in token_id_histogram(df, "ids", vocab).collect()}
+    assert h[0] == (3, "a") and h[1] == (2, "b") and h[2] == (1, "c")
+    assert h[-1] == (1, None) and h[7] == (1, None)  # unk_id + unknown
+    top = token_id_histogram(df, "ids", vocab, top_k=2).collect()
+    assert [(r.id, r.cnt) for r in top] == [(0, 3), (1, 2)]
+    # no vocab: plain (id, cnt)
+    cols = token_id_histogram(df, "ids").columns
+    assert cols == ["id", "cnt"]
+
+
 # --- exact-substring dedup -------------------------------------------------
 
 

@@ -197,13 +197,17 @@ def stress_packbench(spark):
     """pack_bins_ffd at the r12-recorded regime: 1M docs, deterministic
     pseudo-lengths 100..900 (mean ~500), budget 2048, 2048 shards —
     one task per shard, docs × bins ≈ 490 × 120 ≪ 10⁶ per shard."""
-    from mallarddv_spark.operators.textops import pack_bins_ffd
+    from mallarddv_spark.operators.textops import (
+        pack_bins_ffd, packing_plan_report,
+    )
 
     docs = spark.range(1_000_000).select(
         F.col("id").alias("doc_id"),
         (100 + (F.col("id") * 2654435761) % 801).cast("bigint")
         .alias("n_ids"),
     )
+    emit(op="packing_plan_report", **packing_plan_report(
+        docs, length_col="n_ids", token_budget=2048))
     t0 = time.monotonic()
     out = pack_bins_ffd(docs, "doc_id", length_col="n_ids",
                         token_budget=2048, n_shards=2048)
