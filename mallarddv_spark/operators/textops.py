@@ -447,6 +447,72 @@ def write_training_shards(
     return manifest
 
 
+def _read_manifest(spark, path: str, op: str) -> dict:
+    """Read ``{path}/manifest.json`` through the Hadoop FS API, raising
+    :class:`DVETLError` when it is absent — the manifest is written
+    LAST, so absence means an incomplete write or a foreign directory
+    (the readers' shared entry check)."""
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        raise DVETLError(
+            f"{op}: no manifest at {path}/manifest.json — the manifest "
+            "is written last, so this directory is incomplete or not a "
+            "shard directory"
+        )
+    stream = fs.open(p)
+    try:
+        # commons-io rides Spark's classpath; py4j passes byte buffers
+        # by value, so a Python-side read loop cannot fill one
+        payload = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(payload)
+
+
+def read_training_shards(
+    spark,
+    path: str,
+    verify_totals: bool = True,
+) -> DataFrame:
+    """Trainer-side reader for a :func:`write_training_shards`
+    directory — the TEXT-shard sibling of :func:`read_packed_shards`:
+    refuses a manifest-less (incomplete) directory and, with
+    ``verify_totals`` (default), re-derives doc/token totals from the
+    bytes on disk against the manifest (certify-by-read-back at read
+    time). Returns the shard frame ordered for shard-by-shard
+    consumption; ``WHERE shard_id = k`` stays partition-pruned."""
+    manifest = _read_manifest(spark, path, "read_training_shards")
+    if manifest.get("file_format") == "jsonl":
+        df = spark.read.schema(
+            "id bigint, text string, n_tokens bigint, bin_id bigint, "
+            "bin_offset bigint"
+        ).json(f"{path}/data")
+    else:
+        df = spark.read.parquet(f"{path}/data")
+    if verify_totals:
+        got = df.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+        ).collect()[0]
+        if (int(got.docs) != manifest["total_docs"]
+                or int(got.tokens) != manifest["total_tokens"]):
+            raise DVETLError(
+                "read_training_shards: on-disk totals diverge from the "
+                f"manifest (disk docs={int(got.docs)} "
+                f"tokens={int(got.tokens)} vs manifest "
+                f"docs={manifest['total_docs']} "
+                f"tokens={manifest['total_tokens']}) — the directory "
+                "was modified after certification"
+            )
+    return df
+
+
 def _write_manifest(spark, path: str, manifest: dict) -> None:
     """Write ``{path}/manifest.json`` through the Hadoop FS API so it
     lands next to the data on whatever filesystem the path points at.
@@ -644,28 +710,7 @@ def read_packed_shards(
     (optionally) one aggregate-only scan; the returned frame is the
     plain partitioned source, so shard-pruned reads
     (``WHERE shard_id = k``) stay partition-pruned."""
-    import json
-
-    mp_path = f"{path}/manifest.json"
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(mp_path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
-        raise DVETLError(
-            f"read_packed_shards: no manifest at {mp_path} — the "
-            "manifest is written last, so this directory is incomplete "
-            "or not a packed-shard directory"
-        )
-    stream = fs.open(p)
-    try:
-        # commons-io rides Spark's classpath; py4j passes byte buffers
-        # by value, so a Python-side read loop cannot fill one
-        payload = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
-    manifest = json.loads(payload)
+    manifest = _read_manifest(spark, path, "read_packed_shards")
     if expected_vocab is not None:
         from mallarddv_spark.operators.bpe import vocab_fingerprint
 

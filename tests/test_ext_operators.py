@@ -916,6 +916,45 @@ def test_read_packed_shards_provenance_contract(spark, tmp_path):
     )
 
 
+def test_read_training_shards_manifest_contract(spark, tmp_path):
+    """The text-shard reader: happy path returns the certified rows;
+    missing manifest and post-write tampering are refused; jsonl mode
+    reads back through the explicit schema."""
+    import glob
+    import os
+
+    import pytest
+
+    from mallarddv_spark.exceptions import DVETLError
+    from mallarddv_spark.operators.textops import (
+        read_training_shards, write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 9 + 2)))
+         for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "ts")
+    m = write_training_shards(docs, path, "doc_id", "text",
+                              token_budget=32, n_shards=3)
+    out = read_training_shards(spark, path)
+    assert out.count() == m["total_docs"] == 60
+    assert int(out.agg(F.sum("n_tokens")).first()[0]) == m["total_tokens"]
+    with pytest.raises(DVETLError, match="no manifest"):
+        read_training_shards(spark, str(tmp_path / "absent"))
+    victim = sorted(glob.glob(f"{path}/data/shard_id=*/*.parquet"))[0]
+    os.remove(victim)
+    with pytest.raises(DVETLError, match="diverge from the manifest"):
+        read_training_shards(spark, path)
+    pj = str(tmp_path / "tsj")
+    write_training_shards(docs, pj, "doc_id", "text", token_budget=32,
+                          n_shards=3, file_format="jsonl")
+    jout = read_training_shards(spark, pj)
+    assert jout.count() == 60
+    assert int(jout.agg(F.sum("n_tokens")).first()[0]) == m["total_tokens"]
+
+
 def test_packing_plan_report_sizing_rule(spark):
     """The pre-pack audit: exact counts/bounds on a known corpus, the
     docs×bins recommendation respects the fold-ops cap, and the
