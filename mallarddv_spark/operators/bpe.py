@@ -40,7 +40,8 @@ __all__ = [
     "word_frequencies", "byte_word_frequencies", "train_bpe",
     "bpe_encode_words", "bpe_encode", "save_bpe", "load_bpe",
     "decode_byte_tokens", "export_gpt2_files", "load_gpt2_files",
-    "bpe_vocab", "tokens_to_ids", "ids_to_tokens", "GPT2_PRETOKEN_RE",
+    "bpe_vocab", "tokens_to_ids", "ids_to_tokens", "inverse_vocab_map",
+    "GPT2_PRETOKEN_RE",
     "whitespace_word_stream", "vocab_fingerprint", "VOCAB_ORDER_VERSION",
 ]
 
@@ -931,23 +932,34 @@ def ids_to_tokens(
     placeholder, which by construction names no token) maps to a NULL
     element — loud under a downstream ``exists(isNull)`` assert, never
     a silently-wrong token."""
-    spark = df.sparkSession
-    rows = [(int(v), k) for k, v in vocab.items()]
-    vmap = spark.createDataFrame(
-        rows or [(None, None)], "v int, k string"
-    ).filter(F.col("v").isNotNull()).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("v", "k"))
-        ).alias("__ivmap")
-    )
     return (
-        df.crossJoin(F.broadcast(vmap))
+        df.crossJoin(F.broadcast(inverse_vocab_map(df.sparkSession,
+                                                   vocab)))
         .withColumn(
             out_col,
             F.transform(
                 ids_col,
-                lambda i: F.element_at("__ivmap", i.cast("int")),
+                lambda i: F.element_at("__ivmap", i.cast("bigint")),
             ),
         )
         .drop("__ivmap")
+    )
+
+
+def inverse_vocab_map(spark, vocab: dict) -> DataFrame:
+    """One-row one-cell ``map<bigint, string>`` frame (``__ivmap``) —
+    the broadcastable id → token inverse of a ``{token: id}`` table,
+    shared by :func:`ids_to_tokens` and ``textops.token_id_histogram``.
+    Keys are BIGINT on purpose: an id column of any integer width
+    upcasts losslessly into the lookup, so an out-of-int32-range id
+    (corruption, a foreign corpus) misses the map and yields NULL —
+    it can never wrap around onto a small valid id and decode to a
+    silently-wrong token."""
+    rows = [(int(v), k) for k, v in vocab.items()]
+    return spark.createDataFrame(
+        rows or [(None, None)], "v bigint, k string"
+    ).filter(F.col("v").isNotNull()).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("v", "k"))
+        ).alias("__ivmap")
     )

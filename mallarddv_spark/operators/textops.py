@@ -472,7 +472,17 @@ def _read_manifest(spark, path: str, op: str) -> dict:
         )
     finally:
         stream.close()
-    return json.loads(payload)
+    try:
+        return json.loads(payload)
+    except ValueError as e:
+        # _write_manifest is temp+rename atomic, so this should be
+        # unreachable for its own output — but a foreign or damaged
+        # file still gets the typed error callers are told to expect
+        raise DVETLError(
+            f"{op}: manifest at {path}/manifest.json is not valid JSON "
+            "(torn write or foreign file) — treat the directory as "
+            "uncertified"
+        ) from e
 
 
 def read_training_shards(
@@ -516,18 +526,30 @@ def read_training_shards(
 def _write_manifest(spark, path: str, manifest: dict) -> None:
     """Write ``{path}/manifest.json`` through the Hadoop FS API so it
     lands next to the data on whatever filesystem the path points at.
-    Callers write it LAST: its presence certifies a complete write."""
+    Callers write it LAST: its presence certifies a complete write —
+    which only holds if the manifest itself cannot be observed torn, so
+    the payload goes to a temp name first and RENAMES into place (the
+    filesystem's atomic publish; a crash mid-write leaves only the
+    temp file, which the readers' exists() check ignores)."""
     import json
 
     payload = json.dumps(manifest, indent=2)
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest.json")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/.manifest.json.tmp")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.create(p, True)
+    stream = fs.create(tmp, True)
     try:
         stream.write(bytearray(payload.encode("utf-8")))
     finally:
         stream.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise DVETLError(
+            f"_write_manifest: rename to {path}/manifest.json failed — "
+            "manifest not published, directory stays uncertified"
+        )
 
 
 def write_packed_shards(
@@ -590,18 +612,26 @@ def write_packed_shards(
     spark = df.sparkSession
     # the NULL guard is fused into n_ids: caching materializes every
     # column, so the count below both populates the cache and raises on
-    # the first NULL id — zero extra corpus passes, nothing written yet
-    _GUARD = "write_packed_shards: NULL id elements in document "
+    # the first NULL — zero extra corpus passes, nothing written yet.
+    # A NULL DOCUMENT id is guarded too: the join-back on the id key
+    # would otherwise silently DROP the row (NULL never equi-joins) and
+    # the manifest would certify the smaller corpus. The id is
+    # coalesced in the message so a doubly-NULL row still raises the
+    # typed error, not raise_error(NULL).
+    _GUARD = "write_packed_shards: NULL id data in document "
     base = df.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(ids_col).alias("ids"),
         F.when(
-            F.col(ids_col).isNull()
+            F.col(id_col).isNull()
+            | F.col(ids_col).isNull()
             | F.exists(ids_col, lambda x: x.isNull()),
             F.raise_error(F.concat(
-                F.lit(_GUARD), F.col(id_col).cast("string"),
-                F.lit(" — resolve unknown tokens upstream "
-                      "(tokens_to_ids unk_id) before materializing "
+                F.lit(_GUARD),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                F.lit(" (NULL doc id or NULL id elements) — resolve "
+                      "unknown tokens upstream (tokens_to_ids unk_id) "
+                      "or fix the id column before materializing "
                       "trainer shards"),
             )),
         ).otherwise(F.size(ids_col)).cast("bigint").alias("n_ids"),
@@ -1639,8 +1669,10 @@ def packing_plan_report(
         F.max("__l").alias("max_len"),
         F.sum((F.col("__l") > b).cast("long")).alias("oversize"),
         F.sum(F.when(F.col("__l") > b, F.col("__l"))).alias("over_toks"),
+        F.sum(F.col("__l").isNull().cast("long")).alias("nulls"),
     ).collect()[0]
     docs, tokens = int(r.docs), int(r.tokens or 0)
+    null_docs = int(r.nulls or 0)
     oversize = int(r.oversize or 0)
     over_toks = int(r.over_toks or 0)
     # packing lower bound: every oversize doc takes its own bin; the
@@ -1660,6 +1692,11 @@ def packing_plan_report(
         )))
     return {
         "docs": docs,
+        # docs whose length is NULL (a NULL ids array — unresolved
+        # unknown tokens): they contribute to `docs` but to no other
+        # stat, and write_packed_shards will REJECT the corpus until
+        # they are fixed — surfaced here so the audit says so first
+        "null_length_docs": null_docs,
         "tokens": tokens,
         "token_budget": b,
         "len_p50": int(r.q[0]) if r.q else 0,
@@ -1703,19 +1740,15 @@ def token_id_histogram(
         .agg(F.count("*").alias("cnt"))
     )
     if vocab is not None:
-        spark = df.sparkSession
-        rows = [(int(v), k) for k, v in vocab.items()]
-        vmap = spark.createDataFrame(
-            rows or [(None, None)], "v int, k string"
-        ).filter(F.col("v").isNotNull()).agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("v", "k"))
-            ).alias("__ivmap")
-        )
+        from mallarddv_spark.operators.bpe import inverse_vocab_map
+
         out = (
-            out.crossJoin(F.broadcast(vmap))
+            out.crossJoin(F.broadcast(
+                inverse_vocab_map(df.sparkSession, vocab)
+            ))
             .withColumn(
-                "token", F.element_at("__ivmap", F.col("id").cast("int"))
+                "token",
+                F.element_at("__ivmap", F.col("id").cast("bigint")),
             )
             .drop("__ivmap")
         )

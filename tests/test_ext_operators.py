@@ -916,6 +916,51 @@ def test_read_packed_shards_provenance_contract(spark, tmp_path):
     )
 
 
+def test_packed_shards_null_doc_id_and_torn_manifest(spark, tmp_path):
+    """Review regressions: a NULL DOCUMENT id must raise (the join-back
+    would silently drop the row and the manifest would certify the
+    smaller corpus); a doubly-NULL row still raises the typed error;
+    a torn/foreign manifest raises DVETLError, not JSONDecodeError;
+    out-of-int32-range ids decode to NULL, never wrap onto a valid
+    token."""
+    import pytest
+
+    from mallarddv_spark.exceptions import DVETLError
+    from mallarddv_spark.operators.bpe import ids_to_tokens
+    from mallarddv_spark.operators.textops import (
+        read_packed_shards, token_id_histogram, write_packed_shards,
+    )
+
+    bad_id = spark.createDataFrame(
+        [(None, [1, 2, 3]), (1, [4, 5])], "doc_id bigint, ids array<int>"
+    )
+    with pytest.raises(DVETLError, match="NULL id"):
+        write_packed_shards(bad_id, str(tmp_path / "nid"), "doc_id",
+                            "ids")
+    both = spark.createDataFrame(
+        [(None, None)], "doc_id bigint, ids array<int>"
+    )
+    with pytest.raises(DVETLError, match="NULL id"):
+        write_packed_shards(both, str(tmp_path / "nboth"), "doc_id",
+                            "ids")
+    # torn manifest → typed error
+    torn = tmp_path / "torn"
+    (torn / "data").mkdir(parents=True)
+    (torn / "manifest.json").write_text('{"token_budget": 2048, "sha')
+    with pytest.raises(DVETLError, match="not valid JSON"):
+        read_packed_shards(spark, str(torn))
+    # 2^32 id: misses the bigint-keyed inverse map → NULL, not token 0
+    vocab = {"a": 0, "b": 1}
+    big = spark.createDataFrame(
+        [(1, [0, 4294967296])], "doc_id bigint, ids array<bigint>"
+    )
+    got = ids_to_tokens(big, "ids", vocab).collect()[0]
+    assert got.tokens[0] == "a" and got.tokens[1] is None
+    h = {r.id: r.token
+         for r in token_id_histogram(big, "ids", vocab).collect()}
+    assert h[0] == "a" and h[4294967296] is None
+
+
 def test_read_training_shards_manifest_contract(spark, tmp_path):
     """The text-shard reader: happy path returns the certified rows;
     missing manifest and post-write tampering are refused; jsonl mode
@@ -992,6 +1037,13 @@ def test_packing_plan_report_sizing_rule(spark):
         packing_plan_report(df, ids_col="ids", length_col="x")
     with pytest.raises(DVConfigurationError):
         packing_plan_report(df)
+    # NULL ids arrays are surfaced, not silently folded into the stats
+    withnull = df.unionByName(spark.createDataFrame(
+        [(9999, None)], "doc_id bigint, ids array<int>"
+    ))
+    repn = packing_plan_report(withnull, ids_col="ids", token_budget=256)
+    assert repn["null_length_docs"] == 1
+    assert repn["docs"] == 1002 and repn["tokens"] == rep["tokens"]
 
 
 def test_token_id_histogram_counts_and_unknowns(spark):
