@@ -527,9 +527,16 @@ def vocabulary(df: DataFrame, text_col: str, min_df: int = 1) -> DataFrame:
     return out
 
 
-def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
+def vocab_topk(
+    df: DataFrame,
+    text_col: str,
+    k: int = 100,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
     """Top-``k`` vocabulary by term frequency (ties broken by word, so the
-    result is deterministic).
+    result is deterministic). ``vocab`` accepts a precomputed
+    :func:`vocabulary` frame (the same sharing hook :func:`doc_rarity`
+    has), so one corpus scan can feed both.
 
     Scale shape: ``orderBy(...).limit(k)`` compiles to
     ``TakeOrderedAndProject`` — each partition keeps its local top-k and
@@ -540,7 +547,7 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    v = vocabulary(df, text_col)
+    v = vocab if vocab is not None else vocabulary(df, text_col)
     top = v.orderBy(F.desc("tf"), F.asc("word")).limit(k)
     w = Window.orderBy(F.desc("tf"), F.asc("word"))
     return (
@@ -726,6 +733,8 @@ def dsir_importance(
     hash_mode: str = "xxhash64",
     lowercase: bool = True,
     log_ratio: DataFrame | None = None,
+    features: DataFrame | None = None,
+    target_features: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Data Selection via Importance Resampling,
     Xie et al., NeurIPS 2023): score every ``raw`` document by how much
@@ -737,6 +746,15 @@ def dsir_importance(
     Pass a persisted :func:`dsir_log_ratio` frame via ``log_ratio`` to
     skip recomputing distributions (``target`` is ignored then).
 
+    ``features`` / ``target_features`` accept precomputed
+    :func:`hashed_ngram_features` frames (``(doc_id, bucket, cnt)``,
+    built at the SAME buckets/n_max/hash_mode/lowercase) so a caller
+    that already materialized the gram features — e.g. to share one
+    explode between DSIR and a hashed-feature classifier — pays the
+    corpus scan once; ``raw``/``target`` are then ignored for feature
+    extraction. Results are identical by construction (the frames are
+    exactly what this function would compute).
+
     Reference scope note: no data-selection stage exists in the reference
     engine — this extends the training-data curation tier.
 
@@ -746,18 +764,25 @@ def dsir_importance(
     decontamination. The target corpus (small by definition: it's the
     high-quality seed set) is read once.
     """
-    feats = hashed_ngram_features(
-        raw, id_col, text_col, buckets=buckets, n_max=n_max,
-        hash_mode=hash_mode, lowercase=lowercase,
+    feats = (
+        features
+        if features is not None
+        else hashed_ngram_features(
+            raw, id_col, text_col, buckets=buckets, n_max=n_max,
+            hash_mode=hash_mode, lowercase=lowercase,
+        )
     )
     if log_ratio is None:
         raw_dist = ngram_bucket_distribution(feats)
-        tgt_dist = ngram_bucket_distribution(
-            hashed_ngram_features(
+        tgt_feats = (
+            target_features
+            if target_features is not None
+            else hashed_ngram_features(
                 target, id_col, text_col, buckets=buckets, n_max=n_max,
                 hash_mode=hash_mode, lowercase=lowercase,
             )
         )
+        tgt_dist = ngram_bucket_distribution(tgt_feats)
         log_ratio = dsir_log_ratio(raw_dist, tgt_dist, buckets, smoothing)
     return (
         feats.join(F.broadcast(log_ratio), "bucket")
@@ -841,6 +866,7 @@ def train_nb_classifier(
     smoothing: float = 1.0,
     hash_mode: str = "xxhash64",
     lowercase: bool = True,
+    gram_counts: DataFrame | None = None,
 ) -> dict:
     """Multinomial Naive Bayes over hashed bag-of-n-grams features — the
     relational stand-in for the fastText-style linear classifiers LLM
@@ -863,6 +889,14 @@ def train_nb_classifier(
     Scale shape: one explode + one groupBy (label, bucket) with map-side
     combine over the training corpus; everything after operates on the
     grid. Training cost is one scan regardless of class count.
+
+    ``gram_counts`` accepts a precomputed ``(label, bucket, cnt)`` frame
+    (per-class hashed-gram occurrence counts at the SAME
+    buckets/n_max/hash_mode/lowercase — e.g. a shared
+    :func:`hashed_ngram_features` frame joined to labels and re-summed),
+    skipping the training-corpus explode; ``df`` is then read only for
+    the per-class document counts (a label-column scan, no explode).
+    Results are identical by construction.
     """
     from mallarddv_spark.operators.dedup import _hash_int
 
@@ -878,23 +912,28 @@ def train_nb_classifier(
     a = float(smoothing)
     ab = a * buckets
     labeled = df.filter(F.col(label_col).isNotNull())
-    base = labeled.select(
-        F.col(label_col).alias("label"),
-        _token_array(text_col, lowercase).alias("__t"),
-    )
-    arrs = _gram_arrays("__t", n_max)
-    gram_arr = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
-    stream = base.select(
-        "label", F.explode(gram_arr).alias("gram")
-    ).filter(F.col("gram") != "")
-    cls_counts = (
-        stream.select(
-            "label",
-            F.pmod(_hash_int("gram", hash_mode), F.lit(buckets)).alias("bucket"),
+    if gram_counts is not None:
+        cls_counts = gram_counts.select("label", "bucket", "cnt")
+    else:
+        base = labeled.select(
+            F.col(label_col).alias("label"),
+            _token_array(text_col, lowercase).alias("__t"),
         )
-        .groupBy("label", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
+        arrs = _gram_arrays("__t", n_max)
+        gram_arr = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
+        stream = base.select(
+            "label", F.explode(gram_arr).alias("gram")
+        ).filter(F.col("gram") != "")
+        cls_counts = (
+            stream.select(
+                "label",
+                F.pmod(
+                    _hash_int("gram", hash_mode), F.lit(buckets)
+                ).alias("bucket"),
+            )
+            .groupBy("label", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
     labels = labeled.select(F.col(label_col).alias("label")).distinct()
     vocab = cls_counts.select("bucket").distinct()
     totals = cls_counts.groupBy("label").agg(F.sum("cnt").alias("__T"))
@@ -939,7 +978,11 @@ def train_nb_classifier(
 
 
 def nb_classify(
-    df: DataFrame, id_col: str, text_col: str, nb: dict
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    nb: dict,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Classify documents under a :func:`train_nb_classifier` model:
     ``argmax_c [ prior_c + Σ_b cnt_b·lw_cb ]`` with unseen-vocabulary
@@ -956,10 +999,20 @@ def nb_classify(
     explode → groupBy(doc, bucket) → broadcast join → two more
     doc-keyed aggregations. No shuffle ever carries more than
     |labels| rows per document.
+
+    ``features`` accepts a precomputed :func:`hashed_ngram_features`
+    frame (``(doc_id, bucket, cnt)`` at the model's own
+    buckets/n_max/hash_mode/lowercase) so one shared feature
+    materialization can feed several consumers; ``df`` is then unused.
+    Results are identical by construction.
     """
-    feats = hashed_ngram_features(
-        df, id_col, text_col, buckets=nb["buckets"], n_max=nb["n_max"],
-        hash_mode=nb["hash_mode"], lowercase=nb["lowercase"],
+    feats = (
+        features
+        if features is not None
+        else hashed_ngram_features(
+            df, id_col, text_col, buckets=nb["buckets"], n_max=nb["n_max"],
+            hash_mode=nb["hash_mode"], lowercase=nb["lowercase"],
+        )
     )
     n_per_doc = feats.groupBy("doc_id").agg(
         F.sum("cnt").cast("bigint").alias("n_grams")

@@ -3337,12 +3337,14 @@ WHERE sample_bucket < CASE domain WHEN 'books' THEN 'g' WHEN 'web' THEN '8000'
 """
 
 
-def q_text_vocab_topk(spark, sf):
+def q_text_vocab_topk(spark, sf, vocab=None):
     """Top-100 vocabulary by term frequency with document frequency —
-    aggregate first (map-side combine), rank the small result."""
+    aggregate first (map-side combine), rank the small result.
+    ``vocab=`` injects a shared precomputed `curation.vocabulary` frame
+    (suite-level fusion; values unchanged)."""
     from mallarddv_spark.operators.curation import vocab_topk
 
-    v = vocab_topk(_t(spark, sf, "documents"), "text", k=100)
+    v = vocab_topk(_t(spark, sf, "documents"), "text", k=100, vocab=vocab)
     return v.select(
         F.col("rank").cast("bigint").alias("rnk"), "word", "tf", "df"
     )
@@ -3365,13 +3367,14 @@ SELECT rnk, word, tf, df FROM r WHERE rnk <= 100
 """
 
 
-def q_text_rarity_score(spark, sf):
+def q_text_rarity_score(spark, sf, vocab=None):
     """Corpus-frequency rarity scoring (integer-exact perplexity stand-in):
     per-document sum/mean of each token's corpus term frequency. Vocab is
-    built once and broadcast back; exact bigint sums keep it hash-stable."""
+    built once and broadcast back; exact bigint sums keep it hash-stable.
+    ``vocab=`` injects a shared precomputed vocabulary frame."""
     from mallarddv_spark.operators.curation import doc_rarity
 
-    out = doc_rarity(_t(spark, sf, "documents"), "doc_id", "text")
+    out = doc_rarity(_t(spark, sf, "documents"), "doc_id", "text", vocab=vocab)
     return out.select(
         "doc_id",
         "n_tokens",
@@ -3396,7 +3399,7 @@ FROM j GROUP BY 1
 """
 
 
-def q_text_bigram_lm(spark, sf):
+def q_text_bigram_lm(spark, sf, lm=None):
     """CCNet-style fluency scoring (`operators/textops.train_bigram_lm` /
     `score_bigram_logprob`): a bigram LM is trained on the even-id half
     of the corpus and scores the odd-id half, so both the seen-bigram
@@ -3411,7 +3414,10 @@ def q_text_bigram_lm(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
-    lm = train_bigram_lm(d.filter(F.pmod("doc_id", F.lit(2)) == 0), "text")
+    if lm is None:
+        lm = train_bigram_lm(
+            d.filter(F.pmod("doc_id", F.lit(2)) == 0), "text"
+        )
     return score_bigram_logprob(
         d.filter(F.pmod("doc_id", F.lit(2)) == 1), "doc_id", "text", lm
     )
@@ -3461,7 +3467,7 @@ SELECT doc_id AS id, count(*) AS n_bigrams,
 FROM scored GROUP BY doc_id
 """
 
-def q_text_knlm(spark, sf):
+def q_text_knlm(spark, sf, lm=None):
     """Interpolated Kneser-Ney bigram scoring
     (`operators/textops.score_kn_logprob`) under the SAME even-half
     model as the `bigramlm` part — the KenLM-family smoothing CCNet
@@ -3476,7 +3482,10 @@ def q_text_knlm(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
-    lm = train_bigram_lm(d.filter(F.pmod("doc_id", F.lit(2)) == 0), "text")
+    if lm is None:
+        lm = train_bigram_lm(
+            d.filter(F.pmod("doc_id", F.lit(2)) == 0), "text"
+        )
     return score_kn_logprob(
         d.filter(F.pmod("doc_id", F.lit(2)) == 1), "doc_id", "text", lm
     )
@@ -3534,7 +3543,7 @@ FROM scored GROUP BY doc_id
 """
 
 
-def q_text_dsir(spark, sf):
+def q_text_dsir(spark, sf, features=None, target_features=None):
     """DSIR importance resampling (`operators/curation.dsir_importance` /
     `dsir_resample`, Xie et al. 2023): hashed bag-of-1..2-grams bucket
     counts, add-1-smoothed target/raw log-ratio λ per bucket (target =
@@ -3553,6 +3562,7 @@ def q_text_dsir(spark, sf):
     w = dsir_importance(
         d, d.filter(F.col("source") == "src0"), "doc_id", "text",
         buckets=4096, n_max=2, smoothing=1.0, hash_mode="md5",
+        features=features, target_features=target_features,
     )
     return dsir_resample(w, 100, hash_mode="md5", seed="dsir-v1").select(
         "doc_id",
@@ -3608,7 +3618,7 @@ SELECT doc_id, n_grams, rnk, gkey FROM r WHERE rnk <= 100
 """
 
 
-def q_text_nb_classify(spark, sf):
+def q_text_nb_classify(spark, sf, feats=None):
     """Hashed-feature multinomial Naive Bayes
     (`operators/curation.train_nb_classifier` / `nb_classify`) — the
     relational fastText-style classifier stand-in: trained closed-form on
@@ -3621,12 +3631,30 @@ def q_text_nb_classify(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
+    # feats = shared (doc_id, lang, bucket, cnt) hashed-gram frame (the
+    # suite's one materialized explode): per-class training counts and
+    # the odd-half classify features both re-derive from it exactly
+    gram_counts = None
+    cls_features = None
+    if feats is not None:
+        gram_counts = (
+            feats.filter(
+                (F.pmod("doc_id", F.lit(2)) == 0) & F.col("lang").isNotNull()
+            )
+            .groupBy(F.col("lang").alias("label"), "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        cls_features = feats.filter(F.pmod("doc_id", F.lit(2)) == 1).select(
+            "doc_id", "bucket", "cnt"
+        )
     nb = train_nb_classifier(
         d.filter(F.pmod("doc_id", F.lit(2)) == 0), "lang", "text",
         buckets=4096, n_max=2, smoothing=1.0, hash_mode="md5",
+        gram_counts=gram_counts,
     )
     return nb_classify(
-        d.filter(F.pmod("doc_id", F.lit(2)) == 1), "doc_id", "text", nb
+        d.filter(F.pmod("doc_id", F.lit(2)) == 1), "doc_id", "text", nb,
+        features=cls_features,
     )
 
 
@@ -3701,7 +3729,7 @@ _BM25_QUERIES = [
 ]
 
 
-def q_text_bm25(spark, sf):
+def q_text_bm25(spark, sf, run=None):
     """BM25 lexical retrieval (`operators/retrieval.bm25_topk`): top-20
     documents per query for three fixed queries over the corpus
     vocabulary ('dup' is the rare term, so the idf contrast is live).
@@ -3714,10 +3742,12 @@ def q_text_bm25(spark, sf):
     from mallarddv_spark.functions.litframe import literal_frame
     from mallarddv_spark.operators.retrieval import bm25_topk
 
-    queries = literal_frame(
-        spark, _BM25_QUERIES, "query_id string, query string"
-    )
-    return bm25_topk(_t(spark, sf, "documents"), queries, k=20).select(
+    if run is None:
+        queries = literal_frame(
+            spark, _BM25_QUERIES, "query_id string, query string"
+        )
+        run = bm25_topk(_t(spark, sf, "documents"), queries, k=20)
+    return run.select(
         "query_id",
         "doc_id",
         F.col("n_terms").cast("bigint").alias("n_terms"),
@@ -3820,7 +3850,7 @@ _EVAL_QREL_TERMS = [("q_hash", "hash"), ("q_sort", "sort"),
                     ("q_dup", "dup")]
 
 
-def q_text_eval_metrics(spark, sf):
+def q_text_eval_metrics(spark, sf, run=None, postings=None):
     """Retrieval-eval metrics over the BM25 run (`operators/evaluation`:
     recall_at_k / reciprocal_rank / ndcg_at_k) against deterministic
     graded qrels — the first oracle gate for the evaluation tier. The
@@ -3842,23 +3872,44 @@ def q_text_eval_metrics(spark, sf):
     # run and truth are result-set-sized (queries × 20 / qrel pairs);
     # the eager checkpoints keep the BM25 and qrel subtrees from
     # re-executing once per metric branch (measured: the un-pinned
-    # plan replicated the BM25 subtree ~6× and cost 3.3 s)
-    run = bm25_topk(docs, queries, k=20).select(
-        "query_id", F.col("doc_id").alias("neighbor_id"), "rnk"
-    ).localCheckpoint(eager=True)
+    # plan replicated the BM25 subtree ~6× and cost 3.3 s). When the
+    # suite passes its shared checkpointed `run`/`postings`, neither
+    # subtree touches the corpus again.
+    if run is None:
+        run = bm25_topk(docs, queries, k=20).select(
+            "query_id", F.col("doc_id").alias("neighbor_id"), "rnk"
+        ).localCheckpoint(eager=True)
+    else:
+        run = run.select(
+            "query_id", F.col("doc_id").alias("neighbor_id"), "rnk"
+        )
     qt = literal_frame(
         spark, _EVAL_QREL_TERMS, "query_id string, term string"
     )
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower("text")), _WS)).alias("w"),
-    ).filter(F.col("w") != "")
-    truth = (
-        toks.join(qt, toks.w == qt.term)
-        .groupBy("query_id", "doc_id")
-        .agg(F.least(F.count("*"), F.lit(3)).cast("double").alias("rel"))
-        .select("query_id", F.col("doc_id").alias("neighbor_id"), "rel")
-    ).localCheckpoint(eager=True)
+    if postings is not None:
+        # postings tf IS the per-(term, doc) occurrence count under the
+        # same tokenization (build_postings: split(trim(lower)) drop
+        # empties), so the qrel join over the token stream re-derives
+        # exactly: rel = least(tf, 3)
+        truth = (
+            postings.join(qt, postings.term == qt.term)
+            .select(
+                "query_id",
+                F.col("doc_id").alias("neighbor_id"),
+                F.least(F.col("tf"), F.lit(3)).cast("double").alias("rel"),
+            )
+        ).localCheckpoint(eager=True)
+    else:
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), _WS)).alias("w"),
+        ).filter(F.col("w") != "")
+        truth = (
+            toks.join(qt, toks.w == qt.term)
+            .groupBy("query_id", "doc_id")
+            .agg(F.least(F.count("*"), F.lit(3)).cast("double").alias("rel"))
+            .select("query_id", F.col("doc_id").alias("neighbor_id"), "rel")
+        ).localCheckpoint(eager=True)
     rec = recall_at_k(
         run, truth.select("query_id", "neighbor_id"), k=None
     ).select(
@@ -3902,7 +3953,7 @@ def q_text_eval_metrics(spark, sf):
     return rec.unionByName(rr).unionByName(nd).unionByName(ci_rows)
 
 
-def q_text_pplbucket(spark, sf):
+def q_text_pplbucket(spark, sf, scored=None):
     """CCNet head/middle/tail split (`operators/textops.
     perplexity_buckets`, Wenzek et al. 2020) over the bigram-LM scores
     of the odd-id half (same train/score split as the `bigramlm` part),
@@ -3911,7 +3962,8 @@ def q_text_pplbucket(spark, sf):
     doc id, so the ntile replays exactly."""
     from mallarddv_spark.operators.textops import perplexity_buckets
 
-    scored = q_text_bigram_lm(spark, sf)
+    if scored is None:
+        scored = q_text_bigram_lm(spark, sf)
     langs = _t(spark, sf, "documents").select(
         F.col("doc_id").alias("id"), "lang"
     )
@@ -5534,7 +5586,7 @@ O_TEXT_CHUNKING_WINNOW = (
 )
 
 
-def q_text_hybrid_rerank(spark, sf):
+def q_text_hybrid_rerank(spark, sf, bm=None):
     """The two-tier retrieval composition
     (`operators/retrieval.hybrid_rerank_topk`): the inline BM25 top-20
     shortlist for the three fixed queries, re-ranked by embedding cosine
@@ -5552,10 +5604,13 @@ def q_text_hybrid_rerank(spark, sf):
         hybrid_rerank_topk,
     )
 
-    queries = literal_frame(
-        spark, _BM25_QUERIES, "query_id string, query string"
-    )
-    hits = bm25_topk(_t(spark, sf, "documents"), queries, k=20)
+    if bm is None:
+        queries = literal_frame(
+            spark, _BM25_QUERIES, "query_id string, query string"
+        )
+        hits = bm25_topk(_t(spark, sf, "documents"), queries, k=20)
+    else:
+        hits = bm
     emb = _t(spark, sf, "embeddings")
     doc_vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
     query_vecs = emb.filter("vec_id < 3").select(
@@ -5605,7 +5660,7 @@ SELECT query_id, doc_id, cosine, rnk FROM (
 )
 
 
-def q_text_rrf(spark, sf):
+def q_text_rrf(spark, sf, bm=None):
     """Reciprocal-rank fusion (`operators/retrieval.rrf_fuse`, Cormack
     et al. 2009) of two heterogeneous retrievers: the inline BM25
     top-20 and the brute-force cosine top-20 (same query-vector
@@ -5621,10 +5676,11 @@ def q_text_rrf(spark, sf):
     from mallarddv_spark.operators.retrieval import bm25_topk, rrf_fuse
     from mallarddv_spark.operators.similarity import cosine_topk_bruteforce
 
-    queries = literal_frame(
-        spark, _BM25_QUERIES, "query_id string, query string"
-    )
-    bm = bm25_topk(_t(spark, sf, "documents"), queries, k=20)
+    if bm is None:
+        queries = literal_frame(
+            spark, _BM25_QUERIES, "query_id string, query string"
+        )
+        bm = bm25_topk(_t(spark, sf, "documents"), queries, k=20)
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter("vec_id < 3").select(
         F.expr(
@@ -5686,7 +5742,7 @@ FROM ragg QUALIFY rnk <= 10
 )
 
 
-def q_text_cmfreq(spark, sf):
+def q_text_cmfreq(spark, sf, tok_counts=None):
     """Count-min frequency estimation (`functions/sketches.cm_counts` /
     `cm_query`, md5 mode): token-occurrence frequencies for the nine
     distinct words of the fixed BM25 queries, estimated from a d=4,
@@ -5696,12 +5752,25 @@ def q_text_cmfreq(spark, sf):
     the never-under-count contract visible in the gate data itself."""
     from mallarddv_spark.functions import sketches as sk
 
-    toks = _t(spark, sf, "documents").select(
-        F.explode(
-            F.split(F.trim(F.lower("text")), r"\s+")
-        ).alias("tok")
-    ).filter(F.col("tok") != "")
-    counts = sk.cm_counts(toks, "tok", d=4, w=4096, hash_mode="md5")
+    # tok_counts= injects a shared (tok, cnt) distinct-token frequency
+    # frame (e.g. Σ tf over the suite's checkpointed BM25 postings —
+    # identical tokenization, identical counts). The sketch is then
+    # built via cm_counts' weight_col path: per-cell sums of per-token
+    # counts equal per-cell occurrence counts exactly, and the md5 cell
+    # hashing drops from 4× per token OCCURRENCE to 4× per DISTINCT
+    # token. The exact column reads the same frame.
+    if tok_counts is None:
+        toks = _t(spark, sf, "documents").select(
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("tok")
+        ).filter(F.col("tok") != "")
+        tok_counts = toks.groupBy("tok").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+    counts = sk.cm_counts(
+        tok_counts, "tok", d=4, w=4096, weight_col="cnt", hash_mode="md5"
+    )
     words = sorted({w for _, q in _BM25_QUERIES for w in q.split()})
     from mallarddv_spark.functions.litframe import literal_frame
 
@@ -5709,8 +5778,9 @@ def q_text_cmfreq(spark, sf):
     est = sk.cm_query(
         counts, probes, "word", d=4, w=4096, hash_mode="md5"
     )
-    exact = toks.groupBy(F.col("tok").alias("word")).agg(
-        F.count("*").cast("bigint").alias("exact_count")
+    exact = tok_counts.select(
+        F.col("tok").alias("word"),
+        F.col("cnt").cast("bigint").alias("exact_count"),
     )
     return (
         est.join(exact, "word", "left")
@@ -5786,8 +5856,104 @@ def q_text_frequency_suite(spark, sf):
     counts — integer state, byte-exact replay), pplbucket, evalmetrics
     (recall@/MRR/nDCG@10 of the BM25 run against deterministic graded
     qrels — the evaluation tier's first oracle gate; see
-    q_text_eval_metrics)."""
-    v = q_text_vocab_topk(spark, sf).select(
+    q_text_eval_metrics).
+
+    Suite-level fusion (round 14): the 13 parts used to re-derive the
+    same corpus subtrees independently — FOUR inline BM25 runs (each
+    paying an eager corpus-totals job + its own postings explode),
+    THREE bigram-LM trainings (each with an eager total-tokens job),
+    TWO bigram scorings of the odd half, THREE hashed-1..2-gram md5
+    explodes (dsir raw/target + nbcls train/classify), TWO
+    count-min/exact token explodes and TWO non-lowered vocabulary
+    explodes. Each shared subtree is now computed ONCE per suite call,
+    localCheckpointed (inside the timed region — nothing persists
+    across invocations), and injected into the unchanged part
+    functions; independent eager builds run from a small thread pool
+    so the tail of one job back-fills with the next (guide §2.6).
+    Every part's VALUES are identical by construction — same
+    operators, same arithmetic, one materialization."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.curation import (
+        hashed_ngram_features,
+        vocabulary,
+    )
+    from mallarddv_spark.operators.retrieval import bm25_topk, build_postings
+    from mallarddv_spark.operators.textops import (
+        score_bigram_logprob,
+        train_bigram_lm,
+    )
+
+    d = _t(spark, sf, "documents")
+    sc = spark.sparkContext
+
+    def _ckpt_vocab():
+        sc.setJobDescription("freqsuite: shared vocabulary")
+        return vocabulary(d, "text").localCheckpoint(eager=True)
+
+    def _ckpt_bm25():
+        # ONE postings build + ONE totals job feed the bm25, hybrid,
+        # rrf, evalmetrics and cmfreq parts (index-mode bm25_topk is
+        # the inline computation over the same postings/totals)
+        sc.setJobDescription("freqsuite: shared postings + BM25 run")
+        postings = build_postings(d).localCheckpoint(eager=True)
+        tot = postings.agg(
+            F.countDistinct("doc_id").alias("n"),
+            F.sum("tf").alias("s"),
+        ).first()
+        queries = literal_frame(
+            spark, _BM25_QUERIES, "query_id string, query string"
+        )
+        run = bm25_topk(
+            None, queries, k=20, postings=postings,
+            n_docs=int(tot.n), total_len=int(tot.s),
+        ).localCheckpoint(eager=True)
+        return postings, run
+
+    def _ckpt_lm():
+        sc.setJobDescription("freqsuite: shared bigram LM + scored odd half")
+        lmdict = train_bigram_lm(
+            d.filter(F.pmod("doc_id", F.lit(2)) == 0), "text"
+        )
+        lmdict["unigrams"] = lmdict["unigrams"].localCheckpoint(eager=True)
+        lmdict["bigrams"] = lmdict["bigrams"].localCheckpoint(eager=True)
+        scored = score_bigram_logprob(
+            d.filter(F.pmod("doc_id", F.lit(2)) == 1), "doc_id", "text",
+            lmdict,
+        ).localCheckpoint(eager=True)
+        return lmdict, scored
+
+    def _ckpt_feats():
+        sc.setJobDescription("freqsuite: shared hashed-gram features")
+        f = hashed_ngram_features(
+            d.repartition(32), "doc_id", "text", buckets=4096, n_max=2,
+            hash_mode="md5", lowercase=True,
+        )
+        meta = d.select("doc_id", "source", "lang")
+        return f.join(meta, "doc_id").localCheckpoint(eager=True)
+
+    def _store():
+        sc.setJobDescription("freqsuite: bm25store round-trip")
+        return q_text_bm25_store(spark, sf)
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_voc = pool.submit(_ckpt_vocab)
+        f_bm = pool.submit(_ckpt_bm25)
+        f_lm = pool.submit(_ckpt_lm)
+        f_feats = pool.submit(_ckpt_feats)
+        f_store = pool.submit(_store)
+        voc = f_voc.result()
+        postings, bmrun = f_bm.result()
+        lmdict, scored_lm = f_lm.result()
+        feats = f_feats.result()
+        store_df = f_store.result()
+    sc.setJobDescription(None)
+    tokc = postings.groupBy(F.col("term").alias("tok")).agg(
+        F.sum("tf").cast("bigint").alias("cnt")
+    )
+
+    v = q_text_vocab_topk(spark, sf, vocab=voc).select(
         F.lit("vocab").alias("part"),
         F.col("rnk").alias("id"),
         F.col("word").alias("term"),
@@ -5795,7 +5961,7 @@ def q_text_frequency_suite(spark, sf):
         F.col("df").alias("n2"),
         *_nulls(("d1", "double")),
     )
-    r = q_text_rarity_score(spark, sf).select(
+    r = q_text_rarity_score(spark, sf, vocab=voc).select(
         F.lit("rarity").alias("part"),
         F.col("doc_id").alias("id"),
         *_nulls(("term", "string")),
@@ -5803,7 +5969,7 @@ def q_text_frequency_suite(spark, sf):
         F.col("sum_tf").alias("n2"),
         F.col("mean_tf").alias("d1"),
     )
-    lm = q_text_bigram_lm(spark, sf).select(
+    lm = scored_lm.select(
         F.lit("bigramlm").alias("part"),
         "id",
         *_nulls(("term", "string")),
@@ -5811,7 +5977,7 @@ def q_text_frequency_suite(spark, sf):
         F.col("n_backoff").alias("n2"),
         F.col("avg_logprob").alias("d1"),
     )
-    kn = q_text_knlm(spark, sf).select(
+    kn = q_text_knlm(spark, sf, lm=lmdict).select(
         F.lit("knlm").alias("part"),
         "id",
         *_nulls(("term", "string")),
@@ -5819,7 +5985,13 @@ def q_text_frequency_suite(spark, sf):
         F.col("n_oov_ctx").alias("n2"),
         F.col("avg_logprob").alias("d1"),
     )
-    ds = q_text_dsir(spark, sf).select(
+    ds = q_text_dsir(
+        spark, sf,
+        features=feats.select("doc_id", "bucket", "cnt"),
+        target_features=feats.filter(F.col("source") == "src0").select(
+            "doc_id", "bucket", "cnt"
+        ),
+    ).select(
         F.lit("dsir").alias("part"),
         F.col("doc_id").alias("id"),
         *_nulls(("term", "string")),
@@ -5827,7 +5999,7 @@ def q_text_frequency_suite(spark, sf):
         F.col("rnk").alias("n2"),
         F.col("gkey").alias("d1"),
     )
-    nc = q_text_nb_classify(spark, sf).select(
+    nc = q_text_nb_classify(spark, sf, feats=feats).select(
         F.lit("nbcls").alias("part"),
         F.col("doc_id").alias("id"),
         F.col("predicted").alias("term"),
@@ -5835,7 +6007,7 @@ def q_text_frequency_suite(spark, sf):
         F.col("n_seen").alias("n2"),
         F.col("score").alias("d1"),
     )
-    bm = q_text_bm25(spark, sf).select(
+    bm = q_text_bm25(spark, sf, run=bmrun).select(
         F.lit("bm25").alias("part"),
         F.col("doc_id").alias("id"),
         F.col("query_id").alias("term"),
@@ -5843,7 +6015,7 @@ def q_text_frequency_suite(spark, sf):
         F.col("n_terms").alias("n2"),
         F.col("score").alias("d1"),
     )
-    bs = q_text_bm25_store(spark, sf).select(
+    bs = store_df.select(
         F.lit("bm25store").alias("part"),
         F.col("doc_id").alias("id"),
         F.col("query_id").alias("term"),
@@ -5851,7 +6023,7 @@ def q_text_frequency_suite(spark, sf):
         F.col("n_terms").alias("n2"),
         F.col("score").alias("d1"),
     )
-    hy = q_text_hybrid_rerank(spark, sf).select(
+    hy = q_text_hybrid_rerank(spark, sf, bm=bmrun).select(
         F.lit("hybrid").alias("part"),
         F.col("doc_id").alias("id"),
         F.col("query_id").alias("term"),
@@ -5859,7 +6031,7 @@ def q_text_frequency_suite(spark, sf):
         *_nulls(("n2", "bigint")),
         F.col("cosine").alias("d1"),
     )
-    rf = q_text_rrf(spark, sf).select(
+    rf = q_text_rrf(spark, sf, bm=bmrun).select(
         F.lit("rrf").alias("part"),
         F.col("doc_id").alias("id"),
         F.col("query_id").alias("term"),
@@ -5867,7 +6039,7 @@ def q_text_frequency_suite(spark, sf):
         F.col("n_runs").alias("n2"),
         F.col("rrf_score").alias("d1"),
     )
-    cm = q_text_cmfreq(spark, sf).select(
+    cm = q_text_cmfreq(spark, sf, tok_counts=tokc).select(
         F.lit("cmfreq").alias("part"),
         *_nulls(("id", "bigint")),
         F.col("word").alias("term"),
@@ -5875,7 +6047,7 @@ def q_text_frequency_suite(spark, sf):
         F.col("exact_count").alias("n2"),
         *_nulls(("d1", "double")),
     )
-    pb = q_text_pplbucket(spark, sf).select(
+    pb = q_text_pplbucket(spark, sf, scored=scored_lm).select(
         F.lit("pplbucket").alias("part"),
         "id",
         F.col("lang_bucket").alias("term"),
@@ -5883,7 +6055,7 @@ def q_text_frequency_suite(spark, sf):
         F.col("n_bigrams").alias("n2"),
         F.col("avg_logprob").alias("d1"),
     )
-    em = q_text_eval_metrics(spark, sf).select(
+    em = q_text_eval_metrics(spark, sf, run=bmrun, postings=postings).select(
         F.lit("evalmetrics").alias("part"),
         *_nulls(("id", "bigint")),
         F.concat_ws(":", "metric", "query_id").alias("term"),

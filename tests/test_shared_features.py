@@ -1,0 +1,86 @@
+"""Round-14 optimization plumbing: the precomputed-input hooks added so
+one materialized subtree can feed several consumers (`dsir_importance
+features=/target_features=`, `train_nb_classifier gram_counts=`,
+`nb_classify features=`, `vocab_topk vocab=`) must produce results
+IDENTICAL to the self-computing paths — they are pure sharing hooks,
+not semantic switches."""
+
+from pyspark.sql import functions as F
+
+from mallarddv_spark.operators.curation import (
+    dsir_importance,
+    hashed_ngram_features,
+    nb_classify,
+    train_nb_classifier,
+    vocab_topk,
+    vocabulary,
+)
+
+DOCS = [
+    (0, "en", "src0", "the quick brown fox jumps over the lazy dog"),
+    (1, "en", "src1", "pack my box with five dozen liquor jugs"),
+    (2, "de", "src0", "der schnelle braune fuchs springt"),
+    (3, "de", "src1", "der faule hund schlaeft den ganzen tag"),
+    (4, "en", "src1", "the dog and the fox are friends"),
+    (5, "de", "src0", "fuchs und hund sind freunde der nacht"),
+    (6, "en", "src1", ""),
+    (7, "de", "src1", "hund hund hund fuchs"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id bigint, lang string, source string, text string"
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_dsir_features_injection_identical(spark):
+    d = _docs(spark)
+    tgt = d.filter(F.col("source") == "src0")
+    base = dsir_importance(d, tgt, "doc_id", "text", buckets=256)
+    feats = hashed_ngram_features(d, "doc_id", "text", buckets=256)
+    tfe = hashed_ngram_features(tgt, "doc_id", "text", buckets=256)
+    inj = dsir_importance(
+        d, tgt, "doc_id", "text", buckets=256,
+        features=feats, target_features=tfe,
+    )
+    assert _rows(base) == _rows(inj)
+
+
+def test_nb_gram_counts_and_features_injection_identical(spark):
+    d = _docs(spark)
+    train = d.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    test = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    nb_a = train_nb_classifier(train, "lang", "text", buckets=128)
+    out_a = nb_classify(test, "doc_id", "text", nb_a)
+
+    feats = hashed_ngram_features(d, "doc_id", "text", buckets=128)
+    feats = feats.join(d.select("doc_id", "lang"), "doc_id")
+    gram_counts = (
+        feats.filter(
+            (F.pmod("doc_id", F.lit(2)) == 0) & F.col("lang").isNotNull()
+        )
+        .groupBy(F.col("lang").alias("label"), "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    nb_b = train_nb_classifier(
+        train, "lang", "text", buckets=128, gram_counts=gram_counts
+    )
+    out_b = nb_classify(
+        test, "doc_id", "text", nb_b,
+        features=feats.filter(F.pmod("doc_id", F.lit(2)) == 1).select(
+            "doc_id", "bucket", "cnt"
+        ),
+    )
+    assert _rows(out_a) == _rows(out_b)
+
+
+def test_vocab_topk_injection_identical(spark):
+    d = _docs(spark)
+    base = vocab_topk(d, "text", k=5)
+    inj = vocab_topk(d, "text", k=5, vocab=vocabulary(d, "text"))
+    assert _rows(base) == _rows(inj)
