@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from mallarddv_spark.exceptions import DVConfigurationError
+from mallarddv_spark.functions.litframe import sql_literal as _sql_lit
 
 __all__ = [
     "word_frequencies", "byte_word_frequencies", "train_bpe",
@@ -174,10 +175,18 @@ def _merge_expr(sym_col: str, a_col, b_col):
     """Greedy left-to-right merge of adjacent (a, b) into ab — one fold,
     no UDF. "a a a" + (a,a) -> ["aa", "a"], because the merged token no
     longer equals a bare "a"."""
-    return F.expr(
-        f"aggregate({sym_col}, cast(array() as array<string>), (acc, x) -> "
-        f"IF(size(acc) > 0 AND element_at(acc, -1) = {a_col} AND x = {b_col}, "
-        f"concat(slice(acc, 1, size(acc) - 1), array(concat({a_col}, {b_col}))), "
+    return F.expr(_merge_expr_sql(sym_col, a_col, b_col))
+
+
+def _merge_expr_sql(sym_expr: str, a_sql: str, b_sql: str) -> str:
+    """:func:`_merge_expr` as expression TEXT over an arbitrary symbol
+    sub-expression — the sequential replay composes one of these per
+    merge into a single projection (nesting is linear: the previous
+    step's expression appears exactly once, as the fold input)."""
+    return (
+        f"aggregate({sym_expr}, cast(array() as array<string>), (acc, x) -> "
+        f"IF(size(acc) > 0 AND element_at(acc, -1) = {a_sql} AND x = {b_sql}, "
+        f"concat(slice(acc, 1, size(acc) - 1), array(concat({a_sql}, {b_sql}))), "
         f"concat(acc, array(x))))"
     )
 
@@ -406,12 +415,33 @@ def train_bpe(
 def _rank_map_cell(spark, merges):
     """One-row ``map<struct<a,b>, rank>`` cell over a merge list — the
     broadcast side of the fold replay (struct keys: no separator-char
-    assumption on symbol contents)."""
+    assumption on symbol contents). Built as a pure Catalyst literal
+    (no pickled-RDD scan, no Python workers at action time) up to the
+    ``literal_map_cell`` size bound; vocabulary-scale lists keep the
+    ``createDataFrame`` build."""
+    from mallarddv_spark.functions.litframe import (
+        literal_map_cell, sql_literal,
+    )
+
+    if len(merges) <= 8192:
+        return literal_map_cell(
+            spark,
+            [
+                (
+                    f"named_struct('a', {sql_literal(a)}, "
+                    f"'b', {sql_literal(b)})",
+                    str(i),
+                )
+                for i, (a, b) in enumerate(merges)
+            ],
+            "struct<a:string,b:string>",
+            "int",
+            "__mmap",
+        )
     return spark.createDataFrame(
-        [(a, b, i) for i, (a, b) in enumerate(merges)]
-        or [(None, None, None)],
+        [(a, b, i) for i, (a, b) in enumerate(merges)],
         "a string, b string, r int",
-    ).filter(F.col("a").isNotNull()).agg(
+    ).agg(
         F.map_from_entries(
             F.collect_list(
                 F.expr("struct(named_struct('a', a, 'b', b), r)")
@@ -535,16 +565,25 @@ def bpe_encode_words(words: DataFrame, bpe: dict, word_col: str = "word",
                 F.expr(_fold_replay_expr("__syms")).alias("tokens"),
             )
         )
+    # compose the rank-ordered passes into nested expressions — one
+    # projection per `checkpoint_every` merges instead of two selects
+    # per merge (driver-side construction was O(merges) py4j calls and
+    # fired an EAGER checkpoint job mid-construction for every batch;
+    # small replays are now a single fully-lazy select, and long
+    # explicit-sequential replays keep the plan-depth checkpoints
+    # BETWEEN batches). Token output is unchanged: ProjectCollapsing
+    # produced exactly this composed expression from the old per-merge
+    # selects.
     out = words.select(word_col, init.alias("tokens"))
-    for i, (a, b) in enumerate(bpe["merges"]):
-        out = out.select(
-            word_col,
-            F.lit(a).alias("__ma"),
-            F.lit(b).alias("__mb"),
-            "tokens",
-        ).select(word_col, _merge_expr("tokens", "__ma", "__mb").alias("tokens"))
-        if (i + 1) % checkpoint_every == 0:
+    merges = list(bpe["merges"])
+    seq_batch = max(int(checkpoint_every), 48)
+    for start in range(0, len(merges), seq_batch):
+        if start:
             out = out.localCheckpoint(eager=True)
+        expr = "tokens"
+        for a, b in merges[start:start + seq_batch]:
+            expr = _merge_expr_sql(expr, _sql_lit(a), _sql_lit(b))
+        out = out.select(word_col, F.expr(expr).alias("tokens"))
     return out
 
 
@@ -883,15 +922,11 @@ def tokens_to_ids(
     unknown tokens — with ``unk_id=None`` an unknown token yields a
     NULL element, which downstream asserts can catch loudly instead of
     training on silently-wrong ids."""
+    from mallarddv_spark.functions.litframe import scalar_map_cell
+
     spark = df.sparkSession
     rows = [(k, int(v)) for k, v in vocab.items()]
-    vmap = spark.createDataFrame(
-        rows or [(None, None)], "k string, v int"
-    ).filter(F.col("k").isNotNull()).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("k", "v"))
-        ).alias("__vmap")
-    )
+    vmap = scalar_map_cell(spark, rows, "string", "int", "__vmap")
     fallback = (
         F.lit(None).cast("int") if unk_id is None
         else F.lit(int(unk_id))
@@ -955,11 +990,7 @@ def inverse_vocab_map(spark, vocab: dict) -> DataFrame:
     (corruption, a foreign corpus) misses the map and yields NULL —
     it can never wrap around onto a small valid id and decode to a
     silently-wrong token."""
+    from mallarddv_spark.functions.litframe import scalar_map_cell
+
     rows = [(int(v), k) for k, v in vocab.items()]
-    return spark.createDataFrame(
-        rows or [(None, None)], "v bigint, k string"
-    ).filter(F.col("v").isNotNull()).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("v", "k"))
-        ).alias("__ivmap")
-    )
+    return scalar_map_cell(spark, rows, "bigint", "string", "__ivmap")

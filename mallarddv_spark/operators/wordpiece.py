@@ -232,16 +232,11 @@ def wordpiece_encode_words(
     zero shuffles; cost ∝ distinct words, never the corpus (the
     :func:`unigram.unigram_encode_words` shape).
     """
+    from mallarddv_spark.functions.litframe import scalar_map_cell
+
     spark = words.sparkSession
-    vmap = (
-        spark.createDataFrame(
-            [(p,) for p in model["vocab"]], "piece string"
-        )
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("piece"), F.lit(1)))
-            ).alias("__vmap")
-        )
+    vmap = scalar_map_cell(
+        spark, [(p, 1) for p in model["vocab"]], "string", "int", "__vmap"
     )
     walk = _wp_greedy_expr(word_col)
     return (
