@@ -446,6 +446,21 @@ def _write_params(
     ).coalesce(1).write.mode("overwrite").parquet(target)
 
 
+def _totals_from_postings(postings: DataFrame, id_col: str):
+    """Corpus totals derived from a posting table instead of a second
+    corpus tokenization: N = distinct documents (exactly the docs with
+    >= 1 token — empty docs have no posting rows), total_len = sum of
+    the per-document ``dl`` (functionally dependent on the id, so the
+    arbitrary row ``dropDuplicates`` keeps carries the right value).
+    Identical to :func:`_corpus_totals` by construction."""
+    r = (
+        postings.dropDuplicates([id_col])
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .first()
+    )
+    return int(r.n or 0), int(r.s or 0)
+
+
 def build_bm25_index(
     df: DataFrame,
     path: str,
@@ -454,6 +469,7 @@ def build_bm25_index(
     lowercase: bool = True,
     term_buckets: int = 64,
     max_df_frac: float | None = None,
+    postings: DataFrame | None = None,
 ) -> dict:
     """Materialize a BM25 inverted index on disk so every future probe
     scores stored postings instead of re-tokenizing the corpus.
@@ -471,8 +487,17 @@ def build_bm25_index(
     is frozen at build — rebuild to re-evaluate the cutoff.
     """
     spark = df.sparkSession
-    postings = build_postings(df, id_col, text_col, lowercase)
-    n_docs, total_len = _corpus_totals(df, id_col, text_col, lowercase)
+    if postings is None:
+        # two corpus passes (tokenize for postings + tokenize for
+        # totals) only in the standalone path; a caller who already
+        # holds the posting rows (e.g. a shared suite checkpoint)
+        # passes them and the totals come from the postings themselves
+        postings = build_postings(df, id_col, text_col, lowercase)
+        n_docs, total_len = _corpus_totals(df, id_col, text_col, lowercase)
+    else:
+        # BEFORE any stop-list pruning: totals must count every doc
+        # with >= 1 token, exactly like _corpus_totals
+        n_docs, total_len = _totals_from_postings(postings, id_col)
     if max_df_frac is not None:
         if not 0.0 < max_df_frac <= 1.0:
             raise DVConfigurationError(
@@ -525,16 +550,26 @@ def _index_params(spark: SparkSession, path: str) -> dict:
     return spark.read.parquet(f"{path}/params").first().asDict()
 
 
-def bm25_index_append(df: DataFrame, path: str, text_col: str = "text") -> None:
+def bm25_index_append(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> None:
     """Add a new batch to the stored index without touching existing
     postings: append the batch's posting rows (anti-joined against the
     build-time stop list, if one exists — a term dropped at build stays
     dropped), then swap in updated corpus totals (staged-rename — the
     totals flip atomically). Caller dedups ids; tokenizer settings come
-    from the index itself."""
+    from the index itself. ``postings`` short-circuits the batch
+    tokenization when the caller already holds the batch's posting
+    rows (the :func:`build_bm25_index` sharing hook); the totals delta
+    then derives from those rows."""
     spark = df.sparkSession
     p = _index_params(spark, path)
-    postings = build_postings(df, p["id_col"], text_col, p["lowercase"])
+    pre = postings
+    if postings is None:
+        postings = build_postings(df, p["id_col"], text_col, p["lowercase"])
     Path = spark._jvm.org.apache.hadoop.fs.Path
     sl = Path(f"{path}/stoplist")
     if sl.getFileSystem(spark._jsc.hadoopConfiguration()).exists(sl):
@@ -543,7 +578,13 @@ def bm25_index_append(df: DataFrame, path: str, text_col: str = "text") -> None:
     postings.withColumn(
         "tbucket", _tbucket(p["term_buckets"])
     ).write.partitionBy("tbucket").mode("append").parquet(f"{path}/postings")
-    n_docs, total_len = _corpus_totals(df, p["id_col"], text_col, p["lowercase"])
+    if pre is None:
+        n_docs, total_len = _corpus_totals(
+            df, p["id_col"], text_col, p["lowercase"]
+        )
+    else:
+        # pre-stoplist rows, like the totals the standalone path counts
+        n_docs, total_len = _totals_from_postings(pre, p["id_col"])
     from mallarddv_spark.sources import layout
 
     _write_params(

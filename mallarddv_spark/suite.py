@@ -3762,7 +3762,7 @@ def q_text_bm25(spark, sf, run=None):
     )
 
 
-def q_text_bm25_store(spark, sf):
+def q_text_bm25_store(spark, sf, postings=None):
     """The STORED-index round-trip (`operators/retrieval.build_bm25_index`
     → `bm25_index_append` → `bm25_index_probe`): the index is built on
     disk from the even-id half of the corpus, the odd-id half is appended
@@ -3781,8 +3781,19 @@ def q_text_bm25_store(spark, sf):
 
     docs = _t(spark, sf, "documents")
     path = _scratch_dir("bm25_gate_") + "/idx"
-    build_bm25_index(docs.filter("doc_id % 2 = 0"), path, term_buckets=16)
-    bm25_index_append(docs.filter("doc_id % 2 = 1"), path)
+    # `postings` (full-corpus posting rows, e.g. the frequency suite's
+    # shared checkpoint) short-circuits all four corpus tokenizations
+    # of the round-trip: the even/odd halves are plain parity filters
+    # of the posting rows (postings are per (term, doc) — a doc filter
+    # commutes with the build), and the stored totals derive from the
+    # same rows. Identical bytes on disk by construction; the oracle
+    # (inline replay over the full corpus) gates the equivalence.
+    even = postings.filter("doc_id % 2 = 0") if postings is not None else None
+    odd = postings.filter("doc_id % 2 = 1") if postings is not None else None
+    build_bm25_index(
+        docs.filter("doc_id % 2 = 0"), path, term_buckets=16, postings=even,
+    )
+    bm25_index_append(docs.filter("doc_id % 2 = 1"), path, postings=odd)
     queries = literal_frame(
         spark, _BM25_QUERIES, "query_id string, query string"
     )
@@ -5940,8 +5951,12 @@ def q_text_frequency_suite(spark, sf):
         return f.join(meta, "doc_id").localCheckpoint(eager=True)
 
     def _store():
+        # blocks on the shared postings checkpoint, then the whole
+        # round-trip is parity filters + writes + the pruned probe —
+        # zero corpus tokenizations (previously four: postings + totals
+        # for each of build and append)
         sc.setJobDescription("freqsuite: bm25store round-trip")
-        return q_text_bm25_store(spark, sf)
+        return q_text_bm25_store(spark, sf, postings=f_bm.result()[0])
 
     with ThreadPoolExecutor(max_workers=5) as pool:
         f_voc = pool.submit(_ckpt_vocab)

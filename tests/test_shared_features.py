@@ -84,3 +84,45 @@ def test_vocab_topk_injection_identical(spark):
     base = vocab_topk(d, "text", k=5)
     inj = vocab_topk(d, "text", k=5, vocab=vocabulary(d, "text"))
     assert _rows(base) == _rows(inj)
+
+
+def test_bm25_index_postings_injection_identical(spark, tmp_path):
+    """build_bm25_index/bm25_index_append with postings= (the round-14
+    sharing hook) must store byte-identical postings AND totals vs the
+    self-tokenizing path — probe results and stored params both match."""
+    from mallarddv_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_probe,
+        build_bm25_index,
+        build_postings,
+    )
+
+    d = _docs(spark)
+    even = d.filter("doc_id % 2 = 0")
+    odd = d.filter("doc_id % 2 = 1")
+    q = spark.createDataFrame(
+        [("q1", "fox dog"), ("q2", "hund der")],
+        "query_id string, query string",
+    )
+
+    p_a = str(tmp_path / "idx_a")
+    build_bm25_index(even, p_a, term_buckets=4)
+    bm25_index_append(odd, p_a)
+
+    shared = build_postings(d)
+    p_b = str(tmp_path / "idx_b")
+    build_bm25_index(
+        even, p_b, term_buckets=4,
+        postings=shared.filter("doc_id % 2 = 0"),
+    )
+    bm25_index_append(odd, p_b, postings=shared.filter("doc_id % 2 = 1"))
+
+    pa = spark.read.parquet(f"{p_a}/params").first().asDict()
+    pb = spark.read.parquet(f"{p_b}/params").first().asDict()
+    assert pa == pb
+    assert _rows(spark.read.parquet(f"{p_a}/postings")) == _rows(
+        spark.read.parquet(f"{p_b}/postings")
+    )
+    assert _rows(bm25_index_probe(spark, p_a, q, k=5)) == _rows(
+        bm25_index_probe(spark, p_b, q, k=5)
+    )
