@@ -395,8 +395,14 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.3,
     max_shingle_df: int | None = 1000,
+    pair_counts: DataFrame | None = None,
 ) -> DataFrame:
     """All near-dup pairs with exact n-gram Jaccard ≥ ``threshold``.
+
+    ``pair_counts`` optionally injects a precomputed
+    ``_shingle_pair_counts`` frame (a pure sharing hook — the whole
+    candidate machinery is identical for the Jaccard and containment
+    scorers, so one materialization can feed both).
 
     Candidate pairs come from grouping by shingle and exploding intra-group
     combinations JVM-side — the shingle subtree is aggregated once per use
@@ -414,8 +420,15 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, inter, sz_a, sz_b, jaccard), doc_a < doc_b.
     """
+    base = (
+        pair_counts
+        if pair_counts is not None
+        else _shingle_pair_counts(
+            df, id_col, text_col, shingle_size, max_shingle_df
+        )
+    )
     return (
-        _shingle_pair_counts(df, id_col, text_col, shingle_size, max_shingle_df)
+        base
         .withColumn(
             "jaccard",
             F.expr("round(cast(inter as double) / (sz_a + sz_b - inter), 6)"),
@@ -432,6 +445,7 @@ def containment_pairs(
     shingle_size: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
+    pair_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Document-pair INCLUSION detection: asymmetric shingle containment
     ``C(A in B) = |S(A) ∩ S(B)| / |S(A)|`` (Broder 1997's *containment*,
@@ -457,8 +471,12 @@ def containment_pairs(
     downstream policy typically drops the CONTAINED side
     (``sz_a <= sz_b ? doc_a : doc_b``) to keep the superset document.
     """
-    base = _shingle_pair_counts(
-        df, id_col, text_col, shingle_size, max_shingle_df
+    base = (
+        pair_counts
+        if pair_counts is not None
+        else _shingle_pair_counts(
+            df, id_col, text_col, shingle_size, max_shingle_df
+        )
     )
     return (
         base.withColumn(

@@ -994,14 +994,25 @@ def q_dedup_ngram_jaccard(spark, sf):
     this dataset, so the oracle's matching HAVING clause prunes nothing
     and values stay exact)."""
     from mallarddv_spark.operators.dedup import (
+        _shingle_pair_counts,
         containment_pairs,
         ngram_jaccard_pairs,
     )
 
     d = _t(spark, sf, "documents")
+    # the candidate machinery (shingle explode → df cut → pair
+    # explosion → intersection counts + sizes) is IDENTICAL for both
+    # scorers; one eager checkpoint feeds them (fresh RDD per call —
+    # nothing persists across invocations). Even deduping only the
+    # base SCAN measured 8.5 -> 5.7 s warm at sf0.1; sharing the whole
+    # candidate subtree removes the second full pipeline too.
+    pc = _shingle_pair_counts(
+        d, "doc_id", "text", 3, 1000
+    ).localCheckpoint(eager=True)
     j = ngram_jaccard_pairs(
         d, "doc_id", "text",
         shingle_size=3, threshold=0.30, max_shingle_df=1000,
+        pair_counts=pc,
     ).select(
         F.lit("jaccard").alias("part"),
         "doc_a", "doc_b", "inter", "sz_a", "sz_b",
@@ -1011,6 +1022,7 @@ def q_dedup_ngram_jaccard(spark, sf):
     c = containment_pairs(
         d, "doc_id", "text",
         shingle_size=3, threshold=0.20, max_shingle_df=1000,
+        pair_counts=pc,
     ).select(
         F.lit("contain").alias("part"),
         "doc_a", "doc_b", "inter", "sz_a", "sz_b",
@@ -1688,8 +1700,14 @@ def q_adv_text_profile(spark, sf):
     oracle (whose len()/length() return BIGINT)."""
     from mallarddv_spark.operators import textops
 
+    # pre-split the single-file scan: the whole profile is ONE wide
+    # projection (regex battery + repetition folds) that otherwise
+    # runs as a single task to the first exchange. Measured at sf0.1:
+    # 1.8 -> 0.7 s warm min-of-2.
     prof = textops.text_profile(
-        _t(spark, sf, "documents"), "doc_id", "text",
+        _t(spark, sf, "documents")
+        .repartition(spark.sparkContext.defaultParallelism),
+        "doc_id", "text",
         with_repetition=True, top_ns=(2,), dup_ns=(5,),
     )
     return prof.select(
@@ -4374,7 +4392,18 @@ def q_text_doc_stats(spark, sf):
     pytest-only: the `export_gpt2_files` interop path rests on it)."""
     from mallarddv_spark.operators.curation import bpe_token_count
 
-    d = _t(spark, sf, "documents")
+    # ONE pre-split materialization of the corpus feeds all eight
+    # subtrees (base stats, script profile, trained-lang scoring, four
+    # encode gates, the shared word stream): the single-file parquet
+    # otherwise re-decodes as a serial one-task scan in every subtree.
+    # Eager localCheckpoint inside the timed call — a fresh RDD per
+    # invocation, nothing persists across runs. Measured A/B in one
+    # session at sf0.1: 15.8 s -> 9.3 s warm.
+    d = (
+        _t(spark, sf, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     toks = F.split(F.trim("text"), _WS)
     votes = {
         lang: f"size(filter(split(trim(text),'{_WS_SQL}'), x -> x IN ({words})))"

@@ -126,3 +126,34 @@ def test_bm25_index_postings_injection_identical(spark, tmp_path):
     assert _rows(bm25_index_probe(spark, p_a, q, k=5)) == _rows(
         bm25_index_probe(spark, p_b, q, k=5)
     )
+
+
+def test_pair_counts_injection_identical(spark):
+    """ngram_jaccard_pairs/containment_pairs with pair_counts= (the
+    round-14 sharing hook: one candidate materialization feeds both
+    scorers) must equal the self-computing paths row for row."""
+    from mallarddv_spark.operators.dedup import (
+        _shingle_pair_counts,
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (0, "a b c d e f g"),
+        (1, "a b c d e f h"),
+        (2, "a b c d e f g"),
+        (3, "x y z w v u t"),
+        (4, "a b c x y z w v u t s r q"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pc = _shingle_pair_counts(d, "doc_id", "text", 3, 1000)
+    for fn, kw in (
+        (ngram_jaccard_pairs, dict(threshold=0.2)),
+        (containment_pairs, dict(threshold=0.2)),
+    ):
+        base = fn(d, "doc_id", "text", shingle_size=3,
+                  max_shingle_df=1000, **kw)
+        inj = fn(d, "doc_id", "text", shingle_size=3,
+                 max_shingle_df=1000, pair_counts=pc, **kw)
+        assert _rows(base) == _rows(inj)
+        assert len(_rows(base)) > 0
