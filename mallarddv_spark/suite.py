@@ -886,10 +886,6 @@ def q_dedup_cluster_assign(spark, sf):
             )
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
-    cluster = dedup_assign(d, "doc_id", pairs).select(
-        F.lit("cluster").alias("part"), "id", "cluster_id", "keep",
-        *_nulls(("rankm", "double")),
-    )
     n = _parquet_rows(sf, "documents")
     edges = (
         d.select(
@@ -910,7 +906,37 @@ def q_dedup_cluster_assign(spark, sf):
     # rides a broadcast whose subtree re-executes the entire prior
     # lineage (no cross-subtree reuse), compounding per round; the
     # per-round cut pays 5 small jobs but evaluates each round once.
-    pr = pagerank(edges, damping=0.85, max_iter=5, tol=None)
+    #
+    # r14: the two parts' EAGER round chains (label-propagation
+    # checkpoints, per-round pagerank checkpoints) are independent and
+    # each leaves most of local[32] idle between tiny jobs — run them
+    # from a 2-thread pool so one chain back-fills the other's gaps
+    # (guide §2.6). Per-part results are byte-identical: the operators
+    # share no state and each thread's job sequence is unchanged.
+    # Attribution before the change: 6.25 s call phase + 0.15 s action
+    # (the whole query is call-phase eager work).
+    from concurrent.futures import ThreadPoolExecutor
+
+    sc = spark.sparkContext
+
+    def _cluster():
+        sc.setJobDescription("cluster_assign: connected components")
+        return dedup_assign(d, "doc_id", pairs)
+
+    def _pagerank():
+        sc.setJobDescription("cluster_assign: pagerank rounds")
+        return pagerank(edges, damping=0.85, max_iter=5, tol=None)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cl = pool.submit(_cluster)
+        f_pr = pool.submit(_pagerank)
+        assigned = f_cl.result()
+        pr = f_pr.result()
+    sc.setJobDescription(None)
+    cluster = assigned.select(
+        F.lit("cluster").alias("part"), "id", "cluster_id", "keep",
+        *_nulls(("rankm", "double")),
+    )
     prp = pr.select(
         F.lit("pagerank").alias("part"),
         F.col("node").alias("id"),

@@ -23,6 +23,7 @@ PARTS = {
     "asof_purchase_click": ["asof", "range", "overlap"],
     "sql_subquery_suite": ["set_ops", "exists", "percentile"],
     "adv_ann_suite": ["lsh", "ivf", "ivfpqstore"],
+    "adv_neardup_suite": ["minhash_lsh", "simhash", "embedding_lsh"],
     "dedup_ngram_jaccard": ["jaccard", "contain"],
     "dedup_cluster_assign": ["cluster", "pagerank"],
     "text_frequency_suite": ["vocab", "rarity", "bigramlm", "knlm", "dsir", "nbcls", "bm25", "bm25store", "hybrid", "rrf", "cmfreq", "pplbucket", "evalmetrics"],
