@@ -991,7 +991,10 @@ def build_ivfpq_index(
         F.col(id_col).alias("neighbor_id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cv"),
     )
-    n_corpus = corpus.count()
+    # the two bookkeeping counts are only consumed by the returned dict
+    # on the pre-trained path — defer them into the overlapped job block
+    # below; the KMeans path needs n_corpus up front (sample fraction).
+    n_corpus = None
     if centroids is not None:
         cent_df = centroids.select(
             F.col("centroid_id").cast("int").alias("centroid_id"),
@@ -999,9 +1002,10 @@ def build_ivfpq_index(
                 "transform(centroid, x -> cast(x as double))"
             ).alias("centroid"),
         )
-        n_centroids = cent_df.count()
+        n_centroids = None
         resid = _assign_residuals(c, cent_df)
     else:
+        n_corpus = corpus.count()
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -1049,11 +1053,37 @@ def build_ivfpq_index(
         # tasks × cells tiny files dominates; leave None at scale — a
         # billion-row cell should NOT be forced through one task.
         out = out.repartition(int(cell_files), "centroid_id")
-    out.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{path}/cells"
-    )
-    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    books.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    # the three section writes (disjoint directories) and the two
+    # bookkeeping counts are independent jobs that otherwise run back to
+    # back on a mostly-idle scheduler — overlap them (small fixed pool;
+    # each job's own tasks still fan out across the executor).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_cells():
+        out.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{path}/cells"
+        )
+
+    def _w_cent():
+        cent_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        )
+
+    def _w_books():
+        books.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/codebooks"
+        )
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = [pool.submit(f) for f in (_w_cells, _w_cent, _w_books)]
+        f_nc = pool.submit(corpus.count) if n_corpus is None else None
+        f_k = pool.submit(cent_df.count) if n_centroids is None else None
+        for f in futs:
+            f.result()
+        if f_nc is not None:
+            n_corpus = f_nc.result()
+        if f_k is not None:
+            n_centroids = f_k.result()
     return {
         "path": path, "n_centroids": n_centroids, "m": m,
         "n_codes": n_codes, "n_rows": n_corpus,
@@ -1083,7 +1113,6 @@ def ivfpq_probe_topk(
     spark = queries.sparkSession
     cent = spark.read.parquet(f"{path}/centroids")
     books = spark.read.parquet(f"{path}/codebooks")
-    dsub = int(books.select("dsub").first().dsub)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1101,15 +1130,27 @@ def ivfpq_probe_topk(
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "qv", "centroid_id", "centroid")
     )
+    # the geometry fetch and the cell-pruning collect are independent
+    # eager jobs — overlap them instead of paying two serial round-trips
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_dsub = pool.submit(lambda: int(books.select("dsub").first().dsub))
+        f_ids = pool.submit(
+            lambda: sorted(
+                {
+                    r.centroid_id
+                    for r in probes.select("centroid_id").distinct().collect()
+                }
+            )
+        )
+        dsub = f_dsub.result()
+        probed_ids = f_ids.result()
     # per-(query, cell) residual distance table over the shared codebook
     table = adc_table_expr("zip_with(qv, centroid, (x, y) -> x - y)", dsub)
     probes_t = probes.crossJoin(
         F.broadcast(books.select(F.col("cb").alias("__cb")))
     ).select("query_id", "qv", "centroid_id", F.expr(table).alias("__t"))
-
-    probed_ids = sorted(
-        {r.centroid_id for r in probes.select("centroid_id").distinct().collect()}
-    )
     cells = spark.read.parquet(f"{path}/cells").filter(
         F.col("centroid_id").isin(probed_ids)
     )
