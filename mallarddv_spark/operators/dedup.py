@@ -109,8 +109,12 @@ def minhash_signatures(
     shingle_size: int = 3,
     max_shingle_df: int | None = None,
     hash_mode: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """K-permutation MinHash signatures as columns ``sig_0..sig_{K-1}``.
+
+    ``shingles`` injects a precomputed :func:`_shingles` frame (same
+    ``shingle_size``) — see :func:`minhash_lsh_pairs`.
 
     Shingle ints come from xxhash64 by default (JVM, fast); permutations
     are universal hashes ``(a·x + b) mod p``. ``hash_mode='md5'`` swaps in
@@ -120,7 +124,11 @@ def minhash_signatures(
     documents — at scale these contribute nothing to discrimination but
     dominate bucket sizes.
     """
-    sh = _shingles(df, id_col, text_col, shingle_size)
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingles(df, id_col, text_col, shingle_size)
+    )
     if max_shingle_df:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = sh.join(
@@ -130,9 +138,14 @@ def minhash_signatures(
         )
     x = (_hash_int("shingle", hash_mode) % _MH_P).alias("x")
     exploded = sh.select("doc_id", x)
+    # each permutation min as ONE parsed SQL expression: the per-Column
+    # construction (lit * col + lit, % , alias — ~8 py4j round-trips per
+    # permutation) measured ~2.5 s of pure driver↔JVM chatter for 32
+    # permutations at call time; the parsed text is the same expression
     aggs = [
-        F.min((F.lit(97 + 13 * i) * F.col("x") + F.lit(911 + 7919 * i)) % _MH_P).alias(
-            f"sig_{i}"
+        F.expr(
+            f"min(({97 + 13 * i} * x + {911 + 7919 * i}) % {_MH_P}) "
+            f"AS sig_{i}"
         )
         for i in range(num_perm)
     ]
@@ -197,8 +210,18 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     max_shingle_df: int | None = None,
     hash_mode: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs above a Jaccard ``threshold`` via banded LSH.
+
+    ``shingles`` optionally injects a precomputed :func:`_shingles`
+    frame (``(doc_id, shingle)``, distinct per document, built at the
+    SAME ``shingle_size``) — a pure sharing hook: the shingle explode
+    otherwise runs once for the signature stage and three more times
+    inside the exact-Jaccard rerank (set sizes + both join sides), so a
+    caller that materializes it once (e.g. an eager localCheckpoint)
+    pays the corpus explode exactly once per job. Results are identical
+    by construction. The ``max_shingle_df`` cut still applies on top.
 
     Pipeline: signatures → per-band bucket hash → self-join *within*
     (band, bucket) → distinct candidate pairs → exact Jaccard rerank on the
@@ -221,16 +244,21 @@ def minhash_lsh_pairs(
     else:
         rows_per_band = num_perm // bands
     sigs = minhash_signatures(
-        df, id_col, text_col, num_perm, shingle_size, max_shingle_df, hash_mode
+        df, id_col, text_col, num_perm, shingle_size, max_shingle_df,
+        hash_mode, shingles=shingles,
     )
-    band_cols = []
-    for b in range(bands):
-        cols = [f"sig_{b * rows_per_band + j}" for j in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("-", *cols)).alias("bh"))
+    # one parsed expression for the whole band array (not a Column build
+    # per band — py4j construction cost, see minhash_signatures)
+    branches = ", ".join(
+        f"struct({b} AS band, md5(concat_ws('-', "
+        + ", ".join(
+            f"sig_{b * rows_per_band + j}" for j in range(rows_per_band)
         )
+        + ")) AS bh)"
+        for b in range(bands)
+    )
     buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+        "doc_id", F.expr(f"explode(array({branches})) AS bk")
     ).select("doc_id", "bk.band", "bk.bh")
 
     a = buckets.alias("a")
@@ -247,7 +275,7 @@ def minhash_lsh_pairs(
     )
     return _exact_jaccard(
         df, id_col, text_col, shingle_size, candidates, threshold,
-        max_shingle_df=max_shingle_df,
+        max_shingle_df=max_shingle_df, shingles=shingles,
     )
 
 
@@ -259,15 +287,22 @@ def _exact_jaccard(
     candidates: DataFrame,
     threshold: float,
     max_shingle_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs only (set sizes + shared-shingle
     counts; never materializes shingle sets per pair).
+    ``shingles`` injects a precomputed :func:`_shingles` frame — see
+    :func:`minhash_lsh_pairs`.
 
     ``max_shingle_df`` restricts the shingle universe to shingles appearing
     in ≤ N documents — the same DF-cut the signature stage applies, so the
     rerank scores pairs over the universe the candidates were drawn from
     and the per-shingle join fan-out stays bounded at scale."""
-    sh = _shingles(df, id_col, text_col, shingle_size)
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingles(df, id_col, text_col, shingle_size)
+    )
     if max_shingle_df:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = sh.join(
@@ -758,20 +793,22 @@ def simhash64(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.trim(text_col), r"\s+"))).alias("tok"),
     ).withColumn("h", h)
+    # per-bit vote sums and the bit-assembly OR chain as parsed SQL text:
+    # the per-Column build (when/shiftright/bitwiseAND per bit — ~6 py4j
+    # round-trips × 60 bits, plus the 60-term OR chain) measured ~3 s of
+    # driver↔JVM chatter per call; identical expressions, one parse each
     votes = [
-        F.sum(
-            F.when((F.shiftright("h", j).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
+        F.expr(f"sum(if(((h >> {j}) & 1) = 1, 1, -1)) AS s{j}")
         for j in range(bits)
     ]
     per_doc = toks.groupBy("doc_id").agg(*votes)
-    sim = None
-    for j in range(bits):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    sim = F.expr(
+        " | ".join(
+            f"if(s{j} > 0, shiftleft(cast(1 as bigint), {j}), "
+            f"cast(0 as bigint))"
+            for j in range(bits)
         )
-        term = F.shiftleft(bit, j)
-        sim = term if sim is None else sim.bitwiseOR(term)
+    )
     return per_doc.select("doc_id", sim.alias("simhash"))
 
 

@@ -1591,9 +1591,20 @@ def q_adv_minhash_lsh_pairs(spark, sf):
     from mallarddv_spark.operators import dedup
 
     d = _t(spark, sf, "documents")
+    # ONE materialization of the distinct-shingle explode feeds the
+    # signature stage AND the exact-Jaccard rerank's three consumers
+    # (set sizes + both join sides) via the operator's `shingles=`
+    # sharing hook — the explode otherwise re-runs four times per
+    # action over the serial single-file scan. Eager localCheckpoint
+    # inside the timed call; a fresh RDD per invocation, nothing
+    # persists across runs.
+    sh = dedup._shingles(
+        d.repartition(spark.sparkContext.defaultParallelism),
+        "doc_id", "text", 3,
+    ).localCheckpoint(eager=True)
     return dedup.minhash_lsh_pairs(
         d, "doc_id", "text", num_perm=32, bands=16, threshold=0.30,
-        hash_mode="md5",
+        hash_mode="md5", shingles=sh,
     )
 
 

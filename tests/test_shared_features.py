@@ -157,3 +157,34 @@ def test_pair_counts_injection_identical(spark):
                  max_shingle_df=1000, pair_counts=pc, **kw)
         assert _rows(base) == _rows(inj)
         assert len(_rows(base)) > 0
+
+
+def test_minhash_shingles_injection_identical(spark):
+    """minhash_lsh_pairs with shingles= (one materialized shingle
+    explode feeding the signature stage and all three rerank consumers)
+    must equal the self-computing path row for row — in both hash modes
+    and with the max_shingle_df cut applied on top of the injection."""
+    from mallarddv_spark.operators.dedup import _shingles, minhash_lsh_pairs
+
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h i k"),
+        (2, "a b c d e f g h i j"),
+        (3, "x y z w v u t s r q"),
+        (4, "x y z w v u t s r p"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = _shingles(d, "doc_id", "text", 3).localCheckpoint(eager=True)
+    for hm in ("md5", "xxhash64"):
+        for cut in (None, 1000):
+            base = minhash_lsh_pairs(
+                d, "doc_id", "text", num_perm=32, bands=16,
+                threshold=0.30, hash_mode=hm, max_shingle_df=cut,
+            )
+            inj = minhash_lsh_pairs(
+                d, "doc_id", "text", num_perm=32, bands=16,
+                threshold=0.30, hash_mode=hm, max_shingle_df=cut,
+                shingles=sh,
+            )
+            assert _rows(base) == _rows(inj)
+            assert len(_rows(base)) > 0
