@@ -332,10 +332,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         print(f"   {name}: fertility={s.fertility} "
               f"chars/token={s.chars_per_token} unk_rate={s.unk_rate}")
 
-    # 8. deterministic split + token-budget mixing by language stratum
+    # 8. deterministic split + token-budget mixing by language stratum.
+    # Eager localCheckpoint: every stage from here on (split counts,
+    # budget aggregate, mix, UniMax totals, epoch materialization,
+    # packing) re-executes this join's lineage — which embeds the full
+    # 30-merge BPE encode — once per action; materializing the ~330
+    # small rows once pays that chain exactly once (guide §5: cut
+    # lineage of reused intermediates).
     with_tokens = survivors.join(encoded, "doc_id").withColumn(
         "lang", F.coalesce("lang", F.lit("und"))
-    )
+    ).localCheckpoint(eager=True)
     split = curation.split_assign(
         with_tokens, "doc_id", {"train": 0.9, "val": 0.1}
     )

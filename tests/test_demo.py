@@ -63,9 +63,14 @@ def test_curation_demo_runs():
     import subprocess
     import sys
 
+    # Timeout sized to the measured host band, not the quiet-window
+    # best case: the UNTOUCHED r13 tree measured 8m08s-8m56s on an idle
+    # host in the round-14 window (NOTES.md "Round 14: demo timing"),
+    # so 420 s failed on pure host variance. 900 s still catches a hang
+    # while tolerating the documented ~2x host slowdown.
     proc = subprocess.run(
         [sys.executable, os.path.join(DEMO, "run_curation_demo.py")],
-        capture_output=True, text=True, timeout=420,
+        capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     for marker in ("-- profile", "-- clean:", "-- quality:", "-- dedup:",
