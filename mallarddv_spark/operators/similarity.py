@@ -772,6 +772,7 @@ def pq_encode(
     codebooks: DataFrame,
     vec_col: str = "embedding",
     codes_col: str = "pq_codes",
+    geometry: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Add ``codes_col array<int>`` — each vector's ``m`` nearest-
     centroid code ids — alongside the input's existing columns.
@@ -781,9 +782,16 @@ def pq_encode(
     shuffle, no Python; encoding 100 TB is one codegen projection.
     The argmin is ``array_min`` over (distance, code) structs, so every
     distance is computed ONCE and ties break to the lowest code id
-    (struct ordering compares the code second)."""
-    geo = codebooks.select("m", "dsub", "n_codes").first()
-    m, dsub, n_codes = int(geo.m), int(geo.dsub), int(geo.n_codes)
+    (struct ordering compares the code second).
+
+    ``geometry`` lets a caller that already knows ``(m, dsub, n_codes)``
+    — anyone who just built or trained the codebooks — skip the eager
+    one-row ``.first()`` geometry fetch (a Spark job per call)."""
+    if geometry is not None:
+        m, dsub, n_codes = (int(v) for v in geometry)
+    else:
+        geo = codebooks.select("m", "dsub", "n_codes").first()
+        m, dsub, n_codes = int(geo.m), int(geo.dsub), int(geo.n_codes)
     v = f"transform({vec_col}, x -> cast(x as double))"
     codes = (
         f"transform(sequence(0, {m - 1}), s -> "
@@ -809,6 +817,7 @@ def pq_topk_adc(
     vec_col: str = "embedding",
     codes_col: str = "pq_codes",
     k: int = 5,
+    geometry: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over a PQ-encoded corpus: each query
     precomputes an m×n_codes table of squared subvector distances to
@@ -819,9 +828,15 @@ def pq_topk_adc(
     distance. Queries (with their tables) broadcast; the corpus never
     shuffles — only the final per-query top-k window moves candidate
     rows. Exact rerank of the winners against the float vectors is the
-    standard follow-up when the source embeddings are retained."""
-    geo = codebooks.select("m", "dsub").first()
-    m, dsub = int(geo.m), int(geo.dsub)
+    standard follow-up when the source embeddings are retained.
+
+    ``geometry`` = ``(m, dsub)`` skips the eager one-row geometry fetch
+    (see :func:`pq_encode`)."""
+    if geometry is not None:
+        m, dsub = (int(v) for v in geometry)
+    else:
+        geo = codebooks.select("m", "dsub").first()
+        m, dsub = int(geo.m), int(geo.dsub)
     qv = f"transform({vec_col}, x -> cast(x as double))"
     table = adc_table_expr(qv, dsub)
     q = (
@@ -960,6 +975,7 @@ def build_ivfpq_index(
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
     cell_files: int | None = None,
+    geometry: tuple[int, int, int] | None = None,
 ) -> dict:
     """IVF-PQ: the billion-scale ANN layout — coarse KMeans cells for
     partition pruning, and inside each cell only the PQ codes of the
@@ -985,7 +1001,9 @@ def build_ivfpq_index(
     arrangement (train once offline on a sample, reuse across builds),
     and what lets the driver gate replay a stored build in closed-form
     SQL. With ``centroids`` given, assignment uses the same stored-
-    centroid argmin as :func:`ivfpq_append`."""
+    centroid argmin as :func:`ivfpq_append`. ``geometry`` =
+    ``(m, dsub, n_codes)`` of a passed-in ``codebooks`` frame skips the
+    encode's eager geometry fetch (see :func:`pq_encode`)."""
     spark = corpus.sparkSession
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1044,7 +1062,7 @@ def build_ivfpq_index(
         if codebooks is not None
         else pq_train(resid, vec_col="rv", m=m, n_codes=n_codes, seed=seed)
     )
-    enc = pq_encode(resid, books, vec_col="rv")
+    enc = pq_encode(resid, books, vec_col="rv", geometry=geometry)
     out = enc.select("neighbor_id", "centroid_id", "pq_codes")
     if cell_files is not None:
         # one shuffle keyed on the cell → each cell lands in exactly one
@@ -1200,6 +1218,7 @@ def ivfpq_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_files: int | None = None,
+    geometry: tuple[int, int, int] | None = None,
 ) -> None:
     """Incrementally add vectors to a :func:`build_ivfpq_index`: assign
     each against the STORED centroids (nearest squared-euclidean,
@@ -1218,7 +1237,7 @@ def ivfpq_append(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cv"),
     )
     resid = _assign_residuals(rows, cent)
-    enc = pq_encode(resid, books, vec_col="rv")
+    enc = pq_encode(resid, books, vec_col="rv", geometry=geometry)
     out = enc.select("neighbor_id", "centroid_id", "pq_codes")
     if cell_files is not None:
         # see build_ivfpq_index: small-batch file-churn control

@@ -1689,10 +1689,11 @@ def q_adv_similarity_ivfpq_store(spark, sf):
     build_ivfpq_index(
         e.filter("vec_id >= 18 AND vec_id < 1018").repartition(32), path,
         m=8, n_codes=16, centroids=cent, codebooks=books, cell_files=8,
+        geometry=(8, 8, 16),
     )
     ivfpq_append(
         e.filter("vec_id >= 1018 AND vec_id < 2018").repartition(32), path,
-        cell_files=8,
+        cell_files=8, geometry=(8, 8, 16),
     )
     return ivfpq_probe_topk(e.filter("vec_id < 10"), path, k=5, nprobe=2)
 
@@ -5205,7 +5206,17 @@ def q_text_curation_assign(spark, sf):
             F.when(F.col("short_frac") <= 0.44, F.lit(1)).otherwise(F.lit(0)),
         ).alias("bucket"),
     )
-    lt = lang_token_counts(d)
+    # ONE materialization of the per-language token totals: lt's corpus
+    # scan (token_count projection + groupBy(lang)) otherwise runs three
+    # times per invocation — the eager total_cap aggregate here, the
+    # eager alloc.collect() inside materialize_epochs, and the `unimax`
+    # part's subtree at action time. Interleaved A/B at sf0.1 is a wash
+    # (5.70 vs 5.89 s min — the 2-column scan is page-cached and the
+    # redundant subtrees back-fill idle cores locally), but at corpus
+    # scale three full passes for one language-table-sized result is
+    # the structural loss, so the checkpoint stays. Eager inside the
+    # timed call; fresh RDD per invocation.
+    lt = lang_token_counts(d).localCheckpoint(eager=True)
     total_cap = lt.agg(
         F.sum(F.col("n_tokens") * 2).cast("bigint")
     ).first()[0]
@@ -6893,8 +6904,16 @@ def q_similarity_pq_adc(spark, sf):
     books = pq_codebooks_deterministic(spark, m=8, dsub=8, n_codes=16)
     # embeddings.parquet is ONE file locally → pre-shuffle so the encode
     # projection parallelizes (a lake corpus arrives in many files)
-    enc = pq_encode(e.filter("vec_id >= 10").repartition(32, "vec_id"), books)
-    out = pq_topk_adc(e.filter("vec_id < 10"), enc, books, k=5)
+    # geometry passed explicitly: the builder just made these codebooks,
+    # so the two eager one-row .first() fetches (a Spark job each, per
+    # bench invocation) fold away
+    enc = pq_encode(
+        e.filter("vec_id >= 10").repartition(32, "vec_id"), books,
+        geometry=(8, 8, 16),
+    )
+    out = pq_topk_adc(
+        e.filter("vec_id < 10"), enc, books, k=5, geometry=(8, 8),
+    )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"),
         "adc_dist",
@@ -6989,7 +7008,9 @@ def q_similarity_ivfpq_adc(spark, sf):
         )
     )
     books = pq_codebooks_deterministic(spark, m=8, dsub=8, n_codes=16)
-    enc = pq_encode(assigned, books, vec_col="rv").select(
+    enc = pq_encode(
+        assigned, books, vec_col="rv", geometry=(8, 8, 16)
+    ).select(
         F.col("vec_id").alias("neighbor_id"), "cid", "pq_codes"
     )
 
