@@ -323,7 +323,12 @@ def bloom_append(
     heal_bloom(spark, path)
     stored = spark.read.parquet(path)
     geo = stored.select("m", "n_hashes", "n_items").first()
-    vals = _distinct_vals(new_values, value_col)
+    # one materialization serves both the emptiness probe and the fold:
+    # un-checkpointed, the distinct-values subtree (often a corpus-scale
+    # shingle explode) executes twice — once for count(), again under the
+    # staged write. The checkpoint holds |distinct new values| rows of a
+    # single column; eager + fresh per call, nothing persists across runs.
+    vals = _distinct_vals(new_values, value_col).localCheckpoint(eager=True)
     n_new = vals.count()
     if n_new == 0:
         # nothing to fold: skip the rewrite + staged swap entirely and

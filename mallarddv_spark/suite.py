@@ -6362,18 +6362,21 @@ def q_text_contamination_suite(spark, sf):
     # part and the bloomdecon verification join — one shared EAGER
     # checkpoint computes the shingle-join once per call instead of
     # twice (fresh RDD per call: no cross-run reuse; a lazy checkpoint
-    # measured slower — both consumers race-recompute it in one action)
-    exact = q_text_decontaminate(spark, sf).localCheckpoint(eager=True)
-    d = exact.select(
-        F.lit("decontaminate").alias("part"),
-        "doc_id",
-        F.col("n_hit_shingles").alias("n1"),
-        F.col("n_bench_docs").alias("n2"),
-        *_nulls(("n3", "bigint"), ("n4", "bigint"), ("n5", "bigint"),
-                ("n6", "bigint"), ("fp", "string")),
-        F.col("contaminated").alias("flag"),
-    )
+    # measured slower — both consumers race-recompute it in one action).
+    # The exact chain and the bloom build/append/probe chain below are
+    # INDEPENDENT until the verification join, so they run from a
+    # 2-thread pool (guide §2.6): the serial version paid the exact
+    # checkpoint (~1.7 s warm) strictly before the ~4 s bloom chain.
+    from concurrent.futures import ThreadPoolExecutor
+
+    sc = spark.sparkContext
+
+    def _exact_ckpt():
+        sc.setJobDescription("contamination: exact verdicts checkpoint")
+        return q_text_decontaminate(spark, sf).localCheckpoint(eager=True)
+
     docs = _t(spark, sf, "documents")
+
     # fpp sized so expected FP shingles across the whole corpus ≪ 1:
     # train-side shingle probes reach ~1e7 at sf0.1, and the synthetic
     # docs' tiny shared vocabulary makes the shingle space far denser
@@ -6385,34 +6388,56 @@ def q_text_contamination_suite(spark, sf):
     # get re-evaluated around the verification join; pre-shuffling the
     # train side spreads it across cores (a lake corpus arrives in many
     # files and needs no such help) — same fix as the linededup gate
-    bench = docs.filter(F.pmod("doc_id", F.lit(50)) == 0)
-    # the full benchmark's distinct-shingle count sizes BOTH half-builds
-    # (the manifest pattern: geometry fixed up front, halves fold at it —
-    # append never resizes, so sizing for the union keeps fpp honest)
-    n_full = (
-        _shingles(bench, "doc_id", "text", 5).select("shingle").distinct().count()
-    )
-    half_a = bench.filter(F.pmod("doc_id", F.lit(100)) == 0)
-    half_b = bench.filter(F.pmod("doc_id", F.lit(100)) == 50)
-    path = _scratch_dir("bloomdecon_gate_") + "/bf"
-    B.save_bloom(
-        build_benchmark_bloom(
-            half_a, "doc_id", "text", shingle_size=5, fpp=1e-12,
-            expected_shingles=n_full,
-        ),
-        path,
-    )
-    B.bloom_append(
-        spark, path, _shingles(half_b, "doc_id", "text", 5), "shingle"
-    )
-    bloom = decontaminate_with_bloom(
-        docs.filter(F.pmod("doc_id", F.lit(50)) != 0).repartition(32, "doc_id"),
-        spark.read.parquet(path),
-        "doc_id", "text",
-    ).select(
-        F.col("doc_id").alias("__bid"),
-        F.col("n_hit_shingles").alias("__bn"),
-        F.col("contaminated").alias("__bf"),
+    def _bloom_chain():
+        sc.setJobDescription("contamination: bloom build/append/probe")
+        bench = docs.filter(F.pmod("doc_id", F.lit(50)) == 0)
+        # the full benchmark's distinct-shingle count sizes BOTH
+        # half-builds (the manifest pattern: geometry fixed up front,
+        # halves fold at it — append never resizes, so sizing for the
+        # union keeps fpp honest)
+        n_full = (
+            _shingles(bench, "doc_id", "text", 5)
+            .select("shingle").distinct().count()
+        )
+        half_a = bench.filter(F.pmod("doc_id", F.lit(100)) == 0)
+        half_b = bench.filter(F.pmod("doc_id", F.lit(100)) == 50)
+        path = _scratch_dir("bloomdecon_gate_") + "/bf"
+        B.save_bloom(
+            build_benchmark_bloom(
+                half_a, "doc_id", "text", shingle_size=5, fpp=1e-12,
+                expected_shingles=n_full,
+            ),
+            path,
+        )
+        B.bloom_append(
+            spark, path, _shingles(half_b, "doc_id", "text", 5), "shingle"
+        )
+        return decontaminate_with_bloom(
+            docs.filter(F.pmod("doc_id", F.lit(50)) != 0)
+            .repartition(32, "doc_id"),
+            spark.read.parquet(path),
+            "doc_id", "text",
+        ).select(
+            F.col("doc_id").alias("__bid"),
+            F.col("n_hit_shingles").alias("__bn"),
+            F.col("contaminated").alias("__bf"),
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(_exact_ckpt)
+        f_bloom = pool.submit(_bloom_chain)
+        exact = f_exact.result()
+        bloom = f_bloom.result()
+    sc.setJobDescription(None)
+
+    d = exact.select(
+        F.lit("decontaminate").alias("part"),
+        "doc_id",
+        F.col("n_hit_shingles").alias("n1"),
+        F.col("n_bench_docs").alias("n2"),
+        *_nulls(("n3", "bigint"), ("n4", "bigint"), ("n5", "bigint"),
+                ("n6", "bigint"), ("fp", "string")),
+        F.col("contaminated").alias("flag"),
     )
     # join on doc_id alone, equality-check in a filter: keeps the wide
     # probe expression out of the join keys so it is evaluated once on
