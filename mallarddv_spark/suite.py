@@ -6035,84 +6035,148 @@ def q_text_frequency_suite(spark, sf):
         sc.setJobDescription("freqsuite: bm25store round-trip")
         return q_text_bm25_store(spark, sf, postings=f_bm.result()[0])
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    # Part-frame CONSTRUCTION is itself ~3 s of driver/py4j work (the
+    # dominant remainder after the shared-subtree round) and none of it
+    # needs the store round-trip: four constructor futures, each keyed
+    # on exactly the builder future it consumes, overlap construction
+    # with the bm25store chain instead of running serially after it.
+    # The union order and every part's expressions are unchanged.
+    def _parts_vocab():
+        voc = f_voc.result()
+        v = q_text_vocab_topk(spark, sf, vocab=voc).select(
+            F.lit("vocab").alias("part"),
+            F.col("rnk").alias("id"),
+            F.col("word").alias("term"),
+            F.col("tf").alias("n1"),
+            F.col("df").alias("n2"),
+            *_nulls(("d1", "double")),
+        )
+        r = q_text_rarity_score(spark, sf, vocab=voc).select(
+            F.lit("rarity").alias("part"),
+            F.col("doc_id").alias("id"),
+            *_nulls(("term", "string")),
+            F.col("n_tokens").alias("n1"),
+            F.col("sum_tf").alias("n2"),
+            F.col("mean_tf").alias("d1"),
+        )
+        return v, r
+
+    def _parts_lm():
+        lmdict, scored_lm = f_lm.result()
+        lm = scored_lm.select(
+            F.lit("bigramlm").alias("part"),
+            "id",
+            *_nulls(("term", "string")),
+            F.col("n_bigrams").alias("n1"),
+            F.col("n_backoff").alias("n2"),
+            F.col("avg_logprob").alias("d1"),
+        )
+        kn = q_text_knlm(spark, sf, lm=lmdict).select(
+            F.lit("knlm").alias("part"),
+            "id",
+            *_nulls(("term", "string")),
+            F.col("n_bigrams").alias("n1"),
+            F.col("n_oov_ctx").alias("n2"),
+            F.col("avg_logprob").alias("d1"),
+        )
+        pb = q_text_pplbucket(spark, sf, scored=scored_lm).select(
+            F.lit("pplbucket").alias("part"),
+            "id",
+            F.col("lang_bucket").alias("term"),
+            F.col("ppl_bucket").alias("n1"),
+            F.col("n_bigrams").alias("n2"),
+            F.col("avg_logprob").alias("d1"),
+        )
+        return lm, kn, pb
+
+    def _parts_feats():
+        feats = f_feats.result()
+        ds = q_text_dsir(
+            spark, sf,
+            features=feats.select("doc_id", "bucket", "cnt"),
+            target_features=feats.filter(F.col("source") == "src0").select(
+                "doc_id", "bucket", "cnt"
+            ),
+        ).select(
+            F.lit("dsir").alias("part"),
+            F.col("doc_id").alias("id"),
+            *_nulls(("term", "string")),
+            F.col("n_grams").alias("n1"),
+            F.col("rnk").alias("n2"),
+            F.col("gkey").alias("d1"),
+        )
+        nc = q_text_nb_classify(spark, sf, feats=feats).select(
+            F.lit("nbcls").alias("part"),
+            F.col("doc_id").alias("id"),
+            F.col("predicted").alias("term"),
+            F.col("n_grams").alias("n1"),
+            F.col("n_seen").alias("n2"),
+            F.col("score").alias("d1"),
+        )
+        return ds, nc
+
+    def _parts_bm():
+        postings, bmrun = f_bm.result()
+        tokc = postings.groupBy(F.col("term").alias("tok")).agg(
+            F.sum("tf").cast("bigint").alias("cnt")
+        )
+        bm = q_text_bm25(spark, sf, run=bmrun).select(
+            F.lit("bm25").alias("part"),
+            F.col("doc_id").alias("id"),
+            F.col("query_id").alias("term"),
+            F.col("rnk").alias("n1"),
+            F.col("n_terms").alias("n2"),
+            F.col("score").alias("d1"),
+        )
+        hy = q_text_hybrid_rerank(spark, sf, bm=bmrun).select(
+            F.lit("hybrid").alias("part"),
+            F.col("doc_id").alias("id"),
+            F.col("query_id").alias("term"),
+            F.col("rnk").alias("n1"),
+            *_nulls(("n2", "bigint")),
+            F.col("cosine").alias("d1"),
+        )
+        rf = q_text_rrf(spark, sf, bm=bmrun).select(
+            F.lit("rrf").alias("part"),
+            F.col("doc_id").alias("id"),
+            F.col("query_id").alias("term"),
+            F.col("rnk").alias("n1"),
+            F.col("n_runs").alias("n2"),
+            F.col("rrf_score").alias("d1"),
+        )
+        cm = q_text_cmfreq(spark, sf, tok_counts=tokc).select(
+            F.lit("cmfreq").alias("part"),
+            *_nulls(("id", "bigint")),
+            F.col("word").alias("term"),
+            F.col("est_count").alias("n1"),
+            F.col("exact_count").alias("n2"),
+            *_nulls(("d1", "double")),
+        )
+        em = q_text_eval_metrics(spark, sf, run=bmrun, postings=postings).select(
+            F.lit("evalmetrics").alias("part"),
+            *_nulls(("id", "bigint")),
+            F.concat_ws(":", "metric", "query_id").alias("term"),
+            "n1", "n2", "d1",
+        )
+        return bm, hy, rf, cm, em
+
+    with ThreadPoolExecutor(max_workers=9) as pool:
         f_voc = pool.submit(_ckpt_vocab)
         f_bm = pool.submit(_ckpt_bm25)
         f_lm = pool.submit(_ckpt_lm)
         f_feats = pool.submit(_ckpt_feats)
         f_store = pool.submit(_store)
-        voc = f_voc.result()
-        postings, bmrun = f_bm.result()
-        lmdict, scored_lm = f_lm.result()
-        feats = f_feats.result()
+        fp_voc = pool.submit(_parts_vocab)
+        fp_lm = pool.submit(_parts_lm)
+        fp_feats = pool.submit(_parts_feats)
+        fp_bm = pool.submit(_parts_bm)
+        v, r = fp_voc.result()
+        lm, kn, pb = fp_lm.result()
+        ds, nc = fp_feats.result()
+        bm, hy, rf, cm, em = fp_bm.result()
         store_df = f_store.result()
     sc.setJobDescription(None)
-    tokc = postings.groupBy(F.col("term").alias("tok")).agg(
-        F.sum("tf").cast("bigint").alias("cnt")
-    )
 
-    v = q_text_vocab_topk(spark, sf, vocab=voc).select(
-        F.lit("vocab").alias("part"),
-        F.col("rnk").alias("id"),
-        F.col("word").alias("term"),
-        F.col("tf").alias("n1"),
-        F.col("df").alias("n2"),
-        *_nulls(("d1", "double")),
-    )
-    r = q_text_rarity_score(spark, sf, vocab=voc).select(
-        F.lit("rarity").alias("part"),
-        F.col("doc_id").alias("id"),
-        *_nulls(("term", "string")),
-        F.col("n_tokens").alias("n1"),
-        F.col("sum_tf").alias("n2"),
-        F.col("mean_tf").alias("d1"),
-    )
-    lm = scored_lm.select(
-        F.lit("bigramlm").alias("part"),
-        "id",
-        *_nulls(("term", "string")),
-        F.col("n_bigrams").alias("n1"),
-        F.col("n_backoff").alias("n2"),
-        F.col("avg_logprob").alias("d1"),
-    )
-    kn = q_text_knlm(spark, sf, lm=lmdict).select(
-        F.lit("knlm").alias("part"),
-        "id",
-        *_nulls(("term", "string")),
-        F.col("n_bigrams").alias("n1"),
-        F.col("n_oov_ctx").alias("n2"),
-        F.col("avg_logprob").alias("d1"),
-    )
-    ds = q_text_dsir(
-        spark, sf,
-        features=feats.select("doc_id", "bucket", "cnt"),
-        target_features=feats.filter(F.col("source") == "src0").select(
-            "doc_id", "bucket", "cnt"
-        ),
-    ).select(
-        F.lit("dsir").alias("part"),
-        F.col("doc_id").alias("id"),
-        *_nulls(("term", "string")),
-        F.col("n_grams").alias("n1"),
-        F.col("rnk").alias("n2"),
-        F.col("gkey").alias("d1"),
-    )
-    nc = q_text_nb_classify(spark, sf, feats=feats).select(
-        F.lit("nbcls").alias("part"),
-        F.col("doc_id").alias("id"),
-        F.col("predicted").alias("term"),
-        F.col("n_grams").alias("n1"),
-        F.col("n_seen").alias("n2"),
-        F.col("score").alias("d1"),
-    )
-    bm = q_text_bm25(spark, sf, run=bmrun).select(
-        F.lit("bm25").alias("part"),
-        F.col("doc_id").alias("id"),
-        F.col("query_id").alias("term"),
-        F.col("rnk").alias("n1"),
-        F.col("n_terms").alias("n2"),
-        F.col("score").alias("d1"),
-    )
     bs = store_df.select(
         F.lit("bm25store").alias("part"),
         F.col("doc_id").alias("id"),
@@ -6120,44 +6184,6 @@ def q_text_frequency_suite(spark, sf):
         F.col("rnk").alias("n1"),
         F.col("n_terms").alias("n2"),
         F.col("score").alias("d1"),
-    )
-    hy = q_text_hybrid_rerank(spark, sf, bm=bmrun).select(
-        F.lit("hybrid").alias("part"),
-        F.col("doc_id").alias("id"),
-        F.col("query_id").alias("term"),
-        F.col("rnk").alias("n1"),
-        *_nulls(("n2", "bigint")),
-        F.col("cosine").alias("d1"),
-    )
-    rf = q_text_rrf(spark, sf, bm=bmrun).select(
-        F.lit("rrf").alias("part"),
-        F.col("doc_id").alias("id"),
-        F.col("query_id").alias("term"),
-        F.col("rnk").alias("n1"),
-        F.col("n_runs").alias("n2"),
-        F.col("rrf_score").alias("d1"),
-    )
-    cm = q_text_cmfreq(spark, sf, tok_counts=tokc).select(
-        F.lit("cmfreq").alias("part"),
-        *_nulls(("id", "bigint")),
-        F.col("word").alias("term"),
-        F.col("est_count").alias("n1"),
-        F.col("exact_count").alias("n2"),
-        *_nulls(("d1", "double")),
-    )
-    pb = q_text_pplbucket(spark, sf, scored=scored_lm).select(
-        F.lit("pplbucket").alias("part"),
-        "id",
-        F.col("lang_bucket").alias("term"),
-        F.col("ppl_bucket").alias("n1"),
-        F.col("n_bigrams").alias("n2"),
-        F.col("avg_logprob").alias("d1"),
-    )
-    em = q_text_eval_metrics(spark, sf, run=bmrun, postings=postings).select(
-        F.lit("evalmetrics").alias("part"),
-        *_nulls(("id", "bigint")),
-        F.concat_ws(":", "metric", "query_id").alias("term"),
-        "n1", "n2", "d1",
     )
     return (
         v.unionByName(r).unionByName(lm).unionByName(kn).unionByName(ds)
