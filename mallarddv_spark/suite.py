@@ -4463,11 +4463,33 @@ def q_text_doc_stats(spark, sf):
     # fusion path; the eager checkpoint keeps the corpus explode from
     # re-deriving once per gate subtree (measured: 3 redundant cold
     # passes cost ~3-4 s of the suite's 7.4 s cold time)
+    from concurrent.futures import ThreadPoolExecutor
+
     from mallarddv_spark.operators.bpe import whitespace_word_stream
 
-    enc_stream = whitespace_word_stream(
-        d, "doc_id", "text", lowercase=True
-    ).localCheckpoint(eager=True)
+    # The six gate-column frames cost ~1.5 s of driver/py4j plan
+    # construction; none of it needs the word-stream checkpoint to have
+    # FINISHED (only the three stream consumers need its frame), so the
+    # checkpoint job and the constructions run from one pool instead of
+    # serially. Expressions and the join order are unchanged.
+    with ThreadPoolExecutor(max_workers=7) as pool:
+        f_stream = pool.submit(
+            lambda: whitespace_word_stream(
+                d, "doc_id", "text", lowercase=True
+            ).localCheckpoint(eager=True)
+        )
+        f_script = pool.submit(_script_cols, d)
+        f_trained = pool.submit(_trained_lang_cols, spark, d)
+        f_ble = pool.submit(_ble_enc_cols, d)
+        f_bpe = pool.submit(lambda: _bpe_enc_cols(d, f_stream.result()))
+        f_wp = pool.submit(lambda: _wp_enc_cols(d, f_stream.result()))
+        f_un = pool.submit(lambda: _un_enc_cols(spark, d, f_stream.result()))
+        script_f = f_script.result()
+        trained_f = f_trained.result()
+        ble_f = f_ble.result()
+        bpe_f = f_bpe.result()
+        wp_f = f_wp.result()
+        un_f = f_un.result()
     return d.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -4493,12 +4515,12 @@ def q_text_doc_stats(spark, sf):
         F.md5(F.concat_ws(" ", F.sort_array(toks))).alias("sorted_fp"),
         bpe.alias("n_bpe_tokens"),
         F.round(bpe / F.size(toks), 6).alias("bpe_ratio"),
-    ).join(_script_cols(d), "doc_id").join(
-        _trained_lang_cols(spark, d), "doc_id"
-    ).join(_bpe_enc_cols(d, enc_stream), "doc_id").join(
-        _wp_enc_cols(d, enc_stream), "doc_id"
-    ).join(_un_enc_cols(spark, d, enc_stream), "doc_id").join(
-        _ble_enc_cols(d), "doc_id"
+    ).join(script_f, "doc_id").join(
+        trained_f, "doc_id"
+    ).join(bpe_f, "doc_id").join(
+        wp_f, "doc_id"
+    ).join(un_f, "doc_id").join(
+        ble_f, "doc_id"
     )
 
 
