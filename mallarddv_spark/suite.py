@@ -2533,105 +2533,133 @@ def q_sql_approx_aggregates(spark, sf):
     # checkpoint only serialized a fat materialization in front of
     # them. Keep the independent scans.
     li = _t(spark, sf, "lineitem")
-    q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000)
-    # the DISTINCT aggregate runs in its OWN pass, joined back on the
-    # 3-row group key: mixing countDistinct with a sketch aggregate in one
-    # groupBy makes Catalyst plan an Expand + per-(group, distinct-value)
-    # partial agg, which instantiates a 10k-accuracy quantile sketch per
-    # order key — measured 29.8 s vs 2 s for each aggregate alone at sf0.1
-    # (and at 100 TB it would OOM the partial-agg hash map outright).
-    sketches = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("__hll"),
-        F.element_at(q, 1).alias("__p50a"),
-        F.element_at(q, 2).alias("__p95a"),
-        F.count("*").alias("n"),
-    )
-    exact_cd = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders")
-    )
-    # the exact-percentile verification side is rank-based, NOT Spark's
-    # percentile(): the exact aggregate buffers every group value in one
-    # ObjectHashAggregate — fine at sf0.1, an OOM at 100 TB in this
-    # 3-group shape. A row_number window sorts (and spills) instead of
-    # buffering, and the percentile_cont interpolation v_lo + frac *
-    # (v_hi - v_lo) reduces to a 2-4-row weighted sum per group.
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    ranked = (
-        li.select("l_returnflag", "l_extendedprice")
-        .withColumn("__rn", F.row_number().over(w))
-    )
-    grp_n = ranked.groupBy("l_returnflag").agg(F.count("*").alias("__n"))
-    jr = ranked.join(F.broadcast(grp_n), "l_returnflag")
-    for tag, p in (("50", "0.5"), ("95", "0.95")):
-        jr = (
-            jr.withColumn(f"__pos{tag}", F.expr(f"(__n - 1) * {p} + 1"))
-            .withColumn(f"__lo{tag}", F.expr(f"cast(floor(__pos{tag}) as bigint)"))
-            .withColumn(f"__hi{tag}", F.expr(f"cast(ceil(__pos{tag}) as bigint)"))
-            .withColumn(
-                f"__w{tag}",
+
+    # The nine aggregate families are independent until the final 3-row
+    # join, but their plan CONSTRUCTION is ~2.5 s of serial driver/py4j
+    # work — and the t-digest build additionally runs two eager jobs
+    # (its distinct-value checkpoint + stats row) at construction time.
+    # Build the families from a pool (guide §2.6); every expression is
+    # unchanged, only the driver-side construction order moved.
+    def _mk_sketches():
+        q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000)
+        # the DISTINCT aggregate runs in its OWN pass, joined back on the
+        # 3-row group key: mixing countDistinct with a sketch aggregate in
+        # one groupBy makes Catalyst plan an Expand + per-(group,
+        # distinct-value) partial agg, which instantiates a 10k-accuracy
+        # quantile sketch per order key — measured 29.8 s vs 2 s for each
+        # aggregate alone at sf0.1 (and at 100 TB it would OOM the
+        # partial-agg hash map outright).
+        return li.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_orderkey").alias("__hll"),
+            F.element_at(q, 1).alias("__p50a"),
+            F.element_at(q, 2).alias("__p95a"),
+            F.count("*").alias("n"),
+        )
+
+    def _mk_exact_cd():
+        return li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_orderkey").alias("exact_orders")
+        )
+
+    def _mk_exact_pct():
+        # the exact-percentile verification side is rank-based, NOT
+        # Spark's percentile(): the exact aggregate buffers every group
+        # value in one ObjectHashAggregate — fine at sf0.1, an OOM at
+        # 100 TB in this 3-group shape. A row_number window sorts (and
+        # spills) instead of buffering, and the percentile_cont
+        # interpolation v_lo + frac * (v_hi - v_lo) reduces to a 2-4-row
+        # weighted sum per group.
+        w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        ranked = (
+            li.select("l_returnflag", "l_extendedprice")
+            .withColumn("__rn", F.row_number().over(w))
+        )
+        grp_n = ranked.groupBy("l_returnflag").agg(F.count("*").alias("__n"))
+        jr = ranked.join(F.broadcast(grp_n), "l_returnflag")
+        for tag, p in (("50", "0.5"), ("95", "0.95")):
+            jr = (
+                jr.withColumn(f"__pos{tag}", F.expr(f"(__n - 1) * {p} + 1"))
+                .withColumn(
+                    f"__lo{tag}",
+                    F.expr(f"cast(floor(__pos{tag}) as bigint)"),
+                )
+                .withColumn(
+                    f"__hi{tag}",
+                    F.expr(f"cast(ceil(__pos{tag}) as bigint)"),
+                )
+                .withColumn(
+                    f"__w{tag}",
+                    F.expr(
+                        f"CASE WHEN __rn = __lo{tag} AND __rn = __hi{tag} THEN 1.0d "
+                        f"WHEN __rn = __lo{tag} THEN 1.0d - (__pos{tag} - __lo{tag}) "
+                        f"WHEN __rn = __hi{tag} THEN __pos{tag} - __lo{tag} "
+                        "ELSE 0.0d END"
+                    ),
+                )
+            )
+        return (
+            jr.filter("__w50 > 0 OR __w95 > 0")
+            .groupBy("l_returnflag")
+            .agg(
                 F.expr(
-                    f"CASE WHEN __rn = __lo{tag} AND __rn = __hi{tag} THEN 1.0d "
-                    f"WHEN __rn = __lo{tag} THEN 1.0d - (__pos{tag} - __lo{tag}) "
-                    f"WHEN __rn = __hi{tag} THEN __pos{tag} - __lo{tag} "
-                    "ELSE 0.0d END"
-                ),
+                    "cast(round(sum(l_extendedprice * __w50), 4) as double)"
+                ).alias("p50_exact"),
+                F.expr(
+                    "cast(round(sum(l_extendedprice * __w95), 4) as double)"
+                ).alias("p95_exact"),
             )
         )
-    exact_pct = (
-        jr.filter("__w50 > 0 OR __w95 > 0")
-        .groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "cast(round(sum(l_extendedprice * __w50), 4) as double)"
-            ).alias("p50_exact"),
-            F.expr(
-                "cast(round(sum(l_extendedprice * __w95), 4) as double)"
-            ).alias("p95_exact"),
-        )
-    )
+
     # the engine-OWNED mergeable HLL (functions/sketches.py) in md5 mode:
     # unlike approx_count_distinct's black-box sketch, its registers are
     # a plain DataFrame and the estimate is closed-form, so the oracle
     # replays the VALUE bit-for-bit — not just a tolerance verdict
     from mallarddv_spark.functions import sketches as sk
 
-    own = sk.hll_estimate(
-        sk.hll_registers(
-            li, "l_orderkey", p=12, by=["l_returnflag"], hash_mode="md5"
-        ),
-        p=12, by=["l_returnflag"],
-    ).select(
-        "l_returnflag",
-        F.col("n_registers").alias("own_hll_registers"),
-        F.col("est_distinct").alias("own_hll_est"),
-    )
+    def _mk_own():
+        return sk.hll_estimate(
+            sk.hll_registers(
+                li, "l_orderkey", p=12, by=["l_returnflag"], hash_mode="md5"
+            ),
+            p=12, by=["l_returnflag"],
+        ).select(
+            "l_returnflag",
+            F.col("n_registers").alias("own_hll_registers"),
+            F.col("est_distinct").alias("own_hll_est"),
+        )
+
     # ...and the engine-owned mergeable HISTOGRAM quantile sketch, the
     # same value-exact contract: declared range [900, 105000), 1024
     # equi-width integer bins, closed-form interpolation — replays
     # byte-for-byte where KLL/t-digest internals could not
-    hq = sk.hist_quantiles(
-        sk.hist_counts(
-            li, "l_extendedprice", lo=900.0, hi=105000.0, n_bins=1024,
-            by=["l_returnflag"],
-        ),
-        900.0, 105000.0, 1024, [0.5, 0.95], by=["l_returnflag"],
-    )
-    hist = hq.groupBy("l_returnflag").agg(
-        F.max(F.when(F.col("p") == 0.5, F.col("est"))).alias("hist_p50"),
-        F.max(F.when(F.col("p") == 0.95, F.col("est"))).alias("hist_p95"),
-    )
+    def _mk_hist():
+        hq = sk.hist_quantiles(
+            sk.hist_counts(
+                li, "l_extendedprice", lo=900.0, hi=105000.0, n_bins=1024,
+                by=["l_returnflag"],
+            ),
+            900.0, 105000.0, 1024, [0.5, 0.95], by=["l_returnflag"],
+        )
+        return hq.groupBy("l_returnflag").agg(
+            F.max(F.when(F.col("p") == 0.5, F.col("est"))).alias("hist_p50"),
+            F.max(F.when(F.col("p") == 0.95, F.col("est"))).alias("hist_p95"),
+        )
+
     # ...and the engine-owned KMV bottom-k sketch: distinct estimate AND
     # a range-free median of the distinct order keys from ONE sketch —
     # both closed-form over the kept rows, so the VALUES replay exactly
-    kmv_sk = sk.kmv_sketch(
-        li, "l_orderkey", k=1024, by=["l_returnflag"], hash_mode="md5"
-    )
-    kmv = sk.kmv_distinct(kmv_sk, k=1024, by=["l_returnflag"]).select(
-        "l_returnflag", F.col("est_distinct").alias("own_kmv_est")
-    )
-    kmv_q = sk.kmv_quantiles(kmv_sk, [0.5], by=["l_returnflag"]).select(
-        "l_returnflag", F.col("est").alias("own_kmv_p50")
-    )
+    def _mk_kmv():
+        kmv_sk = sk.kmv_sketch(
+            li, "l_orderkey", k=1024, by=["l_returnflag"], hash_mode="md5"
+        )
+        kmv = sk.kmv_distinct(kmv_sk, k=1024, by=["l_returnflag"]).select(
+            "l_returnflag", F.col("est_distinct").alias("own_kmv_est")
+        )
+        kmv_q = sk.kmv_quantiles(kmv_sk, [0.5], by=["l_returnflag"]).select(
+            "l_returnflag", F.col("est").alias("own_kmv_p50")
+        )
+        return kmv, kmv_q
+
     # ...and the engine-owned merging T-DIGEST (functions/tdigest.py),
     # completing the sketch family's gate coverage: ONE global digest
     # over l_quantity at delta=10000. l_quantity has ~50 distinct values
@@ -2650,15 +2678,34 @@ def q_sql_approx_aggregates(spark, sf):
         tdigest_quantiles,
     )
 
-    td_c, td_p = tdigest_build(li, "l_quantity", delta=10_000)
-    td = tdigest_quantiles(td_c, td_p, [0.5, 0.95]).groupBy().agg(
-        F.round(
-            F.max(F.when(F.col("p") == 0.5, F.col("est"))), 6
-        ).alias("own_td_p50"),
-        F.round(
-            F.max(F.when(F.col("p") == 0.95, F.col("est"))), 6
-        ).alias("own_td_p95"),
-    )
+    def _mk_td():
+        td_c, td_p = tdigest_build(li, "l_quantity", delta=10_000)
+        return tdigest_quantiles(td_c, td_p, [0.5, 0.95]).groupBy().agg(
+            F.round(
+                F.max(F.when(F.col("p") == 0.5, F.col("est"))), 6
+            ).alias("own_td_p50"),
+            F.round(
+                F.max(F.when(F.col("p") == 0.95, F.col("est"))), 6
+            ).alias("own_td_p95"),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=7) as pool:
+        f_td = pool.submit(_mk_td)  # first: runs two eager jobs
+        f_sk = pool.submit(_mk_sketches)
+        f_cd = pool.submit(_mk_exact_cd)
+        f_pct = pool.submit(_mk_exact_pct)
+        f_own = pool.submit(_mk_own)
+        f_hist = pool.submit(_mk_hist)
+        f_kmv = pool.submit(_mk_kmv)
+        sketches = f_sk.result()
+        exact_cd = f_cd.result()
+        exact_pct = f_pct.result()
+        own = f_own.result()
+        hist = f_hist.result()
+        kmv, kmv_q = f_kmv.result()
+        td = f_td.result()
     agg = (
         sketches.join(F.broadcast(exact_cd), "l_returnflag")
         .join(F.broadcast(exact_pct), "l_returnflag")
