@@ -7380,55 +7380,79 @@ def q_similarity_suite(spark, sf):
     similarity_topk, similarity_pairs, similarity_quantized_topk, plus
     the pqadc, margin, and hardneg parts oracled by O_SIM_PQADC /
     O_SIM_MARGIN / O_SIM_HARDNEG."""
-    tk = q_similarity_topk(spark, sf).select(
-        F.lit("topk").alias("part"),
-        F.col("query_id").alias("id_a"),
-        F.col("neighbor_id").alias("id_b"),
-        F.col("rank").alias("rank"),
-        F.col("cosine").alias("cosine"),
-    )
-    pr = q_similarity_pairs(spark, sf).select(
-        F.lit("pairs").alias("part"),
-        F.col("id_a"),
-        F.col("id_b"),
-        *_nulls(("rank", "bigint")),
-        F.col("cosine"),
-    )
-    qt = q_similarity_quantized_topk(spark, sf).select(
-        F.lit("qtopk").alias("part"),
-        F.col("query_id").alias("id_a"),
-        F.col("neighbor_id").alias("id_b"),
-        F.col("rank"),
-        F.col("cosine"),
-    )
-    pq = q_similarity_pq_adc(spark, sf).select(
-        F.lit("pqadc").alias("part"),
-        F.col("query_id").alias("id_a"),
-        F.col("neighbor_id").alias("id_b"),
-        F.col("rank"),
-        F.col("adc_dist").alias("cosine"),
-    )
-    ivfpq = q_similarity_ivfpq_adc(spark, sf).select(
-        F.lit("ivfpqadc").alias("part"),
-        F.col("query_id").alias("id_a"),
-        F.col("neighbor_id").alias("id_b"),
-        F.col("rank"),
-        F.col("adc_dist").alias("cosine"),
-    )
-    mg = q_similarity_margin(spark, sf).select(
-        F.lit("margin").alias("part"),
-        F.col("src_id").alias("id_a"),
-        F.col("tgt_id").alias("id_b"),
-        *_nulls(("rank", "bigint")),
-        F.col("margin").alias("cosine"),
-    )
-    hn = q_similarity_hardneg(spark, sf).select(
-        F.lit("hardneg").alias("part"),
-        F.col("query_id").alias("id_a"),
-        F.col("neg_id").alias("id_b"),
-        F.col("rank").cast("bigint").alias("rank"),
-        F.col("cosine"),
-    )
+    # The seven parts are independent; their construction (literal
+    # codebooks/planes, geometry threading) is driver/py4j-bound, so the
+    # constructors run from a pool (guide §2.6). Expressions and union
+    # order unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _p_tk():
+        return q_similarity_topk(spark, sf).select(
+            F.lit("topk").alias("part"),
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.col("rank").alias("rank"),
+            F.col("cosine").alias("cosine"),
+        )
+
+    def _p_pr():
+        return q_similarity_pairs(spark, sf).select(
+            F.lit("pairs").alias("part"),
+            F.col("id_a"),
+            F.col("id_b"),
+            *_nulls(("rank", "bigint")),
+            F.col("cosine"),
+        )
+
+    def _p_qt():
+        return q_similarity_quantized_topk(spark, sf).select(
+            F.lit("qtopk").alias("part"),
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.col("rank"),
+            F.col("cosine"),
+        )
+
+    def _p_pq():
+        return q_similarity_pq_adc(spark, sf).select(
+            F.lit("pqadc").alias("part"),
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.col("rank"),
+            F.col("adc_dist").alias("cosine"),
+        )
+
+    def _p_ivfpq():
+        return q_similarity_ivfpq_adc(spark, sf).select(
+            F.lit("ivfpqadc").alias("part"),
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.col("rank"),
+            F.col("adc_dist").alias("cosine"),
+        )
+
+    def _p_mg():
+        return q_similarity_margin(spark, sf).select(
+            F.lit("margin").alias("part"),
+            F.col("src_id").alias("id_a"),
+            F.col("tgt_id").alias("id_b"),
+            *_nulls(("rank", "bigint")),
+            F.col("margin").alias("cosine"),
+        )
+
+    def _p_hn():
+        return q_similarity_hardneg(spark, sf).select(
+            F.lit("hardneg").alias("part"),
+            F.col("query_id").alias("id_a"),
+            F.col("neg_id").alias("id_b"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("cosine"),
+        )
+
+    with ThreadPoolExecutor(max_workers=7) as pool:
+        futs = [pool.submit(f)
+                for f in (_p_tk, _p_pr, _p_qt, _p_pq, _p_ivfpq, _p_mg, _p_hn)]
+        tk, pr, qt, pq, ivfpq, mg, hn = [f.result() for f in futs]
     return (
         tk.unionByName(pr).unionByName(qt).unionByName(pq)
         .unionByName(ivfpq).unionByName(mg).unionByName(hn)
@@ -7461,27 +7485,42 @@ def q_adv_ann_suite(spark, sf):
     its `cosine` slot carries the ADC squared distance) as one tagged
     union. Parts: adv_similarity_lsh_topk, adv_similarity_ivf_topk,
     adv_similarity_ivfpq_store."""
-    lsh = q_adv_similarity_lsh_topk(spark, sf).select(
-        F.lit("lsh").alias("part"),
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("bigint").alias("rank"),
-        "cosine",
-    )
-    ivf = q_adv_similarity_ivf_topk(spark, sf).select(
-        F.lit("ivf").alias("part"),
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("bigint").alias("rank"),
-        "cosine",
-    )
-    store = q_adv_similarity_ivfpq_store(spark, sf).select(
-        F.lit("ivfpqstore").alias("part"),
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("bigint").alias("rank"),
-        F.col("dist").alias("cosine"),
-    )
+    # the stored round-trip runs eager index writes at construction
+    # time; the lsh/ivf constructions overlap it from a pool (§2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _p_lsh():
+        return q_adv_similarity_lsh_topk(spark, sf).select(
+            F.lit("lsh").alias("part"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "cosine",
+        )
+
+    def _p_ivf():
+        return q_adv_similarity_ivf_topk(spark, sf).select(
+            F.lit("ivf").alias("part"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "cosine",
+        )
+
+    def _p_store():
+        return q_adv_similarity_ivfpq_store(spark, sf).select(
+            F.lit("ivfpqstore").alias("part"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("dist").alias("cosine"),
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_store = pool.submit(_p_store)  # first: eager index writes
+        f_lsh = pool.submit(_p_lsh)
+        f_ivf = pool.submit(_p_ivf)
+        lsh, ivf, store = f_lsh.result(), f_ivf.result(), f_store.result()
     return lsh.unionByName(ivf).unionByName(store)
 
 
@@ -7491,24 +7530,40 @@ def q_adv_neardup_suite(spark, sf):
     buckets as one tagged union. Candidate generation is approximate by
     construction → rows-only. Parts: adv_minhash_lsh_pairs,
     adv_simhash_pairs, adv_embedding_neardup_lsh."""
-    mh = q_adv_minhash_lsh_pairs(spark, sf).select(
-        F.lit("minhash_lsh").alias("part"),
-        F.col("doc_a").alias("id_a"),
-        F.col("doc_b").alias("id_b"),
-        F.col("jaccard").cast("double").alias("score"),
-    )
-    sh = q_adv_simhash_pairs(spark, sf).select(
-        F.lit("simhash").alias("part"),
-        F.col("doc_a").alias("id_a"),
-        F.col("doc_b").alias("id_b"),
-        F.col("hamming").cast("double").alias("score"),
-    )
-    em = q_adv_embedding_neardup_lsh(spark, sf).select(
-        F.lit("embedding_lsh").alias("part"),
-        F.col("id_a"),
-        F.col("id_b"),
-        F.col("cosine").cast("double").alias("score"),
-    )
+    # the minhash part checkpoints its shared shingle frame at
+    # construction time; the simhash/embedding constructions overlap it
+    # from a pool (§2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _p_mh():
+        return q_adv_minhash_lsh_pairs(spark, sf).select(
+            F.lit("minhash_lsh").alias("part"),
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            F.col("jaccard").cast("double").alias("score"),
+        )
+
+    def _p_sh():
+        return q_adv_simhash_pairs(spark, sf).select(
+            F.lit("simhash").alias("part"),
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            F.col("hamming").cast("double").alias("score"),
+        )
+
+    def _p_em():
+        return q_adv_embedding_neardup_lsh(spark, sf).select(
+            F.lit("embedding_lsh").alias("part"),
+            F.col("id_a"),
+            F.col("id_b"),
+            F.col("cosine").cast("double").alias("score"),
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_mh = pool.submit(_p_mh)
+        f_sh = pool.submit(_p_sh)
+        f_em = pool.submit(_p_em)
+        mh, sh, em = f_mh.result(), f_sh.result(), f_em.result()
     return mh.unionByName(sh).unionByName(em)
 
 
