@@ -5238,119 +5238,152 @@ def q_text_curation_assign(spark, sf):
         url_dedup,
     )
 
-    s = q_text_split_assign(spark, sf).select(
-        F.lit("split").alias("part"),
-        "doc_id",
-        F.col("split").alias("label"),
-        F.col("split_bucket").alias("bucket"),
-    )
-    t = q_text_stratified_sample(spark, sf).select(
-        F.lit("sample").alias("part"),
-        "doc_id",
-        F.col("domain").alias("label"),
-        F.col("sample_bucket").alias("bucket"),
-    )
     d = _t(spark, sf, "documents")
-    c = cap_per_stratum(d, "source", "doc_id", 10).select(
-        F.lit("cap").alias("part"),
-        "doc_id",
-        F.col("source").alias("label"),
-        F.concat_ws(":", "cap_bucket", "cap_rank").alias("bucket"),
-    )
-    o = shuffle_order(d, "doc_id", shards=8).select(
-        F.lit("order").alias("part"),
-        "doc_id",
-        F.col("shard").cast("string").alias("label"),
-        F.col("order_bucket").alias("bucket"),
-    )
-    ss = source_stats(d, short_tokens=50).select(
-        F.lit("srcstats").alias("part"),
-        F.col("n_docs").alias("doc_id"),
-        F.col("source").alias("label"),
-        F.concat_ws(
-            ":",
-            F.col("n_tokens"),
-            F.col("n_short"),
-            F.col("sum_q6"),
-            F.when(F.col("short_frac") <= 0.44, F.lit(1)).otherwise(F.lit(0)),
-        ).alias("bucket"),
-    )
-    # ONE materialization of the per-language token totals: lt's corpus
-    # scan (token_count projection + groupBy(lang)) otherwise runs three
-    # times per invocation — the eager total_cap aggregate here, the
-    # eager alloc.collect() inside materialize_epochs, and the `unimax`
-    # part's subtree at action time. Interleaved A/B at sf0.1 is a wash
-    # (5.70 vs 5.89 s min — the 2-column scan is page-cached and the
-    # redundant subtrees back-fill idle cores locally), but at corpus
-    # scale three full passes for one language-table-sized result is
-    # the structural loss, so the checkpoint stays. Eager inside the
-    # timed call; fresh RDD per invocation.
-    lt = lang_token_counts(d).localCheckpoint(eager=True)
-    total_cap = lt.agg(
-        F.sum(F.col("n_tokens") * 2).cast("bigint")
-    ).first()[0]
-    alloc = unimax_allocation(lt, int(total_cap) // 2, max_epochs=2)
-    um = alloc.select(
-        F.lit("unimax").alias("part"),
-        F.col("n_tokens").alias("doc_id"),
-        F.col("lang").alias("label"),
-        F.concat_ws(
-            ":",
-            F.col("capacity"),
-            F.col("allocated"),
-            F.when(F.col("capped"), F.lit(1)).otherwise(F.lit(0)),
-        ).alias("bucket"),
-    )
-    ep = materialize_epochs(d, alloc).select(
-        F.lit("epochs").alias("part"),
-        "doc_id",
-        F.col("lang").alias("label"),
-        F.col("epoch").cast("string").alias("bucket"),
-    )
-    un = url_dedup(
-        d.withColumn("url", F.expr(URLNORM_SYNTH)), "doc_id", "url"
-    ).select(
-        F.lit("urlnorm").alias("part"),
-        F.col("id").alias("doc_id"),
-        F.coalesce("canonical_url", F.lit("~none")).alias("label"),
-        F.when(F.col("keep"), F.lit("1")).otherwise(F.lit("0")).alias("bucket"),
-    )
-    pscore = (F.col("doc_id") % 100) / F.lit(99.0)
-    pk = pareto_keep(pscore, F.col("doc_id"), alpha=9.0, salt="pareto-v1")
-    pp = d.select(
-        F.lit("pareto").alias("part"),
-        "doc_id",
-        (F.col("doc_id") % 100).cast("string").alias("label"),
-        F.when(pk, F.lit("1")).otherwise(F.lit("0")).alias("bucket"),
-    )
-    # lrscore: score every document under a FIXED literal LR model —
-    # the closed-form weights make the scoring hop (not the training)
-    # the thing under test, exactly replayable in SQL
-    lw = spark.range(1024).select(
-        F.col("id").cast("int").alias("bucket"),
-        (((F.col("id") * 37) % 201 - 100) / F.lit(100.0)).alias("w"),
-    )
-    lmodel = {
-        "weights": lw, "bias": 0.25, "buckets": 1024,
-        "n_max": 2, "hash_mode": "md5", "lowercase": True,
-    }
-    # even-id half only: the scoring machinery is identical on any slice
-    # (and the md5 gram space is already exercised corpus-wide by the
-    # lang_trained columns of text_doc_stats); the explode is the part's
-    # whole cost, so the cut halves it — measured 2.15 s -> ~1.1 s at
-    # sf0.1. Input trims are a LAST RESORT governed by the policy in
-    # COVERAGE.md ("Gate-input-trim policy"): allowed only with a
-    # corpus-wide-gated twin of the same machinery, documented here.
-    lp = lr_classify(
-        d.filter(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", "text", lmodel
-    ).select(
-        F.lit("lrscore").alias("part"),
-        "doc_id",
-        F.when(F.col("predicted"), F.lit("1")).otherwise(F.lit("0"))
-        .alias("label"),
-        F.round(F.col("score") * 1e6).cast("bigint").cast("string")
-        .alias("bucket"),
-    )
+
+    # The UniMax chain runs eager jobs at construction time (the shared
+    # lang-token checkpoint, the budget scalar, materialize_epochs'
+    # alloc collect); everything else is pure driver/py4j construction.
+    # Four pooled futures overlap them (guide §2.6); expressions and
+    # union order unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _p_assign():
+        s = q_text_split_assign(spark, sf).select(
+            F.lit("split").alias("part"),
+            "doc_id",
+            F.col("split").alias("label"),
+            F.col("split_bucket").alias("bucket"),
+        )
+        t = q_text_stratified_sample(spark, sf).select(
+            F.lit("sample").alias("part"),
+            "doc_id",
+            F.col("domain").alias("label"),
+            F.col("sample_bucket").alias("bucket"),
+        )
+        c = cap_per_stratum(d, "source", "doc_id", 10).select(
+            F.lit("cap").alias("part"),
+            "doc_id",
+            F.col("source").alias("label"),
+            F.concat_ws(":", "cap_bucket", "cap_rank").alias("bucket"),
+        )
+        o = shuffle_order(d, "doc_id", shards=8).select(
+            F.lit("order").alias("part"),
+            "doc_id",
+            F.col("shard").cast("string").alias("label"),
+            F.col("order_bucket").alias("bucket"),
+        )
+        return s, t, c, o
+
+    def _p_unimax():
+        # ONE materialization of the per-language token totals: lt's
+        # corpus scan (token_count projection + groupBy(lang)) otherwise
+        # runs three times per invocation — the eager total_cap aggregate
+        # here, the eager alloc.collect() inside materialize_epochs, and
+        # the `unimax` part's subtree at action time. Interleaved A/B at
+        # sf0.1 is a wash (5.70 vs 5.89 s min — the 2-column scan is
+        # page-cached and the redundant subtrees back-fill idle cores
+        # locally), but at corpus scale three full passes for one
+        # language-table-sized result is the structural loss, so the
+        # checkpoint stays. Eager inside the timed call; fresh RDD per
+        # invocation.
+        lt = lang_token_counts(d).localCheckpoint(eager=True)
+        total_cap = lt.agg(
+            F.sum(F.col("n_tokens") * 2).cast("bigint")
+        ).first()[0]
+        alloc = unimax_allocation(lt, int(total_cap) // 2, max_epochs=2)
+        um = alloc.select(
+            F.lit("unimax").alias("part"),
+            F.col("n_tokens").alias("doc_id"),
+            F.col("lang").alias("label"),
+            F.concat_ws(
+                ":",
+                F.col("capacity"),
+                F.col("allocated"),
+                F.when(F.col("capped"), F.lit(1)).otherwise(F.lit(0)),
+            ).alias("bucket"),
+        )
+        ep = materialize_epochs(d, alloc).select(
+            F.lit("epochs").alias("part"),
+            "doc_id",
+            F.col("lang").alias("label"),
+            F.col("epoch").cast("string").alias("bucket"),
+        )
+        return um, ep
+
+    def _p_stats():
+        ss = source_stats(d, short_tokens=50).select(
+            F.lit("srcstats").alias("part"),
+            F.col("n_docs").alias("doc_id"),
+            F.col("source").alias("label"),
+            F.concat_ws(
+                ":",
+                F.col("n_tokens"),
+                F.col("n_short"),
+                F.col("sum_q6"),
+                F.when(F.col("short_frac") <= 0.44, F.lit(1))
+                .otherwise(F.lit(0)),
+            ).alias("bucket"),
+        )
+        un = url_dedup(
+            d.withColumn("url", F.expr(URLNORM_SYNTH)), "doc_id", "url"
+        ).select(
+            F.lit("urlnorm").alias("part"),
+            F.col("id").alias("doc_id"),
+            F.coalesce("canonical_url", F.lit("~none")).alias("label"),
+            F.when(F.col("keep"), F.lit("1")).otherwise(F.lit("0"))
+            .alias("bucket"),
+        )
+        pscore = (F.col("doc_id") % 100) / F.lit(99.0)
+        pk = pareto_keep(pscore, F.col("doc_id"), alpha=9.0, salt="pareto-v1")
+        pp = d.select(
+            F.lit("pareto").alias("part"),
+            "doc_id",
+            (F.col("doc_id") % 100).cast("string").alias("label"),
+            F.when(pk, F.lit("1")).otherwise(F.lit("0")).alias("bucket"),
+        )
+        return ss, un, pp
+
+    def _p_lr():
+        # lrscore: score every document under a FIXED literal LR model —
+        # the closed-form weights make the scoring hop (not the training)
+        # the thing under test, exactly replayable in SQL
+        lw = spark.range(1024).select(
+            F.col("id").cast("int").alias("bucket"),
+            (((F.col("id") * 37) % 201 - 100) / F.lit(100.0)).alias("w"),
+        )
+        lmodel = {
+            "weights": lw, "bias": 0.25, "buckets": 1024,
+            "n_max": 2, "hash_mode": "md5", "lowercase": True,
+        }
+        # even-id half only: the scoring machinery is identical on any
+        # slice (and the md5 gram space is already exercised corpus-wide
+        # by the lang_trained columns of text_doc_stats); the explode is
+        # the part's whole cost, so the cut halves it — measured 2.15 s
+        # -> ~1.1 s at sf0.1. Input trims are a LAST RESORT governed by
+        # the policy in COVERAGE.md ("Gate-input-trim policy"): allowed
+        # only with a corpus-wide-gated twin of the same machinery,
+        # documented here.
+        return lr_classify(
+            d.filter(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", "text",
+            lmodel,
+        ).select(
+            F.lit("lrscore").alias("part"),
+            "doc_id",
+            F.when(F.col("predicted"), F.lit("1")).otherwise(F.lit("0"))
+            .alias("label"),
+            F.round(F.col("score") * 1e6).cast("bigint").cast("string")
+            .alias("bucket"),
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_um = pool.submit(_p_unimax)  # first: runs eager jobs
+        f_as = pool.submit(_p_assign)
+        f_st = pool.submit(_p_stats)
+        f_lr = pool.submit(_p_lr)
+        s, t, c, o = f_as.result()
+        ss, un, pp = f_st.result()
+        lp = f_lr.result()
+        um, ep = f_um.result()
     return (
         s.unionByName(t).unionByName(c).unionByName(o)
         .unionByName(ss).unionByName(um).unionByName(ep).unionByName(un)
@@ -5629,51 +5662,68 @@ def q_text_chunking_winnow(spark, sf):
     RE2-compatible subset, replayed step-for-step in DuckDB), as one
     tagged union. Parts: text_chunking, text_winnow_fingerprints,
     text_line_dedup, text_substring_spans, htmltext."""
-    c = q_text_chunking(spark, sf).select(
-        F.lit("chunk").alias("part"),
-        "doc_id",
-        F.col("chunk_idx").alias("idx"),
-        F.col("chunk_text").alias("payload"),
-        F.col("chunk_tokens").alias("n_tokens"),
-        *_nulls(("d1", "double")),
-    )
-    w = q_text_winnow_fingerprints(spark, sf).select(
-        F.lit("winnow").alias("part"),
-        "doc_id",
-        *_nulls(("idx", "bigint")),
-        F.col("fp").alias("payload"),
-        *_nulls(("n_tokens", "bigint"), ("d1", "double")),
-    )
-    ld = q_text_line_dedup(spark, sf).select(
-        F.lit("linededup").alias("part"),
-        "doc_id",
-        F.col("lines_dropped").alias("idx"),
-        F.col("clean_text").alias("payload"),
-        F.col("lines_kept").alias("n_tokens"),
-        F.col("dup_line_frac").alias("d1"),
-    )
-    ss = q_text_substring_spans(spark, sf).select(
-        F.lit("substr").alias("part"),
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("idx"),
-        F.concat_ws(":", "start_a", "start_b").alias("payload"),
-        F.col("run_tokens").alias("n_tokens"),
-        *_nulls(("d1", "double")),
-    )
-    from mallarddv_spark.operators.curation import html_to_text
+    # five independent parts; constructors pooled (guide §2.6),
+    # expressions and union order unchanged
+    from concurrent.futures import ThreadPoolExecutor
 
-    d = _t(spark, sf, "documents")
-    ht = d.withColumn("__html", F.expr(HTMLTEXT_SYNTH)).select(
-        F.lit("htmltext").alias("part"),
-        "doc_id",
-        *_nulls(("idx", "bigint")),
-        html_to_text("__html").alias("payload"),
-        F.size(
-            F.split(F.trim(F.regexp_replace(html_to_text("__html"),
-                                            r"\s+", " ")), " ")
-        ).cast("bigint").alias("n_tokens"),
-        *_nulls(("d1", "double")),
-    )
+    def _p_c():
+        return q_text_chunking(spark, sf).select(
+            F.lit("chunk").alias("part"),
+            "doc_id",
+            F.col("chunk_idx").alias("idx"),
+            F.col("chunk_text").alias("payload"),
+            F.col("chunk_tokens").alias("n_tokens"),
+            *_nulls(("d1", "double")),
+        )
+
+    def _p_w():
+        return q_text_winnow_fingerprints(spark, sf).select(
+            F.lit("winnow").alias("part"),
+            "doc_id",
+            *_nulls(("idx", "bigint")),
+            F.col("fp").alias("payload"),
+            *_nulls(("n_tokens", "bigint"), ("d1", "double")),
+        )
+
+    def _p_ld():
+        return q_text_line_dedup(spark, sf).select(
+            F.lit("linededup").alias("part"),
+            "doc_id",
+            F.col("lines_dropped").alias("idx"),
+            F.col("clean_text").alias("payload"),
+            F.col("lines_kept").alias("n_tokens"),
+            F.col("dup_line_frac").alias("d1"),
+        )
+
+    def _p_ss():
+        return q_text_substring_spans(spark, sf).select(
+            F.lit("substr").alias("part"),
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("idx"),
+            F.concat_ws(":", "start_a", "start_b").alias("payload"),
+            F.col("run_tokens").alias("n_tokens"),
+            *_nulls(("d1", "double")),
+        )
+
+    def _p_ht():
+        from mallarddv_spark.operators.curation import html_to_text
+
+        d = _t(spark, sf, "documents")
+        return d.withColumn("__html", F.expr(HTMLTEXT_SYNTH)).select(
+            F.lit("htmltext").alias("part"),
+            "doc_id",
+            *_nulls(("idx", "bigint")),
+            html_to_text("__html").alias("payload"),
+            F.size(
+                F.split(F.trim(F.regexp_replace(html_to_text("__html"),
+                                                r"\s+", " ")), " ")
+            ).cast("bigint").alias("n_tokens"),
+            *_nulls(("d1", "double")),
+        )
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = [pool.submit(f) for f in (_p_c, _p_w, _p_ld, _p_ss, _p_ht)]
+        c, w, ld, ss, ht = [f.result() for f in futs]
     return (
         c.unionByName(w).unionByName(ld).unionByName(ss).unionByName(ht)
     )
