@@ -56,6 +56,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _pooled(*thunks):
+    """Construct independent part frames from a thread pool (guide
+    §2.6): plan construction is driver/py4j-bound, and some parts run
+    eager work (checkpoints, index writes) at construction time, so
+    building them serially leaves both the JVM and the executor idle.
+    Results return in submission order; expressions are unchanged —
+    only the driver-side construction order moves."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def _parquet_rows(sf_dir: str, name: str) -> int:
     """Row count straight from parquet footers, driver-side — no Spark
     job. Used where a gate query needs a table's cardinality as a PLAN
@@ -2082,59 +2096,65 @@ def q_asof_purchase_click(spark, sf):
         .groupBy("user_id", F.col("ts").alias("click_ts"))
         .agg(F.max("event_id").alias("click_event_id"))
     )
-    a = asof_join(
-        purchases,
-        clicks,
-        on="user_id",
-        left_ts="purchase_ts",
-        right_ts="click_ts",
-        right_payload=["click_event_id"],
-    ).select(
-        F.lit("asof").alias("part"),
-        "purchase_id", "user_id", "purchase_ts",
-        F.col("click_event_id").alias("ref_id"),
-        F.col("click_ts").alias("ref_ts"),
-    )
-
-    points = purchases.withColumn(
-        "t",
-        F.expr(
-            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', purchase_ts)"
-        ),
-    )
     iv = spark.range(20).select(
         F.col("id").alias("iv_id"),
         (F.lit(_RJ_BASE_US) + F.col("id") * _RJ_WIN_US).alias("iv_start"),
         (F.lit(_RJ_BASE_US) + (F.col("id") + 1) * _RJ_WIN_US).alias("iv_end"),
     )
-    r = point_in_interval_join(
-        points, iv, "t", "iv_start", "iv_end", bin_width=_RJ_WIN_US
-    ).select(
-        F.lit("range").alias("part"),
-        "purchase_id", "user_id", "purchase_ts",
-        F.col("iv_id").alias("ref_id"),
-        F.expr("cast(NULL as timestamp_ntz)").alias("ref_ts"),
-    )
 
-    spans = e.groupBy(F.col("user_id").alias("span_user")).agg(
-        F.expr(
-            "min(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts))"
-        ).alias("span_start"),
-        F.expr(
-            "max(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts))"
-        ).alias("span_end"),
-    )
-    o = interval_overlap_join(
-        spans, iv, "span_start", "span_end", "iv_start", "iv_end",
-        bin_width=_RJ_WIN_US,
-    ).select(
-        F.lit("overlap").alias("part"),
-        F.lit(None).cast("long").alias("purchase_id"),
-        F.col("span_user").alias("user_id"),
-        F.expr("cast(NULL as timestamp_ntz)").alias("purchase_ts"),
-        F.col("iv_id").alias("ref_id"),
-        F.expr("cast(NULL as timestamp_ntz)").alias("ref_ts"),
-    )
+    def _p_asof():
+        return asof_join(
+            purchases,
+            clicks,
+            on="user_id",
+            left_ts="purchase_ts",
+            right_ts="click_ts",
+            right_payload=["click_event_id"],
+        ).select(
+            F.lit("asof").alias("part"),
+            "purchase_id", "user_id", "purchase_ts",
+            F.col("click_event_id").alias("ref_id"),
+            F.col("click_ts").alias("ref_ts"),
+        )
+
+    def _p_range():
+        points = purchases.withColumn(
+            "t",
+            F.expr(
+                "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', purchase_ts)"
+            ),
+        )
+        return point_in_interval_join(
+            points, iv, "t", "iv_start", "iv_end", bin_width=_RJ_WIN_US
+        ).select(
+            F.lit("range").alias("part"),
+            "purchase_id", "user_id", "purchase_ts",
+            F.col("iv_id").alias("ref_id"),
+            F.expr("cast(NULL as timestamp_ntz)").alias("ref_ts"),
+        )
+
+    def _p_overlap():
+        spans = e.groupBy(F.col("user_id").alias("span_user")).agg(
+            F.expr(
+                "min(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts))"
+            ).alias("span_start"),
+            F.expr(
+                "max(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts))"
+            ).alias("span_end"),
+        )
+        return interval_overlap_join(
+            spans, iv, "span_start", "span_end", "iv_start", "iv_end",
+            bin_width=_RJ_WIN_US,
+        ).select(
+            F.lit("overlap").alias("part"),
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.col("span_user").alias("user_id"),
+            F.expr("cast(NULL as timestamp_ntz)").alias("purchase_ts"),
+            F.col("iv_id").alias("ref_id"),
+            F.expr("cast(NULL as timestamp_ntz)").alias("ref_ts"),
+        )
+
+    a, r, o = _pooled(_p_asof, _p_range, _p_overlap)
     return a.unionByName(r).unionByName(o)
 
 
@@ -6719,87 +6739,90 @@ def q_sql_scalar_suite(spark, sf):
     Parts: sql_date_functions, sql_string_functions, sql_null_semantics,
     sql_json_extract, sql_variant_extract, sql_array_functions,
     sql_regexp_functions."""
-    dt = q_sql_date_functions(spark, sf).select(
-        F.lit("date").alias("part"),
-        F.col("o_orderkey").alias("key"),
-        F.date_format("month_start", "yyyy-MM-dd").alias("s1"),
-        F.date_format("month_end", "yyyy-MM-dd").alias("s2"),
-        F.col("ym_str").alias("s3"),
-        *_nulls(("s4", "string"), ("s5", "string")),
-        F.col("yr").alias("n1"),
-        F.col("mo").alias("n2"),
-        F.col("dom").alias("n3"),
-        F.col("qtr").alias("n4"),
-        *_nulls(("d1", "double")),
-    )
-    st = q_sql_string_functions(spark, sf).select(
-        F.lit("string").alias("part"),
-        F.col("p_partkey").alias("key"),
-        F.col("uname").alias("s1"),
-        F.col("prefix5").alias("s2"),
-        F.col("snake").alias("s3"),
-        F.col("padded_key").alias("s4"),
-        F.col("rname").alias("s5"),
-        F.col("name_len").alias("n1"),
-        F.col("first_a").alias("n2"),
-        F.col("lev_to_brand").alias("n3"),
-        *_nulls(("n4", "bigint"), ("d1", "double")),
-    )
-    nu = q_sql_null_semantics(spark, sf).select(
-        F.lit("null").alias("part"),
-        *_nulls(("key", "bigint")),
-        F.col("seg_or_null").alias("s1"),
-        *_nulls(("s2", "string"), ("s3", "string"), ("s4", "string"), ("s5", "string")),
-        F.col("n_rows").alias("n1"),
-        F.col("n_nonnull").alias("n2"),
-        F.col("coalesced_null").alias("n3"),
-        *_nulls(("n4", "bigint")),
-        F.col("sum_never").alias("d1"),
-    )
-    js = q_sql_json_extract(spark, sf).select(
-        F.lit("json").alias("part"),
-        F.col("user_id").alias("key"),
-        *_nulls(("s1", "string"), ("s2", "string"), ("s3", "string"),
-                ("s4", "string"), ("s5", "string")),
-        F.col("n_with_k").alias("n1"),
-        F.col("sum_k").alias("n2"),
-        F.col("n_distinct_k").alias("n3"),
-        *_nulls(("n4", "bigint"), ("d1", "double")),
-    )
-    vr = q_sql_variant_extract(spark, sf).select(
-        F.lit("variant").alias("part"),
-        F.col("user_id").alias("key"),
-        *_nulls(("s1", "string"), ("s2", "string"), ("s3", "string"),
-                ("s4", "string"), ("s5", "string")),
-        F.col("n_with_k").alias("n1"),
-        F.col("sum_k").alias("n2"),
-        F.col("max_k").alias("n3"),
-        F.col("min_k").alias("n4"),
-        *_nulls(("d1", "double")),
-    )
-    ar = q_sql_array_functions(spark, sf).select(
-        F.lit("array").alias("part"),
-        F.col("p_partkey").alias("key"),
-        F.col("sorted_toks").alias("s1"),
-        F.col("first_tok").alias("s2"),
-        F.col("long_toks").alias("s3"),
-        *_nulls(("s4", "string"), ("s5", "string")),
-        F.col("n_toks").alias("n1"),
-        F.col("sum_len").alias("n2"),
-        F.col("has_green").alias("n3"),
-        F.col("n_distinct_toks").alias("n4"),
-        *_nulls(("d1", "double")),
-    )
-    rx = q_sql_regexp_functions(spark, sf).select(
-        F.lit("regex").alias("part"),
-        F.col("p_partkey").alias("key"),
-        F.col("brand_num").alias("s1"),
-        F.col("type_head").alias("s2"),
-        F.col("starred").alias("s3"),
-        *_nulls(("s4", "string"), ("s5", "string")),
-        F.col("has_green").alias("n1"),
-        F.col("n_vowels").alias("n2"),
-        *_nulls(("n3", "bigint"), ("n4", "bigint"), ("d1", "double")),
+    dt, st, nu, js, vr, ar, rx = _pooled(
+        lambda: q_sql_date_functions(spark, sf).select(
+            F.lit("date").alias("part"),
+            F.col("o_orderkey").alias("key"),
+            F.date_format("month_start", "yyyy-MM-dd").alias("s1"),
+            F.date_format("month_end", "yyyy-MM-dd").alias("s2"),
+            F.col("ym_str").alias("s3"),
+            *_nulls(("s4", "string"), ("s5", "string")),
+            F.col("yr").alias("n1"),
+            F.col("mo").alias("n2"),
+            F.col("dom").alias("n3"),
+            F.col("qtr").alias("n4"),
+            *_nulls(("d1", "double")),
+        ),
+        lambda: q_sql_string_functions(spark, sf).select(
+            F.lit("string").alias("part"),
+            F.col("p_partkey").alias("key"),
+            F.col("uname").alias("s1"),
+            F.col("prefix5").alias("s2"),
+            F.col("snake").alias("s3"),
+            F.col("padded_key").alias("s4"),
+            F.col("rname").alias("s5"),
+            F.col("name_len").alias("n1"),
+            F.col("first_a").alias("n2"),
+            F.col("lev_to_brand").alias("n3"),
+            *_nulls(("n4", "bigint"), ("d1", "double")),
+        ),
+        lambda: q_sql_null_semantics(spark, sf).select(
+            F.lit("null").alias("part"),
+            *_nulls(("key", "bigint")),
+            F.col("seg_or_null").alias("s1"),
+            *_nulls(("s2", "string"), ("s3", "string"), ("s4", "string"),
+                    ("s5", "string")),
+            F.col("n_rows").alias("n1"),
+            F.col("n_nonnull").alias("n2"),
+            F.col("coalesced_null").alias("n3"),
+            *_nulls(("n4", "bigint")),
+            F.col("sum_never").alias("d1"),
+        ),
+        lambda: q_sql_json_extract(spark, sf).select(
+            F.lit("json").alias("part"),
+            F.col("user_id").alias("key"),
+            *_nulls(("s1", "string"), ("s2", "string"), ("s3", "string"),
+                    ("s4", "string"), ("s5", "string")),
+            F.col("n_with_k").alias("n1"),
+            F.col("sum_k").alias("n2"),
+            F.col("n_distinct_k").alias("n3"),
+            *_nulls(("n4", "bigint"), ("d1", "double")),
+        ),
+        lambda: q_sql_variant_extract(spark, sf).select(
+            F.lit("variant").alias("part"),
+            F.col("user_id").alias("key"),
+            *_nulls(("s1", "string"), ("s2", "string"), ("s3", "string"),
+                    ("s4", "string"), ("s5", "string")),
+            F.col("n_with_k").alias("n1"),
+            F.col("sum_k").alias("n2"),
+            F.col("max_k").alias("n3"),
+            F.col("min_k").alias("n4"),
+            *_nulls(("d1", "double")),
+        ),
+        lambda: q_sql_array_functions(spark, sf).select(
+            F.lit("array").alias("part"),
+            F.col("p_partkey").alias("key"),
+            F.col("sorted_toks").alias("s1"),
+            F.col("first_tok").alias("s2"),
+            F.col("long_toks").alias("s3"),
+            *_nulls(("s4", "string"), ("s5", "string")),
+            F.col("n_toks").alias("n1"),
+            F.col("sum_len").alias("n2"),
+            F.col("has_green").alias("n3"),
+            F.col("n_distinct_toks").alias("n4"),
+            *_nulls(("d1", "double")),
+        ),
+        lambda: q_sql_regexp_functions(spark, sf).select(
+            F.lit("regex").alias("part"),
+            F.col("p_partkey").alias("key"),
+            F.col("brand_num").alias("s1"),
+            F.col("type_head").alias("s2"),
+            F.col("starred").alias("s3"),
+            *_nulls(("s4", "string"), ("s5", "string")),
+            F.col("has_green").alias("n1"),
+            F.col("n_vowels").alias("n2"),
+            *_nulls(("n3", "bigint"), ("n4", "bigint"), ("d1", "double")),
+        ),
     )
     return (
         dt.unionByName(st).unionByName(nu).unionByName(js)
@@ -6845,38 +6868,41 @@ def q_sql_grouping_suite(spark, sf):
     """Grouping-set / reshaping battery: ROLLUP, CUBE, UNPIVOT (stack), and
     conditional-aggregation pivot as one tagged union.
     Parts: sql_rollup, sql_cube, sql_unpivot, sql_conditional_pivot."""
-    ro = q_sql_rollup(spark, sf).select(
-        F.lit("rollup").alias("part"),
-        F.col("l_returnflag").alias("k1"),
-        F.col("l_linestatus").alias("k2"),
-        F.col("n").alias("n1"),
-        *_nulls(("n2", "bigint"), ("n3", "bigint"), ("n4", "bigint")),
-        F.col("sum_qty").alias("v"),
-    )
-    cu = q_sql_cube(spark, sf).select(
-        F.lit("cube").alias("part"),
-        F.col("o_orderstatus").alias("k1"),
-        F.col("o_orderpriority").alias("k2"),
-        F.col("n").alias("n1"),
-        *_nulls(("n2", "bigint"), ("n3", "bigint"), ("n4", "bigint")),
-        F.col("sum_total").alias("v"),
-    )
-    un = q_sql_unpivot(spark, sf).select(
-        F.lit("unpivot").alias("part"),
-        F.col("p_partkey").cast("string").alias("k1"),
-        F.col("attribute").alias("k2"),
-        *_nulls(("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("n4", "bigint")),
-        F.col("value").alias("v"),
-    )
-    pv = q_sql_conditional_pivot(spark, sf).select(
-        F.lit("pivot").alias("part"),
-        F.col("c_mktsegment").alias("k1"),
-        *_nulls(("k2", "string")),
-        F.col("n_orders").alias("n1"),
-        F.col("n_urgent").alias("n2"),
-        F.col("n_high").alias("n3"),
-        F.col("n_other").alias("n4"),
-        *_nulls(("v", "double")),
+    ro, cu, un, pv = _pooled(
+        lambda: q_sql_rollup(spark, sf).select(
+            F.lit("rollup").alias("part"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            F.col("n").alias("n1"),
+            *_nulls(("n2", "bigint"), ("n3", "bigint"), ("n4", "bigint")),
+            F.col("sum_qty").alias("v"),
+        ),
+        lambda: q_sql_cube(spark, sf).select(
+            F.lit("cube").alias("part"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            F.col("n").alias("n1"),
+            *_nulls(("n2", "bigint"), ("n3", "bigint"), ("n4", "bigint")),
+            F.col("sum_total").alias("v"),
+        ),
+        lambda: q_sql_unpivot(spark, sf).select(
+            F.lit("unpivot").alias("part"),
+            F.col("p_partkey").cast("string").alias("k1"),
+            F.col("attribute").alias("k2"),
+            *_nulls(("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"),
+                    ("n4", "bigint")),
+            F.col("value").alias("v"),
+        ),
+        lambda: q_sql_conditional_pivot(spark, sf).select(
+            F.lit("pivot").alias("part"),
+            F.col("c_mktsegment").alias("k1"),
+            *_nulls(("k2", "string")),
+            F.col("n_orders").alias("n1"),
+            F.col("n_urgent").alias("n2"),
+            F.col("n_high").alias("n3"),
+            F.col("n_other").alias("n4"),
+            *_nulls(("v", "double")),
+        ),
     )
     return ro.unionByName(cu).unionByName(un).unionByName(pv)
 
@@ -6905,34 +6931,36 @@ def q_sql_window_agg_suite(spark, sf):
     frames, and ordered array/string aggregation as one tagged union (the
     array column is pinned via its exact CSV rendering so the union stays
     homogeneous). Parts: sql_window_suite, sql_range_frame, sql_array_agg."""
-    wi = q_sql_window_suite(spark, sf).select(
-        F.lit("window").alias("part"),
-        F.col("o_custkey").alias("k1"),
-        F.col("o_orderkey").alias("k2"),
-        F.col("rnk").alias("n1"),
-        F.col("drnk").alias("n2"),
-        F.col("quartile").alias("n3"),
-        F.col("prev_orderkey").alias("n4"),
-        F.col("next_orderkey").alias("n5"),
-        F.col("running_total").alias("d1"),
-        *_nulls(("s1", "string")),
-    )
-    ra = q_sql_range_frame(spark, sf).select(
-        F.lit("range").alias("part"),
-        F.col("o_custkey").alias("k1"),
-        F.col("o_orderkey").alias("k2"),
-        F.col("n_nearby_orders").alias("n1"),
-        *_nulls(("n2", "bigint"), ("n3", "bigint"), ("n4", "bigint"),
-                ("n5", "bigint"), ("d1", "double"), ("s1", "string")),
-    )
-    ar = q_sql_array_agg(spark, sf).select(
-        F.lit("array_agg").alias("part"),
-        F.col("c_nationkey").cast("bigint").alias("k1"),
-        *_nulls(("k2", "bigint")),
-        F.col("n").alias("n1"),
-        *_nulls(("n2", "bigint"), ("n3", "bigint"), ("n4", "bigint"),
-                ("n5", "bigint"), ("d1", "double")),
-        F.col("custkey_csv").alias("s1"),
+    wi, ra, ar = _pooled(
+        lambda: q_sql_window_suite(spark, sf).select(
+            F.lit("window").alias("part"),
+            F.col("o_custkey").alias("k1"),
+            F.col("o_orderkey").alias("k2"),
+            F.col("rnk").alias("n1"),
+            F.col("drnk").alias("n2"),
+            F.col("quartile").alias("n3"),
+            F.col("prev_orderkey").alias("n4"),
+            F.col("next_orderkey").alias("n5"),
+            F.col("running_total").alias("d1"),
+            *_nulls(("s1", "string")),
+        ),
+        lambda: q_sql_range_frame(spark, sf).select(
+            F.lit("range").alias("part"),
+            F.col("o_custkey").alias("k1"),
+            F.col("o_orderkey").alias("k2"),
+            F.col("n_nearby_orders").alias("n1"),
+            *_nulls(("n2", "bigint"), ("n3", "bigint"), ("n4", "bigint"),
+                    ("n5", "bigint"), ("d1", "double"), ("s1", "string")),
+        ),
+        lambda: q_sql_array_agg(spark, sf).select(
+            F.lit("array_agg").alias("part"),
+            F.col("c_nationkey").cast("bigint").alias("k1"),
+            *_nulls(("k2", "bigint")),
+            F.col("n").alias("n1"),
+            *_nulls(("n2", "bigint"), ("n3", "bigint"), ("n4", "bigint"),
+                    ("n5", "bigint"), ("d1", "double")),
+            F.col("custkey_csv").alias("s1"),
+        ),
     )
     return wi.unionByName(ra).unionByName(ar)
 
@@ -6959,25 +6987,28 @@ def q_sql_subquery_suite(spark, sf):
     EXISTS + scalar subqueries, and exact interpolated percentiles as one
     tagged union. Parts: sql_set_ops, sql_correlated_exists,
     sql_exact_percentile."""
-    so = q_sql_set_ops(spark, sf).select(
-        F.lit("set_ops").alias("part"),
-        F.col("custkey").alias("key"),
-        *_nulls(("name", "string"), ("n", "bigint"), ("d1", "double"), ("d2", "double")),
-    )
-    ex = q_sql_correlated_exists(spark, sf).select(
-        F.lit("exists").alias("part"),
-        F.col("c_custkey").alias("key"),
-        F.col("c_name").alias("name"),
-        F.col("n_orders").alias("n"),
-        *_nulls(("d1", "double"), ("d2", "double")),
-    )
-    pc = q_sql_exact_percentile(spark, sf).select(
-        F.lit("percentile").alias("part"),
-        *_nulls(("key", "bigint")),
-        F.col("l_returnflag").alias("name"),
-        F.col("n").alias("n"),
-        F.col("p50_qty").alias("d1"),
-        F.col("p90_price").alias("d2"),
+    so, ex, pc = _pooled(
+        lambda: q_sql_set_ops(spark, sf).select(
+            F.lit("set_ops").alias("part"),
+            F.col("custkey").alias("key"),
+            *_nulls(("name", "string"), ("n", "bigint"), ("d1", "double"),
+                    ("d2", "double")),
+        ),
+        lambda: q_sql_correlated_exists(spark, sf).select(
+            F.lit("exists").alias("part"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("n_orders").alias("n"),
+            *_nulls(("d1", "double"), ("d2", "double")),
+        ),
+        lambda: q_sql_exact_percentile(spark, sf).select(
+            F.lit("percentile").alias("part"),
+            *_nulls(("key", "bigint")),
+            F.col("l_returnflag").alias("name"),
+            F.col("n").alias("n"),
+            F.col("p50_qty").alias("d1"),
+            F.col("p90_price").alias("d2"),
+        ),
     )
     return so.unionByName(ex).unionByName(pc)
 
