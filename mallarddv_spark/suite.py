@@ -8066,7 +8066,12 @@ def q_streaming_sessionization(spark, sf):
         # FileStreamSource processes files in modification-time order, and
         # coarse-mtime filesystems (or fast sequential writes) can tie or
         # reorder the three thirds — pin explicit strictly-increasing
-        # mtimes per write so micro-batch order is deterministic everywhere
+        # mtimes so micro-batch order is deterministic everywhere. The
+        # mtime stamps (not the write order) carry that guarantee, so the
+        # three third-writes run CONCURRENTLY into private temp dirs
+        # (guide §2.6) and the files are then moved into the stream dir
+        # in third order, each stamped as it lands — same files, same
+        # stamps, same micro-batch sequence as the old serial appends.
         import os as _os
 
         def _parts(d):
@@ -8076,15 +8081,29 @@ def q_streaming_sessionization(spark, sf):
                 if f.endswith(".parquet") and not f.startswith(("_", "."))
             )
 
-        seen: set = set()
-        for i, flt in enumerate(
-            (us <= b1, (us > b1) & (us <= b2), us > b2)
-        ):
-            e.filter(flt).coalesce(1).write.mode("append").parquet(base)
+        flts = (us <= b1, (us > b1) & (us <= b2), us > b2)
+
+        def _wr(i, flt):
+            e.filter(flt).coalesce(1).write.mode("append").parquet(
+                f"{base}__third{i}"
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as _pool:
+            list(_pool.map(lambda t_: _wr(*t_), enumerate(flts)))
+        _os.makedirs(base, exist_ok=True)
+        import shutil as _shutil
+
+        for i in range(3):
             t = 1_700_000_000 + i * 10
-            for p in (f for f in _parts(base) if f not in seen):
-                _os.utime(p, (t, t))
-                seen.add(p)
+            for p in _parts(f"{base}__third{i}"):
+                dst = _os.path.join(
+                    base, f"third{i}_{_os.path.basename(p)}"
+                )
+                _os.rename(p, dst)
+                _os.utime(dst, (t, t))
+            _shutil.rmtree(f"{base}__third{i}", ignore_errors=True)
     finally:
         e.unpersist()
 
