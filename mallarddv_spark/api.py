@@ -102,10 +102,33 @@ class MallardSparkVault:
 
         cols = self._meta.table_columns()
         try:
-            catalog.create_staging_tables(self.spark, self.stg_db, cols)
-            hub.create_hub_tables(self.spark, self.dv_db, cols, self.dv_buckets)
-            link.create_link_tables(self.spark, self.dv_db, cols, self.dv_buckets)
-            satellite.create_sat_tables(self.spark, self.dv_db, cols, self.dv_buckets)
+            # staging/hub/link/sat DDL touch disjoint tables — issue the
+            # four groups concurrently (each is a chain of serial driver
+            # round trips). Current views analyze against the sat tables
+            # at CREATE time, so they stay after the pool.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                futs = [
+                    pool.submit(
+                        catalog.create_staging_tables,
+                        self.spark, self.stg_db, cols,
+                    ),
+                    pool.submit(
+                        hub.create_hub_tables,
+                        self.spark, self.dv_db, cols, self.dv_buckets,
+                    ),
+                    pool.submit(
+                        link.create_link_tables,
+                        self.spark, self.dv_db, cols, self.dv_buckets,
+                    ),
+                    pool.submit(
+                        satellite.create_sat_tables,
+                        self.spark, self.dv_db, cols, self.dv_buckets,
+                    ),
+                ]
+                for f in futs:
+                    f.result()
             satellite.create_current_views(self.spark, self.dv_db, self.bv_db, cols)
         except Exception as ex:
             errors.append(("init_vault_ddl", str(ex)))

@@ -31,8 +31,25 @@ DEFAULT_SCHEMAS = ("stg", "dv", "bv", "dm", "metadata")
 
 
 def ensure_databases(spark: SparkSession, schemas=DEFAULT_SCHEMAS) -> None:
-    for s in schemas:
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {quote_ident(s)}")
+    # independent catalog entries; each CREATE is a serial driver round
+    # trip, so issue them from a small pool (they commonly run five at a
+    # time at vault init)
+    from concurrent.futures import ThreadPoolExecutor
+
+    schemas = list(schemas)
+    if len(schemas) <= 1:
+        for s in schemas:
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {quote_ident(s)}")
+        return
+    with ThreadPoolExecutor(max_workers=len(schemas)) as pool:
+        futs = [
+            pool.submit(
+                spark.sql, f"CREATE DATABASE IF NOT EXISTS {quote_ident(s)}"
+            )
+            for s in schemas
+        ]
+        for f in futs:
+            f.result()
 
 
 def drop_vault(spark: SparkSession, schemas=DEFAULT_SCHEMAS) -> None:
