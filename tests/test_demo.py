@@ -3,6 +3,8 @@ files a new user runs (`python demo/run_demo.py`), asserted."""
 
 import os
 
+import pytest
+
 from mallarddv_spark.api import MallardSparkVault
 from mallarddv_spark.sources.catalog import drop_vault
 
@@ -57,6 +59,11 @@ def test_demo_end_to_end(spark):
     assert spark.table("metadata.runinfo").count() == n_runs
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="8+ minute subprocess demo; set SPARK_GRAFT_SLOW_TESTS=1 to run "
+    "(a showcase, not a gate — the full suite must fit the CI/verify window)",
+)
 def test_curation_demo_runs():
     """The shipped curation-pipeline demo runs end-to-end as a user would
     (own subprocess and session) and prints every stage marker."""
