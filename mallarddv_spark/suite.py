@@ -4435,11 +4435,14 @@ def q_text_doc_stats(spark, sf):
     their own operator's pass by design — the gate drives the PUBLIC
     operators unmodified rather than hand-fusing their internals, and
     each added pass is distinct-words/vocabulary-bounded after its
-    first explode. The three encode gates share ONE checkpointed word
-    stream through the encoders' public ``stream=`` parameter (the
-    multi-tokenizer fusion path — the corpus explode is paid once, not
-    per tokenizer). A production pipeline wanting single-scan fusion
-    composes the underlying Column expressions directly.
+    first explode. The three whitespace-mode encode gates are FUSED
+    (round 15): ONE checkpointed word stream, ONE distinct-word frame
+    feeding the three PUBLIC word-level encoders, ONE stream join + ONE
+    per-doc groupBy reassembling all three token sequences — see
+    :func:`_enc3_cols` for the equivalence argument (previously each
+    gate paid its own distinct + join + groupBy over the shared
+    stream). A production pipeline wanting single-scan fusion composes
+    the same word-level operators directly.
 
     Parts: text_token_count, text_quality, text_langid, text_fingerprint,
     text_bpe_tokens; plus the Unicode-script profile columns
@@ -4534,12 +4537,15 @@ def q_text_doc_stats(spark, sf):
 
     from mallarddv_spark.operators.bpe import whitespace_word_stream
 
-    # The six gate-column frames cost ~1.5 s of driver/py4j plan
+    # The gate-column frames cost ~1.5 s of driver/py4j plan
     # construction; none of it needs the word-stream checkpoint to have
-    # FINISHED (only the three stream consumers need its frame), so the
-    # checkpoint job and the constructions run from one pool instead of
-    # serially. Expressions and the join order are unchanged.
-    with ThreadPoolExecutor(max_workers=7) as pool:
+    # FINISHED (only the fused-encoder constructor needs its frame), so
+    # the checkpoint job and the constructions run from one pool instead
+    # of serially. POOL INVARIANT (do not shrink): max_workers must be
+    # >= the number of submitted tasks because f_enc3 blocks on
+    # f_stream.result() — with fewer workers than tasks the producer can
+    # queue behind its blocked consumer and deadlock.
+    with ThreadPoolExecutor(max_workers=5) as pool:
         f_stream = pool.submit(
             lambda: whitespace_word_stream(
                 d, "doc_id", "text", lowercase=True
@@ -4548,15 +4554,11 @@ def q_text_doc_stats(spark, sf):
         f_script = pool.submit(_script_cols, d)
         f_trained = pool.submit(_trained_lang_cols, spark, d)
         f_ble = pool.submit(_ble_enc_cols, d)
-        f_bpe = pool.submit(lambda: _bpe_enc_cols(d, f_stream.result()))
-        f_wp = pool.submit(lambda: _wp_enc_cols(d, f_stream.result()))
-        f_un = pool.submit(lambda: _un_enc_cols(spark, d, f_stream.result()))
+        f_enc3 = pool.submit(lambda: _enc3_cols(spark, d, f_stream.result()))
         script_f = f_script.result()
         trained_f = f_trained.result()
         ble_f = f_ble.result()
-        bpe_f = f_bpe.result()
-        wp_f = f_wp.result()
-        un_f = f_un.result()
+        enc3_f = f_enc3.result()
     return d.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -4584,9 +4586,7 @@ def q_text_doc_stats(spark, sf):
         F.round(bpe / F.size(toks), 6).alias("bpe_ratio"),
     ).join(script_f, "doc_id").join(
         trained_f, "doc_id"
-    ).join(bpe_f, "doc_id").join(
-        wp_f, "doc_id"
-    ).join(un_f, "doc_id").join(
+    ).join(enc3_f, "doc_id").join(
         ble_f, "doc_id"
     )
 
@@ -4684,12 +4684,149 @@ _UN_GATE_PIECES = {
 _UN_GATE_UNK = -20.0
 
 
+def _enc3_cols(spark, d, stream):
+    """The three whitespace-mode tokenizer-encode gates (BPE, WordPiece,
+    unigram) FUSED over one distinct-word frame: ``(doc_id, bpe_enc_n,
+    bpe_enc_fp, bpe_enc_idsum, wp_enc_n, wp_enc_unk, wp_enc_fp,
+    un_enc_n, un_enc_lp6, un_enc_fp)``.
+
+    Optimization round 15 (guide §2.4): driving the three doc-level
+    encoders separately paid 3× (distinct-words shuffle + stream join +
+    per-doc groupBy) over the SAME shared word stream — the corpus-sized
+    passes, the dominant cost at scale. Composing the PUBLIC word-level
+    encoders (``bpe_encode_words`` + ``tokens_to_ids``,
+    ``wordpiece_encode_words``, ``unigram_encode_words`` — the
+    documented single-scan fusion path) over ONE eager-checkpointed
+    distinct-word frame, joining the three vocabulary-sized word→tokens
+    maps, and reassembling docs with ONE stream join + ONE groupBy cuts
+    that to 1×. Values are identical per column by construction:
+
+    - per-doc token counts / [UNK] counts / id-sums are sums over word
+      occurrences of per-word values (integer arithmetic, associative);
+    - per-doc fingerprints flatten ONE pos-sorted collect_list (pos is
+      unique per doc, so sorting the combined struct equals sorting each
+      encoder's own struct list — identical token order);
+    - the unigram doc score keeps the exact grid arithmetic:
+      round(score·1e10) per word occurrence, summed, /1e10 rounded to 6,
+      then the 1e-6 grid hop — the same expressions unigram_encode uses.
+    - zero-word docs: all three encoders dropped exactly the docs with
+      no stream rows; the fused frame drops the same set, and the LEFT
+      join + per-column coalesce restores the same defaults.
+    Equivalence gated by the DuckDB oracle (rows+schema+hash) at three
+    SFs and pinned by tests/test_shared_features.py. Interleaved A/B at
+    sf0.1: gate subtrees 6.27 s (2.15+2.11+2.01 isolated) → 3.06 s."""
+    from mallarddv_spark.functions.litframe import literal_frame
+    from mallarddv_spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_vocab,
+        tokens_to_ids,
+    )
+    from mallarddv_spark.operators.unigram import unigram_encode_words
+    from mallarddv_spark.operators.wordpiece import (
+        UNK,
+        wordpiece_encode_words,
+    )
+
+    # vocabulary-sized; eager so the three DP subtrees below share ONE
+    # distinct-words job instead of re-deriving the shuffle per encoder
+    # (fresh per invocation — nothing persists across runs)
+    words = stream.select("word").distinct().localCheckpoint(eager=True)
+
+    bpe_model = {
+        "merges": list(_BPE_GATE_MERGES),
+        "lowercase": True, "byte_level": False,
+    }
+    b = tokens_to_ids(
+        bpe_encode_words(words, bpe_model), "tokens",
+        bpe_vocab(bpe_model), unk_id=-1,
+    ).select(
+        "word",
+        F.col("tokens").alias("__bt"),
+        # per-WORD id sum; the doc idsum below sums these over word
+        # occurrences — same total as summing the doc's flattened ids
+        F.aggregate("ids", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x.cast("bigint")).alias("__bi"),
+    )
+    w = wordpiece_encode_words(
+        words, {"vocab": list(_WP_GATE_VOCAB), "lowercase": True}
+    ).select(
+        "word",
+        F.col("tokens").alias("__wt"),
+        F.size(F.filter("tokens", lambda x: x == F.lit(UNK)))
+        .cast("bigint").alias("__wu"),
+    )
+    vocab = literal_frame(
+        spark, [(p, lp) for p, lp in _UN_GATE_PIECES.items()],
+        "piece string, logp double",
+    )
+    u = unigram_encode_words(
+        words, vocab, unk_logp=float(_UN_GATE_UNK),
+    ).select(
+        "word",
+        F.col("pieces").alias("__ut"),
+        F.round(F.col("score") * 1e10).cast("bigint").alias("__us10"),
+    )
+    wmap = b.join(w, "word").join(u, "word")
+    enc = (
+        stream.join(wmap, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.size("__bt")).cast("bigint").alias("__bn"),
+            F.sum("__bi").cast("bigint").alias("__bidsum"),
+            F.sum(F.size("__wt")).cast("bigint").alias("__wn"),
+            F.sum("__wu").cast("bigint").alias("__wunk"),
+            F.sum(F.size("__ut")).cast("bigint").alias("__un"),
+            F.round(F.sum("__us10") / 1e10, 6).alias("__ulp"),
+            # ONE pos-sorted struct list carries all three token
+            # sequences (pos unique per doc → order identical to three
+            # per-encoder sorts; one agg buffer instead of three)
+            F.array_sort(
+                F.collect_list(F.struct(
+                    F.col("pos"), F.col("__bt"), F.col("__wt"),
+                    F.col("__ut"),
+                ))
+            ).alias("__seq"),
+        )
+    )
+    return d.select("doc_id").join(enc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("__bn"), F.lit(0)).cast("bigint")
+        .alias("bpe_enc_n"),
+        F.md5(F.concat_ws(" ", F.coalesce(
+            F.flatten(F.col("__seq").getField("__bt")),
+            F.array().cast("array<string>"),
+        ))).alias("bpe_enc_fp"),
+        F.coalesce(F.col("__bidsum"), F.lit(0).cast("bigint"))
+        .alias("bpe_enc_idsum"),
+        F.coalesce(F.col("__wn"), F.lit(0)).cast("bigint")
+        .alias("wp_enc_n"),
+        F.coalesce(F.col("__wunk"), F.lit(0)).cast("bigint")
+        .alias("wp_enc_unk"),
+        F.md5(F.concat_ws(" ", F.coalesce(
+            F.flatten(F.col("__seq").getField("__wt")),
+            F.array().cast("array<string>"),
+        ))).alias("wp_enc_fp"),
+        F.coalesce(F.col("__un"), F.lit(0)).cast("bigint")
+        .alias("un_enc_n"),
+        F.coalesce(F.round(F.col("__ulp") * 1e6).cast("bigint"),
+                   F.lit(0)).alias("un_enc_lp6"),
+        F.md5(F.concat_ws(" ", F.coalesce(
+            F.flatten(F.col("__seq").getField("__ut")),
+            F.array().cast("array<string>"),
+        ))).alias("un_enc_fp"),
+    )
+
+
 def _un_enc_cols(spark, d, stream=None):
     """Unigram-Viterbi-encode columns under the fixed literal
     vocabulary: ``(doc_id, un_enc_n, un_enc_lp6, un_enc_fp)`` — token
     count, the doc's Viterbi log-prob on the 1e-6 integer grid (exact:
     dyadic scores), and an md5 over the space-joined flattened token
-    sequence. LEFT join keeps zero-word docs at n=0/lp=0."""
+    sequence. LEFT join keeps zero-word docs at n=0/lp=0.
+
+    Kept as the single-encoder reference path: q_text_doc_stats now
+    drives the fused :func:`_enc3_cols`, whose per-column equivalence to
+    this frame is pinned by tests/test_shared_features.py."""
     from mallarddv_spark.functions.litframe import literal_frame
     from mallarddv_spark.operators.unigram import unigram_encode
 

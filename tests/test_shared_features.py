@@ -188,3 +188,36 @@ def test_minhash_shingles_injection_identical(spark):
             )
             assert _rows(base) == _rows(inj)
             assert len(_rows(base)) > 0
+
+
+def test_enc3_fused_gates_identical(spark):
+    """suite._enc3_cols (the round-15 fusion: ONE distinct-word frame +
+    ONE stream join + ONE per-doc groupBy for all three whitespace-mode
+    tokenizer encode gates) must equal the three single-encoder gate
+    frames column for column — including zero-word docs (coalesce
+    defaults) and the unigram grid arithmetic."""
+    from mallarddv_spark import suite
+    from mallarddv_spark.operators.bpe import whitespace_word_stream
+
+    rows = [
+        (0, "the sand and the sea in the morning"),
+        (1, "a stone on the strand near the end"),
+        (2, ""),                          # zero-word doc: coalesce path
+        (3, "   "),                       # whitespace-only: same
+        (4, "jjj qqq vvv kkk"),           # [UNK]/unk-floor exercising
+        (5, "the the the and and in on er st re ed ng nd he th an"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    stream = whitespace_word_stream(
+        d, "doc_id", "text", lowercase=True
+    ).localCheckpoint(eager=True)
+
+    fused = suite._enc3_cols(spark, d, stream)
+    ref = (
+        suite._bpe_enc_cols(d, stream)
+        .join(suite._wp_enc_cols(d, stream), "doc_id")
+        .join(suite._un_enc_cols(spark, d, stream), "doc_id")
+    )
+    assert fused.schema == ref.select(*fused.columns).schema
+    assert _rows(fused) == _rows(ref.select(*fused.columns))
+    assert len(_rows(fused)) == len(rows)
