@@ -486,44 +486,61 @@ def build_bm25_index(
     contribution is forfeited, a search engine's stop list); the list
     is frozen at build — rebuild to re-evaluate the cutoff.
     """
-    spark = df.sparkSession
-    if postings is None:
-        # two corpus passes (tokenize for postings + tokenize for
-        # totals) only in the standalone path; a caller who already
-        # holds the posting rows (e.g. a shared suite checkpoint)
-        # passes them and the totals come from the postings themselves
-        postings = build_postings(df, id_col, text_col, lowercase)
-        n_docs, total_len = _corpus_totals(df, id_col, text_col, lowercase)
-    else:
-        # BEFORE any stop-list pruning: totals must count every doc
-        # with >= 1 token, exactly like _corpus_totals
-        n_docs, total_len = _totals_from_postings(postings, id_col)
-    if max_df_frac is not None:
-        if not 0.0 < max_df_frac <= 1.0:
-            raise DVConfigurationError(
-                "build_bm25_index: max_df_frac must be in (0, 1]"
-            )
-        # cutoff against the SAME N the stored totals use (docs with
-        # >= 1 token) — evaluating the stopword threshold against a
-        # count that included empty docs would shift it vs score-time idf.
-        # df(term) via groupBy, NOT count-over-window: the build is
-        # exactly where ubiquitous terms still exist, and a window
-        # partitioned by term would serialize a stopword's entire
-        # posting list into one task before the cutoff can drop it;
-        # groupBy keeps tasks bounded through map-side partial counts.
-        cutoff = float(max_df_frac) * n_docs
-        postings.groupBy("term").agg(F.count("*").alias("__df")).filter(
-            F.col("__df") > cutoff
-        ).select("term").coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/stoplist"
+    from concurrent.futures import ThreadPoolExecutor
+
+    if max_df_frac is not None and not 0.0 < max_df_frac <= 1.0:
+        raise DVConfigurationError(
+            "build_bm25_index: max_df_frac must be in (0, 1]"
         )
-        # stop lists are small by construction (sum(df) over stopped
-        # terms <= total_len / cutoff terms) — broadcast anti-join
-        stoplist = spark.read.parquet(f"{path}/stoplist")
-        postings = postings.join(F.broadcast(stoplist), "term", "left_anti")
-    postings.withColumn(
-        "tbucket", _tbucket(term_buckets)
-    ).write.partitionBy("tbucket").mode("overwrite").parquet(f"{path}/postings")
+    spark = df.sparkSession
+    # The totals job and the postings write are independent (two reads
+    # of the same frame): the totals run from a single-worker pool so
+    # the write's tasks back-fill the cluster while the totals job's
+    # tail finishes (guide §2.6). Only the stop-list path must resolve
+    # totals first (the cutoff needs n_docs before pruning decides what
+    # gets written). The pool exit joins the worker, so no thread leaks.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        if postings is None:
+            # two corpus passes (tokenize for postings + tokenize for
+            # totals) only in the standalone path; a caller who already
+            # holds the posting rows (e.g. a shared suite checkpoint)
+            # passes them and the totals come from the postings
+            totals = pool.submit(
+                _corpus_totals, df, id_col, text_col, lowercase
+            )
+            postings = build_postings(df, id_col, text_col, lowercase)
+        else:
+            # BEFORE any stop-list pruning: totals must count every doc
+            # with >= 1 token, exactly like _corpus_totals
+            totals = pool.submit(_totals_from_postings, postings, id_col)
+        if max_df_frac is not None:
+            n_docs, _ = totals.result()
+            # cutoff against the SAME N the stored totals use (docs with
+            # >= 1 token) — evaluating the stopword threshold against a
+            # count that included empty docs would shift it vs score-time
+            # idf. df(term) via groupBy, NOT count-over-window: the build
+            # is exactly where ubiquitous terms still exist, and a window
+            # partitioned by term would serialize a stopword's entire
+            # posting list into one task before the cutoff can drop it;
+            # groupBy keeps tasks bounded through map-side partial counts.
+            cutoff = float(max_df_frac) * n_docs
+            postings.groupBy("term").agg(F.count("*").alias("__df")).filter(
+                F.col("__df") > cutoff
+            ).select("term").coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/stoplist"
+            )
+            # stop lists are small by construction (sum(df) over stopped
+            # terms <= total_len / cutoff terms) — broadcast anti-join
+            stoplist = spark.read.parquet(f"{path}/stoplist")
+            postings = postings.join(
+                F.broadcast(stoplist), "term", "left_anti"
+            )
+        postings.withColumn(
+            "tbucket", _tbucket(term_buckets)
+        ).write.partitionBy("tbucket").mode("overwrite").parquet(
+            f"{path}/postings"
+        )
+        n_docs, total_len = totals.result()
     _write_params(
         spark, path, n_docs, total_len, lowercase, term_buckets, id_col,
         staged=False,
@@ -565,26 +582,37 @@ def bm25_index_append(
     tokenization when the caller already holds the batch's posting
     rows (the :func:`build_bm25_index` sharing hook); the totals delta
     then derives from those rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = df.sparkSession
     p = _index_params(spark, path)
     pre = postings
     if postings is None:
         postings = build_postings(df, p["id_col"], text_col, p["lowercase"])
-    Path = spark._jvm.org.apache.hadoop.fs.Path
-    sl = Path(f"{path}/stoplist")
-    if sl.getFileSystem(spark._jsc.hadoopConfiguration()).exists(sl):
-        stoplist = spark.read.parquet(f"{path}/stoplist")
-        postings = postings.join(F.broadcast(stoplist), "term", "left_anti")
-    postings.withColumn(
-        "tbucket", _tbucket(p["term_buckets"])
-    ).write.partitionBy("tbucket").mode("append").parquet(f"{path}/postings")
-    if pre is None:
-        n_docs, total_len = _corpus_totals(
-            df, p["id_col"], text_col, p["lowercase"]
-        )
-    else:
+
+    def _batch_totals():
+        if pre is None:
+            return _corpus_totals(df, p["id_col"], text_col, p["lowercase"])
         # pre-stoplist rows, like the totals the standalone path counts
-        n_docs, total_len = _totals_from_postings(pre, p["id_col"])
+        return _totals_from_postings(pre, p["id_col"])
+
+    # totals delta and the postings append are independent reads of the
+    # batch: overlap them (the build_bm25_index pattern, guide §2.6)
+    with ThreadPoolExecutor(max_workers=1) as tp:
+        f_tot = tp.submit(_batch_totals)
+        Path = spark._jvm.org.apache.hadoop.fs.Path
+        sl = Path(f"{path}/stoplist")
+        if sl.getFileSystem(spark._jsc.hadoopConfiguration()).exists(sl):
+            stoplist = spark.read.parquet(f"{path}/stoplist")
+            postings = postings.join(
+                F.broadcast(stoplist), "term", "left_anti"
+            )
+        postings.withColumn(
+            "tbucket", _tbucket(p["term_buckets"])
+        ).write.partitionBy("tbucket").mode("append").parquet(
+            f"{path}/postings"
+        )
+        n_docs, total_len = f_tot.result()
     from mallarddv_spark.sources import layout
 
     _write_params(

@@ -6436,6 +6436,16 @@ def q_text_frequency_suite(spark, sf):
         )
         return bm, hy, rf, cm, em
 
+    # POOL INVARIANT (do not shrink): max_workers >= submitted tasks —
+    # _store blocks on f_bm and the four _parts_* tasks block on their
+    # builder futures; with fewer workers than tasks a producer can
+    # queue behind its blocked consumer and the pool deadlocks.
+    # (Round 15 measured-and-REJECTED: eagerly checkpointing the
+    # 12-part union so its execution overlaps the store chain — 15
+    # interleaved rounds at sf0.1 showed no win (med 8.22 old vs 8.72
+    # new); the union's many tiny stages are scheduler-latency-bound,
+    # so overlapping them with the store's small serial jobs does not
+    # shorten the critical path, and the checkpoint adds a barrier.)
     with ThreadPoolExecutor(max_workers=9) as pool:
         f_voc = pool.submit(_ckpt_vocab)
         f_bm = pool.submit(_ckpt_bm25)
