@@ -127,8 +127,14 @@ class MallardSparkVault:
                         self.spark, self.dv_db, cols, self.dv_buckets,
                     ),
                 ]
-                for f in futs:
-                    f.result()
+                # collect every group's failure, not just the first
+                # future's: concurrent siblings run to completion either
+                # way, and a partial init is easier to diagnose with all
+                # of them recorded
+                ddl_errs = [str(ex) for ex in
+                            (f.exception() for f in futs) if ex is not None]
+                if ddl_errs:
+                    raise RuntimeError("; ".join(ddl_errs))
             satellite.create_current_views(self.spark, self.dv_db, self.bv_db, cols)
         except Exception as ex:
             errors.append(("init_vault_ddl", str(ex)))

@@ -328,29 +328,46 @@ def bloom_append(
     # shingle explode) executes twice — once for count(), again under the
     # staged write. The checkpoint holds |distinct new values| rows of a
     # single column; eager + fresh per call, nothing persists across runs.
+    # NOTE on the checkpoint: lineage truncation means loss of a
+    # checkpoint block fails the staged rewrite instead of recomputing —
+    # the swap protocol still prevents corruption (the live filter is
+    # untouched until the swap), the append just errors and is retried.
     vals = _distinct_vals(new_values, value_col).localCheckpoint(eager=True)
-    n_new = vals.count()
-    if n_new == 0:
-        # nothing to fold: skip the rewrite + staged swap entirely and
-        # report the stored geometry unchanged (inflating n_items for a
-        # no-op would erode the sizing headroom callers watch)
-        return {"m": int(geo.m), "n_hashes": int(geo.n_hashes),
-                "n_items": int(geo.n_items)}
-    # fold at the STORED geometry and merge WITHOUT the compatibility
-    # probe (the batch is at that geometry by construction): the whole
-    # append is then ONE lazy plan, evaluated exactly once by the
-    # staged write — no collect, no createDataFrame round-trip (the
-    # pickled-local-frame path schedules Python workers per action; see
-    # functions/litframe.py). Writing to __compact never touches the
-    # live directory the plan reads from.
-    batch = _fold_filter(vals, int(geo.m), int(geo.n_hashes), n_new)
-    merged = merge_blooms(stored, batch, check=False)
-    from mallarddv_spark.sources import layout
+    try:
+        n_new = vals.count()
+        if n_new == 0:
+            # nothing to fold: skip the rewrite + staged swap entirely
+            # and report the stored geometry unchanged (inflating
+            # n_items for a no-op would erode the sizing headroom
+            # callers watch)
+            return {"m": int(geo.m), "n_hashes": int(geo.n_hashes),
+                    "n_items": int(geo.n_items)}
+        # fold at the STORED geometry and merge WITHOUT the
+        # compatibility probe (the batch is at that geometry by
+        # construction): the whole append is then ONE lazy plan,
+        # evaluated exactly once by the staged write — no collect, no
+        # createDataFrame round-trip (the pickled-local-frame path
+        # schedules Python workers per action; see functions/litframe.py).
+        # Writing to __compact never touches the live directory the
+        # plan reads from.
+        batch = _fold_filter(vals, int(geo.m), int(geo.n_hashes), n_new)
+        merged = merge_blooms(stored, batch, check=False)
+        from mallarddv_spark.sources import layout
 
-    merged.coalesce(1).write.mode("overwrite").parquet(path + "__compact")
-    layout.swap_dir_live(spark, path)
-    return {"m": int(geo.m), "n_hashes": int(geo.n_hashes),
-            "n_items": int(geo.n_items) + n_new}
+        merged.coalesce(1).write.mode("overwrite").parquet(path + "__compact")
+        layout.swap_dir_live(spark, path)
+        return {"m": int(geo.m), "n_hashes": int(geo.n_hashes),
+                "n_items": int(geo.n_items) + n_new}
+    finally:
+        # free the checkpoint's executor blocks now instead of at driver
+        # GC — a long-lived session appending many batches would
+        # otherwise accumulate them in storage memory. The persisted RDD
+        # lives inside the LogicalRDD node (df.rdd would wrap a NEW
+        # derived RDD whose unpersist is a no-op); best-effort only.
+        try:
+            vals._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # never fail an append over cleanup
+            pass
 
 
 def heal_bloom(spark: SparkSession, path: str) -> str | None:

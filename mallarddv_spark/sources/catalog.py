@@ -41,7 +41,10 @@ def ensure_databases(spark: SparkSession, schemas=DEFAULT_SCHEMAS) -> None:
         for s in schemas:
             spark.sql(f"CREATE DATABASE IF NOT EXISTS {quote_ident(s)}")
         return
-    with ThreadPoolExecutor(max_workers=len(schemas)) as pool:
+    # capped: a long custom schema list must not spawn one thread each
+    # (concurrent DDL serializes on an embedded metastore anyway — the
+    # overlap pays off against a remote one)
+    with ThreadPoolExecutor(max_workers=min(8, len(schemas))) as pool:
         futs = [
             pool.submit(
                 spark.sql, f"CREATE DATABASE IF NOT EXISTS {quote_ident(s)}"

@@ -97,14 +97,28 @@ def load_file_to_staging(
     # Under-parallel inputs (one gzip file, a parquet with few row groups)
     # would otherwise pin every downstream hub/link/sat consumer to a
     # handful of scan tasks — the staging table inherits the source file's
-    # partitioning. Spread the write across the cluster ONLY when the
-    # source arrives with fewer splits than cores (scale-adaptive: a lake
-    # batch that already has thousands of splits skips the exchange).
-    # Measured at sf0.1: dv_flow_lineitem 6.4 -> 5.9 s min-of-5 interleaved.
-    n_in = df.rdd.getNumPartitions()
+    # partitioning. Spread the write across the cluster ONLY when
+    # (a) the source arrives with well under half the cluster's cores in
+    #     splits (a near-parallel input does not pay a full shuffle for a
+    #     marginal gain; a lake batch with thousands of splits skips it
+    #     outright), and
+    # (b) the input is big enough to matter (>= 8 MB): a tiny dimension
+    #     load (a 25-row table) would otherwise fragment into one
+    #     near-empty file per core that every downstream scan pays to
+    #     open, for zero parallelism gain.
+    # Measured at sf0.1: dv_flow_lineitem 6.4 -> 5.9 s min-of-5 interleaved
+    # (round 14; the 2x/8MB guards change nothing for that path).
+    # Split count via the JVM RDD — df.rdd would build the Python-pickle
+    # conversion pipeline just to read a partition count. Size from the
+    # optimized plan's file-source statistics (sum of file lengths): one
+    # py4j call, no job.
+    n_in = df._jdf.rdd().getNumPartitions()
     par = spark.sparkContext.defaultParallelism
-    if n_in < par:
-        df = df.repartition(par)
+    if n_in * 2 <= par:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+        if size >= 8 * 1024 * 1024:
+            df = df.repartition(par)
     df.write.mode("overwrite").insertInto(
         f"{stg_db}.{quote_ident(source_table)}", overwrite=True
     )
