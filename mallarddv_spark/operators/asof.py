@@ -203,10 +203,15 @@ def pit_table(
     sats on (hk, load_dts) afterwards avoids repeating window scans in
     every mart query.
     """
+    # ONE distinct over the union of every sat's keys: the same key set
+    # as per-sat distincts + pairwise union-distincts, for one aggregation
+    # over the unioned stream (map-side partial aggregation dedups within
+    # each sat's partitions first) instead of 2N-1 of them (guide §2.4)
     keys = None
     for sat_df in sats.values():
-        k = sat_df.select(F.col(hk_col)).distinct()
-        keys = k if keys is None else keys.unionByName(k).distinct()
+        k = sat_df.select(F.col(hk_col))
+        keys = k if keys is None else keys.unionByName(k)
+    keys = keys.distinct()
     pit = keys.crossJoin(F.broadcast(snapshots.select(snapshot_col)))
     for name, sat_df in sats.items():
         versions = sat_df.select(
