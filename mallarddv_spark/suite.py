@@ -6703,27 +6703,37 @@ def q_text_contamination_suite(spark, sf):
     def _bloom_chain():
         sc.setJobDescription("contamination: bloom build/append/probe")
         bench = docs.filter(F.pmod("doc_id", F.lit(50)) == 0)
-        # the full benchmark's distinct-shingle count sizes BOTH
-        # half-builds (the manifest pattern: geometry fixed up front,
-        # halves fold at it — append never resizes, so sizing for the
-        # union keeps fpp honest)
-        n_full = (
-            _shingles(bench, "doc_id", "text", 5)
-            .select("shingle").distinct().count()
-        )
         half_a = bench.filter(F.pmod("doc_id", F.lit(100)) == 0)
         half_b = bench.filter(F.pmod("doc_id", F.lit(100)) == 50)
         path = _scratch_dir("bloomdecon_gate_") + "/bf"
-        B.save_bloom(
-            build_benchmark_bloom(
-                half_a, "doc_id", "text", shingle_size=5, fpp=1e-12,
-                expected_shingles=n_full,
-            ),
-            path,
-        )
-        B.bloom_append(
-            spark, path, _shingles(half_b, "doc_id", "text", 5), "shingle"
-        )
+        # half_b's distinct shingles (what bloom_append folds;
+        # distinct-of-distinct is the same set) are independent of the
+        # sizing count AND the half_a build — checkpoint them from a
+        # one-worker pool so they overlap the whole count→build→save
+        # prefix instead of running serially after it (guide §2.6).
+        with ThreadPoolExecutor(max_workers=1) as bp:
+            f_valsb = bp.submit(
+                lambda: _shingles(half_b, "doc_id", "text", 5)
+                .select("shingle").distinct()
+                .localCheckpoint(eager=True)
+            )
+            # the full benchmark's distinct-shingle count sizes BOTH
+            # half-builds (the manifest pattern: geometry fixed up
+            # front, halves fold at it — append never resizes, so
+            # sizing for the union keeps fpp honest)
+            n_full = (
+                _shingles(bench, "doc_id", "text", 5)
+                .select("shingle").distinct().count()
+            )
+            B.save_bloom(
+                build_benchmark_bloom(
+                    half_a, "doc_id", "text", shingle_size=5, fpp=1e-12,
+                    expected_shingles=n_full,
+                ),
+                path,
+            )
+            vals_b = f_valsb.result()
+        B.bloom_append(spark, path, vals_b, "shingle")
         return decontaminate_with_bloom(
             docs.filter(F.pmod("doc_id", F.lit(50)) != 0)
             .repartition(32, "doc_id"),
